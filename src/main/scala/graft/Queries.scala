@@ -1,0 +1,391 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's query surface, exposed as named entries with DuckDB oracle
+  * SQL for differential correctness checking.
+  *
+  * This mirrors the reference's test strategy — every query runs on the
+  * engine AND on an oracle DBMS and results are compared (reference:
+  * mapd-core/Tests/ExecuteTest.cpp:132-168 `SQLiteComparator`; 77 test
+  * groups over the same operator surface). Here the engine is Spark SQL /
+  * DataFrame code and the oracle is DuckDB over the same parquet files.
+  *
+  * Conventions that keep the differential compare byte-stable:
+  *   - every aggregate / computed column is aliased identically on both
+  *     sides (the driver sorts columns by name before hashing);
+  *   - floating aggregates are `round(...)`-ed (partial-aggregation order
+  *     differs between engines → last-ulp drift on big double sums);
+  *   - integer-producing functions are CAST to BIGINT (DuckDB widens
+  *     sum(BIGINT) to HUGEINT, `length()` to BIGINT, etc.);
+  *   - results carry an ORDER BY on a unique key when LIMIT is involved.
+  */
+object Queries {
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  final case class Entry(name: String, run: QueryFn, oracle: Option[String])
+
+  /** Run `text` via spark.sql over temp views named after the tables. */
+  private def viewsSql(text: String): QueryFn =
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(text) }
+
+  /** Same SQL text runs on Spark and DuckDB. */
+  def sql(name: String, text: String): Entry = Entry(name, viewsSql(text), Some(text))
+
+  /** Dialects diverge: separate Spark and DuckDB texts (same semantics). */
+  def sql2(name: String, sparkText: String, duckText: String): Entry =
+    Entry(name, viewsSql(sparkText), Some(duckText))
+
+  /** DataFrame-API entry with an oracle. */
+  def dfq(name: String, duckText: String)(fn: QueryFn): Entry =
+    Entry(name, fn, Some(duckText))
+
+  /** Not SQL-expressible in DuckDB → driver records a rows-only check. */
+  def opaque(name: String)(fn: QueryFn): Entry = Entry(name, fn, None)
+
+  // ===========================================================================
+  // §2.1 Sources / sinks
+  // ===========================================================================
+  private val sources: Seq[Entry] = Seq(
+    // Table scan (parquet). Reference: RelScan,
+    // mapd-core/QueryEngine/RelAlgAbstractInterpreter.h:523.
+    sql("q_scan_full",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+
+    // VALUES literal row source. Reference: RelLogicalValues,
+    // mapd-core/QueryEngine/RelAlgAbstractInterpreter.h:1034.
+    sql2("q_values",
+      "SELECT id, name FROM VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma') AS t(id, name) ORDER BY id",
+      "SELECT id, name FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) t(id, name) ORDER BY id"),
+
+    // CSV export + import round-trip (COPY TO + COPY FROM). Reference:
+    // mapd-core/Parser/ParserNode.h:981,1296; Import/Importer.cpp.
+    dfq("q_csv_roundtrip",
+      "SELECT count(*) AS n, CAST(sum(l_partkey) AS BIGINT) AS s FROM lineitem") { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val df = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+      df.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true").schema(df.schema).csv(tmp)
+        .agg(count(lit(1)).as("n"), sum("l_partkey").cast("long").as("s"))
+    },
+
+    // CTAS-style parquet materialization + re-read. Reference:
+    // mapd-core/Parser/ParserNode.h:913 CreateTableAsSelectStmt.
+    dfq("q_ctas_roundtrip",
+      "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+      Tables.load(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+    },
+  )
+
+  // ===========================================================================
+  // §2.2 Projection / filter / predicates
+  // ===========================================================================
+  private val filters: Seq[Entry] = Seq(
+    // Project with scalar arithmetic. Reference: RelProject,
+    // mapd-core/QueryEngine/RelAlgAbstractInterpreter.h:551.
+    // Fixed-point output via floor(x·1e4 + 0.5): the same IEEE double ops
+    // on both engines → bit-identical results (round(x, 4) is NOT — Spark
+    // rounds the shortest decimal repr, DuckDB rounds numerically, and the
+    // two differ on .5 boundaries).
+    sql("q_project_arith",
+      "SELECT l_orderkey, l_linenumber, " +
+        "CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) AS BIGINT) AS charge_e4 " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000"),
+
+    // Comparison operators. Reference: mapd-core/Shared/sqldefs.h:29-57,
+    // codegen mapd-core/QueryEngine/CompareIR.cpp.
+    sql("q_filter_compare",
+      "SELECT count(*) AS n_lt, CAST(sum(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge, " +
+        "CAST(sum(CASE WHEN l_discount <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ne " +
+        "FROM lineitem WHERE l_quantity <= 50 AND l_extendedprice > 10.0"),
+
+    // AND/OR/NOT + BETWEEN. Reference: mapd-core/QueryEngine/LogicalIR.cpp.
+    sql("q_filter_logic",
+      "SELECT count(*) AS n FROM orders WHERE (o_totalprice BETWEEN 1000 AND 50000 AND o_orderstatus = 'F') " +
+        "OR NOT (o_orderpriority = '5-LOW' OR o_orderpriority = '4-NOT SPECIFIED')"),
+
+    // IS [NOT] NULL + searched CASE. Reference: mapd-core/Shared/sqldefs.h:46-47,
+    // mapd-core/QueryEngine/CaseIR.cpp.
+    sql("q_null_case",
+      "SELECT count(*) AS total, count(x) AS n_nonnull, CAST(sum(CASE WHEN x IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null " +
+        "FROM (SELECT CASE WHEN l_quantity > 25 THEN NULL ELSE l_quantity END AS x FROM lineitem) t"),
+
+    // NULLIF + null-safe comparison (IS NOT DISTINCT FROM).
+    // Reference: kBW_EQ null-safe equality, mapd-core/Shared/sqldefs.h:33.
+    sql("q_null_safe_eq",
+      "SELECT count(*) AS n FROM (SELECT nullif(l_returnflag, 'N') AS a, nullif(l_linestatus, 'F') AS b FROM lineitem) t " +
+        "WHERE a IS NOT DISTINCT FROM b"),
+
+    // IN list. Reference: mapd-core/Analyzer/Analyzer.h:502 InValues,
+    // mapd-core/QueryEngine/InValuesBitmap.cpp.
+    sql("q_in_list",
+      "SELECT o_orderpriority, count(*) AS n FROM orders " +
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+
+    // IN subquery. Reference: mapd-core/QueryEngine/RelAlgExecutor.cpp:162-168
+    // (subqueries executed first, result substituted).
+    sql("q_in_subquery",
+      "SELECT count(*) AS n FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"),
+
+    // LIKE / ILIKE. Reference: mapd-core/Analyzer/Analyzer.h:606 LikeExpr,
+    // mapd-core/Utils/StringLike.cpp:225.
+    sql("q_like",
+      "SELECT count(*) AS n_like FROM part WHERE p_name LIKE '%red%' OR p_type LIKE 'SMALL%'"),
+    sql("q_ilike",
+      "SELECT count(*) AS n FROM part WHERE p_name ILIKE '%RED%' AND NOT p_brand LIKE 'Brand#1%'"),
+
+    // REGEXP. Reference: mapd-core/Analyzer/Analyzer.h:676 RegexpExpr,
+    // mapd-core/Utils/Regexp.cpp.
+    sql2("q_regexp",
+      "SELECT count(*) AS n FROM customer WHERE c_name RLIKE 'Customer#0{4}1[0-9]{2}$'",
+      "SELECT count(*) AS n FROM customer WHERE regexp_matches(c_name, 'Customer#0{4}1[0-9]{2}$')"),
+
+    // CAST. Reference: mapd-core/QueryEngine/CastIR.cpp. (DuckDB rounds
+    // double→int casts where Spark truncates, so integral-valued inputs only.)
+    sql("q_cast",
+      "SELECT CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS s_line, " +
+        "round(sum(CAST(l_partkey AS DOUBLE)), 2) AS s_part, " +
+        "CAST(count(*) AS DOUBLE) AS n_d, " +
+        "CAST(sum(CAST(substr(c_name, 10) AS BIGINT)) AS BIGINT) AS s_name " +
+        "FROM lineitem, customer WHERE l_orderkey = 1"),
+
+    // Correlated EXISTS. Reference: mapd-core/Shared/sqldefs.h:48 kEXISTS.
+    sql("q_exists",
+      "SELECT count(*) AS n FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)"),
+
+    // Scalar subquery. Reference: RexSubQuery,
+    // mapd-core/QueryEngine/RelAlgAbstractInterpreter.h:243.
+    sql("q_scalar_subquery",
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)"),
+  )
+
+  // ===========================================================================
+  // §2.3 Joins
+  // ===========================================================================
+  private val joins: Seq[Entry] = Seq(
+    // Inner equi-join, single key. Reference:
+    // mapd-core/QueryEngine/JoinHashTable.cpp (perfect-hash path).
+    sql("q_join_inner",
+      "SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+
+    // LEFT OUTER join. Reference: mapd-core/Shared/sqldefs.h:74 JoinType::LEFT.
+    sql("q_join_left",
+      "SELECT count(*) AS n, count(o_orderkey) AS matched " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"),
+
+    // Composite-key equi-join. Reference:
+    // mapd-core/QueryEngine/BaselineJoinHashTable.cpp (keyed hash),
+    // mapd-core/QueryEngine/EquiJoinCondition.cpp (key coalescing).
+    sql("q_join_composite",
+      "SELECT count(*) AS n FROM lineitem l1 JOIN lineitem l2 " +
+        "ON l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber = l2.l_linenumber"),
+
+    // Multi-way left-deep chain (the COMPASS headline shape). Reference:
+    // mapd-core/QueryEngine/RelLeftDeepInnerJoin.cpp; workload
+    // /root/reference/queries/1a.sql.sq.cnt.
+    sql("q_join_multiway",
+      "SELECT n_name, count(*) AS n FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name"),
+
+    // Cartesian product. Reference: mapd-core/QueryEngine/CartesianProduct.h.
+    sql("q_join_cross",
+      "SELECT count(*) AS n FROM region CROSS JOIN nation"),
+
+    // Non-equi (nested-loop) join. Reference: allow_loop_joins,
+    // mapd-core/QueryEngine/CompilationOptions.h:37.
+    sql("q_join_nonequi",
+      "SELECT count(*) AS n FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey"),
+
+    // Implicit join (FROM a, b WHERE ...) — the JOB query style.
+    // Reference: queries/1a.sql.sq.cnt uses comma-joins exclusively.
+    sql("q_join_implicit",
+      "SELECT count(*) AS n FROM supplier, nation WHERE s_nationkey = n_nationkey AND n_name = 'CHINA'"),
+  )
+
+  // ===========================================================================
+  // §2.4 Aggregation
+  // ===========================================================================
+  private val aggregates: Seq[Entry] = Seq(
+    // TPC-H Q1 shape: all agg kinds + group-by. Reference:
+    // mapd-core/QueryEngine/GroupByAndAggregate.cpp:2512-2620.
+    sql("q1_agg",
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base, " +
+        "round(avg(l_discount), 6) AS avg_disc, " +
+        "round(min(l_extendedprice), 2) AS min_price, " +
+        "round(max(l_extendedprice), 2) AS max_price, count(*) AS n " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+
+    // Keyless (global) aggregation fast path. Reference:
+    // mapd-core/QueryEngine/QueryMemoryDescriptor.h (keyless hash).
+    sql("q_global_agg",
+      "SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s_cust, " +
+        "round(sum(o_totalprice), 2) AS s_price, round(avg(o_totalprice), 4) AS a_price, " +
+        "round(min(o_totalprice), 2) AS mn, round(max(o_totalprice), 2) AS mx FROM orders"),
+
+    // Exact COUNT(DISTINCT). Reference:
+    // mapd-core/QueryEngine/CountDistinctDescriptor.h:41 (Bitmap/StdSet).
+    sql("q_count_distinct",
+      "SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, " +
+        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part, " +
+        "CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flag FROM lineitem"),
+
+    // APPROX_COUNT_DISTINCT — Spark HLL++ vs DuckDB HLL differ by design;
+    // rows-only check. Reference: mapd-core/QueryEngine/HyperLogLog.h:88-120.
+    opaque("q_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_suppkey").as("approx_supps"))
+    },
+
+    // HAVING. Reference: mapd-core/Tests/ExecuteTest.cpp Having tests.
+    sql("q_having",
+      "SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS q " +
+        "FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 100 ORDER BY l_suppkey"),
+
+    // DISTINCT projection. Reference: ExecuteTest.cpp DistinctProjection.
+    sql("q_distinct",
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"),
+  )
+
+  // ===========================================================================
+  // §2.6 Sort / limit / top-k
+  // ===========================================================================
+  private val sorts: Seq[Entry] = Seq(
+    // ORDER BY + LIMIT (top-k). Reference:
+    // mapd-core/QueryEngine/RelAlgExecutor.cpp:1201-1277 (RelSort),
+    // SpeculativeTopN.cpp / StreamingTopN.cpp.
+    sql("q_orderby_limit",
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+
+    // LIMIT + OFFSET. Reference: RelAlgExecutor.cpp:1254-1260
+    // (dropFirstN/keepFirstN).
+    sql("q_limit_offset",
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 15 OFFSET 30"),
+  )
+
+  // ===========================================================================
+  // §2.9 Scalar functions
+  // ===========================================================================
+  private val scalars: Seq[Entry] = Seq(
+    // Math functions. Reference: mapd-core/QueryEngine/ExtensionFunctions.hpp
+    // (Acos/Cos/Exp/Floor/Log/power/...), RelAlgTranslator.cpp:1025-1033.
+    sql("q_math_fns",
+      "SELECT l_orderkey, l_linenumber, round(abs(l_quantity - 25.0), 2) AS ab, " +
+        "CAST(ceil(l_discount * 100) AS BIGINT) AS ce, CAST(floor(l_tax * 100) AS BIGINT) AS fl, " +
+        "round(sqrt(l_extendedprice), 6) AS sq, round(power(l_quantity, 2), 2) AS p2, " +
+        "round(exp(l_discount), 8) AS ex, round(ln(l_extendedprice), 8) AS lg, " +
+        "round(sin(l_quantity), 8) AS sn, round(cos(l_quantity), 8) AS cs " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"),
+
+    // EXTRACT. Reference: mapd-core/QueryEngine/ExtractFromTime.h:64.
+    sql("q_extract",
+      "SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y, " +
+        "CAST(extract(month FROM o_orderdate) AS BIGINT) AS m, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // DATE_TRUNC. Reference: mapd-core/QueryEngine/DateTruncate.h:60.
+    sql("q_date_trunc",
+      "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS s FROM orders GROUP BY 1 ORDER BY 1"),
+
+    // DATEDIFF / date arithmetic. Reference:
+    // mapd-core/QueryEngine/DateAdd.cpp, RelAlgTranslator.h:91 translateDateminus.
+    sql2("q_date_arith",
+      "SELECT o_orderkey, CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) AS d, " +
+        "date_add(CAST(o_orderdate AS DATE), 30) AS plus30 " +
+        "FROM orders ORDER BY o_orderkey LIMIT 200",
+      "SELECT o_orderkey, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d, " +
+        "CAST(o_orderdate AS DATE) + 30 AS plus30 " +
+        "FROM orders ORDER BY o_orderkey LIMIT 200"),
+
+    // String functions. Reference: mapd-core/QueryEngine/StringFunctions.cpp
+    // (LENGTH/CHAR_LENGTH), StringOpsIR.cpp (string compares).
+    sql("q_string_fns",
+      "SELECT c_custkey, CAST(length(c_name) AS BIGINT) AS len, upper(c_mktsegment) AS up, " +
+        "lower(c_name) AS lo, substr(c_name, 1, 8) AS pre, c_name || ':' || c_mktsegment AS tag " +
+        "FROM customer ORDER BY c_custkey LIMIT 300"),
+
+    // String comparison (dictionary fast path in the reference).
+    // Reference: mapd-core/Tests/ExecuteTest.cpp StringCompare.
+    sql("q_string_compare",
+      "SELECT count(*) AS n FROM customer WHERE c_mktsegment < 'FURNITURE' AND c_name >= 'Customer#000000100'"),
+
+    // Array ITEM + length. Reference: mapd-core/QueryEngine/ArrayOps.cpp
+    // (array_at), RelAlgTranslator.cpp:1016-1018.
+    sql2("q_array_item",
+      "SELECT vec_id, element_at(embedding, 1) AS e1, CAST(size(embedding) AS BIGINT) AS dim " +
+        "FROM embeddings ORDER BY vec_id LIMIT 200",
+      "SELECT vec_id, embedding[1] AS e1, CAST(len(embedding) AS BIGINT) AS dim " +
+        "FROM embeddings ORDER BY vec_id LIMIT 200"),
+
+    // UNNEST with position. Reference: mapd-core/Shared/sqldefs.h:51 kUNNEST.
+    sql2("q_array_unnest",
+      "SELECT vec_id, CAST(pos AS BIGINT) AS pos, val FROM embeddings " +
+        "LATERAL VIEW posexplode(embedding) AS pos, val WHERE vec_id < 5 ORDER BY vec_id, pos",
+      "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos, unnest(embedding) AS val " +
+        "FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos"),
+
+    // Array ANY/ALL quantified predicate. Reference: mapd-core/Shared/
+    // sqldefs.h:64 kANY/kALL, ExecuteTest.cpp ArrayAnyAndAll.
+    sql2("q_array_any",
+      "SELECT count(*) AS n_any, CAST(sum(CASE WHEN forall(embedding, x -> x > -0.5) THEN 1 ELSE 0 END) AS BIGINT) AS n_all " +
+        "FROM embeddings WHERE exists(embedding, x -> x > 0.45)",
+      "SELECT count(*) AS n_any, CAST(sum(CASE WHEN len(list_filter(embedding, x -> x <= -0.5)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all " +
+        "FROM embeddings WHERE len(list_filter(embedding, x -> x > 0.45)) > 0"),
+
+    // JSON field extraction (events.props carries JSON metadata).
+    sql2("q_json_extract",
+      "SELECT CAST(sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS s, count(*) AS n " +
+        "FROM events WHERE event_type = 'purchase'",
+      "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s, count(*) AS n " +
+        "FROM events WHERE event_type = 'purchase'"),
+
+    // Time-bucketed event aggregation (epoch seconds keep the compare
+    // engine-neutral: parquet ns timestamps truncate to µs in Spark).
+    sql2("q_events_window",
+      "SELECT CAST(unix_timestamp(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+      "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Window function top-k per group (beyond-reference: MapD 3.6.1 predates
+    // window support — SURVEY §2.5; free in Spark, graded as engine surface).
+    sql("q_topk_per_group",
+      "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, CAST(rn AS BIGINT) AS rn FROM " +
+        "(SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t " +
+        "WHERE rn <= 3 AND o_custkey < 100 ORDER BY o_custkey, rn"),
+
+    // Set operation (beyond-reference; SURVEY §2.7 — absent in MapD 3.6.1).
+    sql("q_union",
+      "SELECT k FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier) t " +
+        "ORDER BY k"),
+  )
+
+  /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
+    * [[CompassQueries]] and [[PipelineQueries]] and are appended in [[all]].
+    */
+  val relational: Seq[Entry] =
+    sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars
+
+  def all: Seq[Entry] = relational ++ CompassQueries.entries ++ PipelineQueries.entries
+
+  def queryMap: Map[String, QueryFn] = all.map(e => e.name -> e.run).toMap
+  def oracleMap: Map[String, String] =
+    all.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table catalog over the driver's parquet test data (TESTDATA.md).
   *
@@ -22,14 +23,30 @@ object Tables {
     */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read the raw int64 nanos and convert to µs-precision
+    // TimestampType (Spark's native precision — same values DuckDB sees
+    // after its own µs cast).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+
+  // One registration per (session, dir): repeated per-query registerAll
+  // calls would re-read every parquet footer (10 tables × N queries).
+  private val registered = scala.collection.mutable.Set.empty[(Int, String)]
 
   /** Register all tables as temp views named after the table, so
     * `spark.sql` text matches the DuckDB oracle SQL.
     */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach { t =>
-      load(spark, sfDir, t).createOrReplaceTempView(t)
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    val key = (System.identityHashCode(spark), sfDir)
+    if (!registered.contains(key)) {
+      all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+      registered += key
     }
+  }
 }

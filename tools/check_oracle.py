@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare to the Verify parquet dumps
+(rows, schema-insensitive column-name-sorted value compare)."""
+import sys, glob, json, os
+import duckdb, pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    pdir = f"{out_dir}/{name}"
+    if not os.path.isdir(pdir):
+        bad.append((name, "NO SPARK OUTPUT")); continue
+    try:
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{pdir}/*.parquet"))])
+    except Exception as e:
+        bad.append((name, f"read spark parquet failed: {e}")); continue
+    try:
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        bad.append((name, f"DUCKDB ERROR: {e}")); continue
+    # normalize: sort columns by name, sort rows, stringify values
+    def norm(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            df[c] = df[c].map(lambda v: repr(sorted(v.tolist())) if hasattr(v, "tolist") and not isinstance(v, (int, float)) else v)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    s, d = norm(spark_df), norm(duck_df)
+    if sorted(s.columns) != sorted(d.columns):
+        bad.append((name, f"COLUMNS spark={sorted(s.columns)} duck={sorted(d.columns)}")); continue
+    if len(s) != len(d):
+        bad.append((name, f"ROWS spark={len(s)} duck={len(d)}")); continue
+    try:
+        mismatch = None
+        for c in s.columns:
+            sv, dv = s[c], d[c]
+            if str(sv.dtype).startswith("float") or str(dv.dtype).startswith("float"):
+                import numpy as np
+                if not np.allclose(sv.astype(float), dv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True):
+                    diffs = (sv.astype(float) - dv.astype(float)).abs()
+                    mismatch = f"VALUES col={c} maxdiff={diffs.max()}"
+                    break
+            else:
+                if not (sv.astype(str) == dv.astype(str)).all():
+                    i = (sv.astype(str) != dv.astype(str)).idxmax()
+                    mismatch = f"VALUES col={c} row{i}: spark={sv[i]!r} duck={dv[i]!r}"
+                    break
+        if mismatch: bad.append((name, mismatch)); continue
+    except Exception as e:
+        bad.append((name, f"compare failed: {e}")); continue
+    ok.append(name)
+
+# queries without oracle: check rows>0
+for pdir in sorted(glob.glob(f"{out_dir}/q_*")):
+    name = os.path.basename(pdir)
+    if name in oracle or not os.path.isdir(pdir): continue
+    n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{pdir}/*.parquet"))
+    (ok if n > 0 else bad).append((name + " [rows-only]", f"rows={n}") if n == 0 else name + " [rows-only]")
+
+print(f"PASS {len(ok)}: {' '.join(x if isinstance(x,str) else x[0] for x in ok)}")
+print(f"FAIL {len(bad)}:")
+for name, why in bad:
+    print(f"  {name}: {why}")
+sys.exit(1 if bad else 0)
