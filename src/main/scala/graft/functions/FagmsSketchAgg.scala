@@ -3,10 +3,11 @@ package graft.functions
 import graft.sketch.{ColumnSeeds, SketchGroup, Xi}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** `fagms_sketch(col1, …, colN)` — Spark aggregate that streams every input
   * row's join-column values into a Fast-AGMS [[SketchGroup]] (one plane per
@@ -41,6 +42,15 @@ case class FagmsSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = keys.filterNot(k =>
+      k.dataType == LongType || k.dataType == IntegerType ||
+        k.dataType == ShortType || k.dataType == ByteType)
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fagms_sketch requires integral key columns, got: ${bad.map(_.dataType.simpleString).mkString(", ")}")
+  }
+
   override def createAggregationBuffer(): SketchGroup =
     new SketchGroup(rows, buckets, columnNames.toArray, seeds.toArray)
 
@@ -51,7 +61,12 @@ case class FagmsSketchAgg(
     while (i < n) {
       val v = keys(i).eval(input)
       if (v == null) return buffer // NULL key never joins; skip row
-      folded(i) = Xi.fold64(v.asInstanceOf[Long])
+      folded(i) = v match {
+        case l: java.lang.Long => Xi.fold64(l)
+        case n: java.lang.Number => Xi.fold64(n.longValue())
+        case other => throw new IllegalStateException(
+          s"fagms_sketch: non-integral key value $other (${other.getClass})")
+      }
       i += 1
     }
     buffer.update(folded)

@@ -124,8 +124,16 @@ class SketchSpec extends AnyFunSuite {
     (0 until 2).foreach(c => assert(g2.planes(c).sameElements(g.planes(c))))
   }
 
-  test("multiway estimate on a 3-table chain is within 2x of truth") {
-    val rows = 73; val buckets = 1021
+  test("multiway estimate on a 3-table chain is within 2x of truth (dense regime)") {
+    // The min-abs plane composition (Sketches.h:95-110 Set_Sketch_With_Max/
+    // Choose_Sketch_Min_Val) is a heuristic tuned for the reference's
+    // operating regime: distinct keys ≫ buckets, so every bucket is
+    // populated in every plane. In a SPARSE regime (keys ≪ buckets) most
+    // counters are 0 → the 1e-4 clamp kills the per-bucket products and the
+    // estimate collapses ~30× under truth. The reference never runs sparse
+    // (JOB tables are 100k–36M rows over 1021 buckets), so the test pins
+    // the dense regime: 31 buckets, 200 distinct keys per side.
+    val rows = 73; val buckets = 31
     val reg = new SeedRegistry(rows)
     // chain: t1.k = t2.k, t2.j = t3.j
     reg.addPredicate(("t1", "k"), ("t2", "k"))
@@ -135,9 +143,9 @@ class SketchSpec extends AnyFunSuite {
       Array(reg.seedsFor(("t2", "k")), reg.seedsFor(("t2", "j"))))
     val s3 = new SketchGroup(rows, buckets, Array("j"), Array(reg.seedsFor(("t3", "j"))))
     val rng = new scala.util.Random(11)
-    val t1 = Array.fill(1000)(rng.nextInt(50))
-    val t2 = Array.fill(800)((rng.nextInt(50), rng.nextInt(40)))
-    val t3 = Array.fill(1200)(rng.nextInt(40))
+    val t1 = Array.fill(5000)(rng.nextInt(200))
+    val t2 = Array.fill(4000)((rng.nextInt(200), rng.nextInt(160)))
+    val t3 = Array.fill(6000)(rng.nextInt(160))
     t1.foreach(k => s1.update(Array(k)))
     t2.foreach { case (k, j) => s2.update(Array(k, j)) }
     t3.foreach(j => s3.update(Array(j)))
