@@ -12,7 +12,7 @@ object SparkEntry {
     * (reference workload: /root/reference/queries/1a.sql.sq.cnt).
     */
   def entry(spark: SparkSession): DataFrame =
-    Queries.queryMap("q_join_multiway")(spark, "/root/testdata/sf0.001")
+    Queries.queryMap("q_compass_multiway")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.queryMap

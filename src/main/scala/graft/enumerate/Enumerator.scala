@@ -1,0 +1,185 @@
+package graft.enumerate
+
+import graft.sketch.{Estimator, SketchGroup}
+
+import scala.collection.mutable
+
+/** One join-graph node: a table instance plus its (possibly
+  * filter-surviving) sketch group. Complexity = surviving rows × join
+  * columns — the reference's "sketch complexity" used to order the search
+  * (reference: mapd-core/QueryEngine/RelAlgExecutor.cpp:1459).
+  */
+final case class GraphNode(id: Int, sketch: SketchGroup) {
+  def complexity: Long = sketch.count * math.max(1, sketch.nCols)
+}
+
+/** Sketch-driven join-order enumeration — the heart of COMPASS.
+  *
+  * Ports, driver-local and pure:
+  *  - `estimate_join_size` with its memo table keyed by the sorted node set
+  *    (reference: mapd-core/QueryEngine/RelAlgExecutor.cpp:2068-2188):
+  *    2 nodes → pairwise product-median over the single join-column planes;
+  *    >2 nodes → per node compose a working plane as the element-wise
+  *    min-|v| over the planes of the columns joining it to the other
+  *    traversal members (Sketches.h:95-110 Set_Sketch_With_Max /
+  *    Choose_Sketch_Min_Val), then the multi-way product-median.
+  *  - `get_distinct_graph_traversals`: DFS over connected orderings,
+  *    children visited cheapest-sketch-first, accumulated intermediate-size
+  *    cost, branch-and-bound early stop against the best-so-far, and a hard
+  *    bound of 100 recursion steps per start node
+  *    (reference: RelAlgExecutor.cpp:2190-2314,
+  *    variables_details.txt:13-14).
+  *  - start nodes tried in ascending sketch-complexity order with a memo
+  *    shared across starts (reference: RelAlgExecutor.cpp:2504-2546).
+  *
+  * Divergence from the reference (SURVEY §7.4.4): the DFS here only emits
+  * connected prefixes (every appended node is adjacent to some placed
+  * node), so the `adjustPlanForMapD` left-deep fix-up pass is unnecessary
+  * — Spark can execute any connected left-deep order directly.
+  *
+  * Fallback when no edges exist: descending cardinality — MapD's stock
+  * ordering (reference: RelAlgExecutor.cpp:2608-2621).
+  */
+final class Enumerator(
+    nodes: IndexedSeq[GraphNode],
+    edges: Seq[((Int, String), (Int, String))],
+    traversalBound: Int = 100) {
+
+  private val sketchOf: Map[Int, SketchGroup] = nodes.map(n => n.id -> n.sketch).toMap
+  private val complexityOf: Map[Int, Long] = nodes.map(n => n.id -> n.complexity).toMap
+  private val total = nodes.size
+
+  /** (a, b) → column pairs, symmetric. First pair wins for estimation,
+    * matching the reference's `join_cols_info.find` (first entry).
+    */
+  private val joinCols: Map[(Int, Int), Seq[(String, String)]] = {
+    val m = mutable.LinkedHashMap.empty[(Int, Int), mutable.Buffer[(String, String)]]
+    edges.foreach { case ((a, ca), (b, cb)) =>
+      m.getOrElseUpdate((a, b), mutable.Buffer.empty) += ((ca, cb))
+      m.getOrElseUpdate((b, a), mutable.Buffer.empty) += ((cb, ca))
+    }
+    m.view.mapValues(_.toSeq).toMap
+  }
+
+  /** Adjacency, children sorted ascending by their sketch complexity
+    * (reference: RelAlgExecutor.cpp:2480-2491 child_complexities sort).
+    */
+  private val graph: Map[Int, Seq[Int]] = {
+    val adj = mutable.Map.empty[Int, mutable.LinkedHashSet[Int]]
+    joinCols.keys.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.LinkedHashSet.empty) += b
+    }
+    adj.view.mapValues(_.toSeq.sortBy(complexityOf)).toMap
+  }
+
+  private val memo = mutable.Map.empty[String, Double] // bottom_up_table
+
+  /** Estimated size of joining the given node set (order-insensitive). */
+  def estimate(traversal: Seq[Int]): Double = {
+    val key = traversal.sorted.mkString(" ")
+    memo.getOrElseUpdate(key, {
+      val sk0 = sketchOf(traversal.head)
+      if (traversal.size == 2) {
+        val a = traversal(0); val b = traversal(1)
+        val (ca, cb) = joinCols((a, b)).head
+        val sa = sketchOf(a); val sb = sketchOf(b)
+        Estimator.pairwise(
+          sa.planes(sa.columnIndex(ca)), sb.planes(sb.columnIndex(cb)),
+          sa.rows, sa.buckets)
+      } else {
+        val planes = traversal.map { n =>
+          val others = traversal.filterNot(_ == n)
+          composedPlane(n, others)
+        }
+        Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
+      }
+    })
+  }
+
+  /** Working plane for node `n` inside a traversal: min-|v| composition
+    * over the (first) join column toward each other member, deduplicated
+    * per column (reference `processed_columns`, RelAlgExecutor.cpp:2147-2165).
+    */
+  private def composedPlane(n: Int, others: Seq[Int]): Array[Double] = {
+    val sk = sketchOf(n)
+    val cols = mutable.LinkedHashSet.empty[String]
+    others.foreach { m =>
+      joinCols.get((n, m)).foreach(pairs => cols += pairs.head._1)
+    }
+    require(cols.nonEmpty, s"node $n has no join column toward $others")
+    sk.composedMinPlane(cols.toSeq.map(sk.columnIndex))
+  }
+
+  private final class SearchState {
+    var best: Double = Double.MaxValue
+    var bestOrder: Vector[Int] = Vector.empty
+    var traversals: Int = 0
+    var bound: Int = 0
+    val path = mutable.ArrayBuffer.empty[Int]
+    val visited = mutable.Set.empty[Int]
+  }
+
+  /** The optimal connected left-deep order and its accumulated
+    * intermediate-size estimate. Cost of an order = Σ estimate(prefix) for
+    * prefixes of size 2..N-1 (the full join is identical for all orders and
+    * excluded, reference: RelAlgExecutor.cpp:2226-2231).
+    */
+  def optimalOrder(): (Seq[Int], Double) = {
+    val fallback = nodes.sortBy(n => -n.sketch.count).map(_.id)
+    if (total <= 1 || joinCols.isEmpty) return (fallback, 0.0)
+
+    val st = new SearchState
+    val startOrder = nodes.map(_.id).sortBy(complexityOf)
+    startOrder.foreach { start =>
+      if (graph.contains(start)) {
+        st.bound = 0 // per-start bound, reference :2531 traversal_bound = 0
+        dfs(start, Set.empty, 0.0, st)
+      }
+    }
+    if (st.bestOrder.isEmpty) (fallback, 0.0) else (st.bestOrder, st.best)
+  }
+
+  /** Returns the "future visited" set (nodes reached below this frame),
+    * used to avoid re-starting sibling branches from the second loop
+    * (reference: RelAlgExecutor.cpp:2282-2307).
+    */
+  private def dfs(node: Int, allAdjacentIn: Set[Int], accIn: Double, st: SearchState): Set[Int] = {
+    if (st.bound > traversalBound) return Set.empty
+    st.bound += 1
+    var future = Set(node)
+    st.path += node
+    st.visited += node
+
+    def pop(): Unit = { st.path.remove(st.path.size - 1); st.visited -= node }
+
+    val n = st.path.size
+    val est = if (n > 1 && n < total) estimate(st.path.toSeq) else 0.0
+
+    if (n == total) {
+      if (accIn < st.best) { st.best = accIn; st.bestOrder = st.path.toVector }
+      st.traversals += 1
+      pop()
+      return future
+    }
+    if (n > 1 && accIn + est > st.best) { // branch-and-bound early stop
+      pop()
+      return future
+    }
+    val acc = accIn + est
+    val allAdjacent = allAdjacentIn ++ graph.getOrElse(node, Nil)
+
+    graph.getOrElse(node, Nil).foreach { next =>
+      if (!st.visited.contains(next))
+        future = future ++ dfs(next, allAdjacent, acc, st)
+    }
+    // Second phase: extend from nodes adjacent to ANY placed node (keeps
+    // prefixes connected while allowing jumps to earlier branches);
+    // cheapest sketch first (reference: RelAlgExecutor.cpp:2282-2307).
+    nodes.map(_.id).sortBy(complexityOf).foreach { cand =>
+      if (!st.visited.contains(cand) && !future.contains(cand) && allAdjacent.contains(cand))
+        dfs(cand, allAdjacent, acc, st)
+    }
+    pop()
+    future
+  }
+}

@@ -1,0 +1,197 @@
+package graft.planner
+
+import graft.enumerate.{Enumerator, GraphNode}
+import graft.functions.FagmsSketchAgg
+import graft.plans.{ExtractedJoinGraph, JoinGraphExtractor, TableInstance}
+import graft.sketch.{SeedRegistry, SketchGroup}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Chosen join order plus the per-step size estimates, for EXPLAIN-style
+  * introspection (mirrors the reference's stdout traces,
+  * mapd-core/QueryEngine/RelAlgExecutor.cpp:2573-2600).
+  */
+final case class CompassPlan(
+    order: Seq[String],
+    intermediateEstimates: Seq[Double],
+    sketchCounts: Map[String, Long])
+
+/** COMPASS for Spark: sketch-based join-order optimization as a driver-side
+  * pre-planning phase.
+  *
+  * The reference executes per-table filters DURING optimization and builds
+  * Fast-AGMS sketches on the survivors, then enumerates join orders by
+  * sketch-estimated intermediate sizes (reference:
+  * mapd-core/QueryEngine/FilterPushDownSketch.cpp:1376-1577). Catalyst
+  * rules must stay pure, so the same idea lives here as a wrapper that runs
+  * BEFORE optimization (SURVEY §4 "key architectural consequence"):
+  *
+  *  1. analyze the query → extract join graph + per-instance filters
+  *     ([[JoinGraphExtractor]]);
+  *  2. launch one small Spark job per instance: filtered scan →
+  *     `fagms_sketch` aggregate (map-side partial sketches, linear merge —
+  *     one shuffle-free pass however many executors);
+  *  3. enumerate join orders driver-locally over the sketch planes
+  *     ([[Enumerator]] — microseconds);
+  *  4. splice a reordered left-deep Inner-join tree into the analyzed plan
+  *     and hand it to vanilla Spark execution (Catalyst still does
+  *     pushdown/pruning/codegen; AQE still handles skew).
+  *
+  * Scale note: at 100 TB the sketch jobs are the only extra cost — each is
+  * a projection-pruned scan producing a ~600 KB/column sketch, and the
+  * template cache ([[SketchTemplateCache]]) serves unfiltered tables
+  * without any scan at all. Joins the optimizer cannot improve (non-inner,
+  * no equi-edges, <3 tables) fall through untouched.
+  *
+  * Thresholds match the reference defaults
+  * (Catalog/COMPASS_init_variables.txt:1-5).
+  */
+final class CompassSession(
+    val spark: SparkSession,
+    sketchRows: Int = 73,
+    sketchBuckets: Int = 1021,
+    minTableSize: Long = 200, // PUSH_DOWN_MIN_TABLE_SIZE_SK
+    maxSelectivity: Double = 0.05, // PUSH_DOWN_MAX_SELECTIVITY_SK
+    maxPushDownSize: Long = 10000, // PUSH_DOWN_MAX_SIZE
+    broadcastRowLimit: Long = 1000000,
+    templateCache: Option[SketchTemplateCache] = None) {
+
+  @volatile var lastPlan: Option[CompassPlan] = None
+
+  /** `\fpd`-style toggle (reference: mapd-core/SQLFrontend/mapdql.cpp:1313). */
+  @volatile var fpdEnabled: Boolean = true
+
+  def sql(text: String): DataFrame = optimize(spark.sql(text))
+
+  /** Reorder the query's inner-join region by sketch estimates; returns the
+    * input unchanged when the shape is not optimizable.
+    */
+  def optimize(df: DataFrame): DataFrame = {
+    if (!fpdEnabled) return df
+    val analyzed = df.queryExecution.analyzed
+    JoinGraphExtractor.extract(analyzed) match {
+      case Some((g, rebuild)) if g.instances.size >= 3 =>
+        val nodes = buildSketches(g)
+        val en = new Enumerator(nodes, enumeratorEdges(g))
+        val (order, _) = en.optimalOrder()
+        lastPlan = Some(CompassPlan(
+          order.map(i => g.instances(i).name),
+          order.indices.drop(1).dropRight(1).map(k => en.estimate(order.take(k + 1))),
+          nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap))
+        Bridge.ofRows(spark, rebuild(rebuildRegion(g, order, nodes)))
+      case _ => df
+    }
+  }
+
+  /** Stable per-instance column label (names can repeat across instances). */
+  private def label(a: Attribute): String = s"${a.name}#${a.exprId.id}"
+
+  private def enumeratorEdges(g: ExtractedJoinGraph): Seq[((Int, String), (Int, String))] =
+    g.edges.map { case ((ia, a), (ib, b)) => ((ia, label(a)), (ib, label(b))) }
+
+  /** Sketch key expression: integral → long (equality-preserving fold);
+    * anything else → xxhash64 (the reference joins on dictionary-encoded
+    * integer ids — mapd-core/StringDictionary/ — a 64-bit hash preserves
+    * equality semantics the same way, with negligible collision mass).
+    */
+  private def keyExpr(a: Attribute): Expression = a.dataType match {
+    case LongType => a
+    case IntegerType | ShortType | ByteType => Cast(a, LongType)
+    case DateType | TimestampType => Cast(a, LongType)
+    case _ => new XxHash64(Seq(a))
+  }
+
+  /** Instance subtree with its own filter conjuncts applied (the "pushed
+    * down selection" — reference FilterPushDownSketch.cpp:199-231 splices
+    * RelFilter+RelCompound; here a Filter node Catalyst will push into the
+    * scan).
+    */
+  private def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan = {
+    val inst = g.instances(i)
+    g.instanceFilters.get(i) match {
+      case Some(fs) if fs.nonEmpty => Filter(fs.reduce(And), inst.plan)
+      case _ => inst.plan
+    }
+  }
+
+  /** One sketch job per instance: filtered scan → fagms_sketch over its
+    * join columns (reference: executeFilterAndEvaluate,
+    * FilterPushDownSketch.cpp:871-891). Unfiltered instances are served
+    * from the template cache when available (reference:
+    * findSketchTemplateAndCopy, FilterPushDownSketch.cpp:315-382).
+    */
+  private def buildSketches(g: ExtractedJoinGraph): IndexedSeq[GraphNode] = {
+    val reg = new SeedRegistry(sketchRows)
+    g.edges.foreach { case ((ia, a), (ib, b)) =>
+      reg.addPredicate((ia.toString, label(a)), (ib.toString, label(b)))
+    }
+    g.instances.map { inst =>
+      val attrs = g.joinAttrs(inst.idx)
+      val seeds = attrs.map(a => reg.seedsFor((inst.idx.toString, label(a))))
+      val colNames = attrs.map(label)
+      val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
+      val seedClassKeys = attrs.map(a => reg.classKey((inst.idx.toString, label(a))))
+
+      def build(): SketchGroup = {
+        val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
+        val agg = FagmsSketchAgg(
+          attrs.map(keyExpr), sketchRows, sketchBuckets, colNames, seeds)
+        val bytes = df.agg(Bridge.column(agg.toAggregateExpression()))
+          .head().getAs[Array[Byte]](0)
+        SketchGroup.deserialize(bytes)
+      }
+
+      val sketch = (templateCache, hasFilter) match {
+        case (Some(cache), false) =>
+          cache.getOrBuild(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
+        case _ => build()
+      }
+      GraphNode(inst.idx, sketch)
+    }
+  }
+
+  /** Left-deep Inner join tree in the enumerated order. Each appended
+    * instance joins the prefix on ALL applicable equi-edges; residual
+    * conjuncts land in a top Filter; instances whose surviving count is
+    * small get a broadcast hint (sketch counts double as runtime stats —
+    * the Spark analogue of keeping the reference's materialized push-down
+    * result as the hash-table build side).
+    */
+  private def rebuildRegion(
+      g: ExtractedJoinGraph, order: Seq[Int], nodes: IndexedSeq[GraphNode]): LogicalPlan = {
+    val countOf: Map[Int, Long] = nodes.map(n => n.id -> n.sketch.count).toMap
+
+    def base(i: Int, withHint: Boolean): LogicalPlan = {
+      val p = filteredPlan(g, i)
+      if (withHint && countOf.get(i).exists(c => c > 0 && c <= broadcastRowLimit))
+        ResolvedHint(p, HintInfo(strategy = Some(BROADCAST)))
+      else p
+    }
+
+    var remaining = g.edges
+    var placed = Set(order.head)
+    var tree = base(order.head, withHint = false)
+    order.tail.foreach { i =>
+      val (applicable, rest) = remaining.partition {
+        case ((ia, _), (ib, _)) =>
+          (ia == i && placed.contains(ib)) || (ib == i && placed.contains(ia))
+      }
+      remaining = rest
+      val cond = applicable
+        .map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
+        .reduceOption(And)
+      tree = Join(tree, base(i, withHint = true),
+        if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
+      placed += i
+    }
+    // Edges between nodes both already placed before either existed can't
+    // occur (connected order), but keep any stragglers as filters.
+    val leftovers = remaining.map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
+    val post = g.residual ++ leftovers
+    if (post.nonEmpty) Filter(post.reduce(And), tree) else tree
+  }
+}

@@ -1,0 +1,86 @@
+package graft.planner
+
+import graft.sketch.SketchGroup
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+
+/** Persisted sketch templates for unfiltered tables.
+  *
+  * The reference pre-builds sketches for tables without filters and serves
+  * them from text side-files instead of rescanning (reference:
+  * mapd-core/Catalog/Catalog.h:457-760 load/upload/saveSketches; file
+  * format documented in sketch-templates/README.md; consumed by
+  * findSketchTemplateAndCopy, FilterPushDownSketch.cpp:315-382).
+  *
+  * Here: one binary file per (table, join-column set, seed classes, dims)
+  * under `dir`, written with the same codec the aggregation buffer uses.
+  * The seed-class component matters — a template built under one join
+  * equivalence class is NOT valid for a query that seeds the column
+  * differently.
+  *
+  * At 100 TB this is the difference between a metadata read and a full
+  * table scan per unfiltered dimension table, per query.
+  */
+final class SketchTemplateCache(dir: Path) {
+  Files.createDirectories(dir)
+
+  // Instrumentation (used by tests to assert the second run skips the job).
+  @volatile var hits: Long = 0
+  @volatile var misses: Long = 0
+
+  private val memory = scala.collection.concurrent.TrieMap.empty[String, SketchGroup]
+
+  private def fileFor(key: String): Path = dir.resolve(s"sketch-$key.bin")
+
+  private def cacheKey(
+      table: String, columns: Seq[String], seedClasses: Seq[String],
+      rows: Int, buckets: Int): String = {
+    val raw = s"$table|${columns.mkString(",")}|${seedClasses.mkString(",")}|$rows|$buckets"
+    MessageDigest.getInstance("SHA-256").digest(raw.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+  }
+
+  /** Serve from memory, then disk, else build and persist. */
+  def getOrBuild(
+      table: String, columns: Seq[String], seedClasses: Seq[String],
+      rows: Int, buckets: Int)(build: => SketchGroup): SketchGroup = {
+    val key = cacheKey(table, columns, seedClasses, rows, buckets)
+    memory.get(key) match {
+      case Some(g) => hits += 1; g
+      case None =>
+        val f = fileFor(key)
+        if (Files.exists(f)) {
+          val g = SketchGroup.deserialize(Files.readAllBytes(f))
+          memory.put(key, g)
+          hits += 1
+          g
+        } else {
+          misses += 1
+          val g = build
+          Files.write(f, g.serialize())
+          memory.put(key, g)
+          g
+        }
+    }
+  }
+
+  def clear(): Unit = {
+    memory.clear()
+    if (Files.exists(dir)) {
+      val s = Files.list(dir)
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+    }
+    hits = 0; misses = 0
+  }
+}
+
+object SketchTemplateCache {
+  /** Default on-disk location (rebuildable — delete to force PRE_PROCESSING
+    * behavior, reference COMPASS_init_variables.txt:6).
+    */
+  def default(): SketchTemplateCache =
+    new SketchTemplateCache(Paths.get(
+      sys.env.getOrElse("GRAFT_SKETCH_CACHE_DIR",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-sketch-templates")))
+}

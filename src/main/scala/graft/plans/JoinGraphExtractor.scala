@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.plans.{Cross, InnerLike}
+
+import scala.collection.mutable
+
+/** One base-table instance participating in the join region. `idx` is the
+  * per-query instance id — self-joins of the same table get distinct
+  * instances, mirroring the reference keying sketches by (table id, RA
+  * node id) (reference: mapd-core/QueryEngine/RelAlgExecutor.h:349-356).
+  */
+final case class TableInstance(idx: Int, name: String, plan: LogicalPlan) {
+  lazy val outputSet: AttributeSet = plan.outputSet
+}
+
+/** Decomposition of the topmost contiguous Inner-Join/Filter region of an
+  * analyzed plan:
+  *  - `instances`: the leaf subtrees (scans / aliased views) hanging off it
+  *  - `edges`: equi-join attribute pairs between two distinct instances
+  *  - `instanceFilters`: single-instance conjuncts (pushable filters)
+  *  - `residual`: everything else (multi-table non-equi, constants)
+  *
+  * This is the Catalyst equivalent of the reference's join-graph extraction
+  * from the RA DAG (reference:
+  * mapd-core/QueryEngine/FilterPushDownSketch.cpp:25-123 `extractHashJoinCol`
+  * — equi pairs only; OR'd and non-equi predicates are deliberately ignored
+  * for the graph, matching the reference, and kept as residual filters for
+  * execution).
+  */
+final case class ExtractedJoinGraph(
+    instances: IndexedSeq[TableInstance],
+    edges: Seq[((Int, Attribute), (Int, Attribute))],
+    instanceFilters: Map[Int, Seq[Expression]],
+    residual: Seq[Expression]) {
+
+  /** Distinct join attributes of one instance, in first-seen order. */
+  def joinAttrs(idx: Int): Seq[Attribute] = {
+    val out = mutable.LinkedHashSet.empty[Attribute]
+    edges.foreach {
+      case ((`idx`, a), _) => out += a
+      case (_, (`idx`, b)) => out += b
+      case _ =>
+    }
+    out.toSeq
+  }
+}
+
+object JoinGraphExtractor {
+
+  /** Extract the join region from an analyzed plan. Returns the graph and a
+    * rebuild function that splices a replacement region into the original
+    * plan (upper Aggregate/Project/Sort nodes keep resolving because the
+    * instance subtrees — and hence exprIds — are reused verbatim).
+    *
+    * None when there is no join, or a non-inner join participates
+    * (the reference reorders INNER only; LEFT keeps its order —
+    * mapd-core/Shared/sqldefs.h:74).
+    */
+  def extract(plan: LogicalPlan): Option[(ExtractedJoinGraph, LogicalPlan => LogicalPlan)] = {
+    val regionRoot = findRegion(plan)
+    regionRoot.flatMap { root =>
+      val conjuncts = mutable.Buffer.empty[Expression]
+      val leaves = mutable.Buffer.empty[LogicalPlan]
+      if (!decompose(root, conjuncts, leaves) || leaves.size < 2) None
+      else {
+        val instances = leaves.zipWithIndex
+          .map { case (p, i) => TableInstance(i, nameOf(p), p) }.toIndexedSeq
+        val edges = mutable.Buffer.empty[((Int, Attribute), (Int, Attribute))]
+        val filters = mutable.Map.empty[Int, mutable.Buffer[Expression]]
+        val residual = mutable.Buffer.empty[Expression]
+
+        def owner(a: Attribute): Option[Int] =
+          instances.find(_.outputSet.contains(a)).map(_.idx)
+
+        conjuncts.foreach { c =>
+          equiPair(c) match {
+            case Some((a, b)) =>
+              (owner(a), owner(b)) match {
+                case (Some(ia), Some(ib)) if ia != ib =>
+                  edges += (((ia, a), (ib, b)))
+                case (Some(ia), Some(ib)) if ia == ib =>
+                  filters.getOrElseUpdate(ia, mutable.Buffer.empty) += c
+                case _ => residual += c
+              }
+            case None =>
+              val owners = c.references.toSeq.flatMap(owner).distinct
+              if (owners.size == 1 && c.references.nonEmpty)
+                filters.getOrElseUpdate(owners.head, mutable.Buffer.empty) += c
+              else residual += c
+          }
+        }
+        if (edges.isEmpty) None
+        else {
+          val graph = ExtractedJoinGraph(
+            instances, edges.toSeq,
+            filters.view.mapValues(_.toSeq).toMap, residual.toSeq)
+          val rebuild = (newRegion: LogicalPlan) =>
+            replaceNode(plan, root, newRegion)
+          Some((graph, rebuild))
+        }
+      }
+    }
+  }
+
+  /** Topmost maximal Filter/Inner-Join chain, reached through unary nodes. */
+  private def findRegion(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case f: Filter if containsJoin(f.child) => Some(f)
+    case j: Join => Some(j)
+    case u: UnaryNode => findRegion(u.child)
+    case _ => None
+  }
+
+  private def containsJoin(p: LogicalPlan): Boolean = p match {
+    case _: Join => true
+    case f: Filter => containsJoin(f.child)
+    case _ => false
+  }
+
+  /** Flatten the region; false if a non-inner join is present. */
+  private def decompose(
+      p: LogicalPlan,
+      conjuncts: mutable.Buffer[Expression],
+      leaves: mutable.Buffer[LogicalPlan]): Boolean = p match {
+    case Filter(cond, child) =>
+      conjuncts ++= splitConjuncts(cond)
+      decompose(child, conjuncts, leaves)
+    case Join(l, r, _: InnerLike, cond, _) =>
+      cond.foreach(conjuncts ++= splitConjuncts(_))
+      decompose(l, conjuncts, leaves) && decompose(r, conjuncts, leaves)
+    case _: Join => false
+    case leaf =>
+      leaves += leaf
+      true
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  /** attr = attr (casts stripped), the only edge shape the reference
+    * extracts (FilterPushDownSketch.cpp:33-104).
+    */
+  private def equiPair(e: Expression): Option[(Attribute, Attribute)] = e match {
+    case EqualTo(l, r) =>
+      (stripCast(l), stripCast(r)) match {
+        case (a: Attribute, b: Attribute) => Some((a, b))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Outermost alias on the leaf subtree (e.g. `lineitem l1` →  "l1"). */
+  private def nameOf(p: LogicalPlan): String = p match {
+    case SubqueryAlias(id, _) => id.name
+    case u: UnaryNode => nameOf(u.child)
+    case other => other.nodeName
+  }
+
+  /** Replace `target` (by reference identity) inside `plan`. */
+  private def replaceNode(plan: LogicalPlan, target: LogicalPlan, replacement: LogicalPlan): LogicalPlan =
+    if (plan.eq(target)) replacement
+    else plan.withNewChildren(plan.children.map(replaceNode(_, target, replacement)))
+}

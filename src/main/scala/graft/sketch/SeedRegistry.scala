@@ -57,6 +57,15 @@ final class SeedRegistry(val rows: Int, val baseSeed: Long = 0x5EEDC0DEL) extend
 
   def sameClass(a: Key, b: Key): Boolean = find(a) == find(b)
 
+  /** Stable identifier of a key's equivalence class (its representative) —
+    * part of the template-cache key: a cached sketch is only reusable if it
+    * was built with the same seed class.
+    */
+  def classKey(key: Key): String = {
+    val r = find(key)
+    s"${r._1}.${r._2}"
+  }
+
   /** All distinct equivalence-class representatives seen so far. */
   def classes: Set[Key] = parent.keys.map(find).toSet
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.planner.{CompassSession, SketchTemplateCache}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end COMPASS pipeline: extraction → sketch jobs → enumeration →
+  * plan splice → execution, checked against vanilla Spark results
+  * (VERDICT r1 next-step #5).
+  */
+class CompassSessionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val fiveWay =
+    """SELECT n_name, count(*) AS n FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  test("optimized 5-way join returns identical results to vanilla Spark") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val optimized = cs.sql(fiveWay).collect().map(_.toSeq)
+    val vanilla = spark.sql(fiveWay).collect().map(_.toSeq)
+    assert(optimized.toSeq == vanilla.toSeq)
+    val plan = cs.lastPlan.get
+    assert(plan.order.toSet ==
+      Set("lineitem", "orders", "customer", "nation", "region"))
+    // region is filtered + tiny → its surviving count must reflect that
+    assert(plan.sketchCounts("region") == 1)
+  }
+
+  test("sketch-informed order starts from the selective side") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    // Highly selective filter on orders; naive size-descending order would
+    // start from lineitem (largest).
+    cs.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000""".stripMargin).collect()
+    val plan = cs.lastPlan.get
+    val naive = Seq("lineitem", "orders", "customer") // descending cardinality
+    assert(plan.order != naive,
+      s"sketches should divert from naive order, got ${plan.order}")
+    assert(plan.order.head != "lineitem",
+      s"with a selective orders filter, lineitem-first is the worst start: ${plan.order}")
+  }
+
+  test("fpd toggle off returns the vanilla frame") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.fpdEnabled = false
+    cs.lastPlan = None
+    cs.sql(fiveWay).collect()
+    assert(cs.lastPlan.isEmpty)
+  }
+
+  test("left join / two-table queries fall through untouched") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.lastPlan = None
+    val q = "SELECT count(*) AS n FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+    assert(cs.sql(q).collect().head.getLong(0) ==
+      spark.sql(q).collect().head.getLong(0))
+    assert(cs.lastPlan.isEmpty)
+  }
+
+  test("template cache: unfiltered tables served without a second scan") {
+    Tables.registerAll(spark, dir)
+    val cache = new SketchTemplateCache(
+      java.nio.file.Files.createTempDirectory("graft-cache-test"))
+    val cs = new CompassSession(spark, templateCache = Some(cache))
+    cs.sql(fiveWay).collect()
+    val missesAfterFirst = cache.misses
+    // 4 unfiltered instances (lineitem/orders/customer/nation); region is
+    // filtered and must NOT be cached.
+    assert(missesAfterFirst == 4, s"expected 4 cache builds, got $missesAfterFirst")
+    cs.sql(fiveWay).collect()
+    assert(cache.misses == missesAfterFirst, "second run must not rebuild")
+    assert(cache.hits >= 4)
+  }
+
+  test("estimates in lastPlan are monotone-sane and positive") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.sql(fiveWay).collect()
+    val ests = cs.lastPlan.get.intermediateEstimates
+    assert(ests.nonEmpty && ests.forall(_ >= 0))
+  }
+}
