@@ -1,11 +1,14 @@
 package graft
 
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over the `documents` /
   * `embeddings` tables: dedup, similarity search, text analysis,
   * multimodal plumbing. SQL-expressible pieces carry DuckDB oracles;
-  * sketch/hash-based ones are deterministic rows-only entries.
+  * hash/sketch-based ones are deterministic rows-only entries backed by
+  * unit tests with synthetic near-duplicates (see TextDedupSpec /
+  * SimilaritySpec).
   */
 object PipelineQueries {
   import Queries._
@@ -38,5 +41,118 @@ object PipelineQueries {
         "FROM documents ORDER BY doc_id"),
   )
 
-  def entries: Seq[Entry] = textAnalysis
+  private val dedup: Seq[Entry] = Seq(
+    // MinHash-LSH near-dup dedup: docs kept after removing every near
+    // duplicate (Jaccard ≥ 0.8) except the lowest-id representative.
+    // Banded LSH self-join — never all-pairs.
+    opaque("q_dedup_minhash") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val dups = TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      docs.join(dups.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    // Per-document 64-bit SimHash signatures + Hamming-bucket candidates.
+    opaque("q_dedup_simhash") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"), TextDedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // N-gram Jaccard of each doc against a rotated pairing (deterministic
+    // pair structure exercising the exact verifier at scale).
+    opaque("q_dedup_ngram") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val a = docs.select(col("doc_id"), col("text"))
+      val b = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("text_b"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          round(TextDedup.ngramJaccard(col("text"), col("text_b"), 5), 6).as("jac5"))
+        .orderBy("doc_id")
+    },
+  )
+
+  private val similarity: Seq[Entry] = Seq(
+    // Exact brute-force cosine top-5 for a 10-vector query set (the
+    // baseline ANN path; broadcast queries, one corpus pass).
+    opaque("q_ann_exact") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // LSH-bucketed ANN for the same queries (the 100 TB path; recall
+    // vs exact is asserted ≥ 0.9 in SimilaritySpec).
+    opaque("q_ann_lsh") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      // Unclustered 64-dim embeddings: top-5 cosine ≈ 0.32 → per-bit
+      // collision ≈ 0.6, so recall needs few bits × many tables.
+      Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, bits = 3, tables = 16)
+        .orderBy("query_id", "rank")
+    },
+
+    // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join).
+    opaque("q_ann_neardup") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", threshold = 0.9,
+        bits = 8, tables = 6)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(round(avg("cos"), 4), lit(0.0)).as("avg_cos"))
+    },
+  )
+
+  private val analysis: Seq[Entry] = Seq(
+    // Language ID via stopword-profile argmax.
+    opaque("q_lang_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.withLanguageId(docs, "text")
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    },
+
+    // Quality scores + BPE-ish token counts + fingerprints per doc.
+    opaque("q_text_pipeline") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val out = TextAnalysis.withFingerprints(
+        TextAnalysis.withQualityScore(
+          TextAnalysis.withTokenCounts(docs, "text"), "text"), "text")
+      out.select("doc_id", "n_tokens_ws", "n_tokens_bpe", "quality",
+        "fp_rolling", "fp_set").orderBy("doc_id")
+    },
+  )
+
+  private val multimodal: Seq[Entry] = Seq(
+    // Binary payload + typed metadata struct (the multimodal column
+    // contract) — metadata is SQL-checkable against DuckDB.
+    sql2("q_multimodal_meta",
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes, " +
+        "substr(text, 1, 16) AS head FROM documents ORDER BY doc_id",
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+        "substr(text, 1, 16) AS head FROM documents ORDER BY doc_id"),
+
+    // Stubbed decode → fixed-length float features via mapPartitions
+    // (partition-batched decoder shape; see Multimodal.extractFeatures).
+    opaque("q_multimodal_decode") { (s, dir) =>
+      val media = Multimodal.asMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media, "doc_id", dim = 8)
+        .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic frame sampling over payload byte windows.
+    opaque("q_multimodal_frames") { (s, dir) =>
+      val media = Multimodal.asMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(media, "doc_id", frames = 4)
+        .orderBy("doc_id", "frame")
+    },
+  )
+
+  def entries: Seq[Entry] =
+    textAnalysis ++ dedup ++ similarity ++ analysis ++ multimodal
 }

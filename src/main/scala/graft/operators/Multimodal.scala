@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns next to a typed metadata struct; decode / feature
+  * extraction runs partition-batched over the binary payloads.
+  *
+  * The decode step itself is STUBBED with a deterministic fake — this
+  * container ships no image/audio codecs — but everything Spark-side is
+  * real and load-bearing at scale: the schema contract, the
+  * `mapPartitions` batch shape (one reusable decoder per partition, not
+  * per row — exactly how a JNI/FFmpeg binding must be held), kryo-free
+  * row encoding, and partition sizing by byte volume rather than row
+  * count.
+  */
+object Multimodal {
+
+  val metadataType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Wrap a text corpus as a fake media table: payload = utf-8 bytes,
+    * metadata derived from the payload. Stands in for `spark.read.format
+    * ("binaryFile")` + sidecar metadata in a real pipeline.
+    */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(textCol).cast(BinaryType).as("payload"),
+      struct(
+        lit("fake/raw").as("format"),
+        octet_length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes"),
+        crc32(col(textCol).cast(BinaryType)).as("checksum"),
+        (pmod(crc32(col(textCol)), lit(640)) + 32).cast(IntegerType).as("width"),
+        (pmod(xxhash64(col(textCol)), lit(480)) + 32).cast(IntegerType).as("height"))
+        .as("meta"))
+
+  /** STUB — deterministic fake decoder standing in for a real image/audio
+    * decode (???: no codec libraries in this environment). Emits `dim`
+    * floats derived from payload bytes; a real implementation swaps ONLY
+    * this function (same signature: bytes in, fixed-length features out).
+    */
+  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < payload.length) {
+      h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L
+      out(i % dim) += ((h >>> 40) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-batched feature extraction over the payload column.
+    * `mapPartitions` (not per-row UDF) so a real decoder is initialized
+    * once per partition — the pattern that matters for JNI decoders.
+    * Output: (id, features array<float>).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      inSchema(idIdx), StructField("features", ArrayType(FloatType, containsNull = false))))
+    val rdd = df.rdd.mapPartitions { rows =>
+      // Real pipelines initialize the decoder handle here, once.
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row(r.get(idIdx), decodeStub(payload, dim))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic frame sampling: split the payload into `frames` equal
+    * byte windows (≙ video frame extraction), checksum each. Pure
+    * expressions — no data leaves the executor row.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, frames: Int = 4): DataFrame =
+    df.select(col(idCol), col("meta.n_bytes").as("n_bytes"),
+      posexplode(transform(sequence(lit(0), lit(frames - 1)), f => {
+        val w = greatest(col("meta.n_bytes") / frames, lit(1L))
+        crc32(substring(col("payload").cast(StringType),
+          (f * w + 1).cast(IntegerType), w.cast(IntegerType)).cast(BinaryType))
+      })))
+      .withColumnsRenamed(Map("pos" -> "frame", "col" -> "frame_checksum"))
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k of a SMALL query set against
+  *    the corpus — broadcast the queries, one pass over the corpus, window
+  *    top-k. The baseline and the exact re-ranker.
+  *  - [[lshTopK]]: random-hyperplane LSH — `tables` independent signatures
+  *    of `bits` sign-bits each; candidates share a (table, signature)
+  *    bucket, then exact cosine re-rank within candidates. The scale path:
+  *    the corpus-side join key is a 32-bit bucket id, so the shuffle is
+  *    (corpus rows × tables) small tuples, never a cross join.
+  *
+  * Dot products are pure `zip_with`/`aggregate` expressions (codegen'd,
+  * no UDFs); norms are computed once per side.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbors for each row of `queries` (small, broadcast)
+    * within `corpus`. Output: (query id, neighbor id, rank, cosine).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic random hyperplanes: `tables` × `bits` × `dim` doubles. */
+  private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rng.nextGaussian())
+  }
+
+  /** (table, bucket) signature rows for every corpus vector. Bucket id =
+    * sign-bit pattern of the hyperplane dot products.
+    */
+  def lshBuckets(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 12, tables: Int = 4, dim: Int = 64,
+      seed: Long = 0xA5CE11L): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val sigCols: Seq[Column] = planes.zipWithIndex.map { case (tbl, t) =>
+      val bucket = tbl.zipWithIndex.map { case (plane, j) =>
+        val planeCol = typedlit(plane.toSeq)
+        when(dot(col(vecCol), planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }.toSeq
+    df.select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
+      .select(col(idCol), col(vecCol),
+        col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
+  }
+
+  /** ANN top-k: LSH candidate generation + exact cosine re-rank.
+    * Output schema matches [[bruteForceTopK]] for recall measurement.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, bits: Int = 12, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, bits, tables, dim)
+      .withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "cv"))
+    val qb = lshBuckets(queries, idCol, vecCol, bits, tables, dim)
+      .withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "qv"))
+    val candidates = cb.join(qb, Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (all
+    * pairs sharing a bucket in any table), exact cosine ≥ threshold.
+    */
+  def cosineNearDups(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, bits: Int = 12, tables: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, bits, tables, dim)
+    val a1 = b.withColumnsRenamed(Map(idCol -> "id_a", vecCol -> "va"))
+    val a2 = b.withColumnsRenamed(Map(idCol -> "id_b", vecCol -> "vb"))
+    a1.join(a2, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("brute-force cosine matches a hand-computed result") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // by descending cosine to (1,0)
+  }
+
+  test("LSH ANN recall >= 0.9 vs exact top-k on the embeddings table") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, bits = 3, tables = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size})")
+  }
+
+  test("cosine near-dup detector finds a planted duplicate pair") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rng.nextGaussian().toFloat)
+    val v = vec()
+    val nearDup = v.updated(0, v.head + 0.01f)
+    val rows = Seq((1000L, v), (1001L, nearDup)) ++
+      (1L to 200L).map(i => i -> vec())
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val pairs = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        threshold = 0.99, bits = 8, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)), s"missed planted dup: $pairs")
+  }
+
+  test("multimodal: media table schema + partition-batched decode shape") {
+    val docs = Tables.load(spark, dir, "documents").limit(50)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == Multimodal.metadataType.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.extractFeatures(media, "doc_id", dim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.getSeq[Float](1).length == 8))
+    // determinism: same payload → same features
+    val again = Multimodal.extractFeatures(media, "doc_id", dim = 8).collect()
+    assert(rows.map(_.getSeq[Float](1)).zip(again.sortBy(_.getLong(0)).map(_.getSeq[Float](1)))
+      .forall { case (a, b) => a == b } || rows.sortBy(_.getLong(0)).map(_.getSeq[Float](1)).toSeq ==
+      again.sortBy(_.getLong(0)).map(_.getSeq[Float](1)).toSeq)
+    // frame sampling: 4 frames per doc, deterministic checksums
+    val frames = Multimodal.sampleFrames(media, "doc_id", frames = 4)
+    assert(frames.count() == 200)
+    assert(frames.groupBy("doc_id").count().select(max("count")).head().getLong(0) == 4)
+  }
+}

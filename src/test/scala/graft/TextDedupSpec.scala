@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.{TextAnalysis, TextDedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Corpus with planted near-duplicates: (1,2) differ by one word,
+    * (3,4) identical, 5..N unrelated random docs.
+    */
+  private def corpus(n: Int = 60) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "pi")
+    val base = Seq.fill(40)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val nearDup = base.replaceFirst("alpha|beta|gamma|delta", "omega")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "copy me twice exactly now " * 8),
+      (4L, "copy me twice exactly now " * 8)) ++
+      (5L to n.toLong).map(i =>
+        i -> Seq.fill(40)(vocab(rng.nextInt(vocab.size)) + i).mkString(" "))
+    docs.toDF("doc_id", "text").repartition(7)
+  }
+
+  test("minhash LSH finds planted near-dups and nothing random") {
+    val pairs = TextDedup.minhashNearDups(corpus(), "doc_id", "text",
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missed the planted near-dup: $pairs")
+    assert(pairs.contains((3L, 4L)), s"missed the exact dup: $pairs")
+    assert(pairs.size == 2, s"false positives: $pairs")
+  }
+
+  test("minhash jaccard estimate is faithful to exact jaccard") {
+    val out = TextDedup.minhashNearDups(corpus(), "doc_id", "text", threshold = 0.5)
+      .filter(col("id_a") === 3 && col("id_b") === 4).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs share signatures; near-dups within hamming 3") {
+    val sigs = corpus().select(col("doc_id"), TextDedup.simhash64(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(3L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 6,
+      "one-word edit must stay hamming-close")
+    val pairs = TextDedup.simhashNearDups(corpus(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard: identity 1.0, unrelated near 0") {
+    import spark.implicits._
+    val df = Seq(("same text here", "same text here"),
+      ("completely different words", "nothing in common at all xyz"))
+      .toDF("a", "b")
+    val out = df.select(TextDedup.ngramJaccard(col("a"), col("b"), 3)).collect()
+    assert(out(0).getDouble(0) == 1.0)
+    assert(out(1).getDouble(0) < 0.2)
+  }
+
+  test("skew guard drops oversized buckets instead of exploding the join") {
+    import spark.implicits._
+    // 300 identical docs → every band bucket has 300 members; with
+    // maxBucket=64 the LSH pass must return no pairs (exact pass covers
+    // them) rather than 300², and must still catch a small planted pair.
+    val boiler = (1L to 300L).map(i => i -> "the same boilerplate text repeated everywhere")
+    val planted = Seq(400L -> "unique snowflake document alpha beta gamma delta epsilon zeta eta",
+      401L -> "unique snowflake document alpha beta gamma delta epsilon zeta omega")
+    val df = (boiler ++ planted).toDF("doc_id", "text").repartition(5)
+    val pairs = TextDedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((400L, 401L)), s"skew guard failed: ${pairs.size} pairs")
+  }
+
+  test("language id picks the profile language on clear text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is that for a reason"),
+      (2L, "le chat est dans la maison et il est pour que un jour"),
+      (3L, "qqq www eee rrr")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLanguageId(df, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "fr")
+    assert(out(3L) == "und")
+  }
+
+  test("fingerprints: whitespace-insensitive rolling hash, order-free set hash") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha  beta   gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.withFingerprints(df, "text")
+      .select("doc_id", "fp_rolling", "fp_set").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == out(2L)._1, "rolling fp must ignore extra whitespace")
+    assert(out(1L)._1 != out(3L)._1, "rolling fp is order-sensitive")
+    assert(out(1L)._2 == out(3L)._2, "set fp is order-free")
+  }
+}
