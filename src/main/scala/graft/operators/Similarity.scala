@@ -38,7 +38,8 @@ object Similarity {
       k: Int = 5): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -72,9 +73,14 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }.toSeq
-    df.select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
+    // Repartition: hyperplane dot products (tables × bits × dim FMAs per
+    // row) run interpreted — spread a possibly-single-partition input
+    // across cores. Persist: self-joins read this relation twice.
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
       .select(col(idCol), col(vecCol),
         col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** ANN top-k: LSH candidate generation + exact cosine re-rank.

@@ -62,8 +62,24 @@ object TextDedup {
       numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minhashSignature(shingleHashes(col(textCol), shingleK), numHashes)
-    df.select(col(idCol), sig.as("sig"))
+    // Scale guards around the signature compute:
+    //  - repartition first: higher-order functions run interpreted (outside
+    //    codegen) and a small parquet input arrives as ONE partition — the
+    //    per-row signature work must be spread across all cores;
+    //  - materialize shingles before the `numHashes`-way fan-out, and the
+    //    signatures before the band fan-out: CollapseProject would
+    //    otherwise inline the shingle expression into all 64 hash branches
+    //    and the 64-hash signature into all 16 band branches of every
+    //    downstream plan use (a ~50x recompute). Levels spill to disk and
+    //    are LRU-evictable.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shDF = df.repartition(par)
+      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
+      .persist(lvl)
+    val sigDF = shDF.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(lvl)
+    sigDF
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))))))
@@ -93,8 +109,9 @@ object TextDedup {
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Exact verify on the candidate set only.
-    val sh = df.select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
+    // Exact verify on the candidate set only (same spread-then-compute).
+    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
     candidates
       .join(sh.withColumnsRenamed(Map(idCol -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map(idCol -> "id_b", "sh" -> "sh_b")), "id_b")
