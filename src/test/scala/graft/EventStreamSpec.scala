@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics driven through MemoryStream: windowed
+  * aggregation with watermark-bounded state, equivalence with the batch
+  * definition, and JSON ingest parsing (the Kafka-shaped path).
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(h: Int, m: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("windowed streaming agg matches the batch definition of the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.windowedStats(events)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(1, 10), 10L, "click", 1.0), (2L, ts(1, 40), 11L, "click", 2.0),
+        (3L, ts(1, 20), 10L, "view", 5.0), (4L, ts(2, 5), 12L, "click", 3.0))
+      query.processAllAvailable()
+      // advance watermark far enough to close the 01:00 and 02:00 windows
+      input.addData((5L, ts(23), 13L, "view", 1.0))
+      query.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("window_start", "event_type", "n", "sv")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStream.windowedStatsBatch(spark,
+        Seq((1L, ts(1, 10), 10L, "click", 1.0), (2L, ts(1, 40), 11L, "click", 2.0),
+          (3L, ts(1, 20), 10L, "view", 5.0), (4L, ts(2, 5), 12L, "click", 3.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(batch.subsetOf(streamed), s"batch=$batch streamed=$streamed")
+    } finally query.stop()
+  }
+
+  test("late data beyond the watermark is dropped (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.windowedStats(events, watermark = "1 hour")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), 1L, "click", 1.0))
+      query.processAllAvailable()
+      input.addData((2L, ts(10), 1L, "click", 1.0)) // watermark → 09:00
+      query.processAllAvailable()
+      input.addData((3L, ts(1, 30), 1L, "click", 99.0)) // hours late
+      query.processAllAvailable()
+      input.addData((4L, ts(23), 1L, "view", 1.0)) // close everything
+      query.processAllAvailable()
+      val rows = spark.table("late_out")
+        .filter(col("window_start") === ts(1)).collect()
+      assert(rows.length == 1 && rows.head.getAs[Long]("n") == 1L,
+        s"late row must not re-open the closed window: ${rows.mkString}")
+    } finally query.stop()
+  }
+
+  test("kafka-shaped JSON ingest parses into the events schema") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"event_id":1,"ts":"2024-01-01T05:00:00Z","user_id":7,"event_type":"click","value":2.5}""")
+      .toDF("value")
+    val parsed = EventStream.parseEvents(raw).collect().head
+    assert(parsed.getAs[Long]("event_id") == 1L)
+    assert(parsed.getAs[Long]("user_id") == 7L)
+    assert(parsed.getAs[String]("event_type") == "click")
+    assert(parsed.getAs[Double]("value") == 2.5)
+  }
+
+  test("streaming user totals agree with batch on the static events table") {
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = EventStream.userTotals(events)
+      .orderBy("user_id").collect().map(_.toSeq)
+    assert(batch.nonEmpty)
+    // sum of per-user counts must equal total events (sanity of grouping)
+    assert(batch.map(_(1).asInstanceOf[Long]).sum == events.count())
+  }
+}

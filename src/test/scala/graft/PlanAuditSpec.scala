@@ -1,0 +1,80 @@
+package graft
+
+import graft.planner.CompassSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that decide whether a plan
+  * survives a 100× scale-up, asserted on the real executed plans so a
+  * regression (lost pushdown, vanished broadcast, codegen break) fails CI
+  * rather than surfacing as a 100 TB incident.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    Tables.registerAll(spark, dir)
+    val df = Queries.queryMap(name)(spark, dir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters reach the parquet scan (predicate pushdown)") {
+    val plan = planOf("q_join_multiway")
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      "the dim filter must be pushed into the region scan")
+  }
+
+  test("column pruning: projection-only query reads only needed columns") {
+    Tables.registerAll(spark, dir)
+    val df = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 10")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("small dimensions broadcast in the multiway join (no dim shuffles)") {
+    val plan = planOf("q_join_multiway")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for region/nation dims in:\n$plan")
+  }
+
+  test("aggregation is partial+final (map-side combine before the exchange)") {
+    val plan = planOf("q1_agg")
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      "grouped agg must shuffle on the group keys between partials and final")
+  }
+
+  test("relational pipelines run inside WholeStageCodegen") {
+    // executedPlan.toString marks codegen stages with the "*(n)" prefix
+    val plan = planOf("q_filter_compare")
+    assert(plan.contains("*(1)"), s"codegen absent:\n$plan")
+  }
+
+  test("COMPASS-rebuilt plan keeps broadcasts and pushdown") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val df = cs.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000""".stripMargin)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(o_totalprice,400000"),
+      s"rebuilt plan lost the pushed filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch-count broadcast hints must survive splicing:\n$plan")
+  }
+
+  test("top-k order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = planOf("q_orderby_limit")
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")
+  }
+}
