@@ -18,7 +18,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class CompassPlan(
     order: Seq[String],
     intermediateEstimates: Seq[Double],
-    sketchCounts: Map[String, Long])
+    sketchCounts: Map[String, Long]) {
+
+  /** Human-readable trace mirroring the reference's stdout ("optimal
+    * plan: ... intermediate join size estimation of: ...").
+    */
+  def explainString: String = {
+    val steps = order.indices.drop(1).dropRight(1).map { k =>
+      val prefix = order.take(k + 1).mkString(" <> ")
+      val est = intermediateEstimates.lift(k - 1).getOrElse(Double.NaN)
+      f"  intermediate estimate of $prefix = $est%.1f"
+    }
+    (s"COMPASS plan: ${order.mkString(" -> ")}" +:
+      s"  surviving rows: ${order.map(t => s"$t=${sketchCounts.getOrElse(t, -1L)}").mkString(", ")}" +:
+      steps).mkString("\n")
+  }
+}
 
 /** COMPASS for Spark: sketch-based join-order optimization as a driver-side
   * pre-planning phase.
@@ -136,8 +151,20 @@ final class CompassSession(
       val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
       val seedClassKeys = attrs.map(a => reg.classKey((inst.idx.toString, label(a))))
 
+      // Materialized push-down: cache the filtered instance BEFORE the
+      // sketch job so that job populates the cache and the main query
+      // reads the survivors from memory — the Spark analogue of keeping
+      // the filtered result as a temporary table (reference:
+      // addPushDownFilter, RelAlgExecutor.h:121-133). Reverted below when
+      // the filter turns out unselective (reference:
+      // FilterPushDownSketch.cpp:273-284).
+      val cached = if (hasFilter)
+        Some(Bridge.ofRows(spark, filteredPlan(g, inst.idx))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+
       def build(): SketchGroup = {
-        val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
+        val df = cached.getOrElse(Bridge.ofRows(spark, filteredPlan(g, inst.idx)))
         val agg = FagmsSketchAgg(
           attrs.map(keyExpr), sketchRows, sketchBuckets, colNames, seeds)
         val bytes = df.agg(Bridge.column(agg.toAggregateExpression()))
@@ -149,6 +176,12 @@ final class CompassSession(
         case (Some(cache), false) =>
           cache.getOrBuild(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
         case _ => build()
+      }
+      // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
+      // survivor sets are not worth pinning (reference:
+      // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).
+      cached.foreach { df =>
+        if (sketch.count > maxPushDownSize) df.unpersist()
       }
       GraphNode(inst.idx, sketch)
     }

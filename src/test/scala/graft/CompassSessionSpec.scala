@@ -85,6 +85,46 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cache.hits >= 4)
   }
 
+  test("BASELINE metric: chosen order's true intermediate size <= naive's") {
+    // The reference's success criterion (BASELINE.md "Port target"): on
+    // multi-join queries the sketch-chosen order's intermediate-result sum
+    // must be <= the naive size-descending order's.
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000""".stripMargin).collect()
+    val chosen = cs.lastPlan.get.order
+    val naive = Seq("lineitem", "orders", "customer") // size-descending
+
+    def trueIntermediate(order: Seq[String]): Long = {
+      // only one intermediate for 3 tables: |t0 ⋈ t1| under the filters
+      val pairSql = Map(
+        Set("lineitem", "orders") ->
+          "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_totalprice > 400000",
+        Set("orders", "customer") ->
+          "SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 400000",
+        Set("lineitem", "customer") -> // no edge: cartesian
+          "SELECT count(*) FROM lineitem CROSS JOIN customer")
+      spark.sql(pairSql(order.take(2).toSet)).head().getLong(0)
+    }
+    val chosenSize = trueIntermediate(chosen)
+    val naiveSize = trueIntermediate(naive)
+    assert(chosenSize <= naiveSize,
+      s"chosen $chosen -> $chosenSize vs naive $naive -> $naiveSize")
+  }
+
+  test("explainString reports order, survivors, and estimates") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.sql(fiveWay).collect()
+    val s = cs.lastPlan.get.explainString
+    assert(s.contains("COMPASS plan:") && s.contains("surviving rows:"))
+    assert(s.contains("region=1"))
+  }
+
   test("estimates in lastPlan are monotone-sane and positive") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)
