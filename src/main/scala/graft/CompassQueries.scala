@@ -47,5 +47,31 @@ object CompassQueries {
       "SELECT count(*) AS n FROM lineitem, part, supplier " +
         "WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey " +
         "AND p_type = 'SMALL' AND s_acctbal > 0"),
+
+    // Star shape: one fact joined to three dimensions on distinct keys
+    // (multi-column sketch group on the fact instance).
+    viaCompass("q_compass_star",
+      "SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 2) AS rev " +
+        "FROM lineitem, orders, part, supplier " +
+        "WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey " +
+        "AND l_suppkey = s_suppkey AND o_orderpriority = '1-URGENT' " +
+        "AND p_size <= 10 GROUP BY p_brand ORDER BY p_brand"),
+
+    // Snowflake: fact -> dim -> sub-dim chain with filters at both ends.
+    viaCompass("q_compass_snowflake",
+      "SELECT o_orderstatus, count(*) AS n " +
+        "FROM orders, customer, nation, region " +
+        "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey " +
+        "AND n_regionkey = r_regionkey AND r_name IN ('EUROPE', 'ASIA') " +
+        "AND o_totalprice > 50000 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
+    // Self-join through the pipeline: two lineitem instances must keep
+    // separate sketches/seeds (reference keys sketches by RA node id,
+    // RelAlgExecutor.h:349-356).
+    viaCompass("q_compass_selfjoin",
+      "SELECT count(*) AS n FROM lineitem l1, lineitem l2, orders " +
+        "WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_orderkey = o_orderkey " +
+        "AND l1.l_linenumber = 1 AND l2.l_quantity > 25 " +
+        "AND o_totalprice > 100000"),
   )
 }

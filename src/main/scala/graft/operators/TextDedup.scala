@@ -57,28 +57,32 @@ object TextDedup {
   /** doc_id → (band, band_hash) rows: the LSH bucketing relation.
     * `bands` × `rowsPerBand` must equal the signature length.
     */
+  /** Materialized (id, shingle-hash array) relation. Scale guards:
+    * repartition first — higher-order functions run interpreted (outside
+    * codegen) and a small parquet input arrives as ONE partition, so the
+    * per-row work must be spread across all cores; persist — downstream
+    * fan-outs (64 minhash branches, candidate verify joins) must read a
+    * materialized column, not recompute the expression per branch
+    * (CollapseProject would inline it). Level spills; LRU-evictable.
+    */
+  private def shingleDF(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def bandedSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleK: Int = 3): DataFrame =
+    bandsOf(shingleDF(df, idCol, textCol, shingleK), idCol, numHashes, bands)
+
+  /** Band-bucket relation from a materialized shingle relation. */
+  private def bandsOf(sh: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Scale guards around the signature compute:
-    //  - repartition first: higher-order functions run interpreted (outside
-    //    codegen) and a small parquet input arrives as ONE partition — the
-    //    per-row signature work must be spread across all cores;
-    //  - materialize shingles before the `numHashes`-way fan-out, and the
-    //    signatures before the band fan-out: CollapseProject would
-    //    otherwise inline the shingle expression into all 64 hash branches
-    //    and the 64-hash signature into all 16 band branches of every
-    //    downstream plan use (a ~50x recompute). Levels spill to disk and
-    //    are LRU-evictable.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shDF = df.repartition(par)
-      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
-      .persist(lvl)
-    val sigDF = shDF.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
-      .persist(lvl)
+    // Materialize signatures before the band fan-out (same reasoning as
+    // shingleDF).
+    val sigDF = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigDF
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
@@ -95,7 +99,8 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, numHashes, bands, shingleK)
+    val sh = shingleDF(df, idCol, textCol, shingleK)
+    val banded = bandsOf(sh, idCol, numHashes, bands)
     // Skew guard: drop pathological buckets (identical boilerplate) — the
     // exact-dup pass catches those rows far more cheaply than an O(n²)
     // in-bucket join would.
@@ -109,9 +114,7 @@ object TextDedup {
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Exact verify on the candidate set only (same spread-then-compute).
-    val sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), shingleHashes(col(textCol), shingleK).as("sh"))
+    // Exact verify on the candidate set only, reusing the cached shingles.
     candidates
       .join(sh.withColumnsRenamed(Map(idCol -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map(idCol -> "id_b", "sh" -> "sh_b")), "id_b")

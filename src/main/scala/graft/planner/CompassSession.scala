@@ -87,18 +87,28 @@ final class CompassSession(
     */
   def optimize(df: DataFrame): DataFrame = {
     if (!fpdEnabled) return df
-    val analyzed = df.queryExecution.analyzed
-    JoinGraphExtractor.extract(analyzed) match {
-      case Some((g, rebuild)) if g.instances.size >= 3 =>
-        val nodes = buildSketches(g)
-        val en = new Enumerator(nodes, enumeratorEdges(g))
-        val (order, _) = en.optimalOrder()
-        lastPlan = Some(CompassPlan(
-          order.map(i => g.instances(i).name),
-          order.indices.drop(1).dropRight(1).map(k => en.estimate(order.take(k + 1))),
-          nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap))
-        Bridge.ofRows(spark, rebuild(rebuildRegion(g, order, nodes)))
-      case _ => df
+    try {
+      val analyzed = df.queryExecution.analyzed
+      JoinGraphExtractor.extract(analyzed) match {
+        case Some((g, rebuild)) if g.instances.size >= 3 =>
+          val nodes = buildSketches(g)
+          val en = new Enumerator(nodes, enumeratorEdges(g))
+          val (order, _) = en.optimalOrder()
+          lastPlan = Some(CompassPlan(
+            order.map(i => g.instances(i).name),
+            order.indices.drop(1).dropRight(1).map(k => en.estimate(order.take(k + 1))),
+            nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap))
+          Bridge.ofRows(spark, rebuild(rebuildRegion(g, order, nodes)))
+        case _ => df
+      }
+    } catch {
+      // An optimizer must never break a runnable query: any failure in
+      // extraction, sketch jobs, or splicing falls back to the vanilla
+      // plan (the reference likewise guards the push-down pass and
+      // reverts on failure, FilterPushDownSketch.cpp:273-284).
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[compass] falling back to vanilla plan: ${e.getMessage}")
+        df
     }
   }
 
