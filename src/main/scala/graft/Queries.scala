@@ -289,7 +289,8 @@ object Queries {
         "CAST(ceil(l_discount * 100) AS BIGINT) AS ce, CAST(floor(l_tax * 100) AS BIGINT) AS fl, " +
         "round(sqrt(l_extendedprice), 6) AS sq, round(power(l_quantity, 2), 2) AS p2, " +
         "round(exp(l_discount), 8) AS ex, round(ln(l_extendedprice), 8) AS lg, " +
-        "round(sin(l_quantity), 8) AS sn, round(cos(l_quantity), 8) AS cs " +
+        "round(sin(l_quantity), 8) AS sn, round(cos(l_quantity), 8) AS cs, " +
+        "CAST(sign(l_quantity - 25.0) AS BIGINT) AS sg " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"),
 
     // EXTRACT. Reference: mapd-core/QueryEngine/ExtractFromTime.h:64.
@@ -297,6 +298,20 @@ object Queries {
       "SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y, " +
         "CAST(extract(month FROM o_orderdate) AS BIGINT) AS m, count(*) AS n " +
         "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    // Finer EXTRACT fields (reference field list: ExtractFromTime.h:64).
+    // DOW is 1-based (Sunday=1) in Spark, 0-based in DuckDB → normalize.
+    sql2("q_extract_fields",
+      "SELECT o_orderkey, CAST(extract(day FROM o_orderdate) AS BIGINT) AS d, " +
+        "CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q, " +
+        "CAST(extract(dow FROM o_orderdate) - 1 AS BIGINT) AS dw, " +
+        "CAST(extract(doy FROM o_orderdate) AS BIGINT) AS dy " +
+        "FROM orders ORDER BY o_orderkey LIMIT 300",
+      "SELECT o_orderkey, CAST(extract(day FROM o_orderdate) AS BIGINT) AS d, " +
+        "CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q, " +
+        "CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dw, " +
+        "CAST(extract(doy FROM o_orderdate) AS BIGINT) AS dy " +
+        "FROM orders ORDER BY o_orderkey LIMIT 300"),
 
     // DATE_TRUNC. Reference: mapd-core/QueryEngine/DateTruncate.h:60.
     sql("q_date_trunc",

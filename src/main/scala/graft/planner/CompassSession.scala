@@ -70,7 +70,10 @@ final class CompassSession(
     sketchRows: Int = 73,
     sketchBuckets: Int = 1021,
     minTableSize: Long = 200, // PUSH_DOWN_MIN_TABLE_SIZE_SK
-    maxSelectivity: Double = 0.05, // PUSH_DOWN_MAX_SELECTIVITY_SK
+    // The reference caps materialization at min(rows·0.05, 10000); the
+    // fractional term needs the base cardinality (a second count), and for
+    // every table past 200k rows the absolute 10k cap binds anyway
+    // (COMPASS_init_variables.txt:4-5) — so only the absolute cap applies.
     maxPushDownSize: Long = 10000, // PUSH_DOWN_MAX_SIZE
     broadcastRowLimit: Long = 1000000,
     templateCache: Option[SketchTemplateCache] = None) {
