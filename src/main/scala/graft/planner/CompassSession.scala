@@ -18,7 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class CompassPlan(
     order: Seq[String],
     intermediateEstimates: Seq[Double],
-    sketchCounts: Map[String, Long]) {
+    sketchCounts: Map[String, Long],
+    sketchBuildMillis: Long = 0,
+    enumerateMillis: Long = 0) {
 
   /** Human-readable trace mirroring the reference's stdout ("optimal
     * plan: ... intermediate join size estimation of: ...").
@@ -31,6 +33,7 @@ final case class CompassPlan(
     }
     (s"COMPASS plan: ${order.mkString(" -> ")}" +:
       s"  surviving rows: ${order.map(t => s"$t=${sketchCounts.getOrElse(t, -1L)}").mkString(", ")}" +:
+      s"  planning: sketch build ${sketchBuildMillis}ms, enumeration ${enumerateMillis}ms" +:
       steps).mkString("\n")
   }
 }
@@ -94,13 +97,20 @@ final class CompassSession(
       val analyzed = df.queryExecution.analyzed
       JoinGraphExtractor.extract(analyzed) match {
         case Some((g, rebuild)) if g.instances.size >= 3 =>
+          // Timing mirrors the reference's per-phase instrumentation
+          // (FilterPushDownSketch.cpp:1564-1569, RelAlgExecutor.cpp:2628).
+          val t0 = System.nanoTime()
           val nodes = buildSketches(g)
+          val t1 = System.nanoTime()
           val en = new Enumerator(nodes, enumeratorEdges(g))
           val (order, _) = en.optimalOrder()
+          val t2 = System.nanoTime()
           lastPlan = Some(CompassPlan(
             order.map(i => g.instances(i).name),
             order.indices.drop(1).dropRight(1).map(k => en.estimate(order.take(k + 1))),
-            nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap))
+            nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap,
+            sketchBuildMillis = (t1 - t0) / 1000000,
+            enumerateMillis = (t2 - t1) / 1000000))
           Bridge.ofRows(spark, rebuild(rebuildRegion(g, order, nodes)))
         case _ => df
       }
@@ -115,8 +125,21 @@ final class CompassSession(
     }
   }
 
-  /** Stable per-instance column label (names can repeat across instances). */
-  private def label(a: Attribute): String = s"${a.name}#${a.exprId.id}"
+  /** Column label: plain name — unique within a base-table instance, and
+    * STABLE across queries (no exprIds), so seed equivalence classes and
+    * template-cache keys agree between any two queries joining the same
+    * columns. This mirrors the reference's workload-global persisted seed
+    * templates (sketch_templates_seeds.txt): same column pair → same
+    * seeds, always.
+    */
+  private def label(a: Attribute): String = a.name
+
+  /** Seed-registry key: (instance NAME, column name) — name-based so the
+    * class representative (hence seeds and cache keys) is query-shape
+    * independent.
+    */
+  private def seedKey(g: ExtractedJoinGraph, idx: Int, a: Attribute): (String, String) =
+    (g.instances(idx).name, a.name)
 
   private def enumeratorEdges(g: ExtractedJoinGraph): Seq[((Int, String), (Int, String))] =
     g.edges.map { case ((ia, a), (ib, b)) => ((ia, label(a)), (ib, label(b))) }
@@ -155,14 +178,25 @@ final class CompassSession(
   private def buildSketches(g: ExtractedJoinGraph): IndexedSeq[GraphNode] = {
     val reg = new SeedRegistry(sketchRows)
     g.edges.foreach { case ((ia, a), (ib, b)) =>
-      reg.addPredicate((ia.toString, label(a)), (ib.toString, label(b)))
+      reg.addPredicate(seedKey(g, ia, a), seedKey(g, ib, b))
     }
     g.instances.map { inst =>
       val attrs = g.joinAttrs(inst.idx)
-      val seeds = attrs.map(a => reg.seedsFor((inst.idx.toString, label(a))))
+      val seeds = attrs.map(a => reg.seedsFor(seedKey(g, inst.idx, a)))
       val colNames = attrs.map(label)
       val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
-      val seedClassKeys = attrs.map(a => reg.classKey((inst.idx.toString, label(a))))
+      val seedClassKeys = attrs.map(a => reg.classKey(seedKey(g, inst.idx, a)))
+
+      // Tiny-table shortcut: if the template cache already knows this
+      // table (template count == table cardinality) and it is below
+      // PUSH_DOWN_MIN_TABLE_SIZE_SK, skip the filtered sketch job and use
+      // the template — the filter can't meaningfully shrink a table that
+      // small (reference: FilterPushDownSketch.cpp:154-198).
+      val tinyTemplate: Option[SketchGroup] =
+        if (hasFilter) templateCache.flatMap(
+          _.peek(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)
+            .filter(_.count < minTableSize))
+        else None
 
       // Materialized push-down: cache the filtered instance BEFORE the
       // sketch job so that job populates the cache and the main query
@@ -171,7 +205,7 @@ final class CompassSession(
       // addPushDownFilter, RelAlgExecutor.h:121-133). Reverted below when
       // the filter turns out unselective (reference:
       // FilterPushDownSketch.cpp:273-284).
-      val cached = if (hasFilter)
+      val cached = if (hasFilter && tinyTemplate.isEmpty)
         Some(Bridge.ofRows(spark, filteredPlan(g, inst.idx))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       else None
@@ -185,11 +219,11 @@ final class CompassSession(
         SketchGroup.deserialize(bytes)
       }
 
-      val sketch = (templateCache, hasFilter) match {
+      val sketch = tinyTemplate.getOrElse((templateCache, hasFilter) match {
         case (Some(cache), false) =>
           cache.getOrBuild(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
         case _ => build()
-      }
+      })
       // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
       // survivor sets are not worth pinning (reference:
       // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).

@@ -41,6 +41,24 @@ final class SketchTemplateCache(dir: Path) {
       .take(16).map("%02x".format(_)).mkString
   }
 
+  /** Cached sketch if present (memory, then disk) — no build. Used to
+    * learn a table's cardinality without a scan (the `count` of an
+    * unfiltered template IS the table row count).
+    */
+  def peek(
+      table: String, columns: Seq[String], seedClasses: Seq[String],
+      rows: Int, buckets: Int): Option[SketchGroup] = {
+    val key = cacheKey(table, columns, seedClasses, rows, buckets)
+    memory.get(key).orElse {
+      val f = fileFor(key)
+      if (Files.exists(f)) {
+        val g = SketchGroup.deserialize(Files.readAllBytes(f))
+        memory.put(key, g)
+        Some(g)
+      } else None
+    }
+  }
+
   /** Serve from memory, then disk, else build and persist. */
   def getOrBuild(
       table: String, columns: Seq[String], seedClasses: Seq[String],

@@ -58,4 +58,57 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sv"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  final case class UserSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Int, total_value: Double, duration_sec: Long)
+
+  /** Per-user sessionization via flatMapGroupsWithState: a session closes
+    * after `gapSec` of inactivity (event-time timeout tied to the
+    * watermark). State per key is one fixed-size record — bounded
+    * regardless of stream length; sessions emit exactly once, on close.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSec: Long = 1800): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def close(s: SessionState): UserSession =
+            UserSession(user, new java.sql.Timestamp(s.start), s.n, s.total,
+              (s.lastSeen - s.start) / 1000)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapSec * 1000 =>
+                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= close(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapSec * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -83,6 +83,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(parsed.getAs[Double]("value") == 2.5)
   }
 
+  test("sessionization: gap closes sessions, stats accumulate, state times out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.SessionEvent
+    val input = MemoryStream[SessionEvent]
+    val query = EventStream.sessionize(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 40 min gap →
+      // a second session; user 2: single event.
+      input.addData(
+        SessionEvent(1L, ts(1, 0), 2.0), SessionEvent(1L, ts(1, 5), 3.0),
+        SessionEvent(2L, ts(1, 0), 7.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(1L, ts(1, 45), 1.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(3L, ts(9, 0), 1.0)) // advance watermark, time out all
+      query.processAllAvailable()
+      input.addData(SessionEvent(3L, ts(23, 0), 1.0)) // flush timeouts
+      query.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("user_id", "n_events", "total_value", "duration_sec")
+        .collect().map(_.toSeq).toSet
+      assert(out.contains(Seq(1L, 2, 5.0, 300L)), s"first session of user 1: $out")
+      assert(out.contains(Seq(1L, 1, 1.0, 0L)), s"second session of user 1: $out")
+      assert(out.contains(Seq(2L, 1, 7.0, 0L)), s"user 2 session: $out")
+    } finally query.stop()
+  }
+
   test("streaming user totals agree with batch on the static events table") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val batch = EventStream.userTotals(events)
