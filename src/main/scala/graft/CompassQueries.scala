@@ -73,5 +73,16 @@ object CompassQueries {
         "WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_orderkey = o_orderkey " +
         "AND l1.l_linenumber = 1 AND l2.l_quantity > 25 " +
         "AND o_totalprice > 100000"),
+
+    // LEFT-joined lookup above an inner chain: the inner portion is
+    // reordered, the outer join stays pinned (reference:
+    // RelAlgExecutor.cpp:2635-2644 left_deep_join_types).
+    viaCompass("q_compass_left_lookup",
+      "SELECT count(*) AS n, count(n_name) AS matched FROM " +
+        "(SELECT c_nationkey AS nk FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE o_totalprice > 200000) t " +
+        "LEFT JOIN nation ON t.nk = n_nationkey"),
   )
 }

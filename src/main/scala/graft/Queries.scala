@@ -328,6 +328,20 @@ object Queries {
         "CAST(o_orderdate AS DATE) + 30 AS plus30 " +
         "FROM orders ORDER BY o_orderkey LIMIT 200"),
 
+    // Interval arithmetic. Reference: translateDateminus /
+    // DATETIME_PLUS rewrite (RelAlgTranslator.h:91, DateTimePlusRewrite.cpp).
+    sql("q_interval_arith",
+      "SELECT o_orderkey, CAST(o_orderdate + INTERVAL '1' MONTH AS DATE) AS plus_mo, " +
+        "CAST(o_orderdate - INTERVAL '7' DAY AS DATE) AS minus_wk " +
+        "FROM orders ORDER BY o_orderkey LIMIT 200"),
+
+    // DECIMAL aggregation (exact fixed-point, engine-order independent).
+    // Reference type: kNUMERIC/kDECIMAL, mapd-core/Shared/sqltypes.h:224-227.
+    sql("q_decimal_agg",
+      "SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s, " +
+        "CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS mn " +
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+
     // String functions. Reference: mapd-core/QueryEngine/StringFunctions.cpp
     // (LENGTH/CHAR_LENGTH), StringOpsIR.cpp (string compares).
     sql("q_string_fns",

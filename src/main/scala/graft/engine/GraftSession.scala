@@ -1,0 +1,56 @@
+package graft.engine
+
+import graft.Tables
+import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.planner.{CompassSession, SketchTemplateCache}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The user-facing session — what a reference user switches to.
+  *
+  * Mirrors the reference's mapdql surface: SQL in, results out, with the
+  * COMPASS push-down toggled per session (`\fpd` ≙ [[fpd]]; reference:
+  * mapd-core/SQLFrontend/mapdql.cpp:1313-1317) and the optimizer's chosen
+  * plan introspectable ([[explainLast]] ≙ the engine's stdout traces).
+  * Pipeline operators are exposed as one-call conveniences over the same
+  * tables.
+  */
+final class GraftSession(val spark: SparkSession, dataDir: String) {
+  Tables.registerAll(spark, dataDir)
+
+  private val compass = new CompassSession(
+    spark, templateCache = Some(SketchTemplateCache.default()))
+
+  /** Toggle sketch-based join reordering (default on). */
+  def fpd(on: Boolean): Unit = compass.fpdEnabled = on
+
+  /** Run SQL through the COMPASS pre-pass (falls back to vanilla Spark for
+    * non-optimizable shapes).
+    */
+  def sql(query: String): DataFrame = compass.sql(query)
+
+  /** The last COMPASS plan trace, if the last query was optimized. */
+  def explainLast: Option[String] = compass.lastPlan.map(_.explainString)
+
+  def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  // ---- pipeline conveniences over the standard tables ----
+
+  /** Near-duplicate pairs in `documents` via banded MinHash-LSH. */
+  def nearDuplicates(threshold: Double = 0.8): DataFrame =
+    TextDedup.minhashNearDups(table("documents"), "doc_id", "text", threshold)
+
+  /** Exact top-k cosine neighbors for the given query vector ids. */
+  def topK(queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    val emb = table("embeddings")
+    Similarity.bruteForceTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*)),
+      "vec_id", "embedding", k)
+  }
+
+  /** Documents annotated with language, quality, tokens, fingerprints. */
+  def curatedDocuments(): DataFrame =
+    TextAnalysis.withFingerprints(
+      TextAnalysis.withQualityScore(
+        TextAnalysis.withTokenCounts(
+          TextAnalysis.withLanguageId(table("documents"), "text"), "text"), "text"), "text")
+}

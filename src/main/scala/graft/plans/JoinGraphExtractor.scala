@@ -104,21 +104,33 @@ object JoinGraphExtractor {
     }
   }
 
-  /** Topmost maximal Filter/Inner-Join chain, reached through unary nodes. */
+  /** Topmost maximal Filter/Inner-Join chain, reached through unary nodes.
+    * A non-inner join is not itself a region, but its children may contain
+    * one (e.g. an optional LEFT-joined lookup atop an inner chain — the
+    * reference likewise reorders only the inner portion and keeps LEFT
+    * joins pinned, RelAlgExecutor.cpp:2635-2644): descend and take the
+    * first viable inner region.
+    */
   private def findRegion(p: LogicalPlan): Option[LogicalPlan] = p match {
-    case f: Filter if containsJoin(f.child) => Some(f)
-    case j: Join => Some(j)
+    case f: Filter if containsInnerJoin(f.child) => Some(f)
+    case j: Join if j.joinType.isInstanceOf[InnerLike] => Some(j)
+    case j: Join => j.children.flatMap(findRegion).headOption
     case u: UnaryNode => findRegion(u.child)
     case _ => None
   }
 
-  private def containsJoin(p: LogicalPlan): Boolean = p match {
-    case _: Join => true
-    case f: Filter => containsJoin(f.child)
+  private def containsInnerJoin(p: LogicalPlan): Boolean = p match {
+    case j: Join => j.joinType.isInstanceOf[InnerLike]
+    case f: Filter => containsInnerJoin(f.child)
     case _ => false
   }
 
-  /** Flatten the region; false if a non-inner join is present. */
+  /** Flatten the region. A nested NON-inner join becomes an opaque leaf:
+    * its subtree joins the others as one derived relation, so the inner
+    * joins around it can still be reordered while the outer join itself
+    * stays pinned (reference keeps LEFT joins in place,
+    * RelAlgExecutor.cpp:2635-2644).
+    */
   private def decompose(
       p: LogicalPlan,
       conjuncts: mutable.Buffer[Expression],
@@ -129,7 +141,6 @@ object JoinGraphExtractor {
     case Join(l, r, _: InnerLike, cond, _) =>
       cond.foreach(conjuncts ++= splitConjuncts(_))
       decompose(l, conjuncts, leaves) && decompose(r, conjuncts, leaves)
-    case _: Join => false
     case leaf =>
       leaves += leaf
       true

@@ -61,6 +61,26 @@ class FagmsSketchAggSpec extends AnyFunSuite {
     assert(SketchGroup.deserialize(bytes).count == 90L)
   }
 
+  test("estimate on real TESTDATA join within 2x of truth") {
+    import org.apache.spark.sql.functions.col
+    val rows = 73; val buckets = 1021
+    val reg = new SeedRegistry(rows)
+    reg.addPredicate(("lineitem", "l_orderkey"), ("orders", "o_orderkey"))
+    val dir = "/root/testdata/sf0.001"
+    def sk(table: String, keyCol: String) = SketchGroup.deserialize(
+      Tables.load(spark, dir, table)
+        .agg(fagms_sketch(rows, buckets, Seq(keyCol),
+          Seq(reg.seedsFor((table, keyCol))), col(keyCol)))
+        .head().getAs[Array[Byte]](0))
+    val sl = sk("lineitem", "l_orderkey")
+    val so = sk("orders", "o_orderkey")
+    val est = sketch.Estimator.pairwise(sl.planes(0), so.planes(0), rows, buckets)
+    val truth = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(est > truth / 2.0 && est < truth * 2.0, s"est $est vs true $truth")
+  }
+
   test("distributed pairwise estimate tracks true join size") {
     import spark.implicits._
     val rows = 73; val buckets = 1021

@@ -1,0 +1,28 @@
+package graft
+
+import graft.engine.GraftSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("facade: sql through compass, explain trace, fpd toggle, pipeline calls") {
+    val gs = new GraftSession(spark, "/root/testdata/sf0.001")
+    val q =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 300000""".stripMargin
+    val n1 = gs.sql(q).head().getLong(0)
+    assert(gs.explainLast.exists(_.contains("COMPASS plan:")))
+    gs.fpd(false)
+    assert(gs.sql(q).head().getLong(0) == n1)
+    gs.fpd(true)
+    assert(gs.table("region").count() == 5)
+    assert(gs.topK(Seq(0L, 1L), k = 3).count() == 6)
+    val curated = gs.curatedDocuments()
+    assert(curated.columns.toSet.intersect(
+      Set("lang_pred", "quality", "n_tokens_ws", "fp_rolling")).size == 4)
+    assert(curated.count() == 500)
+  }
+}

@@ -61,11 +61,27 @@ class JoinGraphExtractorSpec extends AnyFunSuite {
     assert(g.edges.size == 2)
   }
 
-  test("non-inner join region is rejected") {
+  test("non-inner joins become opaque instances (outer stays pinned)") {
     val plan = analyzed(
       "SELECT count(*) AS n FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey")
-    assert(JoinGraphExtractor.extract(plan).isEmpty)
+    val Some((g, _)) = JoinGraphExtractor.extract(plan)
+    // the LEFT-join subtree is ONE instance; nation is the other
+    assert(g.instances.size == 2)
+    assert(g.edges.size == 1)
+  }
+
+  test("inner chain under a LEFT-joined lookup is still extracted") {
+    val plan = analyzed(
+      """SELECT count(*) AS n FROM
+        |(SELECT o_custkey FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE o_totalprice > 100000) t
+        |LEFT JOIN nation ON t.o_custkey = n_nationkey""".stripMargin)
+    val Some((g, _)) = JoinGraphExtractor.extract(plan)
+    assert(g.instances.map(_.name).toSet == Set("lineitem", "orders", "customer"))
+    assert(g.edges.size == 2)
   }
 
   test("no join: nothing to extract") {
