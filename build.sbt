@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Forked run output goes straight to stdout (no "[info] " logger prefix) —
+// the driver parses Bench's single JSON line from stdout.
+run / outputStrategy := Some(StdoutOutput)
