@@ -53,17 +53,32 @@ final class SketchGroup(
 
   def columnIndex(col: String): Int = columns.indexOf(col)
 
+  // Seeds flattened to primitive arrays for the update hot loop: the
+  // per-row work is rows × (CW2B + EH3) per column, and SeedPair object
+  // dereferences dominate at millions of rows. Values are identical to
+  // the SeedPair path — only the memory layout changes.
+  @transient private lazy val flatCwA: Array[Array[Long]] =
+    seeds.map(_.pairs.map(_.cwA))
+  @transient private lazy val flatCwB: Array[Array[Long]] =
+    seeds.map(_.pairs.map(_.cwB))
+  @transient private lazy val flatEh0: Array[Array[Int]] =
+    seeds.map(_.pairs.map(_.ehS0))
+  @transient private lazy val flatEh1: Array[Array[Int]] =
+    seeds.map(_.pairs.map(_.ehS1))
+
   /** Stream one tuple's join-column values (already folded to 32-bit). */
   def update(keys: Array[Int]): Unit = {
     var c = 0
     while (c < nCols) {
-      val pairs = seeds(c).pairs
+      val cwA = flatCwA(c); val cwB = flatCwB(c)
+      val eh0 = flatEh0(c); val eh1 = flatEh1(c)
       val plane = planes(c)
       val k = keys(c)
+      val kU = k.toLong & 0xFFFFFFFFL
       var r = 0
       while (r < rows) {
-        val sp = pairs(r)
-        plane(r * buckets + sp.bucket(k, buckets)) += sp.sign(k).toDouble
+        val b = Xi.cw2b(cwA(r), cwB(r), kU, buckets)
+        plane(r * buckets + b) += Xi.eh3(eh0(r), eh1(r), k).toDouble
         r += 1
       }
       c += 1
