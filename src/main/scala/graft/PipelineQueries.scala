@@ -94,6 +94,17 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // IVF-style ANN: inverted lists from a coarse quantizer, probe-then-
+    // re-rank (the other scale path named in the brief; recall asserted
+    // on clustered data in SimilaritySpec).
+    opaque("q_ann_ivf") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8)
+        .orderBy("query_id", "rank")
+    },
+
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join).
     opaque("q_ann_neardup") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")

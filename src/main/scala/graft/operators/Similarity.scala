@@ -107,6 +107,60 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nCentroids` deterministic
+    * sample centroids partitions the corpus into inverted lists; queries
+    * probe their `nProbe` nearest centroids and re-rank exactly within
+    * those lists.
+    *
+    * Scale shape: centroids broadcast (small); corpus assignment is one
+    * pass + a shuffle on centroid id (the inverted index — at 100 TB this
+    * is a bucketed/partitioned table built once and reused); the query
+    * join touches nProbe/nCentroids of the corpus instead of all of it.
+    * Trade recall for speed via nProbe.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import corpus.sparkSession.implicits._
+    // Deterministic coarse centroids: the nCentroids lowest-id vectors
+    // (a real build k-means-refines these; the operator shape — assign,
+    // probe, re-rank — is identical and that is what scales).
+    val centroids = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
+    val cDF = broadcast(centroids.toDF("centroid_id", "cv"))
+
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val ranked = df
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(cDF)
+        .withColumn("cdist", cosine(col(vec), col("cv")))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(id).orderBy(col("cdist").desc, col("centroid_id"))))
+        .filter(col("crank") <= n)
+      ranked.select(col(id), col(vec), col("centroid_id"))
+    }
+
+    val lists = assign(
+      corpus.withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "nv")),
+      "neighbor_id", "nv", 1) // each corpus vector in ONE inverted list
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = assign(
+      queries.withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "qv")),
+      "query_id", "qv", nProbe)
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(lists, "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (all
     * pairs sharing a bucket in any table), exact cosine ≥ threshold.
     */

@@ -20,6 +20,17 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "für", "mit"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
+  /** Characteristic character trigrams per language — the n-gram half of
+    * the heuristic (complements whole-word stopword hits; catches
+    * morphology on unseen words).
+    */
+  val trigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "ion", "and", "ent", " th", "he ", "er ", " of", "nd "),
+    "fr" -> Seq("es ", "le ", "de ", "ent", "que", " le", "la ", "ait", "eur", "ais"),
+    "es" -> Seq("de ", "la ", "os ", "ión", "ente", " de", "el ", "ar ", "que", "ado"),
+    "de" -> Seq("en ", "er ", "ch ", "der", "ein", "sch", "ich", "nde", "die", "und"),
+    "zh" -> Seq("的", "是", "不了", "在", "人", "有", "我", "他", "这", "中"))
+
   private def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** Fraction of tokens found in `words`. */
@@ -29,14 +40,26 @@ object TextAnalysis {
       greatest(size(t), lit(1))
   }
 
-  /** Predicted language + per-language scores. Argmax over stopword-hit
-    * ratios; "und" (undetermined) when no profile matches at all.
+  /** Fraction of the doc's distinct char trigrams found in `grams`. */
+  private def trigramRatio(text: Column, grams: Seq[String]): Column = {
+    val t = lower(text)
+    val docGrams = array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3))))
+    size(array_intersect(docGrams, typedlit(grams))).cast("double") /
+      greatest(size(docGrams), lit(1))
+  }
+
+  /** Predicted language + per-language scores: stopword-hit ratio blended
+    * with char-trigram profile overlap; argmax, "und" when nothing
+    * matches.
     */
   def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
     val langs = stopwordProfiles.keys.toSeq.sorted
     val scored = langs.foldLeft(df) { (d, l) =>
       d.withColumn(s"score_$l",
-        round(stopRatio(col(textCol), stopwordProfiles(l)), 6))
+        round(stopRatio(col(textCol), stopwordProfiles(l)) +
+          trigramRatio(col(textCol), trigramProfiles(l)) * 0.5, 6))
     }
     val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
       .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))

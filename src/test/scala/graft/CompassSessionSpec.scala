@@ -116,6 +116,50 @@ class CompassSessionSpec extends AnyFunSuite {
       s"chosen $chosen -> $chosenSize vs naive $naive -> $naiveSize")
   }
 
+  test("chosen 4-table order is near-optimal among ALL connected orders by true cost") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_totalprice > 300000 AND c_acctbal > 0""".stripMargin).collect()
+    val chosen = cs.lastPlan.get.order
+
+    // True size of every joinable subset (chain graph L-O-C-N).
+    val tableFilters = Map(
+      "orders" -> "o_totalprice > 300000", "customer" -> "c_acctbal > 0")
+    def subsetCount(ts: Set[String]): Long = {
+      val conds = Seq(
+        ("lineitem", "orders") -> "l_orderkey = o_orderkey",
+        ("orders", "customer") -> "o_custkey = c_custkey",
+        ("customer", "nation") -> "c_nationkey = n_nationkey")
+        .collect { case ((a, b), c) if ts(a) && ts(b) => c }
+      val where = (conds ++ ts.toSeq.flatMap(tableFilters.get)).mkString(" AND ")
+      spark.sql(s"SELECT count(*) FROM ${ts.mkString(", ")} WHERE $where").head().getLong(0)
+    }
+    val adjacency = Map(
+      "lineitem" -> Set("orders"), "orders" -> Set("lineitem", "customer"),
+      "customer" -> Set("orders", "nation"), "nation" -> Set("customer"))
+    val all = Seq("lineitem", "orders", "customer", "nation")
+    def connectedOrders(acc: Seq[String]): Seq[Seq[String]] =
+      if (acc.size == 4) Seq(acc)
+      else all.filterNot(acc.contains)
+        .filter(t => acc.isEmpty || acc.exists(adjacency(_).contains(t)))
+        .flatMap(t => connectedOrders(acc :+ t))
+    val memo = scala.collection.mutable.Map.empty[Set[String], Long]
+    def cost(order: Seq[String]): Long =
+      (2 to 3).map(k => memo.getOrElseUpdate(order.take(k).toSet,
+        subsetCount(order.take(k).toSet))).sum
+    val costs = connectedOrders(Seq.empty).map(o => o -> cost(o))
+    val best = costs.map(_._2).min
+    val chosenCost = cost(chosen)
+    // within 2x of the true-optimal connected order (and ~never the worst)
+    assert(chosenCost <= best * 2,
+      s"chosen $chosen cost $chosenCost vs optimal $best (all: ${costs.map(_._2).sorted})")
+  }
+
   test("explainString reports order, survivors, and estimates") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)

@@ -34,6 +34,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size})")
   }
 
+  test("IVF ANN: high recall on clustered data, touching only probed lists") {
+    import spark.implicits._
+    // Clustered corpus: 8 well-separated centers, 50 points each with
+    // small noise — the regime IVF is built for.
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5))
+    val rows = for {
+      c <- centers.indices
+      i <- 0 until 50
+    } yield ((c * 50 + i).toLong,
+      centers(c).map(v => (v + rng.nextGaussian() * 0.2).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding").repartition(7)
+    val queries = corpus.filter($"vec_id" % 50 < 2) // 2 per cluster
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9")
+  }
+
   test("cosine near-dup detector finds a planted duplicate pair") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
