@@ -78,7 +78,11 @@ final class CompassSession(
     // every table past 200k rows the absolute 10k cap binds anyway
     // (COMPASS_init_variables.txt:4-5) — so only the absolute cap applies.
     maxPushDownSize: Long = 10000, // PUSH_DOWN_MAX_SIZE
-    broadcastRowLimit: Long = 1000000,
+    // Hint threshold is rows-surviving (bytes unknown pre-projection);
+    // 100k rows of pruned join columns is comfortably under executor
+    // broadcast budgets, while anything larger is left to AQE's own
+    // size-based decision.
+    broadcastRowLimit: Long = 100000,
     templateCache: Option[SketchTemplateCache] = None) {
 
   @volatile var lastPlan: Option[CompassPlan] = None
@@ -186,6 +190,12 @@ final class CompassSession(
       val colNames = attrs.map(label)
       val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
       val seedClassKeys = attrs.map(a => reg.classKey(seedKey(g, inst.idx, a)))
+      // Templates are only sound for named base tables: an anonymous
+      // derived-relation instance (nodeName-based label) could collide
+      // with a different relation of the same shape and serve the wrong
+      // sketch.
+      val isNamedTable = inst.plan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
 
       // Tiny-table shortcut: if the template cache already knows this
       // table (template count == table cardinality) and it is below
@@ -193,7 +203,7 @@ final class CompassSession(
       // the template — the filter can't meaningfully shrink a table that
       // small (reference: FilterPushDownSketch.cpp:154-198).
       val tinyTemplate: Option[SketchGroup] =
-        if (hasFilter) templateCache.flatMap(
+        if (hasFilter && isNamedTable) templateCache.flatMap(
           _.peek(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)
             .filter(_.count < minTableSize))
         else None
@@ -220,7 +230,7 @@ final class CompassSession(
       }
 
       val sketch = tinyTemplate.getOrElse((templateCache, hasFilter) match {
-        case (Some(cache), false) =>
+        case (Some(cache), false) if isNamedTable =>
           cache.getOrBuild(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
         case _ => build()
       })
