@@ -116,6 +116,28 @@ class CompassSessionSpec extends AnyFunSuite {
       s"chosen $chosen -> $chosenSize vs naive $naive -> $naiveSize")
   }
 
+  test("tiny-table shortcut: filtered small table served from its template") {
+    Tables.registerAll(spark, dir)
+    val cache = new SketchTemplateCache(
+      java.nio.file.Files.createTempDirectory("graft-tiny-test"))
+    val cs = new CompassSession(spark, templateCache = Some(cache))
+    // Seed the cache: same join graph, region UNFILTERED → template built.
+    cs.sql(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin).collect()
+    val missesAfterSeed = cache.misses
+    // Now region is filtered, but its template shows 5 rows < 200 → the
+    // filtered sketch job is skipped and the template served.
+    cs.sql(fiveWay).collect()
+    assert(cache.misses == missesAfterSeed,
+      "tiny filtered table must not trigger a new sketch build")
+    assert(cs.lastPlan.get.sketchCounts("region") == 5,
+      s"expected the 5-row template count, got ${cs.lastPlan.get.sketchCounts}")
+  }
+
   test("chosen 4-table order is near-optimal among ALL connected orders by true cost") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)
