@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.sketch.{ColumnSeeds, Estimator, SketchGroup}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL-facing registration of the sketch machinery
+  * (SparkSessionExtensions — SURVEY §7.3 "registered via
+  * SparkSessionExtensions"; ≙ the reference registering `kFAGMS_SKETCH`
+  * as a new SQLAgg kind, mapd-core/Shared/sqldefs.h:66):
+  *
+  * {{{
+  *   spark.sql.extensions=graft.functions.GraftExtensions   // or
+  *   GraftExtensions.register(spark)                        // existing session
+  *
+  *   SELECT fagms_pairwise(
+  *     (SELECT fagms_sketch('orders_class', l_orderkey) FROM lineitem),
+  *     (SELECT fagms_sketch('orders_class', o_orderkey) FROM orders))
+  * }}}
+  *
+  * `fagms_sketch(seedClass, keys...)`: the first argument is a literal
+  * seed-class name; any two calls with the SAME class get the SAME seeds
+  * (positionally), which is the cross-table seed-sharing contract the
+  * estimates require (reference: FilterPushDownSketch.cpp:1280-1373).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  val SketchRows = 73
+  val SketchBuckets = 1021
+
+  /** Deterministic per-(class, position) seeds — equal classes → equal
+    * seeds, the SQL-level analogue of SeedRegistry classes.
+    */
+  private def seedsFor(seedClass: String, i: Int): ColumnSeeds = {
+    val h = (seedClass + ":" + i).hashCode.toLong & 0xFFFFFFFFL
+    ColumnSeeds.deterministic(SketchRows, 0x5EEDC0DEL ^ (h * 0x9E3779B97F4A7C15L))
+  }
+
+  private def sketchBuilder(children: Seq[Expression]): Expression = {
+    require(children.size >= 2,
+      "fagms_sketch(seedClass, key1, ...) needs a seed class and at least one key")
+    val seedClass = children.head match {
+      case Literal(s, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"fagms_sketch: seedClass must be a string literal, got $other")
+    }
+    val keys = children.tail
+    FagmsSketchAgg(
+      keys, SketchRows, SketchBuckets,
+      keys.indices.map(i => s"k$i"),
+      keys.indices.map(i => seedsFor(seedClass, i))
+    ).toAggregateExpression()
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("fagms_sketch"),
+      new ExpressionInfo(classOf[FagmsSketchAgg].getName, "fagms_sketch"),
+      sketchBuilder _),
+    (FunctionIdentifier("fagms_pairwise"),
+      new ExpressionInfo(classOf[FagmsPairwise].getName, "fagms_pairwise"),
+      (c: Seq[Expression]) => { require(c.size == 2); FagmsPairwise(c(0), c(1)) }),
+    (FunctionIdentifier("fagms_count"),
+      new ExpressionInfo(classOf[FagmsCount].getName, "fagms_count"),
+      (c: Seq[Expression]) => { require(c.size == 1); FagmsCount(c.head) }))
+
+  /** Register into an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit = functions.foreach {
+    case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  }
+}
+
+/** Pairwise join-size estimate over two serialized sketches (plane 0 of
+  * each group). Driver math is microseconds; the expression only touches
+  * two ~600 KB binaries.
+  */
+case class FagmsPairwise(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("fagms_pairwise expects two binary sketches")
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ga = SketchGroup.deserialize(a.asInstanceOf[Array[Byte]])
+    val gb = SketchGroup.deserialize(b.asInstanceOf[Array[Byte]])
+    require(ga.rows == gb.rows && ga.buckets == gb.buckets,
+      "sketch dimensions differ")
+    Estimator.pairwise(ga.planes(0), gb.planes(0), ga.rows, ga.buckets)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FagmsPairwise =
+    copy(left = l, right = r)
+  override def prettyName: String = "fagms_pairwise"
+}
+
+/** Surviving-row count carried by a serialized sketch. */
+case class FagmsCount(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("fagms_count expects a binary sketch")
+  override protected def nullSafeEval(v: Any): Any =
+    SketchGroup.deserialize(v.asInstanceOf[Array[Byte]]).count
+  override protected def withNewChildInternal(c: Expression): FagmsCount =
+    copy(child = c)
+  override def prettyName: String = "fagms_count"
+}
