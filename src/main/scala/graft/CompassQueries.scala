@@ -74,6 +74,19 @@ object CompassQueries {
         "AND l1.l_linenumber = 1 AND l2.l_quantity > 25 " +
         "AND o_totalprice > 100000"),
 
+    // Pure-SQL sketch pipeline through the extension-registered functions
+    // (estimate is approximate → deterministic rows-only check; accuracy
+    // is pinned by GraftExtensionsSpec).
+    opaque("q_sketch_sql") { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        "SELECT fagms_count((SELECT fagms_sketch('qss', o_orderkey) FROM orders)) AS n_orders, " +
+          "CAST(fagms_pairwise(" +
+          "(SELECT fagms_sketch('qss', l_orderkey) FROM lineitem), " +
+          "(SELECT fagms_sketch('qss', o_orderkey) FROM orders)) AS BIGINT) AS est_join")
+    },
+
     // LEFT-joined lookup above an inner chain: the inner portion is
     // reordered, the outer join stays pinned (reference:
     // RelAlgExecutor.cpp:2635-2644 left_deep_join_types).
