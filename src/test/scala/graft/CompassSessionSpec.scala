@@ -191,6 +191,31 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(s.contains("region=1"))
   }
 
+  test("scalar-subquery filters survive the pipeline (optimized or fallback)") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val q =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin
+    assert(cs.sql(q).head().getLong(0) == spark.sql(q).head().getLong(0))
+  }
+
+  test("DataFrame-API-built joins go through the same pipeline") {
+    import org.apache.spark.sql.functions.col
+    val cs = new CompassSession(spark)
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    val c = Tables.load(spark, dir, "customer")
+    val df = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+    cs.lastPlan = None
+    val n = cs.optimize(df).count()
+    assert(n == df.count())
+    assert(cs.lastPlan.nonEmpty, "DataFrame-built join should be optimizable")
+  }
+
   test("estimates in lastPlan are monotone-sane and positive") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)
