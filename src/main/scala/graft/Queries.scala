@@ -290,7 +290,19 @@ object Queries {
         "round(sqrt(l_extendedprice), 6) AS sq, round(power(l_quantity, 2), 2) AS p2, " +
         "round(exp(l_discount), 8) AS ex, round(ln(l_extendedprice), 8) AS lg, " +
         "round(sin(l_quantity), 8) AS sn, round(cos(l_quantity), 8) AS cs, " +
-        "CAST(sign(l_quantity - 25.0) AS BIGINT) AS sg " +
+        "CAST(sign(l_quantity - 25.0) AS BIGINT) AS sg, " +
+        "round(atan(l_discount), 8) AS at, round(tan(l_tax), 8) AS tn " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"),
+
+    // Numeric TRUNCATE (toward zero). Spark has no numeric trunc —
+    // CAST(double AS BIGINT) truncates; DuckDB CAST rounds, so its side
+    // spells trunc() explicitly. Reference: RelAlgTranslator.cpp:1025-1033.
+    sql2("q_truncate",
+      "SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS BIGINT) AS tr, " +
+        "CAST((l_discount - 0.05) * 100 AS BIGINT) AS tr_signed " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500",
+      "SELECT l_orderkey, l_linenumber, CAST(trunc(l_extendedprice) AS BIGINT) AS tr, " +
+        "CAST(trunc((l_discount - 0.05) * 100) AS BIGINT) AS tr_signed " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"),
 
     // EXTRACT. Reference: mapd-core/QueryEngine/ExtractFromTime.h:64.
