@@ -74,6 +74,14 @@ object CompassQueries {
         "AND l1.l_linenumber = 1 AND l2.l_quantity > 25 " +
         "AND o_totalprice > 100000"),
 
+    // String join keys: sketch keys go through the xxhash64 path (the
+    // reference joins on dictionary-encoded string ids — SURVEY §1.3;
+    // a 64-bit hash preserves equality semantics the same way).
+    viaCompass("q_compass_stringkey",
+      "SELECT count(*) AS n FROM nation n1, nation n2, region " +
+        "WHERE n1.n_name = n2.n_name AND n2.n_regionkey = r_regionkey " +
+        "AND r_name LIKE 'A%'"),
+
     // Pure-SQL sketch pipeline through the extension-registered functions
     // (estimate is approximate → deterministic rows-only check; accuracy
     // is pinned by GraftExtensionsSpec).
