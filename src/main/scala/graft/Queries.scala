@@ -349,9 +349,14 @@ object Queries {
 
     // DECIMAL aggregation (exact fixed-point, engine-order independent).
     // Reference type: kNUMERIC/kDECIMAL, mapd-core/Shared/sqltypes.h:224-227.
+    // The aggregation runs in DECIMAL on both engines; the surface is exact
+    // integer cents because decimal *rendering* differs (Spark parquet
+    // writes DECIMAL(18,2) "123.40", DuckDB prints "123.4" → hash mismatch
+    // even with identical values).
     sql("q_decimal_agg",
-      "SELECT o_orderstatus, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS s, " +
-        "CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS mn " +
+      "SELECT o_orderstatus, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS s_cents, " +
+        "CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS mn_cents " +
         "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
 
     // String functions. Reference: mapd-core/QueryEngine/StringFunctions.cpp

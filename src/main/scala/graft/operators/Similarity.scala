@@ -107,52 +107,105 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** IVF-style ANN: a coarse quantizer of `nCentroids` deterministic
-    * sample centroids partitions the corpus into inverted lists; queries
-    * probe their `nProbe` nearest centroids and re-rank exactly within
-    * those lists.
+  /** Lloyd's k-means (cosine assignment, mean update) over a
+    * deterministic driver-side sample — the coarse quantizer build for
+    * [[ivfTopK]]. The sample is k·sampleFactor vectors (tiny even when the
+    * corpus is 100 TB); the expensive step — assigning every corpus row —
+    * stays distributed and shuffle-free in [[ivfTopK]]. Init spreads the
+    * seeds across the sample (every sampleLen/k-th vector), so clustered
+    * inputs seed every cluster; empty clusters keep their old centroid
+    * (deterministic).
+    */
+  private[graft] def kmeansCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleFactor: Int = 32, iters: Int = 8): Array[Array[Double]] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k * sampleFactor)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "ivfTopK: empty corpus")
+    val dim = sample.head.length
+    val step = math.max(1, sample.length / k)
+    var cents = Array.tabulate(math.min(k, sample.length)) { i =>
+      sample((i * step) % sample.length).clone()
+    }
+    val kk = cents.length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      val cNorms = cents.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
+      sample.foreach { v =>
+        val vn = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { d += v(j) * cents(c)(j); j += 1 }
+          val s = d / (vn * cNorms(c))
+          if (s > bestScore) { bestScore = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+      }
+    }
+    cents
+  }
+
+  /** IVF-style ANN: a coarse k-means quantizer partitions the corpus into
+    * inverted lists; queries probe their `nProbe` nearest centroids and
+    * re-rank exactly within those lists.
     *
-    * Scale shape: centroids broadcast (small); corpus assignment is one
-    * pass + a shuffle on centroid id (the inverted index — at 100 TB this
-    * is a bucketed/partitioned table built once and reused); the query
-    * join touches nProbe/nCentroids of the corpus instead of all of it.
-    * Trade recall for speed via nProbe.
+    * Scale shape: centroids live in the plan as broadcast literals
+    * (nCentroids × dim doubles); corpus assignment is ONE shuffle-free
+    * projection — per-row scores against every centroid in an array
+    * expression, top-n by sorting that nCentroids-element array (no
+    * crossJoin row expansion, no window shuffle; at 100 TB the inverted
+    * index comes out of a single scan and is written bucketed by
+    * centroid_id). Probes broadcast to the corpus side, so the only
+    * shuffle is the final per-query top-k over the probed fraction
+    * (~nProbe/nCentroids) of the corpus.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    import corpus.sparkSession.implicits._
-    // Deterministic coarse centroids: the nCentroids lowest-id vectors
-    // (a real build k-means-refines these; the operator shape — assign,
-    // probe, re-rank — is identical and that is what scales).
-    val centroids = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(nCentroids)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](1)) }.toSeq
-    val cDF = broadcast(centroids.toDF("centroid_id", "cv"))
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val kEff = cents.length
+    val cArr = typedlit(cents.map(_.toSeq).toSeq) // 1-indexed via element_at
+    val cNorm = typedlit(cents.map(c =>
+      math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)).toSeq)
 
+    // Per-row top-n centroid ids, shuffle-free. Sort key is (score, -id):
+    // after reverse() ties break on ascending centroid id, matching the
+    // exact re-rank's determinism contract.
     def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val ranked = df
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-        .crossJoin(cDF)
-        .withColumn("cdist", cosine(col(vec), col("cv")))
-        .withColumn("crank", row_number().over(
-          Window.partitionBy(id).orderBy(col("cdist").desc, col("centroid_id"))))
-        .filter(col("crank") <= n)
-      ranked.select(col(id), col(vec), col("centroid_id"))
+      val scored = transform(sequence(lit(1), lit(kEff)), i =>
+        struct(
+          (dot(col(vec), element_at(cArr, i)) /
+            (l2norm(col(vec)) * element_at(cNorm, i))).as("s"),
+          (-i).as("negc")))
+      val top = slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(id), col(vec), explode(top).as("c"))
+        .select(col(id), col(vec),
+          (-col("c.negc") - 1).cast("int").as("centroid_id"))
     }
 
     val lists = assign(
       corpus.withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "nv")),
       "neighbor_id", "nv", 1) // each corpus vector in ONE inverted list
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = assign(
       queries.withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "qv")),
       "query_id", "qv", nProbe)
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(lists, "centroid_id")
+    lists.join(broadcast(probes), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w))

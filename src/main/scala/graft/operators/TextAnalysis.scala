@@ -20,16 +20,21 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "für", "mit"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  /** Characteristic character trigrams per language — the n-gram half of
-    * the heuristic (complements whole-word stopword hits; catches
-    * morphology on unseen words).
+  /** Characteristic character n-grams per language — (gram length, grams).
+    * The n-gram half of the heuristic (complements whole-word stopword
+    * hits; catches morphology on unseen words). Latin-script languages use
+    * trigrams; zh uses single-character grams — Chinese text is
+    * unsegmented, so whitespace tokens rarely match the stopword list and
+    * 3-char windows straddle character boundaries. Every gram's length
+    * must equal its declared size (spec-validated; r2 shipped dead 4-char
+    * and CJK 1–2-char entries in a trigram-only table).
     */
-  val trigramProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "ing", "ion", "and", "ent", " th", "he ", "er ", " of", "nd "),
-    "fr" -> Seq("es ", "le ", "de ", "ent", "que", " le", "la ", "ait", "eur", "ais"),
-    "es" -> Seq("de ", "la ", "os ", "ión", "ente", " de", "el ", "ar ", "que", "ado"),
-    "de" -> Seq("en ", "er ", "ch ", "der", "ein", "sch", "ich", "nde", "die", "und"),
-    "zh" -> Seq("的", "是", "不了", "在", "人", "有", "我", "他", "这", "中"))
+  val gramProfiles: Map[String, (Int, Seq[String])] = Map(
+    "en" -> ((3, Seq("the", "ing", "ion", "and", "ent", " th", "he ", "er ", " of", "nd "))),
+    "fr" -> ((3, Seq("es ", "le ", "de ", "ent", "que", " le", "la ", "ait", "eur", "ais"))),
+    "es" -> ((3, Seq("de ", "la ", "os ", "ión", "nte", " de", "el ", "ar ", "que", "ado"))),
+    "de" -> ((3, Seq("en ", "er ", "ch ", "der", "ein", "sch", "ich", "nde", "die", "und"))),
+    "zh" -> ((1, Seq("的", "是", "不", "在", "人", "有", "我", "他", "这", "中"))))
 
   private def tokens(text: Column): Column = split(lower(text), "\\s+")
 
@@ -40,31 +45,82 @@ object TextAnalysis {
       greatest(size(t), lit(1))
   }
 
-  /** Fraction of the doc's distinct char trigrams found in `grams`. */
-  private def trigramRatio(text: Column, grams: Seq[String]): Column = {
-    val t = lower(text)
-    val docGrams = array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - 2, lit(1))),
-      i => t.substr(i, lit(3))))
-    size(array_intersect(docGrams, typedlit(grams))).cast("double") /
-      greatest(size(docGrams), lit(1))
-  }
+  /** token/gram → per-language 0/1 hit vector, in `langs` order. */
+  private def hitLut(profiles: Map[String, Seq[String]], langs: Seq[String]): Map[String, Seq[Int]] =
+    profiles.values.flatten.toSeq.distinct.map { k =>
+      k -> langs.map(l => if (profiles.getOrElse(l, Nil).contains(k)) 1 else 0)
+    }.toMap
 
   /** Predicted language + per-language scores: stopword-hit ratio blended
-    * with char-trigram profile overlap; argmax, "und" when nothing
-    * matches.
+    * with char-n-gram profile overlap; argmax, "und" when nothing matches.
+    *
+    * Design for one-pass cheapness (the r2 shape re-derived tokenization
+    * inside every per-language score and burned seconds of codegen compile
+    * per cold run on 10 array_intersect trees):
+    *   - tokens / gram arrays are materialized once in their own
+    *     projection (CollapseProject will not inline a non-cheap
+    *     expression referenced more than once);
+    *   - all 5 languages are scored in ONE interpreted fold over the
+    *     arrays against literal word→hit-vector maps (complex literals are
+    *     codegen references, and higher-order functions are interpreted —
+    *     the generated code stays tiny, so cold runs are not dominated by
+    *     Janino);
+    *   - argmax is one array_max over (score, -langIndex) structs (ties →
+    *     alphabetically-first language), not a when-chain that duplicates
+    *     the accumulated struct 2^(n-1) times.
     */
   def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
     val langs = stopwordProfiles.keys.toSeq.sorted
-    val scored = langs.foldLeft(df) { (d, l) =>
-      d.withColumn(s"score_$l",
-        round(stopRatio(col(textCol), stopwordProfiles(l)) +
-          trigramRatio(col(textCol), trigramProfiles(l)) * 0.5, 6))
+    val zeros = Seq.fill(langs.length)(0)
+    val stopLut = typedlit(hitLut(stopwordProfiles, langs))
+    val gramLut = typedlit(hitLut(gramProfiles.view.mapValues(_._2).toMap, langs))
+    // Interpreted higher-order functions do the heavy lifting; a small
+    // input arriving in fewer partitions than cores would serialize that
+    // work (sf0.1 documents is ONE parquet split → r2 ran
+    // single-threaded). Only widen — never shrink a well-partitioned
+    // 100 TB input.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val t = lower(col(textCol))
+    val toks = tokens(col(textCol))
+    val tri = array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3))))
+    val uni = array_distinct(split(t, ""))
+    val mat = spread.withColumn("_lid_toks", toks)
+      .withColumn("_lid_g3", tri)
+      .withColumn("_lid_g1", uni)
+
+    // Per-language hit counts in one fold: acc[i] += lut(x)[i]. Distinct
+    // inputs keep array_intersect's set semantics; 3-char and 1-char gram
+    // keys cannot collide, so one merged gram pass serves all languages.
+    def hitCounts(arr: Column, lut: Column): Column =
+      aggregate(arr, typedlit(zeros), (acc, x) =>
+        zip_with(acc, coalesce(element_at(lut, x), typedlit(zeros)),
+          (a, b) => a + b))
+    val counted = mat
+      .withColumn("_lid_stopc", hitCounts(array_distinct(col("_lid_toks")), stopLut))
+      .withColumn("_lid_gramc",
+        hitCounts(array_distinct(concat(col("_lid_g3"), col("_lid_g1"))), gramLut))
+
+    def ratio(hits: Column, total: Column): Column =
+      hits.cast("double") / greatest(total, lit(1))
+    val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+      val docGrams = if (gramProfiles(l)._1 == 1) col("_lid_g1") else col("_lid_g3")
+      round(
+        ratio(element_at(col("_lid_stopc"), i + 1), size(col("_lid_toks"))) +
+          ratio(element_at(col("_lid_gramc"), i + 1), size(docGrams)) * 0.5,
+        6).as(s"score_$l")
     }
-    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
-      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    val scored = counted.select(col("*") +: scoreCols: _*)
+    val best = array_max(array(langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"score_$l").as("s"), lit(-i).as("negl"))
+    }: _*))
     scored.withColumn("lang_pred",
-      when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+      when(best.getField("s") > 0,
+        element_at(typedlit(langs), -best.getField("negl") + 1))
+        .otherwise(lit("und")))
+      .drop("_lid_toks", "_lid_g3", "_lid_g1", "_lid_stopc", "_lid_gramc")
   }
 
   /** Whitespace token count plus a BPE-ish subword count from a regex that

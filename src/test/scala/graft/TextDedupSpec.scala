@@ -88,6 +88,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("gram profiles are length-consistent and zh fires on unsegmented CJK") {
+    import spark.implicits._
+    TextAnalysis.gramProfiles.foreach { case (lang, (n, grams)) =>
+      grams.foreach(g => assert(g.length == n, s"$lang gram '$g' not length $n"))
+    }
+    val df = Seq((1L, "我有他的这是不在人中")).toDF("doc_id", "text")
+    val pred = TextAnalysis.withLanguageId(df, "text")
+      .select("lang_pred").head().getString(0)
+    assert(pred == "zh")
+  }
+
   test("fingerprints: whitespace-insensitive rolling hash, order-free set hash") {
     import spark.implicits._
     val df = Seq(
