@@ -12,9 +12,14 @@ import org.apache.spark.sql.SparkSession
 object CompassQueries {
   import Queries._
 
-  // One session wrapper per SparkSession (cheap; keeps lastPlan per use).
+  // ONE session wrapper per SparkSession, so each optimize() releases the
+  // previous entry's push-down caches (a fresh wrapper per call would pin
+  // them for the life of the SparkSession).
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, CompassSession]()
   private def compass(s: SparkSession): CompassSession =
-    new CompassSession(s, templateCache = Some(SketchTemplateCache.default()))
+    sessions.computeIfAbsent(s,
+      s2 => new CompassSession(s2, templateCache = Some(SketchTemplateCache.default())))
 
   private def viaCompass(name: String, text: String): Entry =
     dfq(name, text) { (s, dir) =>

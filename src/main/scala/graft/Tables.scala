@@ -35,18 +35,21 @@ object Tables {
     else df
   }
 
-  // One registration per (session, dir): repeated per-query registerAll
-  // calls would re-read every parquet footer (10 tables × N queries).
-  private val registered = scala.collection.mutable.Set.empty[(Int, String)]
+  // One registration per session while the dir is unchanged: repeated
+  // per-query registerAll calls would re-read every parquet footer
+  // (10 tables × N queries). Tracking the CURRENT dir (not a seen-set)
+  // means switching dirs re-registers — a seen-set would silently leave
+  // the views pointing at the previous dir.
+  private val currentDir = scala.collection.mutable.Map.empty[Int, String]
 
   /** Register all tables as temp views named after the table, so
     * `spark.sql` text matches the DuckDB oracle SQL.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    val key = (System.identityHashCode(spark), sfDir)
-    if (!registered.contains(key)) {
+    val key = System.identityHashCode(spark)
+    if (!currentDir.get(key).contains(sfDir)) {
       all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
-      registered += key
+      currentDir(key) = sfDir
     }
   }
 }

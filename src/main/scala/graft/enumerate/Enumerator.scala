@@ -175,9 +175,12 @@ final class Enumerator(
     // Second phase: extend from nodes adjacent to ANY placed node (keeps
     // prefixes connected while allowing jumps to earlier branches);
     // cheapest sketch first (reference: RelAlgExecutor.cpp:2282-2307).
+    // Accumulate the future-visited set here too — r2 discarded it, so
+    // sibling candidates re-explored identical subtrees and burned the
+    // hard traversal bound before better orders were reached.
     nodes.map(_.id).sortBy(complexityOf).foreach { cand =>
       if (!st.visited.contains(cand) && !future.contains(cand) && allAdjacent.contains(cand))
-        dfs(cand, allAdjacent, acc, st)
+        future = future ++ dfs(cand, allAdjacent, acc, st)
     }
     pop()
     future

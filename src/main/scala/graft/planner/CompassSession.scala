@@ -90,6 +90,27 @@ final class CompassSession(
   /** `\fpd`-style toggle (reference: mapd-core/SQLFrontend/mapdql.cpp:1313). */
   @volatile var fpdEnabled: Boolean = true
 
+  // Filtered-instance push-down caches pinned for the CURRENT optimized
+  // query; released at the next optimize() / close(). r2 kept selective
+  // survivors persisted forever (the reference frees its temporary
+  // push-down tables per query — RelAlgExecutor.h:121-133).
+  private val keptCaches = scala.collection.mutable.Buffer.empty[DataFrame]
+
+  /** Unpersist push-down caches pinned by the previous optimized query.
+    * A previously returned DataFrame stays CORRECT afterwards — it just
+    * recomputes its filtered scans if re-run.
+    */
+  def releaseCaches(): Unit = keptCaches.synchronized {
+    keptCaches.foreach(_.unpersist(false))
+    keptCaches.clear()
+  }
+
+  def close(): Unit = releaseCaches()
+
+  /** Test hook: push-down caches currently pinned by the last query. */
+  private[graft] def pinnedCaches: Seq[DataFrame] =
+    keptCaches.synchronized(keptCaches.toSeq)
+
   def sql(text: String): DataFrame = optimize(spark.sql(text))
 
   /** Reorder the query's inner-join region by sketch estimates; returns the
@@ -97,6 +118,7 @@ final class CompassSession(
     */
   def optimize(df: DataFrame): DataFrame = {
     if (!fpdEnabled) return df
+    releaseCaches()
     try {
       val analyzed = df.queryExecution.analyzed
       JoinGraphExtractor.extract(analyzed) match {
@@ -149,14 +171,17 @@ final class CompassSession(
     g.edges.map { case ((ia, a), (ib, b)) => ((ia, label(a)), (ib, label(b))) }
 
   /** Sketch key expression: integral → long (equality-preserving fold);
-    * anything else → xxhash64 (the reference joins on dictionary-encoded
-    * integer ids — mapd-core/StringDictionary/ — a 64-bit hash preserves
-    * equality semantics the same way, with negligible collision mass).
+    * timestamp → epoch long; anything else — including DATE, which Spark
+    * refuses to cast to BIGINT at analysis (so the r2 date branch could
+    * never succeed and silently disabled COMPASS for date keys) →
+    * xxhash64 (the reference joins on dictionary-encoded integer ids —
+    * mapd-core/StringDictionary/ — a 64-bit hash preserves equality
+    * semantics the same way, with negligible collision mass).
     */
   private def keyExpr(a: Attribute): Expression = a.dataType match {
     case LongType => a
     case IntegerType | ShortType | ByteType => Cast(a, LongType)
-    case DateType | TimestampType => Cast(a, LongType)
+    case TimestampType => Cast(a, LongType)
     case _ => new XxHash64(Seq(a))
   }
 
@@ -190,12 +215,14 @@ final class CompassSession(
       val colNames = attrs.map(label)
       val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
       val seedClassKeys = attrs.map(a => reg.classKey(seedKey(g, inst.idx, a)))
-      // Templates are only sound for named base tables: an anonymous
-      // derived-relation instance (nodeName-based label) could collide
-      // with a different relation of the same shape and serve the wrong
-      // sketch.
-      val isNamedTable = inst.plan.isInstanceOf[
-        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias]
+      // Templates are keyed by the RESOLVED base relation (data location +
+      // mtime snapshot), never the instance alias: two different relations
+      // aliased identically must not share a cache slot, and the same
+      // table name over different directories/scale factors must not serve
+      // a stale sketch. Derived/local relations get no template.
+      val templateKey: Option[String] =
+        if (templateCache.isDefined) JoinGraphExtractor.templateId(inst.plan)
+        else None
 
       // Tiny-table shortcut: if the template cache already knows this
       // table (template count == table cardinality) and it is below
@@ -203,9 +230,9 @@ final class CompassSession(
       // the template — the filter can't meaningfully shrink a table that
       // small (reference: FilterPushDownSketch.cpp:154-198).
       val tinyTemplate: Option[SketchGroup] =
-        if (hasFilter && isNamedTable) templateCache.flatMap(
-          _.peek(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)
-            .filter(_.count < minTableSize))
+        if (hasFilter) templateKey.flatMap(tk => templateCache.flatMap(
+          _.peek(tk, colNames, seedClassKeys, sketchRows, sketchBuckets)
+            .filter(_.count < minTableSize)))
         else None
 
       // Materialized push-down: cache the filtered instance BEFORE the
@@ -230,15 +257,18 @@ final class CompassSession(
       }
 
       val sketch = tinyTemplate.getOrElse((templateCache, hasFilter) match {
-        case (Some(cache), false) if isNamedTable =>
-          cache.getOrBuild(inst.name, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
+        case (Some(cache), false) if templateKey.isDefined =>
+          cache.getOrBuild(templateKey.get, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
         case _ => build()
       })
       // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
       // survivor sets are not worth pinning (reference:
       // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).
+      // Selective survivors stay pinned for THIS query only — tracked and
+      // released at the next optimize()/close().
       cached.foreach { df =>
         if (sketch.count > maxPushDownSize) df.unpersist()
+        else keptCaches.synchronized { keptCaches += df }
       }
       GraphNode(inst.idx, sketch)
     }

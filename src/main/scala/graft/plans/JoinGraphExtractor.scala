@@ -175,6 +175,35 @@ object JoinGraphExtractor {
     case other => other.nodeName
   }
 
+  /** Stable identity of the underlying base relation, for sketch-template
+    * cache keys: the resolved data location plus a modification-time
+    * snapshot for file relations. None for derived/local relations —
+    * templating those is unsound. Keying on this instead of the instance
+    * ALIAS closes two r2 hazards: two different relations aliased
+    * identically ("docs d") sharing a cache slot, and the same table name
+    * over different scale-factor directories (sf0.001 tests, then sf0.1
+    * bench) serving a stale sketch.
+    */
+  def templateId(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(_, child) => templateId(child)
+    case v: View => templateId(v.child)
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val roots = fs.location.rootPaths.map(_.toString).sorted
+          val conf = fs.sparkSession.sessionState.newHadoopConf()
+          val mtime = roots.map { r =>
+            scala.util.Try {
+              val path = new org.apache.hadoop.fs.Path(r)
+              path.getFileSystem(conf).getFileStatus(path).getModificationTime
+            }.getOrElse(0L)
+          }.foldLeft(0L)(math.max)
+          Some(s"files:${roots.mkString(",")}@$mtime")
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** Replace `target` (by reference identity) inside `plan`. */
   private def replaceNode(plan: LogicalPlan, target: LogicalPlan, replacement: LogicalPlan): LogicalPlan =
     if (plan.eq(target)) replacement

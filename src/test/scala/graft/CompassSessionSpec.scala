@@ -216,6 +216,70 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cs.lastPlan.nonEmpty, "DataFrame-built join should be optimizable")
   }
 
+  test("template cache keys on data identity, not view/alias name") {
+    val cache = new SketchTemplateCache(
+      java.nio.file.Files.createTempDirectory("graft-identity-test"))
+    val cs = new CompassSession(spark, templateCache = Some(cache))
+    Tables.registerAll(spark, dir) // sf0.001
+    cs.sql(fiveWay).collect()
+    val countSmall = cs.lastPlan.get.sketchCounts("customer")
+    val missesAfterFirst = cache.misses
+    // Same view names, same aliases, same columns — DIFFERENT data. An
+    // alias-keyed cache (the r2 hazard) would serve the stale sf0.001
+    // sketch; the data-identity key must rebuild.
+    Tables.registerAll(spark, "/root/testdata/sf0.01")
+    cs.sql(fiveWay).collect()
+    assert(cache.misses > missesAfterFirst,
+      "different data under the same view names must rebuild templates")
+    val countBig = cs.lastPlan.get.sketchCounts("customer")
+    assert(countBig > countSmall,
+      s"sf0.01 customer template must not reuse sf0.001's ($countSmall vs $countBig)")
+    Tables.registerAll(spark, dir) // restore
+  }
+
+  test("push-down caches are released on the next optimize()/close()") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val q =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000""".stripMargin
+    cs.sql(q).collect()
+    val first = cs.pinnedCaches
+    assert(first.nonEmpty, "the selective orders filter should be pinned")
+    assert(first.forall(_.storageLevel.useMemory))
+    // A DIFFERENT second query (CacheManager matches by canonicalized
+    // plan — rerunning the same text would re-cache an equivalent plan and
+    // mask the release).
+    cs.sql(q.replace("400000", "450000")).collect()
+    assert(first.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "previous query's caches must be unpersisted by the next optimize()")
+    val second = cs.pinnedCaches
+    assert(second.nonEmpty)
+    cs.close()
+    assert(second.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+    assert(cs.pinnedCaches.isEmpty)
+  }
+
+  test("date-keyed joins go through the sketch pipeline, not silent fallback") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import java.sql.Date
+    val days = (1 to 30).map(i => Date.valueOf(f"2024-01-$i%02d"))
+    val a = days.flatMap(d => Seq.fill(4)(d)).zipWithIndex
+      .map { case (d, i) => (d, i.toLong) }.toDF("da", "av")
+    val b = days.map(d => (d, d.toString)).toDF("db", "bv")
+    val c = days.take(10).map(d => (d, 1L)).toDF("dc", "cv")
+    val df = a.join(b, col("da") === col("db")).join(c, col("db") === col("dc"))
+    val cs = new CompassSession(spark)
+    cs.lastPlan = None
+    val n = cs.optimize(df).count()
+    assert(n == df.count())
+    assert(cs.lastPlan.nonEmpty,
+      "date-keyed join must be optimized (r2's date->bigint cast threw at analysis)")
+  }
+
   test("estimates in lastPlan are monotone-sane and positive") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)
