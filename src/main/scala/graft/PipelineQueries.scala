@@ -74,11 +74,42 @@ object PipelineQueries {
 
   private val similarity: Seq[Entry] = Seq(
     // Exact brute-force cosine top-5 for a 10-vector query set (the
-    // baseline ANN path; broadcast queries, one corpus pass).
-    opaque("q_ann_exact") { (s, dir) =>
+    // baseline ANN path; broadcast queries, one corpus pass). DuckDB
+    // oracle: same double-precision dot/norm via positional unnest (its
+    // list_cosine_similarity computes in float32 — not hash-stable
+    // against Spark's doubles); BOTH engines rank by the 6-dp-rounded
+    // cosine then neighbor id, so tie-breaks agree exactly.
+    dfq("q_ann_exact",
+      "WITH pairs AS (" +
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv" +
+        "  FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id" +
+        "), dots AS (" +
+        "  SELECT query_id, neighbor_id, sum(qa * ca) AS dotp," +
+        "    sqrt(sum(qa * qa)) AS na, sqrt(sum(ca * ca)) AS nb" +
+        "  FROM (SELECT query_id, neighbor_id, unnest(qv)::DOUBLE AS qa," +
+        "        unnest(cv)::DOUBLE AS ca FROM pairs) u" +
+        "  GROUP BY query_id, neighbor_id" +
+        "), scored AS (" +
+        "  SELECT query_id, neighbor_id, round(dotp / (na * nb), 6) AS cos," +
+        "    row_number() OVER (PARTITION BY query_id" +
+        "      ORDER BY round(dotp / (na * nb), 6) DESC, neighbor_id) AS rnk" +
+        "  FROM dots)" +
+        "SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos " +
+        "FROM scored WHERE rnk <= 5 ORDER BY query_id, rank") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val c = emb.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos")
         .orderBy("query_id", "rank")
     },
 

@@ -80,6 +80,31 @@ object Queries {
       s.read.parquet(tmp).groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
     },
+
+    // Row-level INSERT INTO … VALUES into a managed parquet table.
+    // Reference: mapd-core/Parser/ParserNode.h:1464 InsertValuesStmt.
+    dfq("q_insert_values",
+      "SELECT id, name FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(id, name) ORDER BY id") { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ins").toString
+      s.sql("DROP TABLE IF EXISTS graft_ins_t")
+      s.sql(s"CREATE TABLE graft_ins_t (id INT, name STRING) USING parquet LOCATION '$tmp/t'")
+      s.sql("INSERT INTO graft_ins_t VALUES (1, 'x'), (2, 'y')")
+      s.sql("INSERT INTO graft_ins_t VALUES (3, 'z')")
+      s.sql("SELECT id, name FROM graft_ins_t ORDER BY id")
+    },
+
+    // gzip-compressed CSV export + import (the reference decompresses
+    // archives on import — mapd-core/Archive/, Import/Importer.cpp;
+    // Spark handles the codec from the file extension).
+    dfq("q_csv_gzip",
+      "SELECT count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS s FROM supplier") { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gz").toString
+      val df = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      df.write.mode("overwrite").option("header", "true")
+        .option("compression", "gzip").csv(tmp)
+      s.read.option("header", "true").schema(df.schema).csv(tmp)
+        .agg(count(lit(1)).as("n"), sum("s_suppkey").cast("long").as("s"))
+    },
   )
 
   // ===========================================================================
@@ -139,6 +164,15 @@ object Queries {
       "SELECT count(*) AS n_like FROM part WHERE p_name LIKE '%red%' OR p_type LIKE 'SMALL%'"),
     sql("q_ilike",
       "SELECT count(*) AS n FROM part WHERE p_name ILIKE '%RED%' AND NOT p_brand LIKE 'Brand#1%'"),
+
+    // LIKE … ESCAPE: '!_' matches a literal underscore (none in the
+    // names), while the unescaped '_' is a wildcard — the count pair
+    // proves the escape changes matching, differentially on both engines.
+    // Reference: mapd-core/Utils/StringLike.cpp:225 (escape_char handling).
+    sql("q_like_escape",
+      "SELECT count(*) AS n_wild, " +
+        "(SELECT count(*) FROM customer WHERE c_name LIKE 'Customer#00000001!_' ESCAPE '!') AS n_escaped " +
+        "FROM customer WHERE c_name LIKE 'Customer#00000001_'"),
 
     // REGEXP. Reference: mapd-core/Analyzer/Analyzer.h:676 RegexpExpr,
     // mapd-core/Utils/Regexp.cpp.

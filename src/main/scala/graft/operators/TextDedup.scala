@@ -143,18 +143,28 @@ object TextDedup {
     * within Hamming distance 3 share at least one exact chunk, so the
     * join key is (chunk index, chunk value). Returns pairs with their
     * Hamming distance ≤ `maxHamming`.
+    *
+    * Same skew guard as [[minhashNearDups]]: short/boilerplate corpora
+    * collapse onto few signatures, and one popular 16-bit chunk value
+    * would make an O(n²) bucket at scale — oversized buckets are dropped
+    * (the exact-dup pass catches identical docs far more cheaply).
     */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val sigs = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
     val chunked = sigs.select(col(idCol), col("sig"), posexplode(
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val bounded = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = bounded.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = bounded.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))

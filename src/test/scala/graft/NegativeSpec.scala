@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Negative-path behavior: bad queries fail cleanly and ANSI arithmetic
+  * overflow raises instead of wrapping. The reference ships the same class
+  * of tests (mapd-core/Tests/ExecuteTest.cpp Joins_Unsupported /
+  * UnsupportedNodes / overflow groups); Spark 4 runs ANSI mode by default,
+  * so overflow must surface as a SparkArithmeticException, silently-wrong
+  * results being the one unacceptable outcome.
+  */
+class NegativeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("ANSI overflow on scalar arithmetic raises, not wraps") {
+    val e = intercept[ArithmeticException] {
+      spark.sql("SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT) AS x")
+        .collect()
+    }
+    assert(Option(e.getMessage).exists(_.toLowerCase.contains("overflow")))
+  }
+
+  test("ANSI overflow inside an aggregate over data raises, not wraps") {
+    import spark.implicits._
+    val df = Seq(Long.MaxValue, 1L).toDF("v")
+    val outcome =
+      try Left(df.agg(org.apache.spark.sql.functions.sum("v")).head().get(0))
+      catch { case e: Exception => Right(e) }
+    assert(outcome.isRight,
+      s"sum overflow silently wrapped to ${outcome.left.getOrElse("?")}")
+  }
+
+  test("ANSI numeric cast overflow raises, not truncates") {
+    intercept[Exception] {
+      spark.sql("SELECT CAST(3000000000 AS INT) AS x").collect()
+    }
+  }
+
+  test("unresolved column fails analysis with a clean error") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT no_such_column FROM region").collect()
+    }
+    assert(e.getMessage.contains("no_such_column"))
+  }
+
+  test("unresolvable table fails analysis with a clean error") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_definitely_missing_table").collect()
+    }
+  }
+}

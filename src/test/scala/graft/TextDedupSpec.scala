@@ -74,6 +74,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs == Set((400L, 401L)), s"skew guard failed: ${pairs.size} pairs")
   }
 
+  test("simhash skew guard drops pathological chunk buckets, keeps small pairs") {
+    import spark.implicits._
+    // 300 identical docs → every (chunk, value) bucket holds 300 members;
+    // with maxBucket=64 the LSH pass must return no boilerplate pairs
+    // (exact dedup covers them) but still catch a planted 2-doc bucket.
+    val boiler = (1L to 300L).map(i => i -> "the same boilerplate text repeated everywhere")
+    val planted = Seq(
+      400L -> "unique snowflake document alpha beta gamma delta epsilon",
+      401L -> "unique snowflake document alpha beta gamma delta epsilon")
+    val df = (boiler ++ planted).toDF("doc_id", "text").repartition(5)
+    val pairs = TextDedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((400L, 401L)), s"skew guard failed: ${pairs.size} pairs")
+  }
+
   test("language id picks the profile language on clear text") {
     import spark.implicits._
     val df = Seq(
