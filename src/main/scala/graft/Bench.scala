@@ -30,6 +30,9 @@ object Bench {
         case ex: Throwable =>
           timings(e.name) = Left(Option(ex.getMessage).getOrElse(ex.getClass.getName).take(120))
       }
+      // Operator-internal persists only serve their own query's action;
+      // release them so the 70+-query run doesn't accumulate cache.
+      graft.operators.OpCaches.releaseAll()
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -100,6 +100,36 @@ object CompassQueries {
           "(SELECT fagms_sketch('qss', o_orderkey) FROM orders)) AS BIGINT) AS est_join")
     },
 
+    // ===== Cyclic join graphs (JOB's signature shape — e.g. reference
+    // queries/6a.sql.sq.cnt closes cycles through shared keys). These
+    // exercise rebuildRegion's multi-edge AND path: the instance that
+    // closes a cycle joins the placed prefix on SEVERAL equi-edges at
+    // once, and the enumerator estimates over multi-edge traversals.
+
+    // Triangle: supplier-nation, customer-nation, supplier-customer all
+    // on the nationkey hub.
+    viaCompass("q_compass_cycle_tri",
+      "SELECT count(*) AS n FROM supplier, customer, nation " +
+        "WHERE s_nationkey = n_nationkey AND c_nationkey = n_nationkey " +
+        "AND s_nationkey = c_nationkey AND n_name LIKE 'A%' AND s_acctbal > 0"),
+
+    // 5-cycle: lineitem-orders-customer-nation-supplier closing back to
+    // lineitem via l_suppkey = s_suppkey.
+    viaCompass("q_compass_cycle_5",
+      "SELECT count(*) AS n FROM lineitem, orders, customer, nation, supplier " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n_nationkey AND s_nationkey = n_nationkey " +
+        "AND l_suppkey = s_suppkey AND o_totalprice > 150000"),
+
+    // Self-join triangle (l1-l2-orders all on the orderkey) with a part
+    // branch and a non-equi residual.
+    viaCompass("q_compass_cycle_selfjoin",
+      "SELECT count(*) AS n FROM lineitem l1, lineitem l2, orders, part " +
+        "WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_orderkey = o_orderkey " +
+        "AND l2.l_orderkey = o_orderkey AND l1.l_partkey = p_partkey " +
+        "AND l1.l_linenumber < l2.l_linenumber " +
+        "AND o_totalprice > 200000 AND p_size <= 20"),
+
     // LEFT-joined lookup above an inner chain: the inner portion is
     // reordered, the outer join stays pinned (reference:
     // RelAlgExecutor.cpp:2635-2644 left_deep_join_types).

@@ -53,4 +53,15 @@ final class GraftSession(val spark: SparkSession, dataDir: String) {
       TextAnalysis.withQualityScore(
         TextAnalysis.withTokenCounts(
           TextAnalysis.withLanguageId(table("documents"), "text"), "text"), "text"), "text")
+
+  /** Release every cache this session pinned: COMPASS push-down caches and
+    * pipeline-operator internals. Returned DataFrames stay correct — they
+    * recompute if re-run.
+    */
+  def releaseCaches(): Unit = {
+    compass.releaseCaches()
+    graft.operators.OpCaches.releaseAll()
+  }
+
+  def close(): Unit = releaseCaches()
 }

@@ -75,12 +75,14 @@ object Similarity {
     }.toSeq
     // Repartition: hyperplane dot products (tables × bits × dim FMAs per
     // row) run interpreted — spread a possibly-single-partition input
-    // across cores. Persist: self-joins read this relation twice.
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
-      .select(col(idCol), col(vecCol),
-        col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // across cores. Persist: self-joins read this relation twice; tracked
+    // so harnesses release it after the query's action.
+    OpCaches.track(
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
+        .select(col(idCol), col(vecCol),
+          col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** ANN top-k: LSH candidate generation + exact cosine re-rank.

@@ -66,9 +66,10 @@ object TextDedup {
     * (CollapseProject would inline it). Level spills; LRU-evictable.
     */
   private def shingleDF(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    OpCaches.track(
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   def bandedSignatures(
       df: DataFrame, idCol: String, textCol: String,
@@ -81,8 +82,9 @@ object TextDedup {
     val r = numHashes / bands
     // Materialize signatures before the band fan-out (same reasoning as
     // shingleDF).
-    val sigDF = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigDF = OpCaches.track(
+      sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     sigDF
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),

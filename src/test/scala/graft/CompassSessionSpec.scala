@@ -280,6 +280,45 @@ class CompassSessionSpec extends AnyFunSuite {
       "date-keyed join must be optimized (r2's date->bigint cast threw at analysis)")
   }
 
+  test("cyclic join graph: optimized, and every cycle edge survives the splice") {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    // 5-cycle: L-O-C-N-S closing back to L via the suppkey edge. The node
+    // closing the cycle must join the prefix on MULTIPLE equi-edges AND'd
+    // together (rebuildRegion's multi-edge path).
+    val q =
+      """SELECT count(*) AS n FROM lineitem, orders, customer, nation, supplier
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |AND c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+        |AND l_suppkey = s_suppkey AND o_totalprice > 150000""".stripMargin
+    val out = cs.sql(q)
+    assert(out.head().getLong(0) == spark.sql(q).head().getLong(0))
+    assert(cs.lastPlan.nonEmpty, "cyclic graph must be optimized, not fallback")
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val pairs = out.queryExecution.analyzed.collect {
+      case j: Join => j.condition.toSeq
+      case f: Filter => Seq(f.condition)
+    }.flatten.flatMap(conjuncts).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => Set(a.name, b.name)
+    }
+    val expected = Seq(
+      Set("l_orderkey", "o_orderkey"), Set("o_custkey", "c_custkey"),
+      Set("c_nationkey", "n_nationkey"), Set("s_nationkey", "n_nationkey"),
+      Set("l_suppkey", "s_suppkey"))
+    expected.foreach(e => assert(pairs.contains(e), s"missing cycle edge $e in $pairs"))
+    // The cycle-closing instance carries >1 edge: some Join node must AND
+    // at least two equi-conditions.
+    val multiEdgeJoin = out.queryExecution.analyzed.collect {
+      case j: Join if j.condition.exists(c => conjuncts(c).size >= 2) => j
+    }
+    assert(multiEdgeJoin.nonEmpty, "no join carries the AND'd cycle edges")
+  }
+
   test("estimates in lastPlan are monotone-sane and positive") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)

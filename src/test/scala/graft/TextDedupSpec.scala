@@ -114,6 +114,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pred == "zh")
   }
 
+  test("operator caches are tracked and releasable; results unchanged after release") {
+    import graft.operators.OpCaches
+    OpCaches.releaseAll()
+    val before = TextDedup.minhashNearDups(corpus(), "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(OpCaches.trackedCount > 0, "minhash must register its persists")
+    OpCaches.releaseAll()
+    assert(OpCaches.trackedCount == 0)
+    val after = TextDedup.minhashNearDups(corpus(), "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    OpCaches.releaseAll()
+    assert(after == before)
+  }
+
   test("fingerprints: whitespace-insensitive rolling hash, order-free set hash") {
     import spark.implicits._
     val df = Seq(
