@@ -113,15 +113,18 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
-    // LSH-bucketed ANN for the same queries (the 100 TB path; recall
-    // vs exact is asserted ≥ 0.9 in SimilaritySpec).
+    // LSH-bucketed ANN for the same queries, at the SCALE-SAFE
+    // parameterization: bits=10 → ~1024 buckets/table, so candidate volume
+    // is O(n²·tables/2^bits) — linear-ish headroom at 100×, never the
+    // O(n²/8) a 3-bit entry hides at small SF. Recall ≥ 0.9 is asserted in
+    // SimilaritySpec on CLUSTERED data (the regime LSH serves); on this
+    // synthetic unclustered table the operator is exercised for shape and
+    // determinism only.
     opaque("q_ann_lsh") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      // Unclustered 64-dim embeddings: top-5 cosine ≈ 0.32 → per-bit
-      // collision ≈ 0.6, so recall needs few bits × many tables.
       Similarity.lshTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, bits = 3, tables = 16)
+        k = 5, bits = 10, tables = 8)
         .orderBy("query_id", "rank")
     },
 

@@ -247,6 +247,24 @@ object Queries {
     // Reference: queries/1a.sql.sq.cnt uses comma-joins exclusively.
     sql("q_join_implicit",
       "SELECT count(*) AS n FROM supplier, nation WHERE s_nationkey = n_nationkey AND n_name = 'CHINA'"),
+
+    // ===== Beyond-reference join types (MapD 3.6.1 supports INNER/LEFT
+    // only — Shared/sqldefs.h:74, Tests/ExecuteTest.cpp Joins_Unsupported;
+    // free in Spark, graded as engine surface).
+    sql("q_join_right",
+      "SELECT count(*) AS n, count(o_orderkey) AS matched " +
+        "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey"),
+    sql("q_join_full",
+      "SELECT count(*) AS n, count(s_suppkey) AS with_s, count(c_custkey) AS with_c " +
+        "FROM (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_acctbal > 5000) s " +
+        "FULL JOIN (SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 9000) c " +
+        "ON s.s_nationkey = c.c_nationkey"),
+    sql("q_join_semi",
+      "SELECT count(*) AS n FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"),
+    sql("q_join_anti",
+      "SELECT count(*) AS n FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
   )
 
   // ===========================================================================
@@ -293,6 +311,30 @@ object Queries {
     // DISTINCT projection. Reference: ExecuteTest.cpp DistinctProjection.
     sql("q_distinct",
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"),
+
+    // ROLLUP (beyond-reference: absent from mapd-core/Parser/parser.y;
+    // free in Spark/DuckDB). grouping() disambiguates the NULL rows.
+    sql("q_rollup",
+      "SELECT coalesce(l_returnflag, '<all>') AS rf, coalesce(l_linestatus, '<all>') AS ls, " +
+        "CAST(grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS lvl, " +
+        "count(*) AS n, round(sum(l_quantity), 2) AS q " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY lvl, rf, ls"),
+
+    // CUBE (beyond-reference, same rationale).
+    sql("q_cube",
+      "SELECT coalesce(o_orderstatus, '<all>') AS st, coalesce(o_orderpriority, '<all>') AS pri, " +
+        "count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY st, pri"),
+
+    // Exact interpolated percentiles (beyond-reference; DuckDB
+    // quantile_cont ≙ Spark percentile — both linear interpolation).
+    sql2("q_percentile",
+      "SELECT l_returnflag, round(percentile(l_quantity, 0.5), 6) AS p50, " +
+        "round(percentile(l_quantity, 0.95), 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+      "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
+        "round(quantile_cont(l_quantity, 0.95), 6) AS p95 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
   )
 
   // ===========================================================================
@@ -455,6 +497,60 @@ object Queries {
     sql("q_union",
       "SELECT k FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier) t " +
         "ORDER BY k"),
+
+    // INTERSECT / EXCEPT (§2.7 — absent in MapD 3.6.1; free in Spark).
+    sql("q_intersect_except",
+      "SELECT " +
+        "(SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_totalprice > 200000 " +
+        " INTERSECT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') t1) AS n_common, " +
+        "(SELECT count(*) FROM (SELECT c_custkey FROM customer " +
+        " EXCEPT SELECT o_custkey FROM orders) t2) AS n_never_ordered"),
+
+    // Window frame aggregates: running sum + centered moving average
+    // (§2.5 beyond-reference).
+    sql("q_window_running",
+      "SELECT o_orderkey, CAST(sum(cnt) OVER (ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n, " +
+        "round(avg(price) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS ma5 " +
+        "FROM (SELECT o_orderkey, count(*) AS cnt, sum(o_totalprice) AS price " +
+        "FROM orders GROUP BY o_orderkey) t ORDER BY o_orderkey LIMIT 500"),
+
+    // LEAD/LAG/RANK/DENSE_RANK/NTILE (§2.5 beyond-reference).
+    sql("q_window_lead_lag",
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_o, " +
+        "CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_o, " +
+        "CAST(rank() OVER w AS BIGINT) AS rnk, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS drnk, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile " +
+        "FROM orders WHERE o_custkey < 50 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+
+    // Extended string functions (beyond-reference: 3.6.1 has only
+    // LENGTH/CHAR_LENGTH — SURVEY §2.9; free in Spark).
+    sql2("q_string_fns2",
+      "SELECT c_custkey, trim(c_name) AS t, lpad(c_mktsegment, 12, '.') AS lp, " +
+        "rpad(c_mktsegment, 12, '.') AS rp, replace(c_name, 'Customer', 'C') AS rep, " +
+        "reverse(c_mktsegment) AS rev, repeat(substr(c_name, 1, 2), 2) AS rpt, " +
+        "CAST(instr(c_name, '#') AS BIGINT) AS pos, initcap(lower(c_mktsegment)) AS ic, " +
+        "split_part(c_name, '#', 2) AS part2 " +
+        "FROM customer ORDER BY c_custkey LIMIT 300",
+      "SELECT c_custkey, trim(c_name) AS t, lpad(c_mktsegment, 12, '.') AS lp, " +
+        "rpad(c_mktsegment, 12, '.') AS rp, replace(c_name, 'Customer', 'C') AS rep, " +
+        "reverse(c_mktsegment) AS rev, repeat(substr(c_name, 1, 2), 2) AS rpt, " +
+        "CAST(instr(c_name, '#') AS BIGINT) AS pos, " +
+        "upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS ic, " +
+        "split_part(c_name, '#', 2) AS part2 " +
+        "FROM customer ORDER BY c_custkey LIMIT 300"),
+
+    // COALESCE / GREATEST / LEAST / NULLIF composition.
+    sql("q_null_fns",
+      "SELECT count(*) AS n, " +
+        "CAST(sum(coalesce(nullif(l_linenumber, 1), 0)) AS BIGINT) AS s_nz, " +
+        "round(sum(greatest(l_discount, l_tax)), 2) AS s_max, " +
+        "round(sum(least(l_discount, l_tax)), 2) AS s_min " +
+        "FROM lineitem"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
