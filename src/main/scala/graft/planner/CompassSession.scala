@@ -203,13 +203,19 @@ final class CompassSession(
     * FilterPushDownSketch.cpp:871-891). Unfiltered instances are served
     * from the template cache when available (reference:
     * findSketchTemplateAndCopy, FilterPushDownSketch.cpp:315-382).
+    *
+    * The per-instance jobs are INDEPENDENT Spark jobs, so they launch
+    * concurrently (the reference builds sequentially; on a cluster the
+    * projection-pruned scans overlap across executors, and locally the
+    * per-job scheduling overhead stops being × nInstances). Seed
+    * resolution stays sequential — SeedRegistry mutates.
     */
   private def buildSketches(g: ExtractedJoinGraph): IndexedSeq[GraphNode] = {
     val reg = new SeedRegistry(sketchRows)
     g.edges.foreach { case ((ia, a), (ib, b)) =>
       reg.addPredicate(seedKey(g, ia, a), seedKey(g, ib, b))
     }
-    g.instances.map { inst =>
+    val jobs = g.instances.map { inst =>
       val attrs = g.joinAttrs(inst.idx)
       val seeds = attrs.map(a => reg.seedsFor(seedKey(g, inst.idx, a)))
       val colNames = attrs.map(label)
@@ -256,22 +262,25 @@ final class CompassSession(
         SketchGroup.deserialize(bytes)
       }
 
-      val sketch = tinyTemplate.getOrElse((templateCache, hasFilter) match {
-        case (Some(cache), false) if templateKey.isDefined =>
-          cache.getOrBuild(templateKey.get, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
-        case _ => build()
-      })
-      // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
-      // survivor sets are not worth pinning (reference:
-      // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).
-      // Selective survivors stay pinned for THIS query only — tracked and
-      // released at the next optimize()/close().
-      cached.foreach { df =>
-        if (sketch.count > maxPushDownSize) df.unpersist()
-        else keptCaches.synchronized { keptCaches += df }
+      () => {
+        val sketch = tinyTemplate.getOrElse((templateCache, hasFilter) match {
+          case (Some(cache), false) if templateKey.isDefined =>
+            cache.getOrBuild(templateKey.get, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
+          case _ => build()
+        })
+        // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
+        // survivor sets are not worth pinning (reference:
+        // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).
+        // Selective survivors stay pinned for THIS query only — tracked and
+        // released at the next optimize()/close().
+        cached.foreach { df =>
+          if (sketch.count > maxPushDownSize) df.unpersist()
+          else keptCaches.synchronized { keptCaches += df }
+        }
+        GraphNode(inst.idx, sketch)
       }
-      GraphNode(inst.idx, sketch)
     }
+    CompassSession.awaitAll(jobs)
   }
 
   /** Left-deep Inner join tree in the enumerated order. Each appended
@@ -313,5 +322,37 @@ final class CompassSession(
     val leftovers = remaining.map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
     val post = g.residual ++ leftovers
     if (post.nonEmpty) Filter(post.reduce(And), tree) else tree
+  }
+}
+
+object CompassSession {
+  // Shared pool for concurrent sketch jobs. Spark job submission is
+  // thread-safe; 8 in-flight jobs is plenty (a query rarely has more
+  // instances) without starving the main query's own scheduling.
+  private lazy val sketchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      8,
+      (r: Runnable) => {
+        val t = new Thread(r, "compass-sketch")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Run independent sketch-job thunks concurrently, preserving order; the
+    * first failure propagates (optimize() then falls back to the vanilla
+    * plan).
+    */
+  private[planner] def awaitAll[A](jobs: IndexedSeq[() => A]): IndexedSeq[A] = {
+    if (jobs.lengthCompare(1) <= 0) return jobs.map(_.apply())
+    val futures = jobs.map(j =>
+      sketchPool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = j()
+      }))
+    try futures.map(_.get())
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        futures.foreach(_.cancel(true))
+        throw Option(e.getCause).getOrElse(e)
+    }
   }
 }

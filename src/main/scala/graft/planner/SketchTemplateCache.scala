@@ -76,7 +76,18 @@ final class SketchTemplateCache(dir: Path) {
         } else {
           misses += 1
           val g = build
-          Files.write(f, g.serialize())
+          // Write-temp + atomic move: sketch jobs run concurrently, and two
+          // instances of the same unfiltered table may build the same key —
+          // a torn read of a half-written file must be impossible.
+          val tmp = Files.createTempFile(dir, s"sketch-$key", ".tmp")
+          Files.write(tmp, g.serialize())
+          try Files.move(tmp, f,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch {
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
           memory.put(key, g)
           g
         }
