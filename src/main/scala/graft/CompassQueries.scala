@@ -100,6 +100,15 @@ object CompassQueries {
           "(SELECT fagms_sketch('qss', o_orderkey) FROM orders)) AS BIGINT) AS est_join")
     },
 
+    // Six instances, mixed chain + branch (enumerator searches a deeper
+    // space; JOB families go to 7+ instances — reference queries/).
+    viaCompass("q_compass_6way",
+      "SELECT r_name, count(*) AS n FROM lineitem, orders, customer, nation, region, supplier " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND l_suppkey = s_suppkey AND o_totalprice > 250000 AND s_acctbal > 2000 " +
+        "GROUP BY r_name ORDER BY r_name"),
+
     // ===== Cyclic join graphs (JOB's signature shape — e.g. reference
     // queries/6a.sql.sq.cnt closes cycles through shared keys). These
     // exercise rebuildRegion's multi-edge AND path: the instance that

@@ -113,6 +113,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a real continuous source (rate) drives the full ingest pipeline") {
+    // No Kafka broker in this environment; the rate source is a genuine
+    // continuous streaming source (micro-batched, offset-tracked like
+    // Kafka). Shape its rows into the Kafka wire format (a JSON `value`
+    // column) and run the SAME parse → window pipeline.
+    val raw = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(to_json(struct(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 7).as("user_id"),
+        concat(lit("type"), (col("value") % 3)).as("event_type"),
+        (col("value") % 100).cast("double").as("value"))).as("value"))
+    val parsed = EventStream.parseEvents(raw)
+    val query = parsed.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("rate_out")
+      .outputMode("complete").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows == 0 && System.currentTimeMillis() < deadline) {
+        query.processAllAvailable()
+        rows = spark.table("rate_out").agg(sum("n")).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).getOrElse(0L)
+        if (rows == 0) Thread.sleep(500)
+      }
+      assert(rows > 0, "rate-source pipeline produced no rows within 30s")
+      val types = spark.table("rate_out").select("event_type")
+        .collect().map(_.getString(0)).toSet
+      assert(types.subsetOf(Set("type0", "type1", "type2")))
+    } finally query.stop()
+  }
+
   test("streaming user totals agree with batch on the static events table") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val batch = EventStream.userTotals(events)

@@ -73,6 +73,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sketch-count broadcast hints must survive splicing:\n$plan")
   }
 
+  test("semi/anti joins plan as LeftSemi/LeftAnti, never materialized inners") {
+    val semi = planOf("q_join_semi")
+    assert(semi.contains("LeftSemi"), s"IN-subquery must plan as a semi join:\n$semi")
+    val anti = planOf("q_join_anti")
+    assert(anti.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$anti")
+  }
+
+  // AQE's toString prints "== Final Plan ==" followed by "== Initial
+  // Plan ==" — count operators in the final section only.
+  private def finalPlan(plan: String): String =
+    plan.split("== Initial Plan ==").head
+
+  test("ROLLUP plans one Expand + hash aggregate, not a union of scans") {
+    val plan = finalPlan(planOf("q_rollup"))
+    assert(plan.contains("Expand"), s"rollup should use Expand:\n$plan")
+    // one scan of lineitem only — a UNION-of-aggregates shape would scan per level
+    assert("FileScan parquet".r.findAllIn(plan).size <= 1,
+      s"rollup must not rescan the fact table per grouping level:\n$plan")
+  }
+
+  test("window entries shuffle once on the partition key, no extra hash exchanges") {
+    Tables.registerAll(spark, dir)
+    val df = Queries.queryMap("q_topk_per_group")(spark, dir)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"top-k per group needs ONE hash exchange, got $exchanges:\n$plan")
+  }
+
   test("top-k order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
     val plan = planOf("q_orderby_limit")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")
