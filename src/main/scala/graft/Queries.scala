@@ -370,6 +370,18 @@ object Queries {
         "round(atan(l_discount), 8) AS at, round(tan(l_tax), 8) AS tn " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"),
 
+    // Remaining reference math surface: asin/acos/cot/pi/degrees/radians
+    // (mapd-core/QueryEngine/ExtensionFunctions.hpp whitelist) + log10/mod.
+    sql("q_math_fns2",
+      "SELECT l_orderkey, l_linenumber, " +
+        "round(asin(l_discount), 8) AS asn, round(acos(l_discount), 8) AS acs, " +
+        "round(cot(l_quantity + 0.5), 8) AS ct, " +
+        "round(degrees(l_tax), 8) AS dg, round(radians(l_quantity), 8) AS rd, " +
+        "round(pi() * l_linenumber, 8) AS pim, " +
+        "round(log10(l_extendedprice), 8) AS lg10, " +
+        "CAST(mod(l_orderkey, 7) AS BIGINT) AS md " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500"),
+
     // Numeric TRUNCATE (toward zero). Spark has no numeric trunc —
     // CAST(double AS BIGINT) truncates; DuckDB CAST rounds, so its side
     // spells trunc() explicitly. Reference: RelAlgTranslator.cpp:1025-1033.

@@ -69,7 +69,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => { require(c.size == 2); FagmsPairwise(c(0), c(1)) }),
     (FunctionIdentifier("fagms_count"),
       new ExpressionInfo(classOf[FagmsCount].getName, "fagms_count"),
-      (c: Seq[Expression]) => { require(c.size == 1); FagmsCount(c.head) }))
+      (c: Seq[Expression]) => { require(c.size == 1); FagmsCount(c.head) }),
+    (FunctionIdentifier("fagms_selfjoin"),
+      new ExpressionInfo(classOf[FagmsSelfJoin].getName, "fagms_selfjoin"),
+      (c: Seq[Expression]) => { require(c.size == 1); FagmsSelfJoin(c.head) }))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = functions.foreach {
@@ -99,6 +102,25 @@ case class FagmsPairwise(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): FagmsPairwise =
     copy(left = l, right = r)
   override def prettyName: String = "fagms_pairwise"
+}
+
+/** Self-join size estimate over one serialized sketch (plane 0):
+  * median over rows of Σ_b s[r][b]² — the reference's Size_Of_Join for a
+  * relation with itself (mapd-core/QueryEngine/Sketch/Sketches.h:206-219).
+  */
+case class FagmsSelfJoin(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("fagms_selfjoin expects a binary sketch")
+  override protected def nullSafeEval(v: Any): Any = {
+    val g = SketchGroup.deserialize(v.asInstanceOf[Array[Byte]])
+    Estimator.selfJoin(g.planes(0), g.rows, g.buckets)
+  }
+  override protected def withNewChildInternal(c: Expression): FagmsSelfJoin =
+    copy(child = c)
+  override def prettyName: String = "fagms_selfjoin"
 }
 
 /** Surviving-row count carried by a serialized sketch. */

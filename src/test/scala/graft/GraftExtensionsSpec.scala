@@ -34,6 +34,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(n == truth)
   }
 
+  test("fagms_selfjoin estimates the self-join size in pure SQL") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val est = spark.sql(
+      "SELECT fagms_selfjoin((SELECT fagms_sketch('sj', l_orderkey) FROM lineitem)) AS est")
+      .head().getDouble(0)
+    val truth = spark.sql(
+      "SELECT count(*) FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey")
+      .head().getLong(0)
+    assert(est > truth / 2.0 && est < truth * 2.0, s"self-join est $est vs true $truth")
+  }
+
   test("mismatched seed classes produce garbage estimates (contract matters)") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val matched = spark.sql(
