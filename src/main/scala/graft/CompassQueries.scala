@@ -109,6 +109,16 @@ object CompassQueries {
         "AND l_suppkey = s_suppkey AND o_totalprice > 250000 AND s_acctbal > 2000 " +
         "GROUP BY r_name ORDER BY r_name"),
 
+    // Seven instances: chain + two branches + a nationkey cycle — the full
+    // JOB-family shape (reference queries go to 7+ relations with cycles).
+    viaCompass("q_compass_job_shape",
+      "SELECT count(*) AS n FROM lineitem, orders, customer, nation, region, supplier, part " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+        "AND l_partkey = p_partkey " +
+        "AND o_totalprice > 250000 AND p_size <= 25 AND r_name <> 'AFRICA'"),
+
     // ===== Cyclic join graphs (JOB's signature shape — e.g. reference
     // queries/6a.sql.sq.cnt closes cycles through shared keys). These
     // exercise rebuildRegion's multi-edge AND path: the instance that

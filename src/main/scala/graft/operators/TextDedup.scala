@@ -41,6 +41,12 @@ object TextDedup {
   /** MinHash signature of a shingle-hash array: for each of `numHashes`
     * independent permutations h_i(x) = (a_i·x + b_i) mod p, the minimum
     * over the set. Deterministic seeds.
+    *
+    * ONE fold over the shingles computes all `numHashes` minima at once
+    * (zip_with against literal parameter arrays): the per-hash
+    * `array_min(transform(...))` shape traverses and materializes the
+    * shingle array numHashes times. Values are identical — only the
+    * evaluation order changes.
     */
   def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 0x317EL): Column = {
     // Mersenne 2^31-1 keeps a·x + b < 2^62: overflow-free under ANSI mode
@@ -49,9 +55,13 @@ object TextDedup {
     val rng = new scala.util.Random(seed)
     val params = Array.fill(numHashes)(
       (math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
-    array(params.map { case (a, b) =>
-      array_min(transform(shingles, x => pmod(pmod(x, lit(p)) * lit(a) + lit(b), lit(p))))
-    }: _*)
+    val aLit = typedlit(params.map(_._1).toSeq)
+    val bLit = typedlit(params.map(_._2).toSeq)
+    val init = typedlit(Seq.fill(numHashes)(p)) // p > any h(x) in [0, p)
+    aggregate(shingles, init, (acc, x) => {
+      val hashes = zip_with(aLit, bLit, (a, b) => pmod(pmod(x, lit(p)) * a + b, lit(p)))
+      zip_with(acc, hashes, (m, h) => least(m, h))
+    })
   }
 
   /** doc_id → (band, band_hash) rows: the LSH bucketing relation.

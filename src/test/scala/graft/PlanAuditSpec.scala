@@ -102,6 +102,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"top-k per group needs ONE hash exchange, got $exchanges:\n$plan")
   }
 
+  test("bucketed tables join with ZERO exchanges (the 100 TB co-location path)") {
+    // At 100 TB the fact-fact join must not shuffle either side: write both
+    // relations bucketed on the join key and assert the join plans with no
+    // Exchange at all (SortMergeJoin reads the buckets directly).
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_l")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_o")
+    Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.option("path", s"$wh/l").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_bkt_l")
+    Tables.load(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+      .write.option("path", s"$wh/o").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_bkt_o")
+    // Disable broadcast so the test proves bucket co-location, not a
+    // trivially exchange-free broadcast join.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bkt_l")
+        .join(spark.table("graft_bkt_o"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      joined.collect()
+      val plan = finalPlan(joined.queryExecution.executedPlan.toString)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("top-k order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
     val plan = planOf("q_orderby_limit")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")
