@@ -139,12 +139,18 @@ object TextDedup {
 
   /** 64-bit SimHash over whitespace terms: bit j of the signature is the
     * sign of Σ_terms (±1 depending on bit j of xxhash64(term)).
+    *
+    * ONE fold over the terms accumulates all 64 bit-sums at once (the
+    * per-bit `aggregate` shape traversed the term array 64 times);
+    * integer adds commute, so signatures are identical.
     */
   def simhash64(text: Column): Column = {
     val hashes = transform(split(text, "\\s+"), w => xxhash64(w))
-    val bitSums = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1, 1L).otherwise(-1L)))
+    val zeros = typedlit(Seq.fill(64)(0L))
+    val bitSums = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, sequence(lit(0), lit(63)), (s, j) =>
+        s + when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, j) => when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
