@@ -32,7 +32,7 @@ object Bench {
       }
       // Operator-internal persists only serve their own query's action;
       // release them so the 70+-query run doesn't accumulate cache.
-      graft.operators.OpCaches.releaseAll()
+      graft.operators.OpCaches.releaseAll(spark)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -14,12 +14,20 @@ object CompassQueries {
 
   // ONE session wrapper per SparkSession, so each optimize() releases the
   // previous entry's push-down caches (a fresh wrapper per call would pin
-  // them for the life of the SparkSession).
+  // them for the life of the SparkSession). Weakly keyed — an abandoned
+  // SparkSession's wrapper must be collectable. Entries run sequentially
+  // (Verify/Bench/driver); CompassSession documents the one-query-at-a-
+  // time contract.
   private val sessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, CompassSession]()
-  private def compass(s: SparkSession): CompassSession =
-    sessions.computeIfAbsent(s,
-      s2 => new CompassSession(s2, templateCache = Some(SketchTemplateCache.default())))
+    new java.util.WeakHashMap[SparkSession, CompassSession]()
+  private def compass(s: SparkSession): CompassSession = sessions.synchronized {
+    var cs = sessions.get(s)
+    if (cs == null) {
+      cs = new CompassSession(s, templateCache = Some(SketchTemplateCache.default()))
+      sessions.put(s, cs)
+    }
+    cs
+  }
 
   private def viaCompass(name: String, text: String): Entry =
     dfq(name, text) { (s, dir) =>

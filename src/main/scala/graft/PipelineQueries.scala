@@ -96,20 +96,11 @@ object PipelineQueries {
         "  FROM dots)" +
         "SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos " +
         "FROM scored WHERE rnk <= 5 ORDER BY query_id, rank") { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables.load(s, dir, "embeddings")
-      val q = broadcast(emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val c = emb.repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val scored = c.crossJoin(q)
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("query_id", "neighbor_id", "rank", "cos")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, rankRounded = true)
+        .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
 

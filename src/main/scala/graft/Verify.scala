@@ -23,7 +23,7 @@ object Verify {
       }
       // Bound memory across the run: operator-internal persists are only
       // useful within one query's action.
-      graft.operators.OpCaches.releaseAll()
+      graft.operators.OpCaches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -60,7 +60,7 @@ final class GraftSession(val spark: SparkSession, dataDir: String) {
     */
   def releaseCaches(): Unit = {
     compass.releaseCaches()
-    graft.operators.OpCaches.releaseAll()
+    graft.operators.OpCaches.releaseAll(spark)
   }
 
   def close(): Unit = releaseCaches()

@@ -32,17 +32,23 @@ object Similarity {
 
   /** Exact top-k neighbors for each row of `queries` (small, broadcast)
     * within `corpus`. Output: (query id, neighbor id, rank, cosine).
+    *
+    * `rankRounded` ranks by the 6-dp-rounded cosine (then neighbor id)
+    * instead of the raw value — required when the ranking must agree
+    * exactly with another engine computing the same cosines at slightly
+    * different floating-point precision (the DuckDB differential oracle).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, rankRounded: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val rawCos = cosine(col("qv"), col("cv"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", if (rankRounded) round(rawCos, 6) else rawCos)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -121,8 +127,14 @@ object Similarity {
   private[graft] def kmeansCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, sampleFactor: Int = 32, iters: Int = 8): Array[Array[Double]] = {
+    // Deterministic PSEUDO-RANDOM sample: order by a hash of the id, not
+    // the id itself — the k·32 lowest ids would be a prefix, and any
+    // corpus whose ids correlate with content (per-cluster id ranges,
+    // ingest order) would fit centroids to the head of the table only.
+    // TakeOrderedAndProject keeps this a per-partition heap of k·32 rows
+    // at any corpus size.
     val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(k * sampleFactor)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k * sampleFactor)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     val dim = sample.head.length
@@ -184,14 +196,20 @@ object Similarity {
 
     // Per-row top-n centroid ids, shuffle-free. Sort key is (score, -id):
     // after reverse() ties break on ascending centroid id, matching the
-    // exact re-rank's determinism contract.
+    // exact re-rank's determinism contract. The row norm is let-bound via
+    // a single-element transform (a lambda variable evaluates once per
+    // row) — referencing an l2norm expression directly inside the scoring
+    // lambda would recompute the dim-length fold per centroid.
     def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val scored = transform(sequence(lit(1), lit(kEff)), i =>
-        struct(
-          (dot(col(vec), element_at(cArr, i)) /
-            (l2norm(col(vec)) * element_at(cNorm, i))).as("s"),
-          (-i).as("negc")))
-      val top = slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
+      val top = element_at(
+        transform(array(l2norm(col(vec))), vn => {
+          val scored = transform(sequence(lit(1), lit(kEff)), i =>
+            struct(
+              (dot(col(vec), element_at(cArr, i)) /
+                (vn * element_at(cNorm, i))).as("s"),
+              (-i).as("negc")))
+          slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
+        }), 1)
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(id), col(vec), explode(top).as("c"))
         .select(col(id), col(vec),

@@ -67,6 +67,13 @@ final case class CompassPlan(
   *
   * Thresholds match the reference defaults
   * (Catalog/COMPASS_init_variables.txt:1-5).
+  *
+  * Concurrency contract: one in-flight optimized query per session —
+  * optimize() releases the PREVIOUS query's push-down caches, so
+  * interleaving two queries on one CompassSession would unpin caches the
+  * other still reads (correctness is unaffected; the filtered scans just
+  * recompute). Concurrent workloads use one CompassSession per thread;
+  * the sketch jobs inside a single optimize() are themselves parallel.
   */
 final class CompassSession(
     val spark: SparkSession,
@@ -245,13 +252,17 @@ final class CompassSession(
       // sketch job so that job populates the cache and the main query
       // reads the survivors from memory — the Spark analogue of keeping
       // the filtered result as a temporary table (reference:
-      // addPushDownFilter, RelAlgExecutor.h:121-133). Reverted below when
-      // the filter turns out unselective (reference:
+      // addPushDownFilter, RelAlgExecutor.h:121-133). Registered in
+      // keptCaches IMMEDIATELY so a failing sketch job (optimize() then
+      // falls back) still releases it at the next optimize()/close();
+      // reverted below when the filter turns out unselective (reference:
       // FilterPushDownSketch.cpp:273-284).
-      val cached = if (hasFilter && tinyTemplate.isEmpty)
-        Some(Bridge.ofRows(spark, filteredPlan(g, inst.idx))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      else None
+      val cached = if (hasFilter && tinyTemplate.isEmpty) {
+        val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        keptCaches.synchronized { keptCaches += df }
+        Some(df)
+      } else None
 
       def build(): SketchGroup = {
         val df = cached.getOrElse(Bridge.ofRows(spark, filteredPlan(g, inst.idx)))
@@ -271,11 +282,13 @@ final class CompassSession(
         // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
         // survivor sets are not worth pinning (reference:
         // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).
-        // Selective survivors stay pinned for THIS query only — tracked and
-        // released at the next optimize()/close().
+        // Selective survivors stay pinned for THIS query only (already in
+        // keptCaches); unselective ones are released right away.
         cached.foreach { df =>
-          if (sketch.count > maxPushDownSize) df.unpersist()
-          else keptCaches.synchronized { keptCaches += df }
+          if (sketch.count > maxPushDownSize) {
+            df.unpersist()
+            keptCaches.synchronized { keptCaches -= df }
+          }
         }
         GraphNode(inst.idx, sketch)
       }

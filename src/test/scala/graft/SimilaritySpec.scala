@@ -69,8 +69,11 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("IVF ANN: high recall on clustered data, touching only probed lists") {
     import spark.implicits._
-    val corpus = clusteredCorpus()
-    val queries = corpus.filter($"vec_id" % 50 < 2) // 2 per cluster
+    // 8×100 = 800 rows > the 16·32-row quantizer sample: ids are assigned
+    // per cluster, so a PREFIX sample would only see clusters 0–5 and
+    // recall would collapse — this pins the hash-spread sampling.
+    val corpus = clusteredCorpus(perCluster = 100)
+    val queries = corpus.filter($"vec_id" % 100 < 2) // 2 per cluster
     val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -116,15 +116,15 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("operator caches are tracked and releasable; results unchanged after release") {
     import graft.operators.OpCaches
-    OpCaches.releaseAll()
+    OpCaches.releaseAll(spark)
     val before = TextDedup.minhashNearDups(corpus(), "doc_id", "text", threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(OpCaches.trackedCount > 0, "minhash must register its persists")
-    OpCaches.releaseAll()
-    assert(OpCaches.trackedCount == 0)
+    assert(OpCaches.trackedCount(spark) > 0, "minhash must register its persists")
+    OpCaches.releaseAll(spark)
+    assert(OpCaches.trackedCount(spark) == 0)
     val after = TextDedup.minhashNearDups(corpus(), "doc_id", "text", threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    OpCaches.releaseAll()
+    OpCaches.releaseAll(spark)
     assert(after == before)
   }
 
