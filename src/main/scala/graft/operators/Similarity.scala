@@ -21,10 +21,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ in double precision — a native codegen Expression
+    * ([[graft.functions.VectorDot]]), bit-identical to the
+    * aggregate/zip_with higher-order formula but compiled into the
+    * enclosing WholeStageCodegen span instead of interpreted per element.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
