@@ -326,6 +326,33 @@ object Queries {
         "count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
         "ORDER BY st, pri"),
 
+    // Explicit GROUPING SETS (beyond-reference, same rationale as ROLLUP).
+    sql("q_grouping_sets",
+      "SELECT coalesce(l_returnflag, '<rf>') AS rf, coalesce(l_linestatus, '<ls>') AS ls, " +
+        "count(*) AS n FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY rf, ls"),
+
+    // Statistical aggregates (beyond-reference): sample stddev/variance,
+    // correlation, sample covariance. Rounded — partial-aggregation order
+    // differs between engines.
+    sql("q_stats_agg",
+      "SELECT l_returnflag, round(stddev_samp(l_quantity), 6) AS sd, " +
+        "round(var_samp(l_quantity), 6) AS vr, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS cr, " +
+        "round(covar_samp(l_quantity, l_discount), 6) AS cv " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // Approximate percentile — implementations differ by design (Spark
+    // KLL-ish vs DuckDB t-digest) → rows-only; ScalarFnsSpec bounds the
+    // error against the exact percentile.
+    Entry("q_approx_percentile", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("SELECT l_returnflag, " +
+        "round(approx_percentile(l_extendedprice, 0.5, 10000), 2) AS p50a " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+    }, None),
+
     // Exact interpolated percentiles (beyond-reference; DuckDB
     // quantile_cont ≙ Spark percentile — both linear interpolation).
     sql2("q_percentile",

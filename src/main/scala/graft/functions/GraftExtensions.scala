@@ -72,7 +72,10 @@ object GraftExtensions {
       (c: Seq[Expression]) => { require(c.size == 1); FagmsCount(c.head) }),
     (FunctionIdentifier("fagms_selfjoin"),
       new ExpressionInfo(classOf[FagmsSelfJoin].getName, "fagms_selfjoin"),
-      (c: Seq[Expression]) => { require(c.size == 1); FagmsSelfJoin(c.head) }))
+      (c: Seq[Expression]) => { require(c.size == 1); FagmsSelfJoin(c.head) }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (c: Seq[Expression]) => { require(c.size == 2); VectorDot(c(0), c(1)) }))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -23,6 +23,27 @@ class ScalarFnsSpec extends AnyFunSuite {
     assert(row.getTimestamp(1) == row.getTimestamp(2))
   }
 
+  test("approx_percentile tracks the exact percentile within 2%") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val rows = spark.sql(
+      """SELECT l_returnflag,
+        |  approx_percentile(l_extendedprice, 0.5, 10000) AS pa,
+        |  percentile(l_extendedprice, 0.5) AS pe
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin).collect()
+    rows.foreach { r =>
+      val (pa, pe) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(pa - pe) / pe <= 0.02, s"${r.getString(0)}: approx $pa vs exact $pe")
+    }
+  }
+
+  test("vec_dot is SQL-callable through the extensions") {
+    graft.functions.GraftExtensions.register(spark)
+    val v = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head().getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("date_part spelling agrees with extract on every field") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val n = spark.sql(
