@@ -147,6 +147,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming ingest appends to a managed table (the StreamInsert analogue)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // readStream → parse → writeStream.toTable: the reference's Kafka
+    // StreamInsert appends rows to a catalog table which queries then
+    // scan (mapd-core/Import/Importer.h:757-791).
+    val loc = java.nio.file.Files.createTempDirectory("graft_stream_t").toString
+    spark.sql("DROP TABLE IF EXISTS graft_stream_events")
+    val input = MemoryStream[String]
+    val parsed = EventStream.parseEvents(input.toDF().toDF("value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    val query = parsed.writeStream
+      .option("checkpointLocation", ckpt)
+      .option("path", s"$loc/t")
+      .toTable("graft_stream_events")
+    try {
+      def json(id: Long, h: Int, typ: String) =
+        s"""{"event_id":$id,"ts":"2024-01-01 0$h:00:00","user_id":${id % 5},"event_type":"$typ","value":1.5}"""
+      input.addData(json(1, 1, "click"), json(2, 2, "view"))
+      query.processAllAvailable()
+      assert(spark.table("graft_stream_events").count() == 2)
+      input.addData(json(3, 3, "click"))
+      query.processAllAvailable()
+      // appends accumulate; the table is queryable by the batch engine
+      val n = spark.sql(
+        "SELECT count(*) FROM graft_stream_events WHERE event_type = 'click'")
+        .head().getLong(0)
+      assert(n == 2)
+    } finally query.stop()
+  }
+
   test("streaming user totals agree with batch on the static events table") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val batch = EventStream.userTotals(events)
