@@ -95,6 +95,15 @@ object CompassQueries {
         "WHERE n1.n_name = n2.n_name AND n2.n_regionkey = r_regionkey " +
         "AND r_name LIKE 'A%'"),
 
+    // Disconnected join graph: one equi-component plus a dangling
+    // cartesian instance — the enumerator's connected-order search finds
+    // no full order and falls back to size-descending, and rebuildRegion
+    // must splice the unreachable instance with a Cross join (reference
+    // stock ordering: RelAlgExecutor.cpp:2608-2621).
+    viaCompass("q_compass_disconnected",
+      "SELECT count(*) AS n FROM supplier, nation, region " +
+        "WHERE s_nationkey = n_nationkey AND n_name LIKE 'B%'"),
+
     // Pure-SQL sketch pipeline through the extension-registered functions
     // (estimate is approximate → deterministic rows-only check; accuracy
     // is pinned by GraftExtensionsSpec).

@@ -25,9 +25,13 @@ import java.security.MessageDigest
 final class SketchTemplateCache(dir: Path) {
   Files.createDirectories(dir)
 
-  // Instrumentation (used by tests to assert the second run skips the job).
-  @volatile var hits: Long = 0
-  @volatile var misses: Long = 0
+  // Instrumentation (used by tests to assert the second run skips the
+  // job). Atomic — sketch jobs update these concurrently; a plain
+  // volatile += loses increments under contention.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val missCount = new java.util.concurrent.atomic.AtomicLong(0)
+  def hits: Long = hitCount.get()
+  def misses: Long = missCount.get()
 
   private val memory = scala.collection.concurrent.TrieMap.empty[String, SketchGroup]
 
@@ -65,16 +69,16 @@ final class SketchTemplateCache(dir: Path) {
       rows: Int, buckets: Int)(build: => SketchGroup): SketchGroup = {
     val key = cacheKey(table, columns, seedClasses, rows, buckets)
     memory.get(key) match {
-      case Some(g) => hits += 1; g
+      case Some(g) => hitCount.incrementAndGet(); g
       case None =>
         val f = fileFor(key)
         if (Files.exists(f)) {
           val g = SketchGroup.deserialize(Files.readAllBytes(f))
           memory.put(key, g)
-          hits += 1
+          hitCount.incrementAndGet()
           g
         } else {
-          misses += 1
+          missCount.incrementAndGet()
           val g = build
           // Write-temp + atomic move: sketch jobs run concurrently, and two
           // instances of the same unfiltered table may build the same key —
@@ -100,7 +104,7 @@ final class SketchTemplateCache(dir: Path) {
       val s = Files.list(dir)
       try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
     }
-    hits = 0; misses = 0
+    hitCount.set(0); missCount.set(0)
   }
 }
 
