@@ -187,6 +187,17 @@ object PipelineQueries {
       Multimodal.sampleFrames(media, "doc_id", frames = 4)
         .orderBy("doc_id", "frame")
     },
+
+    // Stubbed resize (stride-sampled payload to a pixel budget) composed
+    // with feature extraction — media table in, media table out.
+    opaque("q_multimodal_resize") { (s, dir) =>
+      val media = Multimodal.asMediaTable(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val small = Multimodal.resize(media, "doc_id", width = 64, height = 64)
+      Multimodal.extractFeatures(small, "doc_id", dim = 4)
+        .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("doc_id")
+    },
   )
 
   def entries: Seq[Entry] =

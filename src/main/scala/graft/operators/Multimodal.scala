@@ -80,6 +80,45 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize — deterministic stride-sampling of the payload bytes to
+    * the target pixel budget (???: a real implementation decodes, scales,
+    * re-encodes; no codecs in this environment). Same partition-batched
+    * shape as [[extractFeatures]]: payload in, smaller payload + updated
+    * metadata out, decoder handle initialized once per partition. Output
+    * schema: (id, payload binary, meta struct) — a media table again, so
+    * resize composes with extractFeatures/sampleFrames.
+    */
+  def resize(df: DataFrame, idCol: String, width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val metaIdx = inSchema.fieldIndex("meta")
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("payload", BinaryType),
+      StructField("meta", metadataType)))
+    val budget = math.max(1, width * height / 64) // stub byte budget
+    val rdd = df.rdd.mapPartitions { rows =>
+      // Real pipelines initialize the decoder/scaler here, once.
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val meta = r.getStruct(metaIdx)
+        val out =
+          if (payload.length <= budget) payload
+          else {
+            val stride = payload.length.toDouble / budget
+            Array.tabulate(budget)(i => payload((i * stride).toInt))
+          }
+        var crc = new java.util.zip.CRC32()
+        crc.update(out)
+        Row(r.get(idIdx), out,
+          Row(meta.getString(0), out.length.toLong, crc.getValue, width, height))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic frame sampling: split the payload into `frames` equal
     * byte windows (≙ video frame extraction), checksum each. Pure
     * expressions — no data leaves the executor row.

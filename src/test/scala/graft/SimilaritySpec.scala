@@ -121,5 +121,21 @@ class SimilaritySpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, "doc_id", frames = 4)
     assert(frames.count() == 200)
     assert(frames.groupBy("doc_id").count().select(max("count")).head().getLong(0) == 4)
+    // resize: payload shrinks to the pixel budget, meta reflects the new
+    // dims, output is a media table again (composes with extractFeatures)
+    val small = Multimodal.resize(media, "doc_id", width = 64, height = 64)
+    val srows = small.collect()
+    assert(srows.forall(_.getAs[Array[Byte]]("payload").length <= 64 * 64 / 64))
+    assert(srows.forall { r =>
+      val m = r.getStruct(2)
+      m.getInt(3) == 64 && m.getInt(4) == 64 &&
+        m.getLong(1) == r.getAs[Array[Byte]]("payload").length.toLong
+    })
+    val resizedAgain = Multimodal.resize(media, "doc_id", width = 64, height = 64)
+      .select("doc_id", "meta.checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resizedFirst = srows.map(r => r.getLong(0) -> r.getStruct(2).getLong(2)).toMap
+    assert(resizedFirst == resizedAgain, "resize must be deterministic")
+    assert(Multimodal.extractFeatures(small, "doc_id", dim = 4).count() == 50)
   }
 }
