@@ -81,11 +81,19 @@ final class Enumerator(
       val sk0 = sketchOf(traversal.head)
       if (traversal.size == 2) {
         val a = traversal(0); val b = traversal(1)
-        val (ca, cb) = joinCols((a, b)).head
-        val sa = sketchOf(a); val sb = sketchOf(b)
-        Estimator.pairwise(
-          sa.planes(sa.columnIndex(ca)), sb.planes(sb.columnIndex(cb)),
-          sa.rows, sa.buckets)
+        joinCols.get((a, b)) match {
+          case Some(pairs) =>
+            val (ca, cb) = pairs.head
+            val sa = sketchOf(a); val sb = sketchOf(b)
+            Estimator.pairwise(
+              sa.planes(sa.columnIndex(ca)), sb.planes(sb.columnIndex(cb)),
+              sa.rows, sa.buckets)
+          case None =>
+            // No edge → cartesian product; exact, and reachable when the
+            // size-descending fallback order (disconnected graph) is
+            // introspected for intermediate estimates.
+            sketchOf(a).count.toDouble * sketchOf(b).count.toDouble
+        }
       } else {
         val planes = traversal.map { n =>
           val others = traversal.filterNot(_ == n)

@@ -98,7 +98,9 @@ object Multimodal {
       inSchema(idIdx),
       StructField("payload", BinaryType),
       StructField("meta", metadataType)))
-    val budget = math.max(1, width * height / 64) // stub byte budget
+    // Stub byte budget — Long math (width·height overflows Int at 64k²).
+    val budget = math.min(Int.MaxValue.toLong,
+      math.max(1L, width.toLong * height.toLong / 64)).toInt
     val rdd = df.rdd.mapPartitions { rows =>
       // Real pipelines initialize the decoder/scaler here, once.
       rows.map { r =>
@@ -110,7 +112,7 @@ object Multimodal {
             val stride = payload.length.toDouble / budget
             Array.tabulate(budget)(i => payload((i * stride).toInt))
           }
-        var crc = new java.util.zip.CRC32()
+        val crc = new java.util.zip.CRC32()
         crc.update(out)
         Row(r.get(idIdx), out,
           Row(meta.getString(0), out.length.toLong, crc.getValue, width, height))

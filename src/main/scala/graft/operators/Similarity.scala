@@ -16,8 +16,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    the corpus-side join key is a 32-bit bucket id, so the shuffle is
   *    (corpus rows × tables) small tuples, never a cross join.
   *
-  * Dot products are pure `zip_with`/`aggregate` expressions (codegen'd,
-  * no UDFs); norms are computed once per side.
+  * Dot products are the native codegen [[graft.functions.VectorDot]]
+  * expression (compiled when evaluated in a plain projection; interpreted
+  * when it sits inside a higher-order-function lambda, which are
+  * CodegenFallback); norms are computed once per side.
   */
 object Similarity {
 
@@ -81,10 +83,10 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }.toSeq
-    // Repartition: hyperplane dot products (tables × bits × dim FMAs per
-    // row) run interpreted — spread a possibly-single-partition input
-    // across cores. Persist: self-joins read this relation twice; tracked
-    // so harnesses release it after the query's action.
+    // Repartition: signature work is tables × bits × dim FMAs per row —
+    // spread a possibly-single-partition input across cores regardless of
+    // how fast one core chews it. Persist: self-joins read this relation
+    // twice; tracked so harnesses release it after the query's action.
     OpCaches.track(
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))

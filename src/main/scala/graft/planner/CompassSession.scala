@@ -138,9 +138,13 @@ final class CompassSession(
           val en = new Enumerator(nodes, enumeratorEdges(g))
           val (order, _) = en.optimalOrder()
           val t2 = System.nanoTime()
+          // Estimates here are introspection only — a failure (e.g. a
+          // multi-way prefix with a fully disconnected member under the
+          // fallback order) must not knock the query off the COMPASS path.
           lastPlan = Some(CompassPlan(
             order.map(i => g.instances(i).name),
-            order.indices.drop(1).dropRight(1).map(k => en.estimate(order.take(k + 1))),
+            order.indices.drop(1).dropRight(1).map(k =>
+              scala.util.Try(en.estimate(order.take(k + 1))).getOrElse(Double.NaN)),
             nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap,
             sketchBuildMillis = (t1 - t0) / 1000000,
             enumerateMillis = (t2 - t1) / 1000000))

@@ -319,6 +319,25 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(multiEdgeJoin.nonEmpty, "no join carries the AND'd cycle edges")
   }
 
+  test("disconnected graph goes THROUGH compass: fallback order + Cross splice") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.lastPlan = None
+    val q = "SELECT count(*) AS n FROM supplier, nation, region " +
+      "WHERE s_nationkey = n_nationkey AND n_name LIKE 'B%'"
+    val out = cs.sql(q)
+    assert(out.head().getLong(0) == spark.sql(q).head().getLong(0))
+    assert(cs.lastPlan.nonEmpty,
+      "disconnected graphs must not silently fall back to the vanilla plan")
+    // region is unreachable by equi-edges → some join in the spliced
+    // region must be condition-free (Cross).
+    val crossJoins = out.queryExecution.analyzed.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+    assert(crossJoins.nonEmpty, "expected a Cross splice for the dangling instance")
+  }
+
   test("estimates in lastPlan are monotone-sane and positive") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)

@@ -43,11 +43,13 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("null array or null element yields null") {
+  test("null array, null element, or length mismatch yields null") {
     import spark.implicits._
     val df = Seq(
       (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
-      (null, Seq[java.lang.Double](1.0, 2.0)))
+      (null, Seq[java.lang.Double](1.0, 2.0)),
+      // dimension mismatch must NOT produce a plausible prefix dot
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](4.0, 5.0)))
       .toDF("a", "b")
     val out = df.select(VectorOps.dot(col("a"), col("b"))).collect()
     assert(out.forall(_.isNullAt(0)))
