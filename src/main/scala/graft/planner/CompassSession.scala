@@ -252,24 +252,8 @@ final class CompassSession(
             .filter(_.count < minTableSize)))
         else None
 
-      // Materialized push-down: cache the filtered instance BEFORE the
-      // sketch job so that job populates the cache and the main query
-      // reads the survivors from memory — the Spark analogue of keeping
-      // the filtered result as a temporary table (reference:
-      // addPushDownFilter, RelAlgExecutor.h:121-133). Registered in
-      // keptCaches IMMEDIATELY so a failing sketch job (optimize() then
-      // falls back) still releases it at the next optimize()/close();
-      // reverted below when the filter turns out unselective (reference:
-      // FilterPushDownSketch.cpp:273-284).
-      val cached = if (hasFilter && tinyTemplate.isEmpty) {
-        val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        keptCaches.synchronized { keptCaches += df }
-        Some(df)
-      } else None
-
       def build(): SketchGroup = {
-        val df = cached.getOrElse(Bridge.ofRows(spark, filteredPlan(g, inst.idx)))
+        val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
         val agg = FagmsSketchAgg(
           attrs.map(keyExpr), sketchRows, sketchBuckets, colNames, seeds)
         val bytes = df.agg(Bridge.column(agg.toAggregateExpression()))
@@ -283,16 +267,21 @@ final class CompassSession(
             cache.getOrBuild(templateKey.get, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
           case _ => build()
         })
-        // fpd_max_count = min(rows·maxSelectivity, maxPushDownSize); larger
-        // survivor sets are not worth pinning (reference:
-        // executeFilterAndEvaluate, FilterPushDownSketch.cpp:871-891).
-        // Selective survivors stay pinned for THIS query only (already in
-        // keptCaches); unselective ones are released right away.
-        cached.foreach { df =>
-          if (sketch.count > maxPushDownSize) {
-            df.unpersist()
-            keptCaches.synchronized { keptCaches -= df }
-          }
+        // Materialized push-down, decided AFTER the survivor count is
+        // known (fpd_max_count cap — reference: executeFilterAndEvaluate,
+        // FilterPushDownSketch.cpp:871-891): only selective survivors are
+        // persisted, pinned for THIS query and released at the next
+        // optimize()/close(). Deferring the persist (r3 change) keeps the
+        // sketch job's scan projection-pruned to the join columns and
+        // never materializes an unselective filtered fact table into the
+        // block manager just to drop it — at 100 TB that write could be
+        // terabytes. The main query's spliced Filter(instance) matches
+        // the cached plan canonically and materializes it (one extra
+        // small-output pruned scan) on first use.
+        if (hasFilter && tinyTemplate.isEmpty && sketch.count <= maxPushDownSize) {
+          val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          keptCaches.synchronized { keptCaches += df }
         }
         GraphNode(inst.idx, sketch)
       }
