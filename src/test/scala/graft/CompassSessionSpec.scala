@@ -245,10 +245,14 @@ class CompassSessionSpec extends AnyFunSuite {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 400000""".stripMargin
-    cs.sql(q).collect()
+    val out = cs.sql(q)
+    out.collect()
     val first = cs.pinnedCaches
     assert(first.nonEmpty, "the selective orders filter should be pinned")
     assert(first.forall(_.storageLevel.useMemory))
+    // the spliced plan must actually READ the pinned survivors
+    assert(out.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "main query should scan the materialized push-down cache")
     // A DIFFERENT second query (CacheManager matches by canonicalized
     // plan — rerunning the same text would re-cache an equivalent plan and
     // mask the release).
