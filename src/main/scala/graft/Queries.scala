@@ -524,6 +524,32 @@ object Queries {
       "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // Batch sessionization via windows (gap > 1800 s closes a session) —
+    // the SQL twin of streaming/EventStream.sessionize, differentially
+    // checked. Epoch seconds + event_id tie-break keep both engines'
+    // session boundaries identical.
+    sql2("q_sessionize_batch",
+      "WITH ts_e AS (SELECT user_id, event_id, CAST(unix_timestamp(ts) AS BIGINT) AS t, value FROM events), " +
+        "marked AS (SELECT user_id, event_id, t, value, " +
+        "  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s " +
+        "  FROM ts_e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "sess AS (SELECT user_id, t, value, " +
+        "  sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, " +
+        "round(sum(value), 2) AS total_value " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid",
+      "WITH ts_e AS (SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS t, value FROM events), " +
+        "marked AS (SELECT user_id, event_id, t, value, " +
+        "  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s " +
+        "  FROM ts_e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "sess AS (SELECT user_id, t, value, " +
+        "  sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) " +
+        "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, " +
+        "round(sum(value), 2) AS total_value " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid"),
+
     // Window function top-k per group (beyond-reference: MapD 3.6.1 predates
     // window support — SURVEY §2.5; free in Spark, graded as engine surface).
     sql("q_topk_per_group",

@@ -178,6 +178,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-static join: streaming events enrich against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The standard enrichment shape: an unbounded stream joined to a
+    // small static dimension — Spark broadcasts the static side, no
+    // stream state needed.
+    val dim = Seq((10L, "gold"), (11L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = events.join(dim, Seq("user_id"), "left")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val query = joined.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts(1), 10L, "click", 1.0), (2L, ts(2), 11L, "view", 2.0),
+        (3L, ts(3), 10L, "click", 3.0), (4L, ts(4), 99L, "view", 4.0))
+      query.processAllAvailable()
+      val out = spark.table("enrich_out").collect()
+        .map(r => Option(r.getString(0)).getOrElse("none") -> r.getLong(1)).toMap
+      assert(out == Map("gold" -> 2L, "silver" -> 1L, "none" -> 1L))
+    } finally query.stop()
+  }
+
   test("streaming user totals agree with batch on the static events table") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val batch = EventStream.userTotals(events)
