@@ -140,6 +140,30 @@ object PipelineQueries {
     },
   )
 
+  private val temporal: Seq[Entry] = Seq(
+    // Backward as-of join (point-in-time lookup): for each view event,
+    // the latest prior-or-equal purchase value per user. DuckDB checks it
+    // with its native ASOF LEFT JOIN; Spark composes it (tagged union +
+    // one per-key window — Temporal.asofJoin). Right side deduped per
+    // (user, ts) by max(value) so both engines resolve ties identically.
+    dfq("q_asof_join",
+      "SELECT v.event_id, round(p.value, 2) AS last_purchase " +
+        "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events " +
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) p " +
+        "ON v.user_id = p.user_id AND p.ts <= v.ts " +
+        "ORDER BY v.event_id") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(views, purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), round(col("value"), 2).as("last_purchase"))
+        .orderBy("event_id")
+    },
+  )
+
   private val analysis: Seq[Entry] = Seq(
     // Language ID via stopword-profile argmax.
     opaque("q_lang_id") { (s, dir) =>
@@ -201,5 +225,5 @@ object PipelineQueries {
   )
 
   def entries: Seq[Entry] =
-    textAnalysis ++ dedup ++ similarity ++ analysis ++ multimodal
+    textAnalysis ++ dedup ++ similarity ++ temporal ++ analysis ++ multimodal
 }

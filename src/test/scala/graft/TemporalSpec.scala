@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("as-of join: latest prior-or-equal right row per key, null when none") {
+    import spark.implicits._
+    val quotes = Seq( // (key, ts, px)
+      ("a", ts(0), 1.0), ("a", ts(10), 2.0), ("a", ts(20), 3.0),
+      ("b", ts(5), 10.0))
+      .toDF("sym", "ts", "px")
+    val trades = Seq( // (key, ts, id)
+      ("a", ts(5), 1L),  // between quotes 0 and 10 → px 1.0
+      ("a", ts(10), 2L), // exactly at a quote → px 2.0 (<= includes equal)
+      ("a", ts(25), 3L), // after the last → px 3.0
+      ("b", ts(1), 4L),  // before b's only quote → null
+      ("c", ts(9), 5L))  // key with no quotes → null
+      .toDF("sym", "ts", "id").repartition(3)
+    val out = Temporal.asofJoin(trades, quotes, "sym", "ts", Seq("px"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out == Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("as-of join: duplicate right timestamps resolve deterministically (max)") {
+    import spark.implicits._
+    val right = Seq(("a", ts(0), 5.0), ("a", ts(0), 7.0)).toDF("k", "ts", "v")
+    val left = Seq(("a", ts(1), 1L)).toDF("k", "ts", "id")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("v")).collect()
+    assert(out.head.getDouble(3) == 7.0)
+  }
+
+  test("as-of join: carry-name collision is rejected") {
+    import spark.implicits._
+    val df = Seq(("a", ts(0), 1.0)).toDF("k", "ts", "v")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(df, df, "k", "ts", Seq("v"))
+    }
+  }
+
+  test("as-of join plan: one hash exchange on the key, no range explosion") {
+    import spark.implicits._
+    val quotes = (1 to 50).map(i => ("a", ts(i % 60), i.toDouble)).toDF("k", "ts", "px")
+    val trades = (1 to 50).map(i => ("a", ts(i % 60), i.toLong)).toDF("k", "ts", "id")
+    val out = Temporal.asofJoin(trades, quotes, "k", "ts", Seq("px"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a product join:\n$plan")
+  }
+}
