@@ -162,6 +162,29 @@ object PipelineQueries {
         .select(col("event_id"), round(col("value"), 2).as("last_purchase"))
         .orderBy("event_id")
     },
+
+    // Range join (sliding 1-hour lookback): views per user in the hour
+    // before each purchase. Spark composes it as an interval-bucketed
+    // equi-join (Temporal.rangeJoin); DuckDB checks the plain inequality
+    // join.
+    dfq("q_range_join",
+      "SELECT p.event_id, count(v.view_id) AS n_views FROM " +
+        "(SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND v.ts > p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts " +
+        "GROUP BY p.event_id ORDER BY p.event_id") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val cand = graft.operators.Temporal.rangeJoin(
+        purchases, views, "user_id", "ts", 3600L, Seq("view_id"))
+      val counts = cand.groupBy("event_id").agg(count(lit(1)).as("n_views"))
+      purchases.select("event_id").join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), coalesce(col("n_views"), lit(0L)).as("n_views"))
+        .orderBy("event_id")
+    },
   )
 
   private val analysis: Seq[Entry] = Seq(

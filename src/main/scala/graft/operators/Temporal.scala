@@ -46,4 +46,38 @@ object Temporal {
       .select(leftCols.map(col) ++
         carry.map(c => col("_asof_c").getField(c).as(c)): _*)
   }
+
+  /** Range (interval) join: candidate pairs where
+    * `left.ts - lookbackSec < right.ts <= left.ts` within the same key —
+    * the sliding-lookback join of sessionized feature pipelines.
+    *
+    * Plan shape: both sides bucket their timestamps into lookback-sized
+    * windows; a left row's matches can only live in its own or the
+    * previous bucket, so candidates come from an EQUI-join on
+    * (key, bucket) followed by the exact interval filter. One hash
+    * shuffle at any scale — Spark's native plan for this predicate is a
+    * nested-loop/cartesian per key. Returns INNER candidates (left
+    * columns + `carry` from the right); callers add left-ness as needed.
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, lookbackSec: Long,
+      carry: Seq[String]): DataFrame = {
+    require(lookbackSec > 0, "rangeJoin: lookbackSec must be positive")
+    require(carry.forall(c => !left.columns.contains(c)),
+      s"rangeJoin: carry columns ${carry.mkString(",")} collide with the left side")
+    val leftCols = left.columns.toSeq
+    val w = lit(lookbackSec.toDouble)
+    val lsec = col(tsCol).cast("double")
+    val l = left.withColumn("_rj_b",
+      explode(array_distinct(array(floor((lsec - w) / w), floor(lsec / w)))))
+    val r = right.select(
+      col(keyCol).as("_rj_k") +: col(tsCol).as("_rj_ts") +: carry.map(col): _*)
+      .withColumn("_rj_b", floor(col("_rj_ts").cast("double") / w))
+    l.join(r,
+        col(keyCol) === col("_rj_k") && l("_rj_b") === r("_rj_b"))
+      .filter(col("_rj_ts") <= col(tsCol) &&
+        col("_rj_ts") > col(tsCol) - expr(s"INTERVAL '$lookbackSec' SECOND"))
+      .select((leftCols ++ carry).map(col): _*)
+  }
 }

@@ -47,6 +47,25 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("range join: exact interval membership across bucket boundaries") {
+    import spark.implicits._
+    // lookback 600 s; boundary cases: exactly at left.ts (in), exactly at
+    // left.ts - 600 (out, strict >), one second inside, previous-bucket
+    // matches, other keys excluded.
+    val left = Seq(("a", ts(20), 1L), ("b", ts(20), 2L)).toDF("k", "ts", "id")
+    val right = Seq(
+      ("a", ts(20), 100L), // == left.ts → in
+      ("a", ts(10), 101L), // 600s before → out (strict)
+      ("a", ts(11), 102L), // 540s before → in
+      ("a", ts(21), 103L), // after → out
+      ("b", ts(15), 104L), // other key, in range for b
+      ("c", ts(20), 105L)) // no left key
+      .toDF("k", "ts", "rid").repartition(3)
+    val out = Temporal.rangeJoin(left, right, "k", "ts", 600L, Seq("rid"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 100L), (1L, 102L), (2L, 104L)))
+  }
+
   test("as-of join plan: one hash exchange on the key, no range explosion") {
     import spark.implicits._
     val quotes = (1 to 50).map(i => ("a", ts(i % 60), i.toDouble)).toDF("k", "ts", "px")
