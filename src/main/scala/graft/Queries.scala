@@ -539,7 +539,10 @@ object Queries {
         "SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events, " +
         "round(sum(value), 2) AS total_value " +
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, sid",
-      "WITH ts_e AS (SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS t, value FROM events), " +
+      // floor() before the BIGINT cast: DuckDB casts round while Spark's
+      // unix_timestamp truncates — an unfloored epoch differs by 1s on
+      // fractional timestamps and flips sessions whose gap straddles 1800.
+      "WITH ts_e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events), " +
         "marked AS (SELECT user_id, event_id, t, value, " +
         "  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s " +
         "  FROM ts_e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +

@@ -10,18 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  private val asofInternal = Seq("_asof_tag", "_asof_v", "_asof_c")
+
   /** Backward as-of join: for every left row, attach the `carry` columns
     * of the LATEST right row with `right.ts <= left.ts` in the same key
     * group (nulls when no prior right row exists) — the point-in-time
-    * lookup of market-data and feature-store pipelines.
+    * lookup of market-data and feature-store pipelines. Right rows with a
+    * NULL timestamp never match (the SQL ASOF contract); left rows with a
+    * NULL timestamp carry nulls.
     *
-    * Plan shape: right rows are deduplicated per (key, ts) (max struct —
-    * deterministic), tagged, unioned with the left, and resolved with ONE
-    * per-key window pass (`last(_, ignoreNulls)` over rows up to the
-    * current one; right rows sort before left rows on ts ties, matching
-    * `<=`). That is a single shuffle on the key at any scale — never the
-    * O(|L|·|R|) blow-up of the naive range-join formulation. Skewed keys
-    * ride on AQE like any other window.
+    * Plan shape: right rows are tagged, unioned with the left, and
+    * resolved with ONE per-key window pass (`last(_, ignoreNulls)` over
+    * rows up to the current one). The ordering (ts, tag, carry-struct)
+    * makes right rows sort before left rows on ts ties (matching `<=`)
+    * and resolves duplicate right timestamps deterministically to the
+    * max carry struct — no dedup aggregation, so the only exchange at any
+    * scale is the window's hash partition on the key (spec-pinned); never
+    * the O(|L|·|R|) blow-up of the naive range-join formulation. Skewed
+    * keys ride on AQE like any other window.
     *
     * `carry` names must not collide with left columns.
     */
@@ -31,15 +37,19 @@ object Temporal {
     require(carry.nonEmpty, "asofJoin: nothing to carry")
     require(carry.forall(c => !left.columns.contains(c)),
       s"asofJoin: carry columns ${carry.mkString(",")} collide with the left side")
+    require(asofInternal.forall(c =>
+      !left.columns.contains(c) && !right.columns.contains(c)),
+      s"asofJoin: inputs must not use reserved columns ${asofInternal.mkString(",")}")
     val leftCols = left.columns.toSeq
     val r = right
-      .groupBy(col(keyCol), col(tsCol))
-      .agg(max(struct(carry.map(col): _*)).as("_asof_v"))
+      .filter(col(tsCol).isNotNull) // NULL ts never matches
+      .select(col(keyCol), col(tsCol),
+        struct(carry.map(col): _*).as("_asof_v"))
       .withColumn("_asof_tag", lit(0))
     val l = left.withColumn("_asof_tag", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_asof_tag"))
+      .orderBy(col(tsCol), col("_asof_tag"), col("_asof_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
       .filter(col("_asof_tag") === 1)
@@ -59,6 +69,8 @@ object Temporal {
     * nested-loop/cartesian per key. Returns INNER candidates (left
     * columns + `carry` from the right); callers add left-ness as needed.
     */
+  private val rangeInternal = Seq("_rj_b", "_rj_k", "_rj_ts")
+
   def rangeJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, lookbackSec: Long,
@@ -66,6 +78,9 @@ object Temporal {
     require(lookbackSec > 0, "rangeJoin: lookbackSec must be positive")
     require(carry.forall(c => !left.columns.contains(c)),
       s"rangeJoin: carry columns ${carry.mkString(",")} collide with the left side")
+    require(rangeInternal.forall(c =>
+      !left.columns.contains(c) && !right.columns.contains(c)),
+      s"rangeJoin: inputs must not use reserved columns ${rangeInternal.mkString(",")}")
     val leftCols = left.columns.toSeq
     val w = lit(lookbackSec.toDouble)
     val lsec = col(tsCol).cast("double")

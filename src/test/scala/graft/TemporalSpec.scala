@@ -66,7 +66,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(out == Set((1L, 100L), (1L, 102L), (2L, 104L)))
   }
 
-  test("as-of join plan: one hash exchange on the key, no range explosion") {
+  test("as-of join: null right timestamps never match") {
+    import spark.implicits._
+    val right = Seq(("a", null.asInstanceOf[Timestamp], 99.0)).toDF("k", "ts", "v")
+    val left = Seq(("a", ts(1), 1L)).toDF("k", "ts", "id")
+    val out = Temporal.asofJoin(left, right, "k", "ts", Seq("v")).collect()
+    assert(out.head.isNullAt(3), "a null-ts right row must not be carried")
+  }
+
+  test("as-of join plan: exactly one hash exchange (the key window), no join operator") {
     import spark.implicits._
     val quotes = (1 to 50).map(i => ("a", ts(i % 60), i.toDouble)).toDF("k", "ts", "px")
     val trades = (1 to 50).map(i => ("a", ts(i % 60), i.toLong)).toDF("k", "ts", "id")
@@ -76,5 +84,8 @@ class TemporalSpec extends AnyFunSuite {
       .split("== Initial Plan ==").head
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"as-of must not plan a product join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"as-of should shuffle exactly once (the key window), got $exchanges:\n$plan")
   }
 }
