@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.Tables
-import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Similarity, Temporal, TextAnalysis, TextDedup}
 import graft.planner.{CompassSession, SketchTemplateCache}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -53,6 +53,16 @@ final class GraftSession(val spark: SparkSession, dataDir: String) {
       TextAnalysis.withQualityScore(
         TextAnalysis.withTokenCounts(
           TextAnalysis.withLanguageId(table("documents"), "text"), "text"), "text"), "text")
+
+  /** Backward as-of join (point-in-time lookup) — see [[Temporal.asofJoin]]. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      carry: Seq[String]): DataFrame =
+    Temporal.asofJoin(left, right, keyCol, tsCol, carry)
+
+  /** Sliding-lookback interval join — see [[Temporal.rangeJoin]]. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+      lookbackSec: Long, carry: Seq[String]): DataFrame =
+    Temporal.rangeJoin(left, right, keyCol, tsCol, lookbackSec, carry)
 
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
