@@ -266,6 +266,30 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cs.pinnedCaches.isEmpty)
   }
 
+  test("a failing sketch job falls back AND its push-down caches are releasable") {
+    import org.apache.spark.sql.functions.{col, udf}
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val boom = udf((x: Long) => {
+      if (x >= 0) throw new RuntimeException("boom"); true
+    })
+    val l = Tables.load(spark, dir, "lineitem").filter(boom(col("l_orderkey")))
+    val o = Tables.load(spark, dir, "orders").filter(col("o_totalprice") > 400000)
+    val c = Tables.load(spark, dir, "customer")
+    val df = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+    cs.lastPlan = None
+    val out = cs.optimize(df) // sketch job throws inside the UDF → fallback
+    assert(cs.lastPlan.isEmpty, "failed sketch build must fall back to vanilla")
+    assert(out eq df, "fallback must return the input frame")
+    // Caches persisted before the failure are registered and must release.
+    val pinned = cs.pinnedCaches
+    cs.close()
+    assert(cs.pinnedCaches.isEmpty)
+    assert(pinned.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "error-path caches must not leak past close()")
+  }
+
   test("date-keyed joins go through the sketch pipeline, not silent fallback") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -74,6 +74,37 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.head.isNullAt(3), "a null-ts right row must not be carried")
   }
 
+  test("property: asofJoin agrees with the naive correlated-subquery definition") {
+    import spark.implicits._
+    // Randomized cross-check against an independent definition of the
+    // same semantics (a windowed max-ts lookup), over data with key skew,
+    // ts collisions, and empty keys.
+    val rng = new scala.util.Random(2026)
+    for (trial <- 1 to 3) {
+      val keys = Vector("a", "b", "c", "d")
+      val right = Seq.fill(60)((keys(rng.nextInt(4)), ts(rng.nextInt(50)),
+        rng.nextInt(100).toDouble)).toDF("k", "ts", "px")
+      val left = Seq.tabulate(40)(i => (keys(rng.nextInt(4)), ts(rng.nextInt(50)),
+        (trial * 100 + i).toLong)).toDF("k", "ts", "id")
+      val got = Temporal.asofJoin(left, right, "k", "ts", Seq("px"))
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+      // Naive definition: max px among right rows at the max eligible ts.
+      val rRows = right.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+      val expected = left.collect().map { lr =>
+        val (k, t, id) = (lr.getString(0), lr.getTimestamp(1), lr.getLong(2))
+        val eligible = rRows.filter(r => r._1 == k && !r._2.after(t))
+        val v = if (eligible.isEmpty) None
+          else {
+            val maxTs = eligible.map(_._2.getTime).max
+            Some(eligible.filter(_._2.getTime == maxTs).map(_._3).max)
+          }
+        id -> v
+      }.toMap
+      assert(got == expected.map { case (k, v) => k -> v.map(x => x: Any) },
+        s"trial $trial mismatch")
+    }
+  }
+
   test("as-of join plan: exactly one hash exchange (the key window), no join operator") {
     import spark.implicits._
     val quotes = (1 to 50).map(i => ("a", ts(i % 60), i.toDouble)).toDF("k", "ts", "px")
