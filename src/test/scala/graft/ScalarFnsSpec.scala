@@ -36,6 +36,15 @@ class ScalarFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct tracks the exact NDV within 10%") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT approx_count_distinct(l_partkey) AS a,
+        |count(DISTINCT l_partkey) AS e FROM lineitem""".stripMargin).head()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e <= 0.10, s"HLL estimate $a vs exact $e")
+  }
+
   test("vec_dot is SQL-callable through the extensions") {
     graft.functions.GraftExtensions.register(spark)
     val v = spark.sql(
