@@ -123,14 +123,18 @@ object Multimodal {
 
   /** Deterministic frame sampling: split the payload into `frames` equal
     * byte windows (≙ video frame extraction), checksum each. Pure
-    * expressions — no data leaves the executor row.
+    * expressions — no data leaves the executor row. `substring` operates
+    * directly on the BinaryType payload, so windows are true byte offsets
+    * and non-UTF-8 payloads (real JPEG/audio bytes) slice losslessly.
     */
   def sampleFrames(df: DataFrame, idCol: String, frames: Int = 4): DataFrame =
     df.select(col(idCol), col("meta.n_bytes").as("n_bytes"),
       posexplode(transform(sequence(lit(0), lit(frames - 1)), f => {
-        val w = greatest(col("meta.n_bytes") / frames, lit(1L))
-        crc32(substring(col("payload").cast(StringType),
-          (f * w + 1).cast(IntegerType), w.cast(IntegerType)).cast(BinaryType))
+        // Spark's `/` is double division — floor it so window offsets are
+        // exact byte positions, not truncated fractional strides.
+        val w = greatest(floor(col("meta.n_bytes") / frames).cast(LongType), lit(1L))
+        crc32(substring(col("payload"),
+          (f * w + 1).cast(IntegerType), w.cast(IntegerType)))
       })))
       .withColumnsRenamed(Map("pos" -> "frame", "col" -> "frame_checksum"))
 }

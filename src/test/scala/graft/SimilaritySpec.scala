@@ -138,4 +138,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(resizedFirst == resizedAgain, "resize must be deterministic")
     assert(Multimodal.extractFeatures(small, "doc_id", dim = 4).count() == 50)
   }
+
+  test("multimodal: frame windows are byte-exact on non-UTF-8 binary payloads") {
+    import spark.implicits._
+    // Payloads that are NOT valid UTF-8 (JPEG-like magic + high bytes):
+    // a string round-trip would mangle them into replacement chars.
+    def payload(seed: Int, n: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      b(0) = 0xFF.toByte; b(1) = 0xD8.toByte; b(2) = 0xFF.toByte // JPEG SOI
+      b
+    }
+    val rows = Seq((1L, payload(1, 40)), (2L, payload(2, 41)), (3L, payload(3, 7)))
+    val media = rows.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("img/jpeg").as("format"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          crc32(col("payload")).as("checksum"),
+          lit(8).as("width"), lit(8).as("height")).as("meta"))
+    val got = Multimodal.sampleFrames(media, "doc_id", frames = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    for ((id, bytes) <- rows; f <- 0 until 4) {
+      val w = math.max(bytes.length / 4, 1)
+      val slice = bytes.slice(f * w, math.min(f * w + w, bytes.length))
+      val crc = new java.util.zip.CRC32(); crc.update(slice)
+      assert(got((id, f)) == crc.getValue,
+        s"frame ($id,$f): engine ${got((id, f))} != jvm ${crc.getValue}")
+    }
+  }
 }
