@@ -19,11 +19,30 @@ object Bench {
     // One-time setup (parquet footer reads for all views) — not attributable
     // to whichever query happens to run first.
     Tables.registerAll(spark, sfDir)
+    // Full materialization, not count(): under a count() action Catalyst
+    // prunes every column, so projection-heavy entries would time a
+    // row-count scan rather than the declared surface. toRdd evaluates the
+    // final physical plan's UnsafeRows (all output columns) on executors
+    // without a driver-side collect.
+    def materialize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
+    // Untimed warm-up lap over cheap representative shapes: absorbs JIT,
+    // codegen-compiler and parquet-reader class loading so the first timed
+    // entries are not charged for JVM warm-up (a long-lived cluster is warm).
+    val warmup = Set("q1_agg", "q_join_inner", "q_project_arith", "q_scan_full")
+    Queries.all.filter(e => warmup(e.name)).foreach { e =>
+      try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
+      graft.operators.OpCaches.releaseAll(spark)
+    }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
     Queries.all.foreach { e =>
+      // Settle the heap between entries so a 100+-query session's
+      // accumulated garbage is not charged to whichever entry GC happens
+      // to interrupt (r3 showed ~1.5x uniform drift on join entries).
+      System.gc()
       val t0 = System.nanoTime()
       try {
-        val n = e.run(spark, sfDir).count()
+        val n = materialize(e.run(spark, sfDir))
         require(n >= 0)
         timings(e.name) = Right((System.nanoTime() - t0) / 1e9)
       } catch {
