@@ -28,9 +28,17 @@ import org.apache.spark.sql.functions._
 object TextDedup {
 
   /** Word-shingle hashes: k-gram sliding windows over whitespace tokens,
-    * each shingle folded to a 64-bit hash. Pure expression pipeline.
+    * each shingle folded to a 64-bit hash. Compiled kernel
+    * ([[graft.functions.TextHashKernel.shingleHashes]]); bit-identical to
+    * [[shingleHashesHof]], spec-enforced.
     */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    graft.functions.TextHashOps.shingleHashes(text, k)
+
+  /** The HOF formulation [[shingleHashes]] compiles — kept as the
+    * executable spec of the semantics (TextDedupSpec asserts bit-identity).
+    */
+  private[graft] def shingleHashesHof(text: Column, k: Int = 3): Column = {
     val tokens = split(text, "\\s+")
     val n = size(tokens)
     val idx = sequence(lit(1), greatest(n - (k - 1), lit(1)))
@@ -38,25 +46,41 @@ object TextDedup {
       xxhash64(concat_ws(" ", slice(tokens, i, lit(k))))))
   }
 
-  /** MinHash signature of a shingle-hash array: for each of `numHashes`
-    * independent permutations h_i(x) = (a_i·x + b_i) mod p, the minimum
-    * over the set. Deterministic seeds.
-    *
-    * ONE fold over the shingles computes all `numHashes` minima at once
-    * (zip_with against literal parameter arrays): the per-hash
-    * `array_min(transform(...))` shape traverses and materializes the
-    * shingle array numHashes times. Values are identical — only the
-    * evaluation order changes.
+  /** Deterministic minhash parameters, packed [a0,b0,a1,b1,…]. Mersenne
+    * 2^31-1 keeps a·x + b < 2^62: overflow-free under ANSI mode (Spark 4
+    * default) while staying 2-universal.
     */
-  def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 0x317EL): Column = {
-    // Mersenne 2^31-1 keeps a·x + b < 2^62: overflow-free under ANSI mode
-    // (Spark 4 default) while staying 2-universal.
+  private[graft] def minhashParams(numHashes: Int, seed: Long): Array[Long] = {
     val p = 2147483647L
     val rng = new scala.util.Random(seed)
-    val params = Array.fill(numHashes)(
-      (math.abs(rng.nextLong()) % (p - 1) + 1, math.abs(rng.nextLong()) % p))
-    val aLit = typedlit(params.map(_._1).toSeq)
-    val bLit = typedlit(params.map(_._2).toSeq)
+    val out = new Array[Long](numHashes * 2)
+    var i = 0
+    while (i < numHashes) {
+      out(2 * i) = math.abs(rng.nextLong()) % (p - 1) + 1
+      out(2 * i + 1) = math.abs(rng.nextLong()) % p
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature of a shingle-hash array: for each of `numHashes`
+    * independent permutations h_i(x) = (a_i·x + b_i) mod p, the minimum
+    * over the set. Deterministic seeds. Compiled kernel
+    * ([[graft.functions.TextHashKernel.minhashSig]]); bit-identical to
+    * [[minhashSignatureHof]], spec-enforced.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 64, seed: Long = 0x317EL): Column =
+    graft.functions.TextHashOps.minhashSig(shingles, minhashParams(numHashes, seed))
+
+  /** The HOF formulation [[minhashSignature]] compiles — ONE fold over the
+    * shingles computes all `numHashes` minima at once. Kept as the
+    * executable spec of the semantics (TextDedupSpec asserts bit-identity).
+    */
+  private[graft] def minhashSignatureHof(shingles: Column, numHashes: Int = 64, seed: Long = 0x317EL): Column = {
+    val p = 2147483647L
+    val ab = minhashParams(numHashes, seed)
+    val aLit = typedlit(ab.grouped(2).map(_(0)).toSeq)
+    val bLit = typedlit(ab.grouped(2).map(_(1)).toSeq)
     val init = typedlit(Seq.fill(numHashes)(p)) // p > any h(x) in [0, p)
     aggregate(shingles, init, (acc, x) => {
       val hashes = zip_with(aLit, bLit, (a, b) => pmod(pmod(x, lit(p)) * a + b, lit(p)))
@@ -138,13 +162,18 @@ object TextDedup {
   }
 
   /** 64-bit SimHash over whitespace terms: bit j of the signature is the
-    * sign of Σ_terms (±1 depending on bit j of xxhash64(term)).
-    *
-    * ONE fold over the terms accumulates all 64 bit-sums at once (the
-    * per-bit `aggregate` shape traversed the term array 64 times);
-    * integer adds commute, so signatures are identical.
+    * sign of Σ_terms (±1 depending on bit j of xxhash64(term)). Compiled
+    * kernel ([[graft.functions.TextHashKernel.simhash]]); bit-identical to
+    * [[simhash64Hof]], spec-enforced.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.TextHashOps.simhash64(text)
+
+  /** The HOF formulation [[simhash64]] compiles — ONE fold over the terms
+    * accumulates all 64 bit-sums at once. Kept as the executable spec of
+    * the semantics (TextDedupSpec asserts bit-identity).
+    */
+  private[graft] def simhash64Hof(text: Column): Column = {
     val hashes = transform(split(text, "\\s+"), w => xxhash64(w))
     val zeros = typedlit(Seq.fill(64)(0L))
     val bitSums = aggregate(hashes, zeros, (acc, h) =>
@@ -194,8 +223,20 @@ object TextDedup {
 
   /** N-gram (character) Jaccard similarity of two text columns — the
     * exact verifier used standalone when candidates come from elsewhere.
+    * Gram hashing runs in the compiled kernel
+    * ([[graft.functions.TextHashKernel.ngramHashes]]); bit-identical to
+    * [[ngramJaccardHof]], spec-enforced.
     */
   def ngramJaccard(a: Column, b: Column, n: Int = 5): Column = {
+    val ga = graft.functions.TextHashOps.ngramHashes(a, n)
+    val gb = graft.functions.TextHashOps.ngramHashes(b, n)
+    size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
+  }
+
+  /** The HOF formulation [[ngramJaccard]] compiles — kept as the
+    * executable spec of the semantics (TextDedupSpec asserts equality).
+    */
+  private[graft] def ngramJaccardHof(a: Column, b: Column, n: Int = 5): Column = {
     def grams(c: Column) = array_distinct(transform(
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => xxhash64(c.substr(i, lit(n)))))

@@ -60,6 +60,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1).getDouble(0) < 0.2)
   }
 
+  test("compiled kernels are bit-identical to the HOF formulas") {
+    import spark.implicits._
+    // Edge shapes alongside real docs: leading/trailing/multi whitespace
+    // (split() produces empty leading tokens), text shorter than k/n,
+    // unicode multi-byte chars, single token, repeated shingles.
+    val edges = Seq(
+      (9001L, "  leading space"), (9002L, "trailing tab\t"), (9003L, "x"),
+      (9004L, "héllo wörld héllo wörld héllo wörld"), (9005L, "a a a a a a"),
+      (9006L, "短 文 中 文"), (9007L, "one two"), (9008L, "tabs\t\tand  runs"))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").limit(200).unionByName(edges)
+    val cmp = docs.select(
+      TextDedup.shingleHashes(col("text"), 3).as("sh_fast"),
+      TextDedup.shingleHashesHof(col("text"), 3).as("sh_hof"),
+      TextDedup.simhash64(col("text")).as("sim_fast"),
+      TextDedup.simhash64Hof(col("text")).as("sim_hof"),
+      TextDedup.ngramJaccard(col("text"), reverse(col("text")), 5).as("jac_fast"),
+      TextDedup.ngramJaccardHof(col("text"), reverse(col("text")), 5).as("jac_hof"))
+      .withColumn("sig_fast", TextDedup.minhashSignature(col("sh_fast"), 64))
+      .withColumn("sig_hof", TextDedup.minhashSignatureHof(col("sh_hof"), 64))
+    val bad = cmp.filter(
+      col("sh_fast") =!= col("sh_hof") || col("sim_fast") =!= col("sim_hof") ||
+        col("sig_fast") =!= col("sig_hof") ||
+        !(col("jac_fast") === col("jac_hof") ||
+          (isnan(col("jac_fast")) && isnan(col("jac_hof")))))
+    assert(bad.count() == 0, s"kernel/HOF divergence: ${bad.head(3).mkString("; ")}")
+    // And with an odd numHashes/seed so params beyond the default are covered.
+    val bad2 = docs.select(TextDedup.shingleHashes(col("text"), 2).as("sh"))
+      .select(TextDedup.minhashSignature(col("sh"), 48, seed = 99L).as("f"),
+        TextDedup.minhashSignatureHof(col("sh"), 48, seed = 99L).as("h"))
+      .filter(col("f") =!= col("h"))
+    assert(bad2.count() == 0)
+  }
+
   test("skew guard drops oversized buckets instead of exploding the join") {
     import spark.implicits._
     // 300 identical docs → every band bucket has 300 members; with
