@@ -60,14 +60,29 @@ object PipelineQueries {
     },
 
     // N-gram Jaccard of each doc against a rotated pairing (deterministic
-    // pair structure exercising the exact verifier at scale).
-    opaque("q_dedup_ngram") { (s, dir) =>
+    // pair structure exercising the exact verifier at scale). DuckDB checks
+    // it from the literal gram STRINGS (list comprehension + list_intersect)
+    // while Spark intersects xxhash64'd gram sets — set cardinalities are
+    // isomorphic, so the count ratio (and its fixed-point surface) matches
+    // exactly. Fixed-point floor(x·1e6+0.5) because per-row round() differs
+    // between engines on .5 boundaries.
+    dfq("q_dedup_ngram",
+      "WITH grams AS (" +
+        "  SELECT doc_id, list_distinct([substr(text, CAST(x AS INT), 5) " +
+        "    FOR x IN range(1, greatest(length(text)-4, 1)+1)]) AS g " +
+        "  FROM documents) " +
+        "SELECT a.doc_id AS doc_id, " +
+        "  CAST(floor(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) " +
+        "    / len(list_distinct(a.g || b.g)) * 1000000 + 0.5) AS BIGINT) AS jac5fp " +
+        "FROM grams a JOIN grams b ON a.doc_id = b.doc_id + 1 " +
+        "ORDER BY doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val a = docs.select(col("doc_id"), col("text"))
       val b = docs.select((col("doc_id") + 1).as("doc_id"), col("text").as("text_b"))
       a.join(b, "doc_id")
         .select(col("doc_id"),
-          round(TextDedup.ngramJaccard(col("text"), col("text_b"), 5), 6).as("jac5"))
+          floor(TextDedup.ngramJaccard(col("text"), col("text_b"), 5) * 1000000 + 0.5)
+            .cast("long").as("jac5fp"))
         .orderBy("doc_id")
     },
   )

@@ -93,6 +93,26 @@ object Queries {
       s.sql("SELECT id, name FROM graft_ins_t ORDER BY id")
     },
 
+    // CREATE VIEW + query-through. Reference: mapd-core/Parser/
+    // ParserNode.h:1319 CreateViewStmt (+ ExecuteTest view groups). The
+    // backing tables are session temp views, so the created view is
+    // TEMPORARY too (Spark forbids persistent views over temp relations);
+    // the semantics under test — definition captured at CREATE, expanded
+    // and re-optimized at query time — are identical. The oracle runs the
+    // equivalent direct query.
+    dfq("q_create_view",
+      "SELECT n_name, count(*) AS n_cust, CAST(sum(c_custkey) AS BIGINT) AS s_key " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE c_acctbal > 1000 GROUP BY n_name ORDER BY n_name") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_cust_nation_v AS " +
+        "SELECT c_custkey, c_acctbal, n_name FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey")
+      s.sql("SELECT n_name, count(*) AS n_cust, CAST(sum(c_custkey) AS BIGINT) AS s_key " +
+        "FROM graft_cust_nation_v WHERE c_acctbal > 1000 " +
+        "GROUP BY n_name ORDER BY n_name")
+    },
+
     // gzip-compressed CSV export + import (the reference decompresses
     // archives on import — mapd-core/Archive/, Import/Importer.cpp;
     // Spark handles the codec from the file extension).
@@ -508,6 +528,19 @@ object Queries {
         "FROM embeddings WHERE exists(embedding, x -> x > 0.45)",
       "SELECT count(*) AS n_any, CAST(sum(CASE WHEN len(list_filter(embedding, x -> x <= -0.5)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all " +
         "FROM embeddings WHERE len(list_filter(embedding, x -> x > 0.45)) > 0"),
+
+    // String arrays (reference arrays include TEXT[] — mapd-core/Shared/
+    // sqltypes.h:232-239, ArrayOps.cpp): ITEM, UNNEST and ANY in one pass
+    // over split(c_name, '#').
+    sql2("q_array_string",
+      "SELECT c_custkey, part, element_at(split(c_name, '#'), 2) AS item2, " +
+        "array_contains(split(c_name, '#'), 'Customer') AS has_cust " +
+        "FROM customer LATERAL VIEW explode(split(c_name, '#')) AS part " +
+        "WHERE c_custkey <= 100 ORDER BY c_custkey, part",
+      "SELECT c_custkey, unnest(string_split(c_name, '#')) AS part, " +
+        "string_split(c_name, '#')[2] AS item2, " +
+        "list_contains(string_split(c_name, '#'), 'Customer') AS has_cust " +
+        "FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey, part"),
 
     // JSON field extraction (events.props carries JSON metadata).
     sql2("q_json_extract",
