@@ -14,11 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Pipeline operators are exposed as one-call conveniences over the same
   * tables.
   */
-final class GraftSession(val spark: SparkSession, dataDir: String) {
+final class GraftSession(val spark: SparkSession, dataDir: String,
+    warmWorkload: Seq[String] = Nil) {
   Tables.registerAll(spark, dataDir)
 
   private val compass = new CompassSession(
     spark, templateCache = Some(SketchTemplateCache.default()))
+
+  // PRE_PROCESSING analogue (reference COMPASS_init_variables.txt:6):
+  // sessions constructed with representative workload queries pre-build
+  // every unfiltered sketch template up front, so the first live query
+  // pays no template builds.
+  if (warmWorkload.nonEmpty) compass.warmTemplates(warmWorkload.map(spark.sql))
+
+  /** Pre-build unfiltered sketch templates for a workload's join shapes. */
+  def warm(workload: Seq[String]): Int =
+    compass.warmTemplates(workload.map(spark.sql))
 
   /** Toggle sketch-based join reordering (default on). */
   def fpd(on: Boolean): Unit = compass.fpdEnabled = on

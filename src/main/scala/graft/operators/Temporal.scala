@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  private val asofInternal = Seq("_asof_tag", "_asof_v", "_asof_c")
+  private val asofInternal =
+    Seq("_asof_tag", "_asof_v", "_asof_c", "_asof_s", "_asof_in")
 
   /** Backward as-of join: for every left row, attach the `carry` columns
     * of the LATEST right row with `right.ts <= left.ts` in the same key
@@ -30,16 +31,28 @@ object Temporal {
     * keys ride on AQE like any other window.
     *
     * `carry` names must not collide with left columns.
+    *
+    * Skew escape hatch: AQE splits skewed JOIN partitions but NOT skewed
+    * window partitions, so one key holding most rows serializes into one
+    * task. `saltSpanSec` salts each key into contiguous time ranges of
+    * that many seconds: the window runs per (key, range), and a tiny
+    * per-(key, range) summary relation (one row per non-empty range,
+    * broadcast back) supplies the carry-in for left rows whose latest
+    * right row lives in an earlier range. Results are identical to the
+    * unsalted plan (spec: randomized equivalence under 90 % single-key
+    * skew); unsalted keys keep the single-shuffle plan (default).
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, carry: Seq[String]): DataFrame = {
+      keyCol: String, tsCol: String, carry: Seq[String],
+      saltSpanSec: Option[Long] = None): DataFrame = {
     require(carry.nonEmpty, "asofJoin: nothing to carry")
     require(carry.forall(c => !left.columns.contains(c)),
       s"asofJoin: carry columns ${carry.mkString(",")} collide with the left side")
     require(asofInternal.forall(c =>
       !left.columns.contains(c) && !right.columns.contains(c)),
       s"asofJoin: inputs must not use reserved columns ${asofInternal.mkString(",")}")
+    require(saltSpanSec.forall(_ > 0), "asofJoin: saltSpanSec must be positive")
     val leftCols = left.columns.toSeq
     val r = right
       .filter(col(tsCol).isNotNull) // NULL ts never matches
@@ -48,13 +61,56 @@ object Temporal {
       .withColumn("_asof_tag", lit(0))
     val l = left.withColumn("_asof_tag", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_asof_tag"), col("_asof_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
-      .filter(col("_asof_tag") === 1)
-      .select(leftCols.map(col) ++
-        carry.map(c => col("_asof_c").getField(c).as(c)): _*)
+
+    saltSpanSec match {
+      case None =>
+        val w = Window.partitionBy(keyCol)
+          .orderBy(col(tsCol), col("_asof_tag"), col("_asof_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
+          .filter(col("_asof_tag") === 1)
+          .select(leftCols.map(col) ++
+            carry.map(c => col("_asof_c").getField(c).as(c)): _*)
+
+      case Some(span) =>
+        // Contiguous time-range salt; NULL left timestamps form their own
+        // (empty-carry) group, matching the unsalted nulls-first ordering.
+        def saltOf(ts: org.apache.spark.sql.Column) =
+          floor(ts.cast("double") / span.toDouble)
+        val salted = u.withColumn("_asof_s", saltOf(col(tsCol)))
+        val w = Window.partitionBy(col(keyCol), col("_asof_s"))
+          .orderBy(col(tsCol), col("_asof_tag"), col("_asof_v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // Summary: one row per OCCUPIED (key, range) — including ranges
+        // holding only left rows, which must still receive carry from
+        // earlier ranges. Each range's right-side latest (ts, value) comes
+        // from a struct max (reproducing the main window's (ts, _asof_v)
+        // tie resolution); the running last over strictly-prior ranges is
+        // the range's carry-in. |summary| = keys × occupied ranges —
+        // broadcastable at any skew.
+        val wPrior = Window.partitionBy(keyCol).orderBy(col("_asof_s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val rightLast = r.withColumn("_asof_s", saltOf(col(tsCol)))
+          .groupBy(col(keyCol), col("_asof_s"))
+          .agg(max(struct(col(tsCol), col("_asof_v"))).as("_bucket_last"))
+        val summary = salted.select(col(keyCol), col("_asof_s")).distinct()
+          .join(rightLast, Seq(keyCol, "_asof_s"), "left")
+          .withColumn("_asof_in",
+            last(col("_bucket_last"), ignoreNulls = true).over(wPrior)
+              .getField("_asof_v"))
+          .select(col(keyCol).as("_in_k"), col("_asof_s").as("_in_s"),
+            col("_asof_in"))
+        salted
+          .withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
+          .filter(col("_asof_tag") === 1)
+          .join(broadcast(summary),
+            col(keyCol) === col("_in_k") && col("_asof_s") <=> col("_in_s"),
+            "left")
+          // Struct-level coalesce: a chosen in-range row whose carry FIELD
+          // is null must yield null, not an earlier range's value.
+          .select(leftCols.map(col) ++ carry.map(c =>
+            coalesce(col("_asof_c"), col("_asof_in")).getField(c).as(c)): _*)
+    }
   }
 
   /** Range (interval) join: candidate pairs where

@@ -38,6 +38,21 @@ object TextAnalysis {
 
   private def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Distinct character trigrams (windows shorter than 3 only for texts
+    * shorter than 3 chars). Spec-pinned lengths (TextDedupSpec).
+    */
+  private[graft] def trigrams(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3))))
+
+  /** Distinct single characters. split(t, "") keeps one trailing "" (Java
+    * split limit -1) — a guaranteed LUT miss that also inflated the zh
+    * gram-ratio denominator — so empties are removed. Spec-pinned lengths.
+    */
+  private[graft] def unigrams(t: Column): Column =
+    array_distinct(array_remove(split(t, ""), ""))
+
   /** Fraction of tokens found in `words`. */
   private def stopRatio(text: Column, words: Seq[String]): Column = {
     val t = tokens(text)
@@ -83,13 +98,9 @@ object TextAnalysis {
     val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     val t = lower(col(textCol))
     val toks = tokens(col(textCol))
-    val tri = array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - 2, lit(1))),
-      i => t.substr(i, lit(3))))
-    val uni = array_distinct(split(t, ""))
     val mat = spread.withColumn("_lid_toks", toks)
-      .withColumn("_lid_g3", tri)
-      .withColumn("_lid_g1", uni)
+      .withColumn("_lid_g3", trigrams(t))
+      .withColumn("_lid_g1", unigrams(t))
 
     // Per-language hit counts in one fold: acc[i] += lut(x)[i]. Distinct
     // inputs keep array_intersect's set semantics; 3-char and 1-char gram

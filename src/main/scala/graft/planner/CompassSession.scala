@@ -162,6 +162,55 @@ final class CompassSession(
     }
   }
 
+  /** PRE_PROCESSING analogue (reference: `PRE_PROCESSING`,
+    * Catalog/COMPASS_init_variables.txt:6 — pre-build ALL unfiltered
+    * (table × join-column-set) sketch templates before the workload runs):
+    * extract each representative query's join graph and build/persist the
+    * template for every unfiltered instance, so the first live query pays
+    * zero template builds (`templateCache.misses == 0`, spec-asserted).
+    *
+    * Passing workload QUERIES (not (table, columns) tuples) guarantees the
+    * cache keys — resolved data identity, join-column order, seed classes —
+    * are constructed by exactly the machinery the live path uses. Filtered
+    * instances are skipped: templates only ever serve unfiltered scans.
+    * Returns the number of templates now warm. No push-down caches are
+    * pinned.
+    */
+  def warmTemplates(workload: Seq[DataFrame]): Int = {
+    val cache = templateCache.getOrElse(return 0)
+    var warmed = 0
+    workload.foreach { df =>
+      JoinGraphExtractor.extract(df.queryExecution.analyzed).foreach { case (g, _) =>
+        val reg = new SeedRegistry(sketchRows)
+        g.edges.foreach { case ((ia, a), (ib, b)) =>
+          reg.addPredicate(seedKey(g, ia, a), seedKey(g, ib, b))
+        }
+        val jobs: IndexedSeq[() => Int] = g.instances.flatMap { inst =>
+          val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
+          val tk = JoinGraphExtractor.templateId(inst.plan)
+          if (hasFilter || tk.isEmpty) None
+          else Some { () =>
+            val attrs = g.joinAttrs(inst.idx)
+            val seeds = attrs.map(a => reg.seedsFor(seedKey(g, inst.idx, a)))
+            val colNames = attrs.map(label)
+            val classKeys = attrs.map(a => reg.classKey(seedKey(g, inst.idx, a)))
+            cache.getOrBuild(tk.get, colNames, classKeys, sketchRows, sketchBuckets) {
+              val agg = FagmsSketchAgg(
+                attrs.map(keyExpr), sketchRows, sketchBuckets, colNames, seeds)
+              SketchGroup.deserialize(
+                Bridge.ofRows(spark, inst.plan)
+                  .agg(Bridge.column(agg.toAggregateExpression()))
+                  .head().getAs[Array[Byte]](0))
+            }
+            1
+          }
+        }.toIndexedSeq
+        warmed += CompassSession.awaitAll(jobs).sum
+      }
+    }
+    warmed
+  }
+
   /** Column label: plain name — unique within a base-table instance, and
     * STABLE across queries (no exprIds), so seed equivalence classes and
     * template-cache keys agree between any two queries joining the same

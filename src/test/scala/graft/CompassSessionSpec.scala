@@ -85,6 +85,32 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cache.hits >= 4)
   }
 
+  test("PRE_PROCESSING warm-up: first compass query after warm() builds nothing") {
+    Tables.registerAll(spark, dir)
+    val cache = new SketchTemplateCache(
+      java.nio.file.Files.createTempDirectory("graft-warm-test"))
+    val cs = new CompassSession(spark, templateCache = Some(cache))
+    // Warm with the UNFILTERED workload shape (the filtered region instance
+    // would never be template-served anyway).
+    val warmed = cs.warmTemplates(Seq(spark.sql(
+      """SELECT count(*) FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin)))
+    assert(warmed == 5, s"expected 5 warmed templates, got $warmed")
+    val missesAfterWarm = cache.misses
+    assert(missesAfterWarm == 5)
+    // The live query (with its region filter) must be served entirely from
+    // the warmed templates: zero new builds, and the filtered instance
+    // takes the tiny-template shortcut rather than a sketch job.
+    cs.sql(fiveWay).collect()
+    assert(cache.misses == missesAfterWarm,
+      s"live query rebuilt templates: ${cache.misses - missesAfterWarm} new misses")
+    assert(cache.hits >= 4)
+    assert(cs.lastPlan.isDefined, "query must stay on the COMPASS path")
+  }
+
   test("BASELINE metric: chosen order's true intermediate size <= naive's") {
     // The reference's success criterion (BASELINE.md "Port target"): on
     // multi-join queries the sketch-chosen order's intermediate-result sum

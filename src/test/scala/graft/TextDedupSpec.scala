@@ -138,6 +138,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("gram arrays: no empty unigram; lengths pinned") {
+    import spark.implicits._
+    val df = Seq("abc", "aab", "的是", "x", "a b", "abcdabcd").toDF("t")
+      .select(size(TextAnalysis.unigrams(col("t"))).as("u"),
+        size(TextAnalysis.trigrams(col("t"))).as("g"),
+        array_contains(TextAnalysis.unigrams(col("t")), "").as("has_empty"))
+      .collect()
+    // distinct chars: abc→3, aab→2, 的是→2, x→1, "a b"→3 (space is a char),
+    // abcdabcd→4
+    assert(df.map(_.getInt(0)).toSeq == Seq(3, 2, 2, 1, 3, 4))
+    // trigram windows max(len-2,1), then distinct: abcdabcd has 6 windows
+    // but only 4 distinct (abc,bcd,cda,dab repeat)
+    assert(df.map(_.getInt(1)).toSeq == Seq(1, 1, 1, 1, 1, 4))
+    assert(df.forall(!_.getBoolean(2)), "empty-string gram must be removed")
+  }
+
   test("gram profiles are length-consistent and zh fires on unsegmented CJK") {
     import spark.implicits._
     TextAnalysis.gramProfiles.foreach { case (lang, (n, grams)) =>
