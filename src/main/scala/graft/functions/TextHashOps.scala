@@ -58,7 +58,10 @@ object TextHashKernel {
   }
 
   /** = aggregate(shingles, [p]*m, (acc,x) => zip_with(acc, h(x), least));
-    * `ab` packs the hash params as [a0,b0,a1,b1,…].
+    * `ab` packs the hash params as [a0,b0,a1,b1,…]. Null elements are
+    * skipped — the HOF formulation maps them to a null hash which `least`
+    * ignores, so a caller-supplied array with nulls must not perturb the
+    * signature here either.
     */
   def minhashSig(shingles: ArrayData, ab: Array[Long]): ArrayData = {
     val m = ab.length / 2
@@ -66,13 +69,15 @@ object TextHashKernel {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val x = shingles.getLong(i)
-      val xm = ((x % P) + P) % P
-      var j = 0
-      while (j < m) {
-        val h = (xm * ab(2 * j) + ab(2 * j + 1)) % P
-        if (h < sig(j)) sig(j) = h
-        j += 1
+      if (!shingles.isNullAt(i)) {
+        val x = shingles.getLong(i)
+        val xm = ((x % P) + P) % P
+        var j = 0
+        while (j < m) {
+          val h = (xm * ab(2 * j) + ab(2 * j + 1)) % P
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -168,14 +173,20 @@ case class ShingleHashesExpr(child: Expression, k: Int) extends TextHashExpr {
   override def prettyName: String = "shingle_hashes"
 }
 
-case class MinhashSigExpr(child: Expression, ab: Array[Long]) extends TextHashExpr {
+/** `ab` is an immutable IndexedSeq (not Array) so two expressions with the
+  * same params compare structurally equal — Array fields compare by
+  * reference, which would defeat canonicalization / semanticEquals / CSE
+  * for repeated minhash calls.
+  */
+case class MinhashSigExpr(child: Expression, ab: IndexedSeq[Long]) extends TextHashExpr {
+  @transient private lazy val abArr: Array[Long] = ab.toArray
   override protected def accepts(t: DataType): Boolean =
     t match { case ArrayType(LongType, _) => true; case _ => false }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
-    TextHashKernel.minhashSig(t.asInstanceOf[ArrayData], ab)
+    TextHashKernel.minhashSig(t.asInstanceOf[ArrayData], abArr)
   override protected def kernelCall(ctx: CodegenContext, c: String): String = {
-    val abRef = ctx.addReferenceObj("minhashAB", ab, "long[]")
+    val abRef = ctx.addReferenceObj("minhashAB", abArr, "long[]")
     s"graft.functions.TextHashKernel.minhashSig($c, $abRef)"
   }
   override protected def withNewChildInternal(c: Expression): MinhashSigExpr = copy(child = c)
@@ -208,7 +219,7 @@ object TextHashOps {
   def shingleHashes(text: Column, k: Int): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expr(text), k))
   def minhashSig(shingles: Column, ab: Array[Long]): Column =
-    Bridge.column(MinhashSigExpr(Bridge.expr(shingles), ab))
+    Bridge.column(MinhashSigExpr(Bridge.expr(shingles), ab.toIndexedSeq))
   def simhash64(text: Column): Column =
     Bridge.column(Simhash64Expr(Bridge.expr(text)))
   def ngramHashes(text: Column, n: Int): Column =

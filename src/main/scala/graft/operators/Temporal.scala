@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   private val asofInternal =
-    Seq("_asof_tag", "_asof_v", "_asof_c", "_asof_s", "_asof_in")
+    Seq("_asof_tag", "_asof_v", "_asof_c", "_asof_s", "_asof_in",
+      "_asof_in_k", "_asof_in_s", "_asof_rk", "_asof_rs")
 
   /** Backward as-of join: for every left row, attach the `carry` columns
     * of the LATEST right row with `right.ts <= left.ts` in the same key
@@ -90,21 +91,32 @@ object Temporal {
         // broadcastable at any skew.
         val wPrior = Window.partitionBy(keyCol).orderBy(col("_asof_s"))
           .rowsBetween(Window.unboundedPreceding, -1)
+        // Null-safe joins throughout: the unsalted Window.partitionBy puts
+        // NULL keys in one partition, so NULL-key rows must keep matching
+        // their ranges here too (a Seq-using join would drop them).
         val rightLast = r.withColumn("_asof_s", saltOf(col(tsCol)))
           .groupBy(col(keyCol), col("_asof_s"))
           .agg(max(struct(col(tsCol), col("_asof_v"))).as("_bucket_last"))
+          .select(col(keyCol).as("_asof_rk"), col("_asof_s").as("_asof_rs"),
+            col("_bucket_last"))
         val summary = salted.select(col(keyCol), col("_asof_s")).distinct()
-          .join(rightLast, Seq(keyCol, "_asof_s"), "left")
+          .join(rightLast,
+            col(keyCol) <=> col("_asof_rk") && col("_asof_s") <=> col("_asof_rs"),
+            "left")
           .withColumn("_asof_in",
             last(col("_bucket_last"), ignoreNulls = true).over(wPrior)
               .getField("_asof_v"))
-          .select(col(keyCol).as("_in_k"), col("_asof_s").as("_in_s"),
+          .select(col(keyCol).as("_asof_in_k"), col("_asof_s").as("_asof_in_s"),
             col("_asof_in"))
+        // Null-safe key compare: the unsalted Window.partitionBy groups NULL
+        // keys into one partition, so NULL-key left rows must still receive
+        // cross-range carry-in here.
         salted
           .withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
           .filter(col("_asof_tag") === 1)
           .join(broadcast(summary),
-            col(keyCol) === col("_in_k") && col("_asof_s") <=> col("_in_s"),
+            col(keyCol) <=> col("_asof_in_k") &&
+              col("_asof_s") <=> col("_asof_in_s"),
             "left")
           // Struct-level coalesce: a chosen in-range row whose carry FIELD
           // is null must yield null, not an earlier range's value.

@@ -105,6 +105,37 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: salted path is exactly equivalent under 90% single-key skew") {
+    import spark.implicits._
+    // The docstring's claimed contract: saltSpanSec changes the plan, never
+    // the result. Data stresses everything the summary join must get right:
+    // one key holding ~90 % of rows (spanning many salt ranges), NULL keys
+    // (the unsalted window groups them — the null-safe join must too),
+    // NULL left timestamps, ts collisions, ranges with only left rows
+    // (carry-in from an earlier range), and keys with no right rows.
+    val rng = new scala.util.Random(41)
+    def key(): String = rng.nextInt(10) match {
+      case 0 => null           // NULL-key group
+      case n if n <= 1 => "b"  // minor key
+      case _ => "hot"          // ~80-90 % of rows
+    }
+    for (trial <- 1 to 3) {
+      val right = Seq.fill(80)((key(), ts(rng.nextInt(55)),
+        rng.nextInt(100).toDouble)).toDF("k", "ts", "px")
+      val left = Seq.tabulate(60) { i =>
+        val t = if (rng.nextInt(12) == 0) null else ts(rng.nextInt(55))
+        (key(), t.asInstanceOf[Timestamp], (trial * 1000 + i).toLong)
+      }.toDF("k", "ts", "id")
+      val unsalted = Temporal.asofJoin(left, right, "k", "ts", Seq("px"))
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+      // Span of 120 s ⇒ the 55-minute ts domain spreads over ~28 ranges.
+      val salted = Temporal.asofJoin(left, right, "k", "ts", Seq("px"),
+          saltSpanSec = Some(120L))
+        .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+      assert(salted == unsalted, s"trial $trial: salted != unsalted")
+    }
+  }
+
   test("as-of join plan: exactly one hash exchange (the key window), no join operator") {
     import spark.implicits._
     val quotes = (1 to 50).map(i => ("a", ts(i % 60), i.toDouble)).toDF("k", "ts", "px")

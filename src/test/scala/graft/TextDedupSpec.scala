@@ -95,6 +95,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bad2.count() == 0)
   }
 
+  test("MinhashSigExpr: structural equality and null-element skipping") {
+    import spark.implicits._
+    import graft.functions.{MinhashSigExpr, TextHashOps}
+    import org.apache.spark.sql.graftbridge.Bridge
+    // Same params must compare equal (Seq, not Array, so canonicalization /
+    // semanticEquals / CSE see repeated minhash calls as one expression).
+    val c = Bridge.expr(col("sh"))
+    val e1 = MinhashSigExpr(c, IndexedSeq(3L, 5L, 7L, 11L))
+    val e2 = MinhashSigExpr(c, IndexedSeq(3L, 5L, 7L, 11L))
+    assert(e1 == e2 && e1.semanticEquals(e2),
+      "identical-param MinhashSigExpr instances must be structurally equal")
+    // A null element behaves like the HOF formulation: pmod(null)·a+b → null,
+    // which least() ignores — so nulls must not perturb the signature.
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](17L, null, 23L)))
+      .toDF("sh")
+    val without = Seq(Tuple1(Seq[java.lang.Long](17L, 23L))).toDF("sh")
+    val ab = Array(3L, 5L, 7L, 11L)
+    val sigN = withNull.select(TextHashOps.minhashSig(col("sh"), ab)).head.getSeq[Long](0)
+    val sig0 = without.select(TextHashOps.minhashSig(col("sh"), ab)).head.getSeq[Long](0)
+    assert(sigN == sig0, "null shingle elements must be skipped, not hashed as 0")
+  }
+
   test("skew guard drops oversized buckets instead of exploding the join") {
     import spark.implicits._
     // 300 identical docs → every band bucket has 300 members; with
