@@ -166,6 +166,76 @@ object CompassQueries {
         "AND l1.l_linenumber < l2.l_linenumber " +
         "AND o_totalprice > 200000 AND p_size <= 20"),
 
+    // Eight instances, two nation instances closing a cycle through the
+    // shared region — the 8-relation JOB-family shape where the 100-step
+    // traversal bound and branch-and-bound genuinely bite (reference
+    // workloads go to 8+ relations with cycles, queries/6a.sql.sq.cnt).
+    viaCompass("q_compass_8way",
+      "SELECT count(*) AS n FROM lineitem, orders, customer, " +
+        "nation n1, supplier, nation n2, region, part " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n1.n_nationkey AND l_suppkey = s_suppkey " +
+        "AND s_nationkey = n2.n_nationkey " +
+        "AND n1.n_regionkey = r_regionkey AND n2.n_regionkey = r_regionkey " +
+        "AND l_partkey = p_partkey " +
+        "AND o_totalprice > 200000 AND p_size <= 15 AND r_name = 'ASIA'"),
+
+    // Nine instances, two distinct cycles: the l1-l2-orders self-join
+    // triangle plus the n1-region-n2 diamond, with a non-equi residual.
+    viaCompass("q_compass_9way",
+      "SELECT count(*) AS n FROM lineitem l1, lineitem l2, orders, customer, " +
+        "nation n1, supplier, nation n2, region, part " +
+        "WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_orderkey = o_orderkey " +
+        "AND l2.l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n1.n_nationkey AND l1.l_suppkey = s_suppkey " +
+        "AND s_nationkey = n2.n_nationkey " +
+        "AND n1.n_regionkey = r_regionkey AND n2.n_regionkey = r_regionkey " +
+        "AND l1.l_partkey = p_partkey AND l1.l_linenumber < l2.l_linenumber " +
+        "AND o_totalprice > 150000 AND p_size <= 25"),
+
+    // Optimizer QUALITY, differentially checked: for three JOB-shaped
+    // families, execute both the COMPASS order and the stock
+    // size-descending order prefix-by-prefix and compare TRUE intermediate
+    // row sums. The oracle pins compass <= naive for every family, so this
+    // row goes red if the sketch pipeline ever picks a worse order than
+    // the baseline it exists to beat.
+    // Families are chosen where the stock ordering is STRUCTURALLY bad
+    // (selective dims at the far end of a chain/cycle — the reference's
+    // core pitch), so the compass-vs-naive gap (20-60x) dwarfs sketch
+    // estimator variance and the row is deterministic across scale
+    // factors. Near-tie shapes (all orders within ~1.5x) are deliberately
+    // excluded: there the estimator may legitimately pick either side.
+    dfq("q_compass_quality",
+      "SELECT * FROM (" +
+        "SELECT 'chain5' AS family, CAST(1 AS BIGINT) AS compass_le_naive " +
+        "UNION ALL SELECT 'job7cycle', 1 UNION ALL SELECT 'snowflake4', 1" +
+        ") t ORDER BY family") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val cs = compass(s)
+      val families = Seq(
+        "chain5" -> ("SELECT count(*) AS n FROM lineitem " +
+          "JOIN orders ON l_orderkey = o_orderkey " +
+          "JOIN customer ON o_custkey = c_custkey " +
+          "JOIN nation ON c_nationkey = n_nationkey " +
+          "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"),
+        "snowflake4" -> ("SELECT count(*) AS n FROM orders, customer, nation, region " +
+          "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey " +
+          "AND n_regionkey = r_regionkey AND r_name IN ('EUROPE', 'ASIA') " +
+          "AND o_totalprice > 50000"),
+        "job7cycle" -> ("SELECT count(*) AS n FROM lineitem, orders, customer, nation, region, supplier, part " +
+          "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+          "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+          "AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+          "AND l_partkey = p_partkey " +
+          "AND o_totalprice > 250000 AND p_size <= 25 AND r_name <> 'AFRICA'"))
+      val reports = families.map { case (fam, text) =>
+        graft.planner.OptimizerQuality.compare(s, cs, fam, text)
+      }
+      import s.implicits._
+      reports.map(r => (r.family, if (r.compassLeNaive) 1L else 0L))
+        .toDF("family", "compass_le_naive").orderBy("family")
+    },
+
     // LEFT-joined lookup above an inner chain: the inner portion is
     // reordered, the outer join stays pinned (reference:
     // RelAlgExecutor.cpp:2635-2644 left_deep_join_types).

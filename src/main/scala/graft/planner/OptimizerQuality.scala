@@ -1,0 +1,118 @@
+package graft.planner
+
+import graft.plans.{ExtractedJoinGraph, JoinGraphExtractor}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.SparkSession
+
+/** Differential evidence that the sketch-chosen join order beats (or ties)
+  * the stock ordering on TRUE cardinalities — the reference's whole value
+  * proposition, measured instead of asserted.
+  *
+  * The reference reports this as stdout traces of per-step intermediate
+  * sizes (mapd-core/QueryEngine/RelAlgExecutor.cpp:2573-2600) against its
+  * stock size-descending ordering (RelAlgExecutor.cpp:2608-2621). Here both
+  * orders are executed prefix-by-prefix and the exact intermediate-row sums
+  * compared, so the claim "COMPASS's order produces smaller intermediates"
+  * is a driver-checkable row, not a paper citation.
+  */
+object OptimizerQuality {
+
+  final case class Report(family: String, compassSum: Long, naiveSum: Long) {
+    def compassLeNaive: Boolean = compassSum <= naiveSum
+  }
+
+  /** Run `text` through the full COMPASS pipeline, then measure the true
+    * intermediate sums of the chosen order and of the stock baseline.
+    * Fails loudly if the query does not take the COMPASS path — a quality
+    * claim over a fallback plan would be vacuous.
+    */
+  def compare(spark: SparkSession, cs: CompassSession, family: String,
+      text: String): Report = {
+    val df = spark.sql(text)
+    val g = JoinGraphExtractor.extract(df.queryExecution.analyzed)
+      .getOrElse(sys.error(s"$family: not an optimizable join region"))._1
+    cs.lastPlan = None
+    cs.optimize(df)
+    val plan = cs.lastPlan
+      .getOrElse(sys.error(s"$family: query did not take the COMPASS path"))
+    val nameToIdx = g.instances.map(i => i.name -> i.idx).toMap
+    val compassOrder = plan.order.map(nameToIdx)
+    require(compassOrder.sorted == g.instances.indices.toList,
+      s"$family: COMPASS order ${plan.order} does not cover the graph")
+    // The baseline gets TRUE filtered cardinalities (not sketch counts):
+    // the strongest version of the stock ordering.
+    val counts: Map[Int, Long] = g.instances.map(i =>
+      i.idx -> Bridge.ofRows(spark, filteredPlan(g, i.idx)).count()).toMap
+    Report(family,
+      trueIntermediateSum(spark, g, compassOrder),
+      trueIntermediateSum(spark, g, naiveOrder(g, counts)))
+  }
+
+  /** Stock baseline (reference RelAlgExecutor.cpp:2608-2621 sorts relations
+    * by descending size): largest filtered instance first, then repeatedly
+    * the largest instance adjacent to the placed prefix (largest remaining
+    * when nothing connects — the Cross case, as in rebuildRegion). Ties
+    * break on instance name for cross-run determinism.
+    */
+  def naiveOrder(g: ExtractedJoinGraph, counts: Map[Int, Long]): Seq[Int] = {
+    val adj: Map[Int, Set[Int]] = {
+      val m = scala.collection.mutable.Map.empty[Int, Set[Int]]
+        .withDefaultValue(Set.empty)
+      g.edges.foreach { case ((a, _), (b, _)) =>
+        m(a) = m(a) + b; m(b) = m(b) + a
+      }
+      m.toMap.withDefaultValue(Set.empty)
+    }
+    def largest(cand: Iterable[Int]): Int =
+      cand.minBy(i => (-counts(i), g.instances(i).name))
+    val all = g.instances.indices.toSet
+    var placed = Vector(largest(all))
+    while (placed.size < all.size) {
+      val remaining = all -- placed
+      val connected = remaining.filter(i => adj(i).exists(placed.contains))
+      placed :+= largest(if (connected.nonEmpty) connected else remaining)
+    }
+    placed
+  }
+
+  /** Σ over k = 2..n-1 of the EXACT row count of joining the order's first
+    * k filtered instances on their internal equi-edges (the final join is
+    * order-independent and excluded — the same objective the enumerator
+    * minimizes on estimates, RelAlgExecutor.cpp:2226-2231).
+    */
+  def trueIntermediateSum(spark: SparkSession, g: ExtractedJoinGraph,
+      order: Seq[Int]): Long =
+    (2 until order.size).map(k =>
+      Bridge.ofRows(spark, prefixPlan(g, order.take(k))).count()).sum
+
+  private def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan =
+    g.instanceFilters.get(i).filter(_.nonEmpty) match {
+      case Some(fs) => Filter(fs.reduce(And), g.instances(i).plan)
+      case None => g.instances(i).plan
+    }
+
+  /** Left-deep join of a prefix with every edge internal to it applied —
+    * the same splice shape as CompassSession.rebuildRegion, minus hints.
+    */
+  private def prefixPlan(g: ExtractedJoinGraph, prefix: Seq[Int]): LogicalPlan = {
+    var placed = Set(prefix.head)
+    var remaining = g.edges
+    var tree = filteredPlan(g, prefix.head)
+    prefix.tail.foreach { i =>
+      val (applicable, rest) = remaining.partition { case ((ia, _), (ib, _)) =>
+        (ia == i && placed.contains(ib)) || (ib == i && placed.contains(ia))
+      }
+      remaining = rest
+      val cond = applicable
+        .map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
+        .reduceOption(And)
+      tree = Join(tree, filteredPlan(g, i),
+        if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
+      placed += i
+    }
+    tree
+  }
+}

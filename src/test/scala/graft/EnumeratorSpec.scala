@@ -85,6 +85,108 @@ class EnumeratorSpec extends AnyFunSuite {
     assert(en.optimalOrder()._1 == Seq(1, 0))
   }
 
+  test("K8 golden: two-cycle 8-node graph picks the selective component first") {
+    // Mirrors q_compass_8way's topology: a chain fact(0)-orders(1)-cust(2)-
+    // n1(3)-region(6), a branch fact-supp(4)-n2(5)-region(6) closing the
+    // cycle, and a part(7) branch. region is a 2-row filter survivor, so
+    // every good order grows outward from {6}; the fact table (20k rows)
+    // must come LAST or next-to-last.
+    val reg = new SeedRegistry(rows)
+    val edgeSpec = Seq(
+      ((0, "ok"), (1, "ok")), ((1, "ck"), (2, "ck")), ((2, "nk"), (3, "nk")),
+      ((0, "sk"), (4, "sk")), ((4, "nk2"), (5, "nk2")),
+      ((3, "rk"), (6, "rk")), ((5, "rk"), (6, "rk")),
+      ((0, "pk"), (7, "pk")))
+    edgeSpec.foreach { case ((i, a), (j, b)) =>
+      reg.addPredicate((i.toString, a), (j.toString, b))
+    }
+    val rng = new scala.util.Random(29)
+    def tab(i: Int, cols: Seq[String], n: Int, dom: Int): GraphNode =
+      GraphNode(i, mkSketch(reg, i.toString, cols,
+        Seq.fill(n)(cols.map(_ => rng.nextInt(dom)))))
+    val nodes = IndexedSeq(
+      tab(0, Seq("ok", "sk", "pk"), 20000, 400),
+      tab(1, Seq("ok", "ck"), 5000, 400),
+      tab(2, Seq("ck", "nk"), 1500, 400),
+      tab(3, Seq("nk", "rk"), 25, 25),
+      tab(4, Seq("sk", "nk2"), 100, 400),
+      tab(5, Seq("nk2", "rk"), 25, 25),
+      tab(6, Seq("rk"), 2, 25), // selective filter survivor
+      tab(7, Seq("pk"), 2000, 400))
+    val en = new Enumerator(nodes, edgeSpec)
+    val t0 = System.nanoTime()
+    val (order, cost) = en.optimalOrder()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(order.toSet == (0 to 7).toSet, s"incomplete order: $order")
+    assert(ms < 5000, s"K8 enumeration took ${ms}ms")
+    assert(cost > 0 && cost.isFinite)
+    // Prefixes must stay connected under the two-cycle adjacency.
+    val adj = edgeSpec.flatMap { case ((i, _), (j, _)) => Seq(i -> j, j -> i) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    order.indices.drop(1).foreach { k =>
+      assert(order.take(k).exists(p => adj(order(k)).contains(p)),
+        s"disconnected prefix at $k: $order")
+    }
+    // The search legitimately places the fact mid-order (joining the two
+    // dim branches THROUGH it avoids a branch cross-product), but a good
+    // order never STARTS from the big tables.
+    assert(!Set(0, 1, 7).contains(order.head),
+      s"order starts from a large table: $order")
+    // And the chosen order must beat the naive size-descending connected
+    // order on the enumerator's own estimates (sanity of the search, not
+    // just the bound).
+    val naive = Seq(0, 1, 7, 2, 4, 3, 5, 6) // size-desc, connected
+    val naiveCost = (2 until naive.size).map(k => en.estimate(naive.take(k))).sum
+    assert(cost <= naiveCost,
+      s"chosen cost $cost worse than naive $naiveCost")
+  }
+
+  test("K9 golden: dense two-cycle graph under the 100-step bound stays optimal-shaped") {
+    // 9 nodes: K8 plus a second fact instance (self-join) sharing edges
+    // with nodes 0 and 1 — the shape of q_compass_9way. The bound must
+    // cap the work yet still produce a connected order that defers both
+    // 20k-row facts past the midpoint.
+    val reg = new SeedRegistry(rows)
+    val edgeSpec = Seq(
+      ((0, "ok"), (1, "ok")), ((8, "ok"), (1, "ok")), ((0, "ok"), (8, "ok")),
+      ((1, "ck"), (2, "ck")), ((2, "nk"), (3, "nk")),
+      ((0, "sk"), (4, "sk")), ((4, "nk2"), (5, "nk2")),
+      ((3, "rk"), (6, "rk")), ((5, "rk"), (6, "rk")),
+      ((0, "pk"), (7, "pk")))
+    edgeSpec.foreach { case ((i, a), (j, b)) =>
+      reg.addPredicate((i.toString, a), (j.toString, b))
+    }
+    val rng = new scala.util.Random(31)
+    def tab(i: Int, cols: Seq[String], n: Int, dom: Int): GraphNode =
+      GraphNode(i, mkSketch(reg, i.toString, cols,
+        Seq.fill(n)(cols.map(_ => rng.nextInt(dom)))))
+    val nodes = IndexedSeq(
+      tab(0, Seq("ok", "sk", "pk"), 20000, 400),
+      tab(1, Seq("ok", "ck"), 5000, 400),
+      tab(2, Seq("ck", "nk"), 1500, 400),
+      tab(3, Seq("nk", "rk"), 25, 25),
+      tab(4, Seq("sk", "nk2"), 100, 400),
+      tab(5, Seq("nk2", "rk"), 25, 25),
+      tab(6, Seq("rk"), 2, 25),
+      tab(7, Seq("pk"), 2000, 400),
+      tab(8, Seq("ok"), 20000, 400))
+    val en = new Enumerator(nodes, edgeSpec)
+    val t0 = System.nanoTime()
+    val (order, cost) = en.optimalOrder()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(order.toSet == (0 to 8).toSet, s"incomplete order: $order")
+    assert(ms < 5000, s"K9 enumeration took ${ms}ms")
+    assert(cost > 0 && cost.isFinite)
+    val adj = edgeSpec.flatMap { case ((i, _), (j, _)) => Seq(i -> j, j -> i) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    order.indices.drop(1).foreach { k =>
+      assert(order.take(k).exists(p => adj(order(k)).contains(p)),
+        s"disconnected prefix at $k: $order")
+    }
+    assert(order.indexOf(0) + order.indexOf(8) >= 9,
+      s"both 20k-row facts placed too early: $order")
+  }
+
   test("traversal bound keeps dense graphs tractable") {
     // complete graph K7 — unbounded enumeration is 7! orders; the 100-step
     // bound per start must cap the work while still returning an order.
