@@ -34,8 +34,13 @@ object Bench {
       try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
       graft.operators.OpCaches.releaseAll(spark)
     }
+    // Optional name filter (local iteration: `runMain graft.Bench q_a q_b`);
+    // the driver passes no args and gets the full run.
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) Queries.all else Queries.all.filter(e => only(e.name))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
-    Queries.all.foreach { e =>
+    selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens
       // to interrupt (r3 showed ~1.5x uniform drift on join entries).

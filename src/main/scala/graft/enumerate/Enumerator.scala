@@ -99,10 +99,62 @@ final class Enumerator(
           val others = traversal.filterNot(_ == n)
           composedPlane(n, others)
         }
-        Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
+        val sketchEst = Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
+        // Degeneracy guard (beyond the reference): the multi-way
+        // product-median is only hash-aligned when adjacent traversal
+        // members share seed classes; with several distinct join
+        // attributes in play the per-bucket products telescope into
+        // clamp-noise (~buckets·1e-4^k) and every deep prefix "estimates"
+        // ~0 — branch-and-bound then compares noise, and on cyclic
+        // shapes (the 9-way region diamond) the chosen order measured 8x
+        // WORSE true intermediates than stock. No connected join of
+        // non-empty survivors is truly below one row, so an estimate
+        // under 1 is read as "no signal" and replaced by a cascaded
+        // spanning-tree selectivity estimate built from the RELIABLE
+        // ingredients: exact survivor counts and pairwise sketch
+        // estimates (always seed-aligned on their own predicate).
+        if (sketchEst >= 1.0) sketchEst else cascadeEstimate(traversal)
       }
     })
   }
+
+  /** Independence-cascade estimate of |⋈ traversal|: Π survivor counts ×
+    * Π edge selectivities over a most-selective spanning forest (greedy
+    * Prim; extra cycle edges are ignored — an upper bound, like every
+    * cascade). Edge selectivity = pairwise sketch estimate / (|a|·|b|),
+    * clamped to [0, 1]. Members with no edge into the tree contribute a
+    * cartesian factor, mirroring rebuildRegion's Cross splice.
+    */
+  private def cascadeEstimate(traversal: Seq[Int]): Double = {
+    val members = traversal.toSet
+    var est = traversal.map(n => math.max(1.0, sketchOf(n).count.toDouble)).product
+    var inTree = Set(traversal.head)
+    while (inTree.size < members.size) {
+      // Most selective edge crossing the cut; cartesian (sel = 1) if none.
+      val candidates = for {
+        n <- (members -- inTree).toSeq
+        m <- inTree.toSeq
+        if joinCols.contains((n, m))
+      } yield (n, edgeSelectivity(n, m))
+      if (candidates.isEmpty) {
+        inTree += (members -- inTree).head
+      } else {
+        val (n, sel) = candidates.minBy(_._2)
+        est *= sel
+        inTree += n
+      }
+    }
+    est
+  }
+
+  private val selMemo = mutable.Map.empty[(Int, Int), Double]
+
+  private def edgeSelectivity(a: Int, b: Int): Double =
+    selMemo.getOrElseUpdate((math.min(a, b), math.max(a, b)), {
+      val ca = math.max(1.0, sketchOf(a).count.toDouble)
+      val cb = math.max(1.0, sketchOf(b).count.toDouble)
+      math.min(1.0, math.max(0.0, estimate(Seq(a, b)) / (ca * cb)))
+    })
 
   /** Working plane for node `n` inside a traversal: min-|v| composition
     * over the (first) join column toward each other member, deduplicated

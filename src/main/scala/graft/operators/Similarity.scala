@@ -47,7 +47,7 @@ object Similarity {
       k: Int = 5, rankRounded: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    val c = TextAnalysis.widened(corpus)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val rawCos = cosine(col("qv"), col("cv"))
     val scored = c.crossJoin(q)
@@ -88,7 +88,7 @@ object Similarity {
     // how fast one core chews it. Persist: self-joins read this relation
     // twice; tracked so harnesses release it after the query's action.
     OpCaches.track(
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      TextAnalysis.widened(df)
         .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
         .select(col(idCol), col(vecCol),
           col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
@@ -214,7 +214,7 @@ object Similarity {
               (-i).as("negc")))
           slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
         }), 1)
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      TextAnalysis.widened(df)
         .select(col(id), col(vec), explode(top).as("c"))
         .select(col(id), col(vec),
           (-col("c.negc") - 1).cast("int").as("centroid_id"))

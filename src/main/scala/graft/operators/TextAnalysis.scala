@@ -69,33 +69,87 @@ object TextAnalysis {
   /** Predicted language + per-language scores: stopword-hit ratio blended
     * with char-n-gram profile overlap; argmax, "und" when nothing matches.
     *
-    * Design for one-pass cheapness (the r2 shape re-derived tokenization
-    * inside every per-language score and burned seconds of codegen compile
-    * per cold run on 10 array_intersect trees):
-    *   - tokens / gram arrays are materialized once in their own
-    *     projection (CollapseProject will not inline a non-cheap
-    *     expression referenced more than once);
-    *   - all 5 languages are scored in ONE interpreted fold over the
-    *     arrays against literal word→hit-vector maps (complex literals are
-    *     codegen references, and higher-order functions are interpreted —
-    *     the generated code stays tiny, so cold runs are not dominated by
-    *     Janino);
-    *   - argmax is one array_max over (score, -langIndex) structs (ties →
-    *     alphabetically-first language), not a when-chain that duplicates
-    *     the accumulated struct 2^(n-1) times.
+    * All profile counting happens in ONE compiled kernel pass per document
+    * ([[graft.functions.LangProfileKernel]] — hash-probe lookups instead of
+    * the HOF fold's linear scans over literal-map keys); the scores and the
+    * struct-argmax stay ordinary codegen'd expressions. Bit-identical to
+    * [[withLanguageIdHof]], spec-enforced.
     */
   def withLanguageId(df: DataFrame, textCol: String): DataFrame = {
+    val langs = stopwordProfiles.keys.toSeq.sorted
+    val n = langs.length
+    def lut(profiles: Map[String, Seq[String]]): Seq[(String, Seq[Int])] =
+      hitLut(profiles, langs).toSeq.sortBy(_._1)
+    val spread = widened(df)
+    val counted = spread.withColumn("_lid_h",
+      graft.functions.LangProfileOps.langHitCounts(
+        lower(col(textCol)),
+        lut(stopwordProfiles),
+        lut(gramProfiles.view.mapValues(_._2).toMap), n))
+    def slot(i: Int): Column = element_at(col("_lid_h"), i)
+    val nToks = slot(2 * n + 1)
+    val nG3 = slot(2 * n + 2)
+    val nG1 = slot(2 * n + 3)
+    def ratio(hits: Column, total: Column): Column =
+      hits.cast("double") / greatest(total, lit(1L))
+    val scoreCols = langs.zipWithIndex.map { case (l, i) =>
+      val docGrams = if (gramProfiles(l)._1 == 1) nG1 else nG3
+      round(
+        ratio(slot(i + 1), nToks) + ratio(slot(n + i + 1), docGrams) * 0.5,
+        6).as(s"score_$l")
+    }
+    val scored = counted.select(col("*") +: scoreCols: _*)
+    scored.withColumn("lang_pred", argmaxLang(langs))
+      .drop("_lid_h")
+  }
+
+  /** Argmax over the score_<lang> columns: one array_max over
+    * (score, -langIndex) structs (ties → alphabetically-first language),
+    * not a when-chain that duplicates the accumulated struct 2^(n-1)
+    * times; "und" when no language scores above zero.
+    */
+  private def argmaxLang(langs: Seq[String]): Column = {
+    val best = array_max(array(langs.zipWithIndex.map { case (l, i) =>
+      struct(col(s"score_$l").as("s"), lit(-i).as("negl"))
+    }: _*))
+    when(best.getField("s") > 0,
+      element_at(typedlit(langs), -best.getField("negl") + 1))
+      .otherwise(lit("und"))
+  }
+
+  /** A small input arriving in fewer partitions than cores would serialize
+    * per-row work (sf0.1 documents is ONE parquet split → r2 ran
+    * single-threaded). Only widen — never shrink a well-partitioned
+    * 100 TB input.
+    *
+    * The partition count is ESTIMATED from logical-plan statistics
+    * (bytes / maxPartitionBytes — Spark's own scan bin-packing rule): a
+    * `df.rdd.getNumPartitions` probe would force an extra physical-plan +
+    * codegen round (~0.6 s per query, measured). Plans with unknown size
+    * report huge stats and are left unrepartitioned — the conservative
+    * direction at scale (never add a shuffle to data that may be big).
+    */
+  private[graft] def widened(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism.toLong
+    val maxBytes = math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
+    val estParts = df.queryExecution.analyzed.stats.sizeInBytes / maxBytes + 1
+    if (estParts < p) df.repartition(p.toInt) else df
+  }
+
+  /** The HOF formulation [[withLanguageId]] compiles — the original
+    * expression-only pipeline, kept as the independently-derived spec twin
+    * (literal maps + one aggregate fold; element_at on a map literal is a
+    * linear key scan, which is why the kernel exists).
+    */
+  private[graft] def withLanguageIdHof(df: DataFrame, textCol: String): DataFrame = {
     val langs = stopwordProfiles.keys.toSeq.sorted
     val zeros = Seq.fill(langs.length)(0)
     val stopLut = typedlit(hitLut(stopwordProfiles, langs))
     val gramLut = typedlit(hitLut(gramProfiles.view.mapValues(_._2).toMap, langs))
-    // Interpreted higher-order functions do the heavy lifting; a small
-    // input arriving in fewer partitions than cores would serialize that
-    // work (sf0.1 documents is ONE parquet split → r2 ran
-    // single-threaded). Only widen — never shrink a well-partitioned
-    // 100 TB input.
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Interpreted higher-order functions do the heavy lifting — spread a
+    // narrow input across cores first.
+    val spread = widened(df)
     val t = lower(col(textCol))
     val toks = tokens(col(textCol))
     val mat = spread.withColumn("_lid_toks", toks)

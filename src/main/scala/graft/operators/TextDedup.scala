@@ -101,7 +101,7 @@ object TextDedup {
     */
   private def shingleDF(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     OpCaches.track(
-      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      TextAnalysis.widened(df)
         .select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

@@ -160,6 +160,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L) == "und")
   }
 
+  test("language id kernel is bit-identical to the HOF formulation") {
+    import spark.implicits._
+    // Edge shapes where the kernel's merged-gram-namespace and short-text
+    // window handling must mirror the HOF exactly: empty text, 1-2 char
+    // texts (the "trigram" window IS the unigram — must count once), CJK,
+    // mixed case (lowering), repeated tokens (raw vs distinct counting),
+    // plus real documents.
+    val edges = Seq(
+      (9001L, ""), (9002L, "的"), (9003L, "ab"), (9004L, "的是"),
+      (9005L, "THE The the"), (9006L, "le the el der 的"),
+      (9007L, "  spaces   everywhere  "), (9008L, "短文中文的是不在人有我他这中"))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").limit(200).unionByName(edges)
+    val langs = TextAnalysis.stopwordProfiles.keys.toSeq.sorted
+    val cols = "lang_pred" +: langs.map(l => s"score_$l")
+    val fast = TextAnalysis.withLanguageId(docs, "text")
+      .select("doc_id", cols: _*).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val hof = TextAnalysis.withLanguageIdHof(docs, "text")
+      .select("doc_id", cols: _*).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fast.keySet == hof.keySet)
+    val bad = fast.keys.filter(k => fast(k) != hof(k)).toSeq.sorted
+    assert(bad.isEmpty,
+      s"kernel/HOF divergence on ${bad.take(3).map(k => s"$k: ${fast(k)} vs ${hof(k)}")}")
+  }
+
   test("gram arrays: no empty unigram; lengths pinned") {
     import spark.implicits._
     val df = Seq("abc", "aab", "的是", "x", "a b", "abcdabcd").toDF("t")
