@@ -99,23 +99,58 @@ final class Enumerator(
           val others = traversal.filterNot(_ == n)
           composedPlane(n, others)
         }
-        val sketchEst = Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
-        // Degeneracy guard (beyond the reference): the multi-way
-        // product-median is only hash-aligned when adjacent traversal
-        // members share seed classes; with several distinct join
-        // attributes in play the per-bucket products telescope into
-        // clamp-noise (~buckets·1e-4^k) and every deep prefix "estimates"
-        // ~0 — branch-and-bound then compares noise, and on cyclic
-        // shapes (the 9-way region diamond) the chosen order measured 8x
-        // WORSE true intermediates than stock. No connected join of
-        // non-empty survivors is truly below one row, so an estimate
-        // under 1 is read as "no signal" and replaced by a cascaded
-        // spanning-tree selectivity estimate built from the RELIABLE
-        // ingredients: exact survivor counts and pairwise sketch
-        // estimates (always seed-aligned on their own predicate).
-        if (sketchEst >= 1.0) sketchEst else cascadeEstimate(traversal)
+        // Alignment guard (beyond the reference): the multi-way
+        // product-median multiplies per-bucket counters ACROSS planes, so
+        // it only measures the join when every involved column hashes the
+        // same domain — i.e. all the traversal's internal edges live in
+        // ONE seed equivalence class (e.g. the all-orderkey self-join
+        // triangle). With several distinct join attributes the products
+        // telescope into clamp-noise: deep prefixes "estimate" ~0 (or
+        // garbage), branch-and-bound compares noise, and on the 9-way
+        // region diamond the chosen order measured 8x WORSE true
+        // intermediates than stock. The test is STRUCTURAL (seed-class
+        // fingerprints), not value-based: mixing sketch-scaled and
+        // cascade-scaled numbers inside one search misleads the bound, so
+        // each regime is used consistently — reference product-median
+        // where its math holds, cascaded spanning-forest selectivities
+        // (exact survivor counts x pairwise sketch estimates, always
+        // seed-aligned on their own predicate) everywhere else.
+        if (multiwayAligned(traversal))
+          Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
+        else cascadeEstimate(traversal)
       }
     })
+  }
+
+  /** Seed-class fingerprint of one (node, column): SeedRegistry hands the
+    * SAME seed arrays to every member of an equivalence class, so the
+    * first pair identifies the class.
+    */
+  private def seedFp(n: Int, col: String): (Long, Long, Int, Int) = {
+    val sk = sketchOf(n)
+    val s = sk.seeds(sk.columnIndex(col)).pairs(0)
+    (s.cwA, s.cwB, s.ehS0, s.ehS1)
+  }
+
+  /** True iff every (first) join column on the traversal's internal edges
+    * carries the same seed class — the regime where the product-median is
+    * hash-aligned.
+    */
+  private def multiwayAligned(traversal: Seq[Int]): Boolean = {
+    val fps = mutable.Set.empty[(Long, Long, Int, Int)]
+    var i = 0
+    while (i < traversal.size) {
+      var j = i + 1
+      while (j < traversal.size) {
+        joinCols.get((traversal(i), traversal(j))).foreach { pairs =>
+          fps += seedFp(traversal(i), pairs.head._1)
+          fps += seedFp(traversal(j), pairs.head._2)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    fps.size == 1
   }
 
   /** Independence-cascade estimate of |⋈ traversal|: Π survivor counts ×

@@ -187,6 +187,63 @@ class EnumeratorSpec extends AnyFunSuite {
       s"both 20k-row facts placed too early: $order")
   }
 
+  test("degenerate multiway estimates fall back to the cascade (region-diamond golden)") {
+    // The shape that exposed the no-signal regime: two branches
+    // (customer-nation and supplier-nation) meeting at a tiny shared dim
+    // (region), connected through a big fact. With several distinct join
+    // attributes the product-median telescopes to ~0 for deep prefixes;
+    // without the cascade fallback the search picked orders that cross
+    // the two branches BEFORE the fact connects them — measured 8x worse
+    // true intermediates than stock on the 9-way entry.
+    val reg = new SeedRegistry(rows)
+    val edgeSpec = Seq(
+      ((0, "ck"), (1, "ck")), ((1, "nk"), (2, "nk")), ((2, "rk"), (3, "rk")),
+      ((0, "sk"), (4, "sk")), ((4, "nk2"), (5, "nk2")), ((5, "rk"), (3, "rk")))
+    edgeSpec.foreach { case ((i, a), (j, b)) =>
+      reg.addPredicate((i.toString, a), (j.toString, b))
+    }
+    val rng = new scala.util.Random(37)
+    // Per-attribute domains must be CONSISTENT across the edge (TPC-H-ish:
+    // every customer/supplier matches a nation, every nation a region) or
+    // the branches go empty and deferring the fact is legitimately optimal.
+    def tab(i: Int, cols: Seq[(String, Int)], n: Int): GraphNode =
+      GraphNode(i, mkSketch(reg, i.toString, cols.map(_._1),
+        Seq.fill(n)(cols.map(c => rng.nextInt(c._2)))))
+    val nodes = IndexedSeq(
+      tab(0, Seq("ck" -> 1000, "sk" -> 400), 30000), // fact
+      tab(1, Seq("ck" -> 1000, "nk" -> 25), 1500),   // customer
+      tab(2, Seq("nk" -> 25, "rk" -> 5), 25),        // nation (customer side)
+      tab(3, Seq("rk" -> 5), 5),                     // region hub
+      tab(4, Seq("sk" -> 400, "nk2" -> 25), 400),    // supplier
+      tab(5, Seq("nk2" -> 25, "rk" -> 5), 25))       // nation (supplier side)
+    val en = new Enumerator(nodes, edgeSpec)
+    val (order, _) = en.optimalOrder()
+    assert(order.toSet == (0 to 5).toSet)
+    // The fatal prefix is {customer-branch} ∪ {supplier-branch} with NO
+    // fact: customers x suppliers of the same region. The chosen order
+    // must place the fact before completing both branches.
+    val factAt = order.indexOf(0)
+    val branchEnds = Seq(order.indexOf(1), order.indexOf(4)) // customer, supplier
+    assert(factAt <= branchEnds.max,
+      s"order crosses both branches before the fact joins: $order")
+    // The cascade must be INFORMATIVE (the broken regime estimated ~0 for
+    // every deep prefix) and the accumulated choice must beat the naive
+    // size-descending connected order on the same estimate scale.
+    val prefixEsts = (2 until order.size).map(k => en.estimate(order.take(k)))
+    assert(prefixEsts.forall(_ >= 1.0),
+      s"deep-prefix estimates degenerated again: $prefixEsts")
+    val naive = Seq(0, 1, 4, 2, 5, 3) // size-desc, connected
+    val naiveCost = (2 until naive.size).map(k => en.estimate(naive.take(k))).sum
+    val chosenCost = prefixEsts.sum
+    assert(chosenCost <= naiveCost,
+      s"chosen $chosenCost worse than naive $naiveCost: $order")
+    // Sanity of the cascade numbers themselves (hand-computable truths:
+    // region-aligned customer x supplier cross ≈ 1500·400/5 = 120k).
+    val crossBranch = en.estimate(Seq(3, 2, 1, 5, 4))
+    assert(crossBranch > 5e4 && crossBranch < 5e5,
+      s"cascade cross-branch estimate far from truth (~120k): $crossBranch")
+  }
+
   test("traversal bound keeps dense graphs tractable") {
     // complete graph K7 — unbounded enumeration is 7! orders; the 100-step
     // bound per start must cap the work while still returning an order.
