@@ -83,6 +83,53 @@ class EventStreamSpec extends AnyFunSuite {
     assert(parsed.getAs[Double]("value") == 2.5)
   }
 
+  test("socket transport drives the JSON ingest pipeline (broker analogue)") {
+    // No Kafka broker exists in this environment; a TCP socket source is
+    // the closest real NETWORK transport — the stream arrives over a wire,
+    // not from an in-process queue, exercising the same readStream →
+    // parseEvents → sink path production points at format("kafka").
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val lines = Seq(
+      """{"event_id":1,"ts":"2024-01-01T01:10:00Z","user_id":10,"event_type":"click","value":1.5}""",
+      """{"event_id":2,"ts":"2024-01-01T01:20:00Z","user_id":11,"event_type":"view","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T02:05:00Z","user_id":10,"event_type":"click","value":0.5}""")
+    @volatile var sock: java.net.Socket = null
+    val writer = new Thread(() => {
+      sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      lines.foreach(out.println)
+      out.flush()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val raw = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort)
+      .load()
+    val query = EventStream.parseEvents(raw)
+      .writeStream.format("memory").queryName("socket_out")
+      .outputMode("append").start()
+    try {
+      // The socket reader buffers asynchronously — poll to the row count.
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < lines.size && System.currentTimeMillis() < deadline) {
+        query.processAllAvailable()
+        n = spark.table("socket_out").count()
+        if (n < lines.size) Thread.sleep(100)
+      }
+      val got = spark.table("socket_out")
+        .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          r.getAs[String]("event_type"), r.getAs[Double]("value"))).toSet
+      assert(got == Set((1L, 10L, "click", 1.5), (2L, 11L, "view", 2.0),
+        (3L, 10L, "click", 0.5)), s"socket ingest mismatch: $got")
+    } finally {
+      query.stop()
+      if (sock != null) sock.close()
+      server.close()
+    }
+  }
+
   test("sessionization: gap closes sessions, stats accumulate, state times out") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
