@@ -35,8 +35,11 @@ object Bench {
       graft.operators.OpCaches.releaseAll(spark)
     }
     // Optional name filter (local iteration: `runMain graft.Bench q_a q_b`);
-    // the driver passes no args and gets the full run.
+    // the driver passes no args and gets the full run. Unknown names fail
+    // loudly — a typo must not masquerade as a fast (empty) run.
     val only = args.toSet
+    val unknown = only -- Queries.all.map(_.name).toSet
+    require(unknown.isEmpty, s"unknown bench entries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) Queries.all else Queries.all.filter(e => only(e.name))
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]

@@ -199,12 +199,9 @@ object CompassQueries {
     // row sums. The oracle pins compass <= naive for every family, so this
     // row goes red if the sketch pipeline ever picks a worse order than
     // the baseline it exists to beat.
-    // Families are chosen where the stock ordering is STRUCTURALLY bad
-    // (selective dims at the far end of a chain/cycle — the reference's
-    // core pitch), so the compass-vs-naive gap (20-60x) dwarfs sketch
-    // estimator variance and the row is deterministic across scale
-    // factors. Near-tie shapes (all orders within ~1.5x) are deliberately
-    // excluded: there the estimator may legitimately pick either side.
+    // Family list and its rationale live on OptimizerQuality.families —
+    // shared with OptimizerQualitySpec so the spec pins exactly this
+    // workload.
     dfq("q_compass_quality",
       "SELECT * FROM (" +
         "SELECT 'chain5' AS family, CAST(1 AS BIGINT) AS compass_le_naive " +
@@ -212,23 +209,7 @@ object CompassQueries {
         ") t ORDER BY family") { (s, dir) =>
       Tables.registerAll(s, dir)
       val cs = compass(s)
-      val families = Seq(
-        "chain5" -> ("SELECT count(*) AS n FROM lineitem " +
-          "JOIN orders ON l_orderkey = o_orderkey " +
-          "JOIN customer ON o_custkey = c_custkey " +
-          "JOIN nation ON c_nationkey = n_nationkey " +
-          "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"),
-        "snowflake4" -> ("SELECT count(*) AS n FROM orders, customer, nation, region " +
-          "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey " +
-          "AND n_regionkey = r_regionkey AND r_name IN ('EUROPE', 'ASIA') " +
-          "AND o_totalprice > 50000"),
-        "job7cycle" -> ("SELECT count(*) AS n FROM lineitem, orders, customer, nation, region, supplier, part " +
-          "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
-          "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
-          "AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
-          "AND l_partkey = p_partkey " +
-          "AND o_totalprice > 250000 AND p_size <= 25 AND r_name <> 'AFRICA'"))
-      val reports = families.map { case (fam, text) =>
+      val reports = graft.planner.OptimizerQuality.families.map { case (fam, text) =>
         graft.planner.OptimizerQuality.compare(s, cs, fam, text)
       }
       import s.implicits._

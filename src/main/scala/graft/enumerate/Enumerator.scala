@@ -95,10 +95,6 @@ final class Enumerator(
             sketchOf(a).count.toDouble * sketchOf(b).count.toDouble
         }
       } else {
-        val planes = traversal.map { n =>
-          val others = traversal.filterNot(_ == n)
-          composedPlane(n, others)
-        }
         // Alignment guard (beyond the reference): the multi-way
         // product-median multiplies per-bucket counters ACROSS planes, so
         // it only measures the join when every involved column hashes the
@@ -115,9 +111,18 @@ final class Enumerator(
         // where its math holds, cascaded spanning-forest selectivities
         // (exact survivor counts x pairwise sketch estimates, always
         // seed-aligned on their own predicate) everywhere else.
-        if (multiwayAligned(traversal))
+        // Planes are composed only on the aligned path: each composition
+        // clones |traversal| full planes (~600 KB each), and a
+        // disconnected traversal (size-descending fallback introspection)
+        // would trip composedPlane's require before cascadeEstimate's
+        // cartesian branch could handle it.
+        if (multiwayAligned(traversal)) {
+          val planes = traversal.map { n =>
+            val others = traversal.filterNot(_ == n)
+            composedPlane(n, others)
+          }
           Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
-        else cascadeEstimate(traversal)
+        } else cascadeEstimate(traversal)
       }
     })
   }
@@ -182,14 +187,12 @@ final class Enumerator(
     est
   }
 
-  private val selMemo = mutable.Map.empty[(Int, Int), Double]
-
-  private def edgeSelectivity(a: Int, b: Int): Double =
-    selMemo.getOrElseUpdate((math.min(a, b), math.max(a, b)), {
-      val ca = math.max(1.0, sketchOf(a).count.toDouble)
-      val cb = math.max(1.0, sketchOf(b).count.toDouble)
-      math.min(1.0, math.max(0.0, estimate(Seq(a, b)) / (ca * cb)))
-    })
+  private def edgeSelectivity(a: Int, b: Int): Double = {
+    // estimate(pair) is already memoized; only the clamp runs per call.
+    val ca = math.max(1.0, sketchOf(a).count.toDouble)
+    val cb = math.max(1.0, sketchOf(b).count.toDouble)
+    math.min(1.0, math.max(0.0, estimate(Seq(a, b)) / (ca * cb)))
+  }
 
   /** Working plane for node `n` inside a traversal: min-|v| composition
     * over the (first) join column toward each other member, deduplicated

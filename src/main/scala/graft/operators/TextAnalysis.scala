@@ -132,9 +132,30 @@ object TextAnalysis {
   private[graft] def widened(df: DataFrame): DataFrame = {
     val sess = df.sparkSession
     val p = sess.sparkContext.defaultParallelism.toLong
-    val maxBytes = math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
-    val estParts = df.queryExecution.analyzed.stats.sizeInBytes / maxBytes + 1
-    if (estParts < p) df.repartition(p.toInt) else df
+    val analyzed = df.queryExecution.analyzed
+    // bytes/maxPartitionBytes mirrors Spark's scan bin-packing, so it is a
+    // valid partition-count proxy ONLY for plans that execute as file
+    // scans (projections/filters/aliases over a relation). Derived plans
+    // (joins, aggregates — whose partitioning follows shuffle settings,
+    // not input bytes) fall back to the exact probe; operator entry
+    // points pass raw scans, so the probe's extra plan+codegen round is
+    // only ever paid for caller-supplied derived inputs.
+    val scanShaped = analyzed.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.LeafNode => p
+    }.size == 1 && analyzed.find {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.View => false
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => false
+      case _ => true
+    }.isEmpty
+    val narrow =
+      if (scanShaped) {
+        val maxBytes = math.max(1L, sess.sessionState.conf.filesMaxPartitionBytes)
+        analyzed.stats.sizeInBytes / maxBytes + 1 < p
+      } else df.rdd.getNumPartitions < p
+    if (narrow) df.repartition(p.toInt) else df
   }
 
   /** The HOF formulation [[withLanguageId]] compiles — the original

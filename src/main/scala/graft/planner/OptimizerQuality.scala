@@ -24,6 +24,47 @@ object OptimizerQuality {
     def compassLeNaive: Boolean = compassSum <= naiveSum
   }
 
+  /** The quality battery — ONE source of truth shared by the driver entry
+    * (`q_compass_quality`) and OptimizerQualitySpec, so the spec always
+    * pins exactly the workload the driver checks. Families are chosen
+    * where the stock ordering is STRUCTURALLY bad (selective dims at the
+    * far end of a chain/cycle — 20-60x true-sum gaps), so sketch
+    * estimator variance cannot flip the compass<=naive verdict;
+    * near-tie shapes are deliberately excluded. `nine` is the region
+    * diamond that exposed the degenerate-estimate regime (see
+    * Enumerator's alignment guard) and stays as its regression pin.
+    */
+  val families: Seq[(String, String)] = Seq(
+    "chain5" -> ("SELECT count(*) AS n FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'"),
+    "snowflake4" -> ("SELECT count(*) AS n FROM orders, customer, nation, region " +
+      "WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey " +
+      "AND n_regionkey = r_regionkey AND r_name IN ('EUROPE', 'ASIA') " +
+      "AND o_totalprice > 50000"),
+    "job7cycle" -> ("SELECT count(*) AS n FROM lineitem, orders, customer, nation, region, supplier, part " +
+      "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+      "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+      "AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey " +
+      "AND l_partkey = p_partkey " +
+      "AND o_totalprice > 250000 AND p_size <= 25 AND r_name <> 'AFRICA'"))
+
+  /** Superset for spec runs: the driver battery plus the 9-way diamond
+    * (too heavy for the per-round bench, pinned at sf0.001 in the spec).
+    */
+  val specFamilies: Seq[(String, String)] = families :+
+    ("nine" -> ("SELECT count(*) AS n FROM lineitem l1, lineitem l2, orders, customer, " +
+      "nation n1, supplier, nation n2, region, part " +
+      "WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_orderkey = o_orderkey " +
+      "AND l2.l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+      "AND c_nationkey = n1.n_nationkey AND l1.l_suppkey = s_suppkey " +
+      "AND s_nationkey = n2.n_nationkey " +
+      "AND n1.n_regionkey = r_regionkey AND n2.n_regionkey = r_regionkey " +
+      "AND l1.l_partkey = p_partkey AND l1.l_linenumber < l2.l_linenumber " +
+      "AND o_totalprice > 150000 AND p_size <= 25"))
+
   /** Run `text` through the full COMPASS pipeline, then measure the true
     * intermediate sums of the chosen order and of the stock baseline.
     * Fails loudly if the query does not take the COMPASS path — a quality
@@ -99,16 +140,6 @@ object OptimizerQuality {
     }
     placed
   }
-
-  /** Σ over k = 2..n-1 of the EXACT row count of joining the order's first
-    * k filtered instances on their internal equi-edges (the final join is
-    * order-independent and excluded — the same objective the enumerator
-    * minimizes on estimates, RelAlgExecutor.cpp:2226-2231).
-    */
-  def trueIntermediateSum(spark: SparkSession, g: ExtractedJoinGraph,
-      order: Seq[Int]): Long =
-    (2 until order.size).map(k =>
-      Bridge.ofRows(spark, prefixPlan(g, order.take(k))).count()).sum
 
   private def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan =
     g.instanceFilters.get(i).filter(_.nonEmpty) match {
