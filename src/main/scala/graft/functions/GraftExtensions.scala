@@ -75,7 +75,48 @@ object GraftExtensions {
       (c: Seq[Expression]) => { require(c.size == 1); FagmsSelfJoin(c.head) }),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (c: Seq[Expression]) => { require(c.size == 2); VectorDot(c(0), c(1)) }))
+      (c: Seq[Expression]) => { require(c.size == 2); VectorDot(c(0), c(1)) }),
+    // Text-dedup kernels, SQL-facing: the same compiled Expressions the
+    // DataFrame operators use (TextDedup/TextAnalysis), so a pure-SQL user
+    // gets shingling, MinHash, SimHash and n-gram hashing first-class:
+    //   SELECT doc_id, minhash_sig(shingle_hashes(text, 3), 64) FROM docs
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2, "shingle_hashes(text, k)")
+        ShingleHashesExpr(c(0), litInt(c(1), "shingle_hashes: k"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2 || c.size == 3, "minhash_sig(shingles, numHashes[, seed])")
+        val n = litInt(c(1), "minhash_sig: numHashes")
+        val seed = if (c.size == 3) litLong(c(2), "minhash_sig: seed") else 0x317EL
+        MinhashSigExpr(c(0),
+          graft.operators.TextDedup.minhashParams(n, seed).toIndexedSeq)
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64Expr].getName, "simhash64"),
+      (c: Seq[Expression]) => { require(c.size == 1, "simhash64(text)"); Simhash64Expr(c.head) }),
+    (FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashesExpr].getName, "ngram_hashes"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2, "ngram_hashes(text, n)")
+        NgramHashesExpr(c(0), litInt(c(1), "ngram_hashes: n"))
+      }))
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = functions.foreach {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.GraftExtensions
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL-facing sketch functions registered through the extensions path. */
@@ -63,6 +64,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // matched seeds track truth; mismatched seeds cannot
     assert(math.abs(matched - truth).toDouble / truth <
       math.abs(mismatched - truth).toDouble / truth)
+  }
+
+  test("SQL text-hash functions match the DataFrame kernels exactly") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text").limit(50)
+    docs.createOrReplaceTempView("ext_docs")
+    val sql = spark.sql(
+      "SELECT doc_id, minhash_sig(shingle_hashes(text, 3), 64) AS sig, " +
+        "simhash64(text) AS sim, ngram_hashes(text, 5) AS ng FROM ext_docs")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3))).toMap
+    val df = docs.select(col("doc_id"),
+        graft.operators.TextDedup.minhashSignature(
+          graft.operators.TextDedup.shingleHashes(col("text"), 3), 64).as("sig"),
+        graft.operators.TextDedup.simhash64(col("text")).as("sim"),
+        graft.functions.TextHashOps.ngramHashes(col("text"), 5).as("ng"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3))).toMap
+    assert(sql == df, "SQL surface diverged from the DataFrame kernels")
+    // Custom seed must change signatures (and be accepted as a literal).
+    val seeded = spark.sql(
+      "SELECT minhash_sig(shingle_hashes(text, 3), 64, 99) AS sig FROM ext_docs LIMIT 1")
+      .collect().head.getSeq[Long](0)
+    assert(seeded != sql.values.head._1)
   }
 
   test("non-literal seed class is rejected") {
