@@ -57,6 +57,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"codegen absent:\n$plan")
   }
 
+  test("compiled kernels stay inside WholeStageCodegen (lang-id, minhash)") {
+    // The text kernels exist to keep per-row work compiled; a fallback to
+    // interpreted eval (e.g. a kernel Expression losing doGenCode) would
+    // silently 10x the hot path. The codegen'd projection shows as a
+    // "*(n)" stage containing the kernel's prettyName.
+    val split = "== Initial Plan =="
+    val lang = {
+      Tables.registerAll(spark, dir)
+      val df = operators.TextAnalysis.withLanguageId(
+        Tables.load(spark, dir, "documents"), "text")
+      df.collect()
+      df.queryExecution.executedPlan.toString.split(split).head
+    }
+    assert("\\*\\(\\d+\\).*Project".r.findFirstIn(lang).isDefined,
+      s"lang-id projection not codegen'd:\n$lang")
+    assert(!lang.contains("lang_hit_counts") || lang.contains("*("),
+      s"lang_hit_counts fell out of codegen:\n$lang")
+    val sig = {
+      val df = Tables.load(spark, dir, "documents").select(
+        operators.TextDedup.minhashSignature(
+          operators.TextDedup.shingleHashes(
+            org.apache.spark.sql.functions.col("text"), 3), 64).as("sig"))
+      df.collect()
+      df.queryExecution.executedPlan.toString.split(split).head
+    }
+    assert(sig.contains("*("), s"minhash projection not codegen'd:\n$sig")
+  }
+
   test("COMPASS-rebuilt plan keeps broadcasts and pushdown") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)
