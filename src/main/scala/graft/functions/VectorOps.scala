@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -89,8 +89,86 @@ case class VectorDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** One-pass LSH signature kernel: all `tables` bucket ids of a vector in a
+  * single compiled call. The per-plane formulation builds tables x bits
+  * separate dot expressions — each re-reading the vector and inflating the
+  * generated code; this reads the vector once and runs the
+  * tables x bits x dim FMA loop tight (same accumulation order and
+  * precision as [[VectorDot]]: ascending i, double acc — spec-pinned
+  * bit-identity with the expression formulation).
+  */
+object VecKernel {
+  /** `planes` is flattened [t][j][i] → t*bits*dim + j*dim + i. A vector of
+    * the wrong dimension (or with null elements) yields bucket 0 in every
+    * table — exactly what the per-plane formulation produced (VectorDot →
+    * null → bit 0 for every plane).
+    */
+  def lshSigs(vec: ArrayData, planes: Array[Double], tables: Int, bits: Int,
+      dim: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    if (vec.numElements() == dim) {
+      var ok = true
+      var i = 0
+      while (ok && i < dim) { ok = !vec.isNullAt(i); i += 1 }
+      if (ok) {
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var j = 0
+          while (j < bits) {
+            val base = (t * bits + j) * dim
+            var acc = 0.0
+            var k = 0
+            while (k < dim) {
+              acc += vec.getFloat(k).toDouble * planes(base + k)
+              k += 1
+            }
+            if (acc >= 0) bucket |= 1L << j
+            j += 1
+          }
+          out(t) = bucket
+          t += 1
+        }
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `planes` as an immutable IndexedSeq for structural equality (see
+  * MinhashSigExpr). NULL input vectors return null (no bucket rows after
+  * the explode) — deliberately diverging from the per-plane formulation,
+  * which bucketed every null vector into bucket 0 of every table: at
+  * corpus scale that manufactures one mega-bucket of nulls.
+  */
+case class LshSigsExpr(child: Expression, planes: IndexedSeq[Double],
+    tables: Int, bits: Int, dim: Int) extends UnaryExpression {
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_sigs expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernel.lshSigs(v.asInstanceOf[ArrayData], planesArr, tables, bits, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VecKernel.lshSigs($c, $ref, $tables, $bits, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): LshSigsExpr =
+    copy(child = c)
+  override def prettyName: String = "lsh_sigs"
+}
+
 object VectorOps {
   /** Σ aᵢ·bᵢ in double precision, codegen'd. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(VectorDot(Bridge.expr(a), Bridge.expr(b)))
+
+  /** All LSH table signatures of a vector, one compiled pass. */
+  def lshSigs(vec: Column, planes: Array[Double], tables: Int, bits: Int,
+      dim: Int): Column =
+    Bridge.column(LshSigsExpr(Bridge.expr(vec), planes.toIndexedSeq, tables, bits, dim))
 }

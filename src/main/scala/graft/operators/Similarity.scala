@@ -69,11 +69,42 @@ object Similarity {
   }
 
   /** (table, bucket) signature rows for every corpus vector. Bucket id =
-    * sign-bit pattern of the hyperplane dot products.
+    * sign-bit pattern of the hyperplane dot products, all tables computed
+    * in ONE compiled kernel pass over the vector
+    * ([[graft.functions.VecKernel.lshSigs]] — the per-plane expression
+    * formulation, kept as the spec twin in [[lshBucketsHof]], built
+    * tables x bits separate dots, each re-reading the vector and bloating
+    * the generated code). NULL vectors produce no bucket rows (the HOF
+    * twin bucketed them into bucket 0 of every table — a manufactured
+    * mega-bucket at corpus scale).
     */
   def lshBuckets(
       df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 12, tables: Int = 4, dim: Int = 64,
+      seed: Long = 0xA5CE11L): DataFrame = {
+    val planes = hyperplanes(dim, bits, tables, seed)
+    val flat: Array[Double] = planes.flatten.flatten
+    // Widen: signature work is tables × bits × dim FMAs per row —
+    // spread a possibly-single-partition input across cores. Persist:
+    // self-joins read this relation twice; tracked so harnesses release
+    // it after the query's action.
+    OpCaches.track(
+      TextAnalysis.widened(df)
+        .select(col(idCol), col(vecCol),
+          posexplode(graft.functions.VectorOps.lshSigs(
+            col(vecCol), flat, tables, bits, dim)))
+        .select(col(idCol), col(vecCol),
+          col("pos").as("tbl"), col("col").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The per-plane expression formulation [[lshBuckets]] compiles — the
+    * independently-derived spec twin (bit-identity on non-null vectors
+    * enforced in SimilaritySpec).
+    */
+  private[graft] def lshBucketsHof(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int, dim: Int,
       seed: Long = 0xA5CE11L): DataFrame = {
     val planes = hyperplanes(dim, bits, tables, seed)
     val sigCols: Seq[Column] = planes.zipWithIndex.map { case (tbl, t) =>
@@ -83,16 +114,9 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }.toSeq
-    // Repartition: signature work is tables × bits × dim FMAs per row —
-    // spread a possibly-single-partition input across cores regardless of
-    // how fast one core chews it. Persist: self-joins read this relation
-    // twice; tracked so harnesses release it after the query's action.
-    OpCaches.track(
-      TextAnalysis.widened(df)
-        .select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
-        .select(col(idCol), col(vecCol),
-          col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df.select(col(idCol), col(vecCol), explode(array(sigCols: _*)).as("sig"))
+      .select(col(idCol), col(vecCol),
+        col("sig.tbl").as("tbl"), col("sig.bucket").as("bucket"))
   }
 
   /** ANN top-k: LSH candidate generation + exact cosine re-rank.

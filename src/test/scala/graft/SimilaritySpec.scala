@@ -55,6 +55,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size})")
   }
 
+  test("LSH signature kernel is bit-identical to the per-plane formulation") {
+    import graft.operators.OpCaches
+    // Real embeddings plus a wrong-dimension vector (both formulations
+    // must bucket it as 0 in every table). NULL vectors deliberately
+    // diverge (kernel drops them; the HOF manufactured a null mega-bucket)
+    // so they are excluded here and documented on lshBuckets.
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(100)
+      .unionByName(Seq((90001L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "tbl", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fast = rows(Similarity.lshBuckets(emb, "vec_id", "embedding",
+      bits = 10, tables = 8))
+    OpCaches.releaseAll(spark)
+    val hof = rows(Similarity.lshBucketsHof(emb, "vec_id", "embedding",
+      bits = 10, tables = 8, dim = 64))
+    assert(fast == hof, {
+      val d1 = (fast -- hof).take(3); val d2 = (hof -- fast).take(3)
+      s"kernel/HOF divergence: kernel-only=$d1 hof-only=$d2"
+    })
+    assert(fast.exists { case (id, _, b) => id == 90001L && b == 0L },
+      "wrong-dimension vector must land in bucket 0")
+  }
+
   test("LSH on the unclustered table still returns deterministic candidates") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
