@@ -84,6 +84,28 @@ object TextHashKernel {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** = the two HOF fingerprint folds in one tokenization pass:
+    * `[0]` rolling Karp-Rabin (acc·31 + pmod(xx64(tok), p) mod p, seed 17,
+    * order-sensitive), `[1]` XOR over DISTINCT token hashes (order-free).
+    */
+  def fingerprints(text: UTF8String): ArrayData = {
+    val toks = text.split(WS, -1)
+    var rolling = 17L
+    var setHash = 0L
+    // Distinct by TOKEN (not by hash): two distinct tokens colliding on
+    // xx64 would XOR twice in the HOF (cancelling) but once under
+    // hash-dedup — bit-identity demands token-level distinctness.
+    val seen = new java.util.HashSet[UTF8String]
+    var i = 0
+    while (i < toks.length) {
+      val h = xx64(toks(i))
+      rolling = (rolling * 31 + ((h % P) + P) % P) % P
+      if (seen.add(toks(i))) setHash ^= h
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(rolling, setHash))
+  }
+
   /** = the two-fold HOF simhash: bit j of the result is sign(Σ_terms ±1). */
   def simhash(text: UTF8String): Long = {
     val toks = text.split(WS, -1)
@@ -204,6 +226,17 @@ case class Simhash64Expr(child: Expression) extends TextHashExpr {
   override def prettyName: String = "simhash64"
 }
 
+case class FingerprintsExpr(child: Expression) extends TextHashExpr {
+  override protected def accepts(t: DataType): Boolean = t == StringType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashKernel.fingerprints(t.asInstanceOf[UTF8String])
+  override protected def kernelCall(ctx: CodegenContext, c: String): String =
+    s"graft.functions.TextHashKernel.fingerprints($c)"
+  override protected def withNewChildInternal(c: Expression): FingerprintsExpr = copy(child = c)
+  override def prettyName: String = "text_fingerprints"
+}
+
 case class NgramHashesExpr(child: Expression, n: Int) extends TextHashExpr {
   override protected def accepts(t: DataType): Boolean = t == StringType
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -222,6 +255,8 @@ object TextHashOps {
     Bridge.column(MinhashSigExpr(Bridge.expr(shingles), ab.toIndexedSeq))
   def simhash64(text: Column): Column =
     Bridge.column(Simhash64Expr(Bridge.expr(text)))
+  def fingerprints(text: Column): Column =
+    Bridge.column(FingerprintsExpr(Bridge.expr(text)))
   def ngramHashes(text: Column, n: Int): Column =
     Bridge.column(NgramHashesExpr(Bridge.expr(text), n))
 }

@@ -242,9 +242,20 @@ object TextAnalysis {
 
   /** Rolling (Karp–Rabin-style) content fingerprint over tokens — stable
     * under whitespace normalization, order-sensitive; plus an order-free
-    * set digest. Both 64-bit, pure expressions.
+    * set digest. Both 64-bit, computed in one compiled kernel pass
+    * ([[graft.functions.TextHashKernel.fingerprints]]); the HOF
+    * formulation below is the spec twin.
     */
   def withFingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val fp = graft.functions.TextHashOps.fingerprints(lower(col(textCol)))
+    df.withColumn("_fp", fp)
+      .withColumn("fp_rolling", element_at(col("_fp"), 1))
+      .withColumn("fp_set", element_at(col("_fp"), 2))
+      .drop("_fp")
+  }
+
+  /** The HOF formulation [[withFingerprints]] compiles — spec twin. */
+  private[graft] def withFingerprintsHof(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     // Rolling hash mod 2^31-1 (overflow-free under ANSI mode): acc·31 + h.
     val m = 2147483647L

@@ -72,6 +72,11 @@ class TextDedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id", "text").limit(200).unionByName(edges)
+    val fpFast = TextAnalysis.withFingerprints(docs, "text")
+      .select("doc_id", "fp_rolling", "fp_set").collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fpHof = TextAnalysis.withFingerprintsHof(docs, "text")
+      .select("doc_id", "fp_rolling", "fp_set").collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fpFast == fpHof, "fingerprint kernel/HOF divergence")
     val cmp = docs.select(
       TextDedup.shingleHashes(col("text"), 3).as("sh_fast"),
       TextDedup.shingleHashesHof(col("text"), 3).as("sh_hof"),
