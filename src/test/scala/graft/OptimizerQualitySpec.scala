@@ -14,6 +14,58 @@ class OptimizerQualitySpec extends AnyFunSuite {
   // the 9-way diamond regression pin — see OptimizerQuality.specFamilies.
   private val families = OptimizerQuality.specFamilies
 
+  test("full-shape battery: no catastrophic order on ANY compass workload shape") {
+    // Query-over-query guard across the whole entry workload, not just the
+    // structural families: near-tie shapes (a 3-table filtered chain, the
+    // nation triangle) may legitimately land slightly above the stock
+    // baseline under estimator noise, so the bound here is 2x — loose
+    // enough for ties, tight enough that a degenerate-estimate regression
+    // (the 9-way diamond measured 8x) fails loudly.
+    val shapes = Seq(
+      "star" -> ("SELECT count(*) AS n FROM lineitem, orders, part, supplier " +
+        "WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey " +
+        "AND l_suppkey = s_suppkey AND o_orderpriority = '1-URGENT' AND p_size <= 10"),
+      "filtered3" -> ("SELECT count(*) AS n FROM lineitem, orders, customer " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND o_totalprice > 200000 AND c_mktsegment = 'BUILDING' AND l_quantity > 10"),
+      "cycle5" -> ("SELECT count(*) AS n FROM lineitem, orders, customer, nation, supplier " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n_nationkey AND s_nationkey = n_nationkey " +
+        "AND l_suppkey = s_suppkey AND o_totalprice > 150000"),
+      "tri" -> ("SELECT count(*) AS n FROM supplier, customer, nation " +
+        "WHERE s_nationkey = n_nationkey AND c_nationkey = n_nationkey " +
+        "AND s_nationkey = c_nationkey AND n_name LIKE 'A%' AND s_acctbal > 0"),
+      "sixway" -> ("SELECT count(*) AS n FROM lineitem, orders, customer, nation, region, supplier " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND l_suppkey = s_suppkey AND o_totalprice > 250000 AND s_acctbal > 2000"),
+      "eightway" -> ("SELECT count(*) AS n FROM lineitem, orders, customer, " +
+        "nation n1, supplier, nation n2, region, part " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND c_nationkey = n1.n_nationkey AND l_suppkey = s_suppkey " +
+        "AND s_nationkey = n2.n_nationkey " +
+        "AND n1.n_regionkey = r_regionkey AND n2.n_regionkey = r_regionkey " +
+        "AND l_partkey = p_partkey " +
+        "AND o_totalprice > 200000 AND p_size <= 15 AND r_name = 'ASIA'"))
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      val reports = shapes.map { case (shape, text) =>
+        val r = OptimizerQuality.compare(spark, cs, shape, text)
+        info(s"$shape: compass=${r.compassSum} naive=${r.naiveSum}")
+        r
+      }
+      val bad = reports.filter(r => r.compassSum > 2L * r.naiveSum + 100)
+      assert(bad.isEmpty, s"catastrophic orders: ${bad.map(r =>
+        s"${r.family} ${r.compassSum} vs ${r.naiveSum}")}")
+      // And across the battery compass must WIN in aggregate, not merely
+      // avoid catastrophe.
+      assert(reports.map(_.compassSum).sum <= reports.map(_.naiveSum).sum,
+        "compass lost to stock in aggregate across the battery")
+    } finally cs.close()
+  }
+
   test("compass order's true intermediate sum <= stock order's, per family") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val cs = new CompassSession(spark,
