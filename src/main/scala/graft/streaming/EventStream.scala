@@ -111,4 +111,30 @@ object EventStream {
           }
       }
   }
+
+  /** Stream-stream attribution join: each click matches impressions of the
+    * same user within `attributionSec` BEFORE it. Both sides are
+    * watermarked, and the time-range predicate bounds the state Spark
+    * keeps for each side (impressions held `attributionSec` past their
+    * watermark, clicks not at all) — the canonical bounded-state
+    * stream-stream inner join of a training-data feed (the batch twin of
+    * this predicate is [[graft.operators.Temporal.rangeJoin]]).
+    *
+    * `impressions`: (user_id, imp_ts, imp_id); `clicks`: (user_id,
+    * click_ts, click_id) — output is one row per (impression, click)
+    * attribution pair.
+    */
+  def attributionJoin(
+      impressions: DataFrame, clicks: DataFrame,
+      attributionSec: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark).alias("imp")
+    val clk = clicks.withWatermark("click_ts", watermark).alias("clk")
+    imp.join(clk,
+      expr(s"""
+        imp.user_id = clk.user_id AND
+        click_ts >= imp_ts AND
+        click_ts <= imp_ts + INTERVAL $attributionSec SECONDS
+      """.stripMargin))
+  }
 }

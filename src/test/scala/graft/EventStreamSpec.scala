@@ -249,6 +249,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream attribution join matches within-window pairs, drops the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impIn = MemoryStream[(Long, Timestamp, Long)]
+    val clkIn = MemoryStream[(Long, Timestamp, Long)]
+    val out = EventStream.attributionJoin(
+      impIn.toDF().toDF("user_id", "imp_ts", "imp_id"),
+      clkIn.toDF().toDF("user_id", "click_ts", "click_id"),
+      attributionSec = 1800)
+    val query = out.select("imp_id", "click_id")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      impIn.addData(
+        (10L, ts(1, 0), 100L),  // clicked 20 min later → attributed
+        (10L, ts(2, 0), 101L),  // clicked 40 min later → outside 30-min window
+        (11L, ts(1, 0), 102L))  // other user's click must not match
+      clkIn.addData(
+        (10L, ts(1, 20), 200L),
+        (10L, ts(2, 40), 201L),
+        (12L, ts(1, 10), 202L)) // user with no impressions
+      query.processAllAvailable()
+      // Advance both watermarks so all joinable state resolves.
+      impIn.addData((99L, ts(23), 900L))
+      clkIn.addData((99L, ts(23, 30), 901L))
+      query.processAllAvailable()
+      val got = spark.table("attr_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 200L), (900L, 901L)),
+        s"attribution pairs wrong: $got")
+    } finally query.stop()
+  }
+
   test("streaming user totals agree with batch on the static events table") {
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val batch = EventStream.userTotals(events)
