@@ -29,6 +29,18 @@ object CompassQueries {
     cs
   }
 
+  /** PRE_PROCESSING for harnesses (reference: `PRE_PROCESSING`,
+    * Catalog/COMPASS_init_variables.txt:6 — build every unfiltered
+    * (table × join-col-set) template BEFORE the workload): warm the shared
+    * session's template cache from a representative workload so timed
+    * entries measure steady-state planning, not one-off template builds.
+    */
+  def warm(s: SparkSession, dir: String): Int = {
+    Tables.registerAll(s, dir)
+    compass(s).warmTemplates(
+      graft.planner.OptimizerQuality.specFamilies.map(f => s.sql(f._2)))
+  }
+
   private def viaCompass(name: String, text: String): Entry =
     dfq(name, text) { (s, dir) =>
       Tables.registerAll(s, dir)

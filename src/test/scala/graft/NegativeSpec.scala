@@ -54,6 +54,21 @@ class NegativeSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL text-hash functions reject non-literal shape parameters") {
+    graft.functions.GraftExtensions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // k/numHashes parameterize kernel codegen — a per-row column there is
+    // meaningless and must fail at binding, not return garbage.
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(r_name, r_regionkey) FROM region").collect()
+    }
+    assert(e1.getMessage.contains("integer literal"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(shingle_hashes(r_name, 3), r_regionkey) FROM region").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+  }
+
   test("unresolved column fails analysis with a clean error") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
