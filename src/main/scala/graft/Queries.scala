@@ -70,6 +70,28 @@ object Queries {
         .agg(count(lit(1)).as("n"), sum("l_partkey").cast("long").as("s"))
     },
 
+    // COPY options surface: custom delimiter, no header, explicit null
+    // sentinel — the reference importer's delimiter/null_str/header
+    // options (mapd-core/Import/Importer.h CopyParams; Parser COPY ...
+    // WITH (delimiter='|', nulls='\N')). Null round-trip is part of the
+    // check: a NULL column value must come back NULL, not "\N" or "".
+    dfq("q_csv_options",
+      "SELECT count(*) AS n, count(rf) AS n_rf, min(rf) AS min_rf, " +
+        "CAST(sum(l_partkey) AS BIGINT) AS s FROM " +
+        "(SELECT l_partkey, CASE WHEN l_linenumber = 1 THEN NULL ELSE l_returnflag END AS rf " +
+        "FROM lineitem) t") { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csvo").toString
+      val df = Tables.load(s, dir, "lineitem").select(col("l_partkey"),
+        when(col("l_linenumber") === 1, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("rf"))
+      df.write.mode("overwrite")
+        .option("sep", "|").option("nullValue", "\\N").option("header", "false")
+        .csv(tmp)
+      s.read.option("sep", "|").option("nullValue", "\\N").schema(df.schema).csv(tmp)
+        .agg(count(lit(1)).as("n"), count(col("rf")).as("n_rf"),
+          min("rf").as("min_rf"), sum("l_partkey").cast("long").as("s"))
+    },
+
     // CTAS-style parquet materialization + re-read. Reference:
     // mapd-core/Parser/ParserNode.h:913 CreateTableAsSelectStmt.
     dfq("q_ctas_roundtrip",
