@@ -203,8 +203,10 @@ object PipelineQueries {
   )
 
   private val analysis: Seq[Entry] = Seq(
-    // Language ID via stopword-profile argmax.
-    opaque("q_lang_id") { (s, dir) =>
+    // Language ID via stopword-profile argmax — ORACLE-CHECKED: DuckDB
+    // re-derives the full prediction (tokens, grams, scores, tie-break)
+    // from the same profile constants; see TextAnalysis.langIdOracleSql.
+    dfq("q_lang_id", TextAnalysis.langIdOracleSql()) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       TextAnalysis.withLanguageId(docs, "text")
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))

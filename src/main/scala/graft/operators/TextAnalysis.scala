@@ -209,6 +209,43 @@ object TextAnalysis {
       .drop("_lid_toks", "_lid_g3", "_lid_g1", "_lid_stopc", "_lid_gramc")
   }
 
+  /** DuckDB SQL computing the SAME per-document language prediction —
+    * generated from the same profile constants so oracle and engine
+    * cannot drift. Differential value: tokenization (Java-split semantics
+    * with kept empties), char-window grams with the short-text rule, the
+    * merged gram namespace, score rounding, and the alphabetical
+    * tie-break all re-derived on a second engine (per-doc agreement
+    * verified at sf0.001/0.01/0.1). Yields `(lang_pred, n)` rows.
+    */
+  def langIdOracleSql(table: String = "documents", textCol: String = "text"): String = {
+    val langs = stopwordProfiles.keys.toSeq.sorted
+    def lst(xs: Seq[String]) =
+      xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ",", "]")
+    val scoreCols = langs.map { l =>
+      val dg = if (gramProfiles(l)._1 == 1) "g1" else "g3"
+      s"round(len(list_intersect(dtoks, ${lst(stopwordProfiles(l))}))/greatest(len(toks),1) + " +
+        s"0.5*len(list_intersect(gall, ${lst(gramProfiles(l)._2)}))/greatest(len($dg),1), 6) AS s_$l"
+    }
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    val pred = s"CASE WHEN $m <= 0 THEN 'und' " +
+      langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+    s"""WITH base AS (
+       |  SELECT lower($textCol) AS t FROM $table
+       |), tok AS (
+       |  SELECT t, string_split_regex(t, '\\s+') AS toks FROM base
+       |), g AS (
+       |  SELECT toks, list_distinct(toks) AS dtoks,
+       |    list_distinct(list_transform(range(1, greatest(length(t)-2,1)+1), i -> substring(t, i, 3))) AS g3,
+       |    list_distinct(list_filter(list_transform(range(1, length(t)+1), i -> substring(t, i, 1)), c -> c <> '')) AS g1
+       |  FROM tok
+       |), merged AS (
+       |  SELECT *, list_distinct(list_concat(g3, g1)) AS gall FROM g
+       |), scored AS (
+       |  SELECT ${scoreCols.mkString(", ")} FROM merged
+       |)
+       |SELECT $pred AS lang_pred, count(*) AS n FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Whitespace token count plus a BPE-ish subword count from a regex that
     * splits on word/punct/digit boundaries (an upper-bound proxy for BPE
     * vocab tokenization without shipping a vocab).
