@@ -105,6 +105,39 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rangeJoin agrees with the naive filter definition") {
+    import spark.implicits._
+    // Randomized cross-check against the direct O(|L|x|R|) definition of
+    // the same predicate, over data with bucket-boundary timestamps, key
+    // skew, and empty keys — the bucketed equi-join must lose or invent
+    // nothing at the bucket seams.
+    val rng = new scala.util.Random(2027)
+    val lookback = 600L
+    for (trial <- 1 to 3) {
+      val keys = Vector("a", "b", "c")
+      // Timestamps snapped near multiples of the lookback so seams are hit.
+      def t(): Timestamp = ts(rng.nextInt(50)) match {
+        case x if rng.nextInt(3) == 0 =>
+          new Timestamp((x.getTime / (lookback * 1000)) * lookback * 1000)
+        case x => x
+      }
+      val left = Seq.tabulate(40)(i => (keys(rng.nextInt(3)), t(), (trial * 100 + i).toLong))
+        .toDF("k", "ts", "id")
+      val right = Seq.tabulate(60)(i => (keys(rng.nextInt(3)), t(), (trial * 1000 + i).toLong))
+        .toDF("k", "ts", "rid")
+      val got = Temporal.rangeJoin(left, right, "k", "ts", lookback, Seq("rid"))
+        .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+      val lRows = left.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      val rRows = right.collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      val expected = (for {
+        (lk, lt, id) <- lRows
+        (rk, rt, rid) <- rRows
+        if lk == rk && !rt.after(lt) && rt.getTime > lt.getTime - lookback * 1000
+      } yield (id, rid)).toSet
+      assert(got == expected, s"trial $trial: ${got.diff(expected)} extra, ${expected.diff(got)} missing")
+    }
+  }
+
   test("as-of join: salted path is exactly equivalent under 90% single-key skew") {
     import spark.implicits._
     // The docstring's claimed contract: saltSpanSec changes the plan, never
