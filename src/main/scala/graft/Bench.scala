@@ -34,10 +34,6 @@ object Bench {
       try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
       graft.operators.OpCaches.releaseAll(spark)
     }
-    // PRE_PROCESSING analogue (untimed, like the reference's offline
-    // template build): unfiltered sketch templates exist before the first
-    // timed compass entry, so entries measure steady-state planning.
-    try CompassQueries.warm(spark, sfDir) catch { case _: Throwable => () }
     // Optional name filter (local iteration: `runMain graft.Bench q_a q_b`);
     // the driver passes no args and gets the full run. Unknown names fail
     // loudly — a typo must not masquerade as a fast (empty) run.
@@ -46,6 +42,13 @@ object Bench {
     require(unknown.isEmpty, s"unknown bench entries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) Queries.all else Queries.all.filter(e => only(e.name))
+    // PRE_PROCESSING analogue (untimed, like the reference's offline
+    // template build): unfiltered sketch templates exist before the first
+    // timed compass entry, so entries measure steady-state planning. Only
+    // when a compass entry is actually selected — filtered iteration on
+    // other entries must not pay the full-table sketch scans.
+    if (selected.exists(_.name.startsWith("q_compass")))
+      try CompassQueries.warm(spark, sfDir) catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's

@@ -44,6 +44,22 @@ object Queries {
   /** Not SQL-expressible in DuckDB → driver records a rows-only check. */
   def opaque(name: String)(fn: QueryFn): Entry = Entry(name, fn, None)
 
+  /** Temp dir for write-read round-trip entries, deleted on JVM exit —
+    * repeated Verify/Bench runs must not accumulate lineitem-sized dumps
+    * in /tmp.
+    */
+  private def tempDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
   // ===========================================================================
   // §2.1 Sources / sinks
   // ===========================================================================
@@ -63,7 +79,7 @@ object Queries {
     // mapd-core/Parser/ParserNode.h:981,1296; Import/Importer.cpp.
     dfq("q_csv_roundtrip",
       "SELECT count(*) AS n, CAST(sum(l_partkey) AS BIGINT) AS s FROM lineitem") { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = tempDir("graft_csv")
       val df = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
       df.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true").schema(df.schema).csv(tmp)
@@ -80,7 +96,7 @@ object Queries {
         "CAST(sum(l_partkey) AS BIGINT) AS s FROM " +
         "(SELECT l_partkey, CASE WHEN l_linenumber = 1 THEN NULL ELSE l_returnflag END AS rf " +
         "FROM lineitem) t") { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csvo").toString
+      val tmp = tempDir("graft_csvo")
       val df = Tables.load(s, dir, "lineitem").select(col("l_partkey"),
         when(col("l_linenumber") === 1, lit(null).cast("string"))
           .otherwise(col("l_returnflag")).as("rf"))
@@ -96,7 +112,7 @@ object Queries {
     // mapd-core/Parser/ParserNode.h:913 CreateTableAsSelectStmt.
     dfq("q_ctas_roundtrip",
       "SELECT o_orderpriority, count(*) AS n FROM orders WHERE o_totalprice > 100000 GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ctas").toString
+      val tmp = tempDir("graft_ctas")
       Tables.load(s, dir, "orders").filter(col("o_totalprice") > 100000)
         .write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp).groupBy("o_orderpriority")
@@ -107,7 +123,7 @@ object Queries {
     // Reference: mapd-core/Parser/ParserNode.h:1464 InsertValuesStmt.
     dfq("q_insert_values",
       "SELECT id, name FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(id, name) ORDER BY id") { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ins").toString
+      val tmp = tempDir("graft_ins")
       s.sql("DROP TABLE IF EXISTS graft_ins_t")
       s.sql(s"CREATE TABLE graft_ins_t (id INT, name STRING) USING parquet LOCATION '$tmp/t'")
       s.sql("INSERT INTO graft_ins_t VALUES (1, 'x'), (2, 'y')")
@@ -140,7 +156,7 @@ object Queries {
     // Spark handles the codec from the file extension).
     dfq("q_csv_gzip",
       "SELECT count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS s FROM supplier") { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_gz").toString
+      val tmp = tempDir("graft_gz")
       val df = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
       df.write.mode("overwrite").option("header", "true")
         .option("compression", "gzip").csv(tmp)

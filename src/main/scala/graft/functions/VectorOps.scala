@@ -101,16 +101,26 @@ object VecKernel {
   /** `planes` is flattened [t][j][i] → t*bits*dim + j*dim + i. A vector of
     * the wrong dimension (or with null elements) yields bucket 0 in every
     * table — exactly what the per-plane formulation produced (VectorDot →
-    * null → bit 0 for every plane).
+    * null → bit 0 for every plane). The sign test is `!(acc < 0)`, not
+    * `acc >= 0`: Spark SQL orders NaN above every value, so the HOF's
+    * `dot >= 0` sets the bit on NaN dots and Java's `NaN >= 0` would not.
+    * `floatElems` selects the element reader (array<float> vs
+    * array<double> — both accepted, like VectorDot).
     */
   def lshSigs(vec: ArrayData, planes: Array[Double], tables: Int, bits: Int,
-      dim: Int): ArrayData = {
+      dim: Int, floatElems: Boolean): ArrayData = {
     val out = new Array[Long](tables)
     if (vec.numElements() == dim) {
       var ok = true
       var i = 0
       while (ok && i < dim) { ok = !vec.isNullAt(i); i += 1 }
       if (ok) {
+        val v = new Array[Double](dim)
+        var k0 = 0
+        while (k0 < dim) {
+          v(k0) = if (floatElems) vec.getFloat(k0).toDouble else vec.getDouble(k0)
+          k0 += 1
+        }
         var t = 0
         while (t < tables) {
           var bucket = 0L
@@ -120,10 +130,10 @@ object VecKernel {
             var acc = 0.0
             var k = 0
             while (k < dim) {
-              acc += vec.getFloat(k).toDouble * planes(base + k)
+              acc += v(k) * planes(base + k)
               k += 1
             }
-            if (acc >= 0) bucket |= 1L << j
+            if (!(acc < 0)) bucket |= 1L << j
             j += 1
           }
           out(t) = bucket
@@ -145,17 +155,19 @@ case class LshSigsExpr(child: Expression, planes: IndexedSeq[Double],
     tables: Int, bits: Int, dim: Int) extends UnaryExpression {
   @transient private lazy val planesArr: Array[Double] = planes.toArray
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"lsh_sigs expects array<float>, got ${other.simpleString}")
+      s"lsh_sigs expects array<float|double>, got ${other.simpleString}")
   }
+  private lazy val floatElems: Boolean =
+    child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    VecKernel.lshSigs(v.asInstanceOf[ArrayData], planesArr, tables, bits, dim)
+    VecKernel.lshSigs(v.asInstanceOf[ArrayData], planesArr, tables, bits, dim, floatElems)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshPlanes", planesArr, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VecKernel.lshSigs($c, $ref, $tables, $bits, $dim)")
+      s"graft.functions.VecKernel.lshSigs($c, $ref, $tables, $bits, $dim, $floatElems)")
   }
   override protected def withNewChildInternal(c: Expression): LshSigsExpr =
     copy(child = c)

@@ -227,8 +227,10 @@ object TextAnalysis {
         s"0.5*len(list_intersect(gall, ${lst(gramProfiles(l)._2)}))/greatest(len($dg),1), 6) AS s_$l"
     }
     val m = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    // ELSE 'und' also covers NULL text (all score comparisons NULL fall
+    // through every WHEN) — Spark's otherwise("und") does the same.
     val pred = s"CASE WHEN $m <= 0 THEN 'und' " +
-      langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " END"
+      langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " ELSE 'und' END"
     s"""WITH base AS (
        |  SELECT lower($textCol) AS t FROM $table
        |), tok AS (

@@ -117,8 +117,10 @@ object EventStream {
     * watermarked, and the time-range predicate bounds the state Spark
     * keeps for each side (impressions held `attributionSec` past their
     * watermark, clicks not at all) — the canonical bounded-state
-    * stream-stream inner join of a training-data feed (the batch twin of
-    * this predicate is [[graft.operators.Temporal.rangeJoin]]).
+    * stream-stream inner join of a training-data feed. (Closest batch
+    * relative: [[graft.operators.Temporal.rangeJoin]] — note the bounds
+    * differ at the window edge: attribution is INCLUSIVE at
+    * `imp_ts + attributionSec` while rangeJoin's lower bound is strict.)
     *
     * `impressions`: (user_id, imp_ts, imp_id); `clicks`: (user_id,
     * click_ts, click_id) — output is one row per (impression, click)
