@@ -74,6 +74,12 @@ final class Enumerator(
 
   private val memo = mutable.Map.empty[String, Double] // bottom_up_table
 
+  /** Ascending sketch-complexity id order — used for start nodes AND the
+    * second-phase candidate scan on every dfs frame (constant; computed
+    * once, not per frame).
+    */
+  private val startOrder: IndexedSeq[Int] = nodes.map(_.id).sortBy(complexityOf)
+
   /** Estimated size of joining the given node set (order-insensitive). */
   def estimate(traversal: Seq[Int]): Double = {
     val key = traversal.sorted.mkString(" ")
@@ -227,7 +233,6 @@ final class Enumerator(
     if (total <= 1 || joinCols.isEmpty) return (fallback, 0.0)
 
     val st = new SearchState
-    val startOrder = nodes.map(_.id).sortBy(complexityOf)
     startOrder.foreach { start =>
       if (graph.contains(start)) {
         st.bound = 0 // per-start bound, reference :2531 traversal_bound = 0
@@ -276,7 +281,7 @@ final class Enumerator(
     // Accumulate the future-visited set here too — r2 discarded it, so
     // sibling candidates re-explored identical subtrees and burned the
     // hard traversal bound before better orders were reached.
-    nodes.map(_.id).sortBy(complexityOf).foreach { cand =>
+    startOrder.foreach { cand =>
       if (!st.visited.contains(cand) && !future.contains(cand) && allAdjacent.contains(cand))
         future = future ++ dfs(cand, allAdjacent, acc, st)
     }

@@ -138,6 +138,12 @@ final class CompassSession(
           val en = new Enumerator(nodes, enumeratorEdges(g))
           val (order, _) = en.optimalOrder()
           val t2 = System.nanoTime()
+          // Splice FIRST, then publish lastPlan: if the splice throws, the
+          // catch below returns the vanilla plan, and a pre-assigned
+          // lastPlan would advertise a COMPASS plan that never ran
+          // (OptimizerQuality.compare trusts lastPlan to mean "took the
+          // COMPASS path").
+          val spliced = Bridge.ofRows(spark, rebuild(rebuildRegion(g, order, nodes)))
           // Estimates here are introspection only — a failure (e.g. a
           // multi-way prefix with a fully disconnected member under the
           // fallback order) must not knock the query off the COMPASS path.
@@ -148,7 +154,7 @@ final class CompassSession(
             nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap,
             sketchBuildMillis = (t1 - t0) / 1000000,
             enumerateMillis = (t2 - t1) / 1000000))
-          Bridge.ofRows(spark, rebuild(rebuildRegion(g, order, nodes)))
+          spliced
         case _ => df
       }
     } catch {
@@ -189,20 +195,25 @@ final class CompassSession(
           val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
           val tk = JoinGraphExtractor.templateId(inst.plan)
           if (hasFilter || tk.isEmpty) None
-          else Some { () =>
+          else {
+            // Seed resolution OUTSIDE the thunk: awaitAll runs thunks on
+            // pool threads and SeedRegistry mutates (same invariant as
+            // buildSketches — "seed resolution stays sequential").
             val attrs = g.joinAttrs(inst.idx)
             val seeds = attrs.map(a => reg.seedsFor(seedKey(g, inst.idx, a)))
-            val colNames = attrs.map(label)
+            val colNames = attrs.map(a => label(g, inst.idx, a))
             val classKeys = attrs.map(a => reg.classKey(seedKey(g, inst.idx, a)))
-            cache.getOrBuild(tk.get, colNames, classKeys, sketchRows, sketchBuckets) {
-              val agg = FagmsSketchAgg(
-                attrs.map(keyExpr), sketchRows, sketchBuckets, colNames, seeds)
-              SketchGroup.deserialize(
-                Bridge.ofRows(spark, inst.plan)
-                  .agg(Bridge.column(agg.toAggregateExpression()))
-                  .head().getAs[Array[Byte]](0))
+            Some { () =>
+              cache.getOrBuild(tk.get, colNames, classKeys, sketchRows, sketchBuckets) {
+                val agg = FagmsSketchAgg(
+                  attrs.map(keyExpr), sketchRows, sketchBuckets, colNames, seeds)
+                SketchGroup.deserialize(
+                  Bridge.ofRows(spark, inst.plan)
+                    .agg(Bridge.column(agg.toAggregateExpression()))
+                    .head().getAs[Array[Byte]](0))
+              }
+              1
             }
-            1
           }
         }.toIndexedSeq
         warmed += CompassSession.awaitAll(jobs).sum
@@ -217,46 +228,55 @@ final class CompassSession(
     * columns. This mirrors the reference's workload-global persisted seed
     * templates (sketch_templates_seeds.txt): same column pair → same
     * seeds, always.
+    *
+    * A DERIVED leaf (e.g. a pinned outer join kept opaque) can output two
+    * join attributes with the SAME name; plain names would collapse them —
+    * SketchGroup.columnIndex would return one plane for both and their
+    * seed classes would wrongly unify. Colliding names get an exprId
+    * disambiguator; such instances are never template-cached (templateId
+    * is None for derived leaves), so key stability is unaffected.
     */
-  private def label(a: Attribute): String = a.name
+  private def label(g: ExtractedJoinGraph, idx: Int, a: Attribute): String = {
+    val siblings = g.joinAttrs(idx)
+    if (siblings.count(_.name == a.name) > 1) s"${a.name}#${a.exprId.id}"
+    else a.name
+  }
 
-  /** Seed-registry key: (instance NAME, column name) — name-based so the
+  /** Seed-registry key: (instance NAME, column label) — name-based so the
     * class representative (hence seeds and cache keys) is query-shape
-    * independent.
+    * independent (label falls back to exprId only for intra-instance
+    * name collisions on derived leaves).
     */
   private def seedKey(g: ExtractedJoinGraph, idx: Int, a: Attribute): (String, String) =
-    (g.instances(idx).name, a.name)
+    (g.instances(idx).name, label(g, idx, a))
 
   private def enumeratorEdges(g: ExtractedJoinGraph): Seq[((Int, String), (Int, String))] =
-    g.edges.map { case ((ia, a), (ib, b)) => ((ia, label(a)), (ib, label(b))) }
+    g.edges.map { case ((ia, a), (ib, b)) =>
+      ((ia, label(g, ia, a)), (ib, label(g, ib, b)))
+    }
 
   /** Sketch key expression: integral → long (equality-preserving fold);
-    * timestamp → epoch long; anything else — including DATE, which Spark
-    * refuses to cast to BIGINT at analysis (so the r2 date branch could
-    * never succeed and silently disabled COMPASS for date keys) →
-    * xxhash64 (the reference joins on dictionary-encoded integer ids —
-    * mapd-core/StringDictionary/ — a 64-bit hash preserves equality
-    * semantics the same way, with negligible collision mass).
+    * anything else — DATE (Spark refuses date→bigint at analysis, so the
+    * r2 date branch silently disabled COMPASS for date keys), TIMESTAMP
+    * (casting to long truncates to SECONDS — sub-second-distinct keys
+    * would collapse to one sketch key and inflate estimates), strings,
+    * decimals → xxhash64 (the reference joins on dictionary-encoded
+    * integer ids — mapd-core/StringDictionary/ — a 64-bit hash preserves
+    * equality semantics the same way, with negligible collision mass).
     */
   private def keyExpr(a: Attribute): Expression = a.dataType match {
     case LongType => a
     case IntegerType | ShortType | ByteType => Cast(a, LongType)
-    case TimestampType => Cast(a, LongType)
     case _ => new XxHash64(Seq(a))
   }
 
   /** Instance subtree with its own filter conjuncts applied (the "pushed
     * down selection" — reference FilterPushDownSketch.cpp:199-231 splices
     * RelFilter+RelCompound; here a Filter node Catalyst will push into the
-    * scan).
+    * scan). Shared implementation lives on the companion.
     */
-  private def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan = {
-    val inst = g.instances(i)
-    g.instanceFilters.get(i) match {
-      case Some(fs) if fs.nonEmpty => Filter(fs.reduce(And), inst.plan)
-      case _ => inst.plan
-    }
-  }
+  private def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan =
+    CompassSession.filteredPlan(g, i)
 
   /** One sketch job per instance: filtered scan → fagms_sketch over its
     * join columns (reference: executeFilterAndEvaluate,
@@ -278,7 +298,7 @@ final class CompassSession(
     val jobs = g.instances.map { inst =>
       val attrs = g.joinAttrs(inst.idx)
       val seeds = attrs.map(a => reg.seedsFor(seedKey(g, inst.idx, a)))
-      val colNames = attrs.map(label)
+      val colNames = attrs.map(a => label(g, inst.idx, a))
       val hasFilter = g.instanceFilters.get(inst.idx).exists(_.nonEmpty)
       val seedClassKeys = attrs.map(a => reg.classKey(seedKey(g, inst.idx, a)))
       // Templates are keyed by the RESOLVED base relation (data location +
@@ -356,22 +376,7 @@ final class CompassSession(
       else p
     }
 
-    var remaining = g.edges
-    var placed = Set(order.head)
-    var tree = base(order.head, withHint = false)
-    order.tail.foreach { i =>
-      val (applicable, rest) = remaining.partition {
-        case ((ia, _), (ib, _)) =>
-          (ia == i && placed.contains(ib)) || (ib == i && placed.contains(ia))
-      }
-      remaining = rest
-      val cond = applicable
-        .map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
-        .reduceOption(And)
-      tree = Join(tree, base(i, withHint = true),
-        if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
-      placed += i
-    }
+    val (tree, remaining) = CompassSession.spliceLeftDeep(g, order, base)
     // Edges between nodes both already placed before either existed can't
     // occur (connected order), but keep any stragglers as filters.
     val leftovers = remaining.map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
@@ -381,6 +386,46 @@ final class CompassSession(
 }
 
 object CompassSession {
+  /** The left-deep splice core, shared by rebuildRegion and
+    * OptimizerQuality's prefix measurement so the quality harness always
+    * measures exactly the plan shape COMPASS executes: each appended
+    * instance joins the prefix on ALL applicable equi-edges (Cross when
+    * none). Returns the tree and the edges not yet consumed.
+    * `base(i, withHint)` supplies each instance's subtree (withHint=false
+    * only for the very first instance).
+    */
+  private[planner] def spliceLeftDeep(
+      g: ExtractedJoinGraph, order: Seq[Int],
+      base: (Int, Boolean) => LogicalPlan)
+      : (LogicalPlan, Seq[((Int, Attribute), (Int, Attribute))]) = {
+    var remaining = g.edges
+    var placed = Set(order.head)
+    var tree = base(order.head, false)
+    order.tail.foreach { i =>
+      val (applicable, rest) = remaining.partition {
+        case ((ia, _), (ib, _)) =>
+          (ia == i && placed.contains(ib)) || (ib == i && placed.contains(ia))
+      }
+      remaining = rest
+      val cond = applicable
+        .map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
+        .reduceOption(And)
+      tree = Join(tree, base(i, true),
+        if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
+      placed += i
+    }
+    (tree, remaining)
+  }
+
+  /** Instance subtree with its single-instance filter conjuncts applied —
+    * shared with OptimizerQuality for the same no-drift reason.
+    */
+  private[planner] def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan =
+    g.instanceFilters.get(i).filter(_.nonEmpty) match {
+      case Some(fs) => Filter(fs.reduce(And), g.instances(i).plan)
+      case None => g.instances(i).plan
+    }
+
   // Shared pool for concurrent sketch jobs. Spark job submission is
   // thread-safe; 8 in-flight jobs is plenty (a query rarely has more
   // instances) without starving the main query's own scheduling.

@@ -88,7 +88,7 @@ object OptimizerQuality {
     // |instances| sequential count actions.
     val counts: Map[Int, Long] =
       g.instances.indices.zip(countAll(spark,
-        g.instances.indices.map(i => filteredPlan(g, i)))).toMap
+        g.instances.indices.map(i => CompassSession.filteredPlan(g, i)))).toMap
     val naive = naiveOrder(g, counts)
     // Both orders' prefixes in ONE action too: per-prefix counts share
     // scans and run in parallel instead of 2(n-2) scheduled jobs.
@@ -141,31 +141,12 @@ object OptimizerQuality {
     placed
   }
 
-  private def filteredPlan(g: ExtractedJoinGraph, i: Int): LogicalPlan =
-    g.instanceFilters.get(i).filter(_.nonEmpty) match {
-      case Some(fs) => Filter(fs.reduce(And), g.instances(i).plan)
-      case None => g.instances(i).plan
-    }
-
   /** Left-deep join of a prefix with every edge internal to it applied —
-    * the same splice shape as CompassSession.rebuildRegion, minus hints.
+    * THE SAME splice core CompassSession.rebuildRegion uses
+    * ([[CompassSession.spliceLeftDeep]], minus hints/residual), so the
+    * quality verdict always measures the plan shape COMPASS executes.
     */
-  private def prefixPlan(g: ExtractedJoinGraph, prefix: Seq[Int]): LogicalPlan = {
-    var placed = Set(prefix.head)
-    var remaining = g.edges
-    var tree = filteredPlan(g, prefix.head)
-    prefix.tail.foreach { i =>
-      val (applicable, rest) = remaining.partition { case ((ia, _), (ib, _)) =>
-        (ia == i && placed.contains(ib)) || (ib == i && placed.contains(ia))
-      }
-      remaining = rest
-      val cond = applicable
-        .map { case ((_, a), (_, b)) => EqualTo(a, b): Expression }
-        .reduceOption(And)
-      tree = Join(tree, filteredPlan(g, i),
-        if (cond.isEmpty) Cross else Inner, cond, JoinHint.NONE)
-      placed += i
-    }
-    tree
-  }
+  private def prefixPlan(g: ExtractedJoinGraph, prefix: Seq[Int]): LogicalPlan =
+    CompassSession.spliceLeftDeep(g, prefix,
+      (i, _) => CompassSession.filteredPlan(g, i))._1
 }

@@ -84,14 +84,19 @@ final class SketchTemplateCache(dir: Path) {
           // instances of the same unfiltered table may build the same key —
           // a torn read of a half-written file must be impossible.
           val tmp = Files.createTempFile(dir, s"sketch-$key", ".tmp")
-          Files.write(tmp, g.serialize())
-          try Files.move(tmp, f,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          catch {
-            case _: java.nio.file.AtomicMoveNotSupportedException =>
-              Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
+          try {
+            Files.write(tmp, g.serialize())
+            try Files.move(tmp, f,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            catch {
+              case _: java.nio.file.AtomicMoveNotSupportedException =>
+                Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          } finally
+            // A failed write/move (disk full, I/O error) must not strand
+            // ~600KB .tmp orphans in the cache dir on every retry.
+            Files.deleteIfExists(tmp): Unit
           memory.put(key, g)
           g
         }

@@ -151,20 +151,20 @@ object JoinGraphExtractor {
     case other => Seq(other)
   }
 
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
-    case other => other
-  }
-
-  /** attr = attr (casts stripped), the only edge shape the reference
-    * extracts (FilterPushDownSketch.cpp:33-104).
+  /** BARE attr = attr, the only edge shape the reference extracts
+    * (FilterPushDownSketch.cpp:33-104). Cast-wrapped equalities are
+    * deliberately NOT edges: the cast cannot be reconstructed at splice
+    * time (rebuilding `CAST(ts AS DATE) = d` as `ts = d` re-coerces to
+    * instant equality — wrong results), and a mixed-type edge would
+    * sketch its two sides in incompatible key domains (pure-noise
+    * estimates). Such conjuncts survive as residual filters applied
+    * verbatim above the splice, where Catalyst's PushPredicateThroughJoin
+    * turns Filter-over-Cross back into the hash join vanilla Spark would
+    * have planned — correctness and join algorithm preserved, only the
+    * reorder benefit for that edge is forgone.
     */
   private def equiPair(e: Expression): Option[(Attribute, Attribute)] = e match {
-    case EqualTo(l, r) =>
-      (stripCast(l), stripCast(r)) match {
-        case (a: Attribute, b: Attribute) => Some((a, b))
-        case _ => None
-      }
+    case EqualTo(l: Attribute, r: Attribute) => Some((l, r))
     case _ => None
   }
 
