@@ -33,6 +33,26 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(plan.sketchCounts("region") == 1)
   }
 
+  test("cast-joined query keeps exact semantics through the compass path") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    // Three instances, two bare edges, one cast-wrapped equality: the
+    // compass path must still fire on the bare edges while the cast
+    // conjunct rides through as a residual filter — identical results to
+    // vanilla Spark, whatever order is chosen.
+    val q =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON CAST(c_nationkey AS STRING) = CAST(n_nationkey AS STRING)
+        |WHERE o_totalprice > 300000 AND n_name LIKE 'A%'""".stripMargin
+    val optimized = cs.sql(q).collect().map(_.toSeq)
+    val vanilla = spark.sql(q).collect().map(_.toSeq)
+    assert(optimized.toSeq == vanilla.toSeq,
+      s"cast-join diverged: $optimized vs $vanilla")
+    assert(cs.lastPlan.isDefined, "bare edges should still take the compass path")
+  }
+
   test("sketch-informed order starts from the selective side") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)

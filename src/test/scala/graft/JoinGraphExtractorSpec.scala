@@ -98,4 +98,19 @@ class JoinGraphExtractorSpec extends AnyFunSuite {
     assert(g.residual.size == 1) // the cross-table non-equi
     assert(g.instanceFilters.values.flatten.size == 1) // the OR'd single-table
   }
+
+  test("cast-wrapped equalities are residual, never edges") {
+    // Rebuilding CAST(x) = y as bare x = y changes semantics (e.g.
+    // day-granularity vs instant equality) and a mixed-type edge would
+    // sketch incompatible key domains — so any cast in the conjunct keeps
+    // it OUT of the graph; it survives as residual and is applied
+    // verbatim above the splice.
+    val plan = analyzed(
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON CAST(o_custkey AS STRING) = CAST(c_custkey AS STRING)""".stripMargin)
+    val Some((g, _)) = JoinGraphExtractor.extract(plan)
+    assert(g.edges.size == 1, s"cast equality must not form an edge: ${g.edges}")
+    assert(g.residual.size == 1, s"cast equality must survive as residual: ${g.residual}")
+  }
 }
