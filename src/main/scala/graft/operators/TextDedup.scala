@@ -139,12 +139,17 @@ object TextDedup {
     val banded = bandsOf(sh, idCol, numHashes, bands)
     // Skew guard: drop pathological buckets (identical boilerplate) — the
     // exact-dup pass catches those rows far more cheaply than an O(n²)
-    // in-bucket join would.
-    val bounded = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // in-bucket join would. Oversized buckets are found with a map-side-
+    // combined aggregate and removed with a BROADCAST anti-join: a window
+    // over (band, band_hash) would shuffle AND sort every banded row,
+    // while the aggregate shuffles only partial counts and the oversized
+    // set is tiny by construction (each holds > maxBucket members).
+    val oversized = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_hash")
+    val bounded = banded.join(broadcast(oversized),
+      Seq("band", "band_hash"), "left_anti")
     val a = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val b = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band", "band_hash"))
@@ -204,11 +209,14 @@ object TextDedup {
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))
       .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunk_val"))
-    val bounded = chunked
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("chunk", "chunk_val")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // Same aggregate + broadcast-anti skew guard as minhashNearDups — no
+    // full-relation window shuffle+sort just to count bucket sizes.
+    val oversized = chunked.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("chunk", "chunk_val")
+    val bounded = chunked.join(broadcast(oversized),
+      Seq("chunk", "chunk_val"), "left_anti")
     val a = bounded.select(col("chunk"), col("chunk_val"),
       col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = bounded.select(col("chunk"), col("chunk_val"),
