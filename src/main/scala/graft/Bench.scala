@@ -29,7 +29,10 @@ object Bench {
     // Untimed warm-up lap over cheap representative shapes: absorbs JIT,
     // codegen-compiler and parquet-reader class loading so the first timed
     // entries are not charged for JVM warm-up (a long-lived cluster is warm).
-    val warmup = Set("q1_agg", "q_join_inner", "q_project_arith", "q_scan_full")
+    // q_ilike included: the first ILIKE in a JVM loads Spark's collation-
+    // aware string-predicate machinery (~3 s measured, 0.2 s thereafter) —
+    // exactly the class of one-time cost this lap exists to absorb.
+    val warmup = Set("q1_agg", "q_join_inner", "q_project_arith", "q_scan_full", "q_ilike")
     Queries.all.filter(e => warmup(e.name)).foreach { e =>
       try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
       graft.operators.OpCaches.releaseAll(spark)
