@@ -61,7 +61,22 @@ object LangProfileKernel {
     // Grams: trigram windows (whole text when shorter than 3 chars, one
     // empty window for empty text — mirroring sequence(1, max(len-2, 1)))
     // and unigrams; hits counted once per gram across BOTH namespaces.
+    // Char→byte offsets are computed in ONE pass and windows sliced by
+    // byte range — UTF8String.substring re-walks from byte 0 per call,
+    // O(len²) per document (the trap ngramHashes' docstring measures).
+    val bytes = t.getBytes
     val numChars = t.numChars
+    val offs = new Array[Int](numChars + 1)
+    var c = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(numChars) = bytes.length
+    def slice(fromChar: Int, untilChar: Int): UTF8String =
+      UTF8String.fromBytes(bytes, offs(fromChar), offs(untilChar) - offs(fromChar))
     val g3 = new java.util.HashSet[UTF8String]
     val g1 = new java.util.HashSet[UTF8String]
     val merged = new java.util.HashSet[UTF8String]
@@ -75,13 +90,13 @@ object LangProfileKernel {
     val wins = math.max(numChars - 2, 1)
     i = 0
     while (i < wins) {
-      val g = t.substring(i, math.min(i + 3, numChars))
+      val g = slice(i, math.min(i + 3, numChars))
       if (g3.add(g)) hit(g)
       i += 1
     }
     i = 0
     while (i < numChars) {
-      val g = t.substring(i, i + 1)
+      val g = slice(i, i + 1)
       if (g1.add(g)) hit(g)
       i += 1
     }

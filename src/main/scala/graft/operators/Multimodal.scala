@@ -74,7 +74,9 @@ object Multimodal {
       // Real pipelines initialize the decoder handle here, once.
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row(r.get(idIdx), decodeStub(payload, dim))
+        // NULL payload → NULL features (one bad row must not fail the
+        // stage; every expression-based operator here is null-tolerant).
+        Row(r.get(idIdx), if (payload == null) null else decodeStub(payload, dim))
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -106,16 +108,22 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val meta = r.getStruct(metaIdx)
-        val out =
-          if (payload.length <= budget) payload
-          else {
-            val stride = payload.length.toDouble / budget
-            Array.tabulate(budget)(i => payload((i * stride).toInt))
-          }
-        val crc = new java.util.zip.CRC32()
-        crc.update(out)
-        Row(r.get(idIdx), out,
-          Row(meta.getString(0), out.length.toLong, crc.getValue, width, height))
+        if (payload == null) {
+          // NULL payload rides through as NULL with its metadata kept —
+          // one bad row must not fail the stage.
+          Row(r.get(idIdx), null, meta)
+        } else {
+          val out =
+            if (payload.length <= budget) payload
+            else {
+              val stride = payload.length.toDouble / budget
+              Array.tabulate(budget)(i => payload((i * stride).toInt))
+            }
+          val crc = new java.util.zip.CRC32()
+          crc.update(out)
+          Row(r.get(idIdx), out,
+            Row(meta.getString(0), out.length.toLong, crc.getValue, width, height))
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

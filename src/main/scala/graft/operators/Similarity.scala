@@ -161,9 +161,15 @@ object Similarity {
     // ingest order) would fit centroids to the head of the table only.
     // TakeOrderedAndProject keeps this a per-partition heap of k·32 rows
     // at any corpus size.
+    // Cast to array<double> BEFORE collect: the driver-side read is then
+    // type-uniform whether the corpus stores float or double embeddings
+    // (every other vector path accepts both); null vectors are dropped —
+    // they cannot seed or pull a centroid.
     val sample = corpus.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(k * sampleFactor)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect().map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "ivfTopK: empty corpus")
     val dim = sample.head.length
     val step = math.max(1, sample.length / k)

@@ -54,10 +54,14 @@ object TextDedup {
     val p = 2147483647L
     val rng = new scala.util.Random(seed)
     val out = new Array[Long](numHashes * 2)
+    // Non-negative fold WITHOUT math.abs: abs(Long.MinValue) is negative
+    // (2^-64 per draw, but seed is caller-suppliable), and a negative
+    // param breaks the kernel/HOF pmod identity.
+    def fold(x: Long, m: Long): Long = ((x % m) + m) % m
     var i = 0
     while (i < numHashes) {
-      out(2 * i) = math.abs(rng.nextLong()) % (p - 1) + 1
-      out(2 * i + 1) = math.abs(rng.nextLong()) % p
+      out(2 * i) = fold(rng.nextLong(), p - 1) + 1
+      out(2 * i + 1) = fold(rng.nextLong(), p)
       i += 1
     }
     out
@@ -204,7 +208,14 @@ object TextDedup {
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("sig"))
+    // Materialize signatures once (widened first): the oversized-bucket
+    // aggregate and BOTH sides of the self-join read this relation —
+    // unpersisted lineage would recompute the corpus-wide simhash three
+    // times (the same fan-out rule shingleDF/bandsOf document).
+    val sigs = OpCaches.track(
+      TextAnalysis.widened(df)
+        .select(col(idCol), simhash64(col(textCol)).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val chunked = sigs.select(col(idCol), col("sig"), posexplode(
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))))

@@ -49,15 +49,12 @@ object EventStream {
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
 
-  /** Batch-equivalence helper: the same transforms applied to the static
-    * events table must agree with the streaming results — used by the spec
-    * and by the batch engine as the single definition of these semantics.
+  /** Batch-equivalence helper: LITERALLY the same transform —
+    * `withWatermark` is a no-op on batch DataFrames, so one definition
+    * serves both engines and cannot drift.
     */
-  def windowedStatsBatch(spark: SparkSession, events: DataFrame): DataFrame =
-    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n"), col("sv"))
+  def windowedStatsBatch(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    windowedStats(events, windowLen)
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
@@ -95,7 +92,16 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastSeen <= gapSec * 1000 =>
-                  cur = Some(s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value))
+                  // Late-but-within-watermark events (t < lastSeen, possibly
+                  // < start across batches) extend the session BACKWARD, not
+                  // the window: lastSeen/start must stay monotone or the
+                  // duration goes negative and the event-time timeout
+                  // re-arms BEFORE the real last activity, closing the
+                  // session early.
+                  cur = Some(s.copy(
+                    start = math.min(s.start, t),
+                    lastSeen = math.max(s.lastSeen, t),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed ::= close(s)
                   cur = Some(SessionState(t, t, 1, e.value))

@@ -37,7 +37,7 @@ class EventStreamSpec extends AnyFunSuite {
       val streamed = spark.table("win_out")
         .select("window_start", "event_type", "n", "sv")
         .collect().map(_.toSeq).toSet
-      val batch = EventStream.windowedStatsBatch(spark,
+      val batch = EventStream.windowedStatsBatch(
         Seq((1L, ts(1, 10), 10L, "click", 1.0), (2L, ts(1, 40), 11L, "click", 2.0),
           (3L, ts(1, 20), 10L, "view", 5.0), (4L, ts(2, 5), 12L, "click", 3.0))
           .toDF("event_id", "ts", "user_id", "event_type", "value"))
@@ -157,6 +157,37 @@ class EventStreamSpec extends AnyFunSuite {
       assert(out.contains(Seq(1L, 2, 5.0, 300L)), s"first session of user 1: $out")
       assert(out.contains(Seq(1L, 1, 1.0, 0L)), s"second session of user 1: $out")
       assert(out.contains(Seq(2L, 1, 7.0, 0L)), s"user 2 session: $out")
+    } finally query.stop()
+  }
+
+  test("sessionization: late within-watermark event extends a session backward, not its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.SessionEvent
+    val input = MemoryStream[SessionEvent]
+    val query = EventStream.sessionize(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, ts(1, 10), 2.0))
+      query.processAllAvailable()
+      // Batch 2 delivers an EARLIER (late, within the 2h watermark) event
+      // within the gap: lastSeen must stay at 01:10 (not move back to
+      // 01:05, which would re-arm the timeout before the real last
+      // activity) and start must move to 01:05 — duration 300s, never
+      // negative.
+      input.addData(SessionEvent(1L, ts(1, 5), 3.0))
+      query.processAllAvailable()
+      input.addData(SessionEvent(9L, ts(9, 0), 1.0)) // advance watermark
+      query.processAllAvailable()
+      input.addData(SessionEvent(9L, ts(23, 0), 1.0)) // flush timeouts
+      query.processAllAvailable()
+      val out = spark.table("sess_late_out")
+        .filter(col("user_id") === 1L)
+        .select("n_events", "total_value", "duration_sec")
+        .collect().map(_.toSeq).toSet
+      assert(out == Set(Seq(2, 5.0, 300L)),
+        s"late-event session wrong (negative duration = backward window): $out")
     } finally query.stop()
   }
 
