@@ -75,6 +75,13 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
       lookbackSec: Long, carry: Seq[String]): DataFrame =
     Temporal.rangeJoin(left, right, keyCol, tsCol, lookbackSec, carry)
 
+  /** Stream-stream attribution join (bounded state) — see
+    * [[graft.streaming.EventStream.attributionJoin]].
+    */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+      attributionSec: Long = 3600): DataFrame =
+    graft.streaming.EventStream.attributionJoin(impressions, clicks, attributionSec)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

@@ -103,6 +103,22 @@ object GraftExtensions {
       (c: Seq[Expression]) => {
         require(c.size == 2, "ngram_hashes(text, n)")
         NgramHashesExpr(c(0), litInt(c(1), "ngram_hashes: n"))
+      }),
+    // lsh_sigs(vec, bits, tables, dim[, seed]) → array<long> of per-table
+    // bucket ids — the same deterministic hyperplanes the Similarity
+    // operators use, so SQL-side bucketing joins against operator-side
+    // bucketing.
+    (FunctionIdentifier("lsh_sigs"),
+      new ExpressionInfo(classOf[LshSigsExpr].getName, "lsh_sigs"),
+      (c: Seq[Expression]) => {
+        require(c.size == 4 || c.size == 5, "lsh_sigs(vec, bits, tables, dim[, seed])")
+        val bits = litInt(c(1), "lsh_sigs: bits")
+        val tables = litInt(c(2), "lsh_sigs: tables")
+        val dim = litInt(c(3), "lsh_sigs: dim")
+        val seed = if (c.size == 5) litLong(c(4), "lsh_sigs: seed") else 0xA5CE11L
+        val planes = graft.operators.Similarity
+          .hyperplanes(dim, bits, tables, seed).flatten.flatten
+        LshSigsExpr(c(0), planes.toIndexedSeq, tables, bits, dim)
       }))
 
   private def litInt(e: Expression, what: String): Int = e match {

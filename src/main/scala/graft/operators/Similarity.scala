@@ -63,7 +63,7 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `tables` × `bits` × `dim` doubles. */
-  private def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
+  private[graft] def hyperplanes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(seed)
     Array.fill(tables, bits, dim)(rng.nextGaussian())
   }

@@ -90,6 +90,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(seeded != sql.values.head._1)
   }
 
+  test("lsh_sigs in SQL matches the operator-side bucketing") {
+    graft.functions.GraftExtensions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    emb.createOrReplaceTempView("ext_emb")
+    val sql = spark.sql(
+      "SELECT vec_id, lsh_sigs(embedding, 10, 8, 64) AS sigs FROM ext_emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val op = graft.operators.Similarity.lshBuckets(emb, "vec_id", "embedding",
+        bits = 10, tables = 8)
+      .groupBy("vec_id").agg(
+        org.apache.spark.sql.functions.sort_array(
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.struct(col("tbl"), col("bucket")))).as("tb"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => x.getLong(1))).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    assert(sql.keySet == op.keySet)
+    val bad = sql.keys.filter(k => sql(k) != op(k))
+    assert(bad.isEmpty, s"SQL/operator LSH divergence on ${bad.take(3)}")
+  }
+
   test("non-literal seed class is rejected") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val e = intercept[Exception] {
