@@ -33,6 +33,10 @@ object Bench {
     // aware string-predicate machinery (~3 s measured, 0.2 s thereafter) —
     // exactly the class of one-time cost this lap exists to absorb.
     val warmup = Set("q1_agg", "q_join_inner", "q_project_arith", "q_scan_full", "q_ilike")
+    // A renamed entry must not silently fall out of the lap (the args
+    // filter below fails loudly for the same mistake).
+    require((warmup -- Queries.all.map(_.name).toSet).isEmpty,
+      s"warm-up names not in the entry set: ${warmup -- Queries.all.map(_.name).toSet}")
     Queries.all.filter(e => warmup(e.name)).foreach { e =>
       try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
       graft.operators.OpCaches.releaseAll(spark)
@@ -74,7 +78,9 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val qs = timings.map {
-      case (k, Right(t)) => s""""${esc(k)}":${"%.3f".format(t)}"""
+      // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
+      case (k, Right(t)) =>
+        s""""${esc(k)}":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))}"""
       case (k, Left(err)) => s""""${esc(k)}":"error: ${esc(err)}""""
     }.mkString("{", ",", "}")
     val total = timings.values.collect { case Right(t) => t }.sum

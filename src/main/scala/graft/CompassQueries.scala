@@ -14,19 +14,18 @@ object CompassQueries {
 
   // ONE session wrapper per SparkSession, so each optimize() releases the
   // previous entry's push-down caches (a fresh wrapper per call would pin
-  // them for the life of the SparkSession). Weakly keyed — an abandoned
-  // SparkSession's wrapper must be collectable. Entries run sequentially
-  // (Verify/Bench/driver); CompassSession documents the one-query-at-a-
-  // time contract.
+  // them for the life of the SparkSession). NOT weakly keyed: a
+  // CompassSession strongly references its SparkSession, so weak keys
+  // could never be collected (the WeakHashMap self-reference trap the
+  // OpCaches doc spells out); instead, entries whose session has STOPPED
+  // are swept on access. Entries run sequentially (Verify/Bench/driver);
+  // CompassSession documents the one-query-at-a-time contract.
   private val sessions =
-    new java.util.WeakHashMap[SparkSession, CompassSession]()
+    scala.collection.mutable.Map.empty[SparkSession, CompassSession]
   private def compass(s: SparkSession): CompassSession = sessions.synchronized {
-    var cs = sessions.get(s)
-    if (cs == null) {
-      cs = new CompassSession(s, templateCache = Some(SketchTemplateCache.default()))
-      sessions.put(s, cs)
-    }
-    cs
+    sessions.filterInPlace((sess, _) => !sess.sparkContext.isStopped)
+    sessions.getOrElseUpdate(s,
+      new CompassSession(s, templateCache = Some(SketchTemplateCache.default())))
   }
 
   /** PRE_PROCESSING for harnesses (reference: `PRE_PROCESSING`,
@@ -39,6 +38,7 @@ object CompassQueries {
     * template builds inside the timed window.
     */
   def warm(s: SparkSession, dir: String): Int = {
+    entries: Unit // force the lazy val — workloadTexts fills as its side effect
     Tables.registerAll(s, dir)
     compass(s).warmTemplates(
       (workloadTexts.toSeq ++ graft.planner.OptimizerQuality.families.map(_._2))

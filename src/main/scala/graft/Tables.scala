@@ -40,16 +40,20 @@ object Tables {
   // (10 tables × N queries). Tracking the CURRENT dir (not a seen-set)
   // means switching dirs re-registers — a seen-set would silently leave
   // the views pointing at the previous dir.
-  private val currentDir = scala.collection.mutable.Map.empty[Int, String]
+  // Keyed on the session itself, weakly: values are plain Strings (no
+  // back-reference to the key, unlike the OpCaches/CompassQueries values),
+  // so dead sessions' entries really are collectable — an identityHashCode
+  // key would neither be unique (hash collisions silently skip
+  // registration for a NEW session) nor ever retire.
+  private val currentDir = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Register all tables as temp views named after the table, so
     * `spark.sql` text matches the DuckDB oracle SQL.
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
-    val key = System.identityHashCode(spark)
-    if (!currentDir.get(key).contains(sfDir)) {
+    if (currentDir.get(spark) != sfDir) {
       all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
-      currentDir(key) = sfDir
+      currentDir.put(spark, sfDir)
     }
   }
 }

@@ -63,7 +63,8 @@ object JoinGraphExtractor {
     regionRoot.flatMap { root =>
       val conjuncts = mutable.Buffer.empty[Expression]
       val leaves = mutable.Buffer.empty[LogicalPlan]
-      if (!decompose(root, conjuncts, leaves) || leaves.size < 2) None
+      decompose(root, conjuncts, leaves)
+      if (leaves.size < 2) None
       else {
         val instances = leaves.zipWithIndex
           .map { case (p, i) => TableInstance(i, nameOf(p), p) }.toIndexedSeq
@@ -134,16 +135,16 @@ object JoinGraphExtractor {
   private def decompose(
       p: LogicalPlan,
       conjuncts: mutable.Buffer[Expression],
-      leaves: mutable.Buffer[LogicalPlan]): Boolean = p match {
+      leaves: mutable.Buffer[LogicalPlan]): Unit = p match {
     case Filter(cond, child) =>
       conjuncts ++= splitConjuncts(cond)
       decompose(child, conjuncts, leaves)
     case Join(l, r, _: InnerLike, cond, _) =>
       cond.foreach(conjuncts ++= splitConjuncts(_))
-      decompose(l, conjuncts, leaves) && decompose(r, conjuncts, leaves)
+      decompose(l, conjuncts, leaves)
+      decompose(r, conjuncts, leaves)
     case leaf =>
       leaves += leaf
-      true
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -196,9 +197,14 @@ object JoinGraphExtractor {
             scala.util.Try {
               val path = new org.apache.hadoop.fs.Path(r)
               path.getFileSystem(conf).getFileStatus(path).getModificationTime
-            }.getOrElse(0L)
+            }.getOrElse(-1L) // stat failure ≠ a real mtime of 0
           }.foldLeft(0L)(math.max)
-          Some(s"files:${roots.mkString(",")}@$mtime")
+          // Root mtimes alone miss files landing INSIDE existing partition
+          // subdirs (dynamic partition overwrite leaves the root mtime
+          // untouched); the relation's total byte size — already computed
+          // by the file index, no extra listing — moves on any such write,
+          // so the pair keys staleness without a per-query recursive walk.
+          Some(s"files:${roots.mkString(",")}@$mtime#${fs.sizeInBytes}")
         case _ => None
       }
     case _ => None
