@@ -103,8 +103,11 @@ class EventStreamSpec extends AnyFunSuite {
     })
     writer.setDaemon(true)
     writer.start()
+    // Use the exact bound address: "localhost" may resolve to a different
+    // loopback family (::1 vs 127.0.0.1) than getLoopbackAddress bound.
     val raw = spark.readStream.format("socket")
-      .option("host", "localhost").option("port", server.getLocalPort)
+      .option("host", server.getInetAddress.getHostAddress)
+      .option("port", server.getLocalPort)
       .load()
     val query = EventStream.parseEvents(raw)
       .writeStream.format("memory").queryName("socket_out")

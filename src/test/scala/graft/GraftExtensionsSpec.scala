@@ -83,11 +83,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.functions.TextHashOps.ngramHashes(col("text"), 5).as("ng"))
       .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2), r.getSeq[Long](3))).toMap
     assert(sql == df, "SQL surface diverged from the DataFrame kernels")
-    // Custom seed must change signatures (and be accepted as a literal).
+    // Custom seed must change the signature OF THE SAME DOCUMENT (an
+    // unpinned LIMIT 1 against an arbitrary map entry compared two
+    // different docs — vacuously unequal whatever the seed did).
+    val probeId = sql.keys.min
     val seeded = spark.sql(
-      "SELECT minhash_sig(shingle_hashes(text, 3), 64, 99) AS sig FROM ext_docs LIMIT 1")
+      s"SELECT minhash_sig(shingle_hashes(text, 3), 64, 99) AS sig " +
+        s"FROM ext_docs WHERE doc_id = $probeId")
       .collect().head.getSeq[Long](0)
-    assert(seeded != sql.values.head._1)
+    assert(seeded != sql(probeId)._1,
+      "seed parameter must perturb the signature of the same document")
   }
 
   test("lsh_sigs in SQL matches the operator-side bucketing") {

@@ -17,7 +17,9 @@ class ScalarFnsSpec extends AnyFunSuite {
       .head()
     val after = System.currentTimeMillis()
     val epochMs = row.getLong(0) * 1000
-    assert(epochMs >= before - 2000 && epochMs <= after + 2000,
+    // Wide window: currentTimeMillis is not monotone (NTP steps) — this
+    // pins "tracks the wall clock", not sub-second agreement.
+    assert(epochMs >= before - 60000 && epochMs <= after + 60000,
       s"now()=$epochMs outside [$before, $after]")
     // both now() calls in one query must observe the same instant
     assert(row.getTimestamp(1) == row.getTimestamp(2))
