@@ -108,6 +108,32 @@ object Queries {
           min("rf").as("min_rf"), sum("l_partkey").cast("long").as("s"))
     },
 
+    // JSON-lines export + import round-trip (the other wire format a
+    // training-data pipeline ingests; Spark reads/writes it natively —
+    // schema-checked re-read, aggregation compared to the parquet truth).
+    dfq("q_json_roundtrip",
+      "SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS s, " +
+        "min(o_orderstatus) AS st FROM orders") { (s, dir) =>
+      val tmp = tempDir("graft_json")
+      val df = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      df.write.mode("overwrite").json(tmp)
+      s.read.schema(df.schema).json(tmp)
+        .agg(count(lit(1)).as("n"), sum("o_custkey").cast("long").as("s"),
+          min("o_orderstatus").as("st"))
+    },
+
+    // ORC export + import round-trip — the second columnar format Spark
+    // ships; proves the engine is not parquet-bound.
+    dfq("q_orc_roundtrip",
+      "SELECT count(*) AS n, CAST(sum(s_suppkey) AS BIGINT) AS s FROM supplier") { (s, dir) =>
+      val tmp = tempDir("graft_orc")
+      val df = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      df.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .agg(count(lit(1)).as("n"), sum("s_suppkey").cast("long").as("s"))
+    },
+
     // CTAS-style parquet materialization + re-read. Reference:
     // mapd-core/Parser/ParserNode.h:913 CreateTableAsSelectStmt.
     dfq("q_ctas_roundtrip",
