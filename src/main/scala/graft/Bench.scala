@@ -57,6 +57,7 @@ object Bench {
     if (selected.exists(_.name.startsWith("q_compass")))
       try CompassQueries.warm(spark, sfDir) catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
+    val warmTimings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens
@@ -74,10 +75,25 @@ object Bench {
       // Operator-internal persists only serve their own query's action;
       // release them so the 70+-query run doesn't accumulate cache.
       graft.operators.OpCaches.releaseAll(spark)
+      // Second, WARM lap of the same entry: the cold number above charges
+      // each plan its one-time Janino/JIT compilation (1-2 s for the
+      // complex pipelines — measured: minhash runs 3.1 s cold, 1.25 s
+      // warm), which a long-lived cluster pays once per plan shape, not
+      // per query. Operator persists were released, so this measures
+      // recomputation, not cache reads; only generated-code and JIT state
+      // carries over. Cold stays the primary (round-comparable) metric.
+      if (timings(e.name).isRight) {
+        val t1 = System.nanoTime()
+        try {
+          materialize(e.run(spark, sfDir))
+          warmTimings(e.name) = (System.nanoTime() - t1) / 1e9
+        } catch { case _: Throwable => () }
+        graft.operators.OpCaches.releaseAll(spark)
+      }
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = timings.map {
+    def jsonOf(m: Iterable[(String, Either[String, Double])]): String = m.map {
       // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
       case (k, Right(t)) =>
         s""""${esc(k)}":${String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))}"""
@@ -85,7 +101,34 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timings.values.collect { case Right(t) => t }.sum
     val nErr = timings.values.count(_.isLeft)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$nErr,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 characters of output and
+    // parses the JSON line it finds there; a full 110-entry map is ~3.3 kB
+    // and can never fit (r3-r5 all recorded parsed:null). So: the full
+    // per-entry map goes to a FILE, and stdout gets ONE compact line — a
+    // fixed representative subset (stable keys, round-over-round
+    // comparable) plus this run's slowest entries and the totals.
+    val warmTotal = warmTimings.values.sum
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"errors":$nErr,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val headline = Vector(
+      "q1_agg", "q_scan_full", "q_join_inner", "q_join_multiway",
+      "q_count_distinct", "q_orderby_limit", "q_window_running",
+      "q_sessionize_batch", "q_compass_multiway", "q_compass_filtered",
+      "q_compass_6way", "q_compass_9way", "q_compass_quality",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
+      "q_ann_exact", "q_ann_lsh", "q_ann_ivf", "q_ann_neardup",
+      "q_asof_join", "q_range_join", "q_lang_id", "q_text_pipeline",
+      "q_events_window")
+    val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq
+      .sortBy(-_._2).take(5)
+    val compact = (headline.flatMap(k => timings.get(k).map(k -> _)) ++
+      timings.filter(_._2.isLeft).take(5) ++ // cap: mass failure must still fit the window
+      slow.filterNot(kv => headline.contains(kv._1)).map { case (k, t) => k -> Right(t) }
+      ).distinctBy(_._1)
+    def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"errors":$nErr,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,6 +53,9 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (currentDir.get(spark) != sfDir) {
       all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
+      // The engine's SQL surface includes its functions and optimizer
+      // rules — any session that gets the catalog gets the full engine.
+      graft.functions.GraftExtensions.register(spark)
       currentDir.put(spark, sfDir)
     }
   }

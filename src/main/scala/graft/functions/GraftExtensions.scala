@@ -28,8 +28,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * estimates require (reference: FilterPushDownSketch.cpp:1280-1373).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DeferProjectPastTopK)
+  }
 }
 
 object GraftExtensions {
@@ -134,10 +136,21 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
-  /** Register into an already-built session (tests, notebooks). */
-  def register(spark: SparkSession): Unit = functions.foreach {
-    case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+  /** Register into an already-built session (tests, notebooks). The
+    * optimizer rule goes into the post-optimizer `extraOptimizations`
+    * batch — the only rule-injection point that exists after session
+    * build, and a safer one anyway: the main operator-optimization fixed
+    * point (column pruning, `PushProjectionThroughLimitAndOffset`) has
+    * fully settled before it runs.
+    */
+  def register(spark: SparkSession): Unit = {
+    functions.foreach {
+      case (ident, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(graft.plans.DeferProjectPastTopK))
+      em.extraOptimizations = em.extraOptimizations :+ graft.plans.DeferProjectPastTopK
   }
 }
 

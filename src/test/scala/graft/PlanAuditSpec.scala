@@ -165,4 +165,52 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf("q_orderby_limit")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")
   }
+
+  test("expensive projections are deferred past the top-k (DeferProjectPastTopK)") {
+    // `SELECT exp(...) ... ORDER BY key LIMIT n` must evaluate the math on
+    // the n survivors, not every input row: the rule hoists the projection
+    // above the sort, and the planner folds it into TakeOrderedAndProject's
+    // post-top-k projection — so no Project node may remain BELOW it.
+    Tables.registerAll(spark, dir)
+    val df = spark.sql(
+      "SELECT l_orderkey, l_linenumber, round(exp(l_discount), 8) AS ex, " +
+        "round(sin(l_quantity), 8) AS sn FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 7")
+    val rows = df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    val top = plan.linesIterator.find(_.contains("TakeOrderedAndProject")).get
+    assert(top.contains("ex#") || top.contains("EXP"),
+      s"projection not folded into the top-k operator:\n$plan")
+    assert(!plan.linesIterator.exists(l => l.contains("Project") && l.contains("EXP")),
+      s"math still evaluated below the top-k:\n$plan")
+    // Semantics unchanged: same rows as the undeferred formulation.
+    val expected = spark.sql(
+      "SELECT l_orderkey, l_linenumber, round(exp(l_discount), 8) AS ex, " +
+        "round(sin(l_quantity), 8) AS sn FROM " +
+        "(SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 7)" +
+        " ORDER BY l_orderkey, l_linenumber").collect()
+    assert(rows.toSeq == expected.toSeq)
+  }
+
+  test("deferral guards: ORDER BY a projected alias / non-deterministic exprs stay put") {
+    Tables.registerAll(spark, dir)
+    // Sort key IS the computed column — the projection cannot move above
+    // its own sort; the result must still be correct.
+    val byAlias = spark.sql(
+      "SELECT l_orderkey, round(exp(l_discount), 8) AS ex FROM lineitem " +
+        "ORDER BY ex DESC, l_orderkey LIMIT 5")
+    val got = byAlias.collect().map(_.getDouble(1)).toSeq
+    assert(got == got.sorted(Ordering[Double].reverse), "alias ordering broken")
+    // Non-deterministic projection: the observed row set must be the
+    // top-k of the SORT KEY — deferral would be harmless here, but the
+    // guard keeps rand() evaluation count stable; assert keys are right.
+    val nd = spark.sql(
+      "SELECT l_orderkey, rand() AS r FROM lineitem ORDER BY l_orderkey LIMIT 5")
+    val keys = nd.collect().map(_.getLong(0)).toSeq
+    val expectedKeys = spark.sql(
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == expectedKeys)
+  }
 }
