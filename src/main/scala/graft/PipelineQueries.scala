@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{Components, Multimodal, Sampling, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over the `documents` /
@@ -84,6 +84,92 @@ object PipelineQueries {
           floor(TextDedup.ngramJaccard(col("text"), col("text_b"), 5) * 1000000 + 0.5)
             .cast("long").as("jac5fp"))
         .orderBy("doc_id")
+    },
+  )
+
+  private val grouping: Seq[Entry] = Seq(
+    // Near-dup GROUPS, end-to-end: MinHash-LSH pairs (banded self-join +
+    // exact shingle-Jaccard verify) clustered into connected components;
+    // every document maps to its component representative (min id;
+    // singletons to themselves). DuckDB re-derives the same relation from
+    // first principles: ALL O(n²) pairs' word-3-shingle Jaccard (no LSH —
+    // at oracle scale brute force is affordable), then a recursive-CTE
+    // transitive closure. Green means the LSH candidate generation missed
+    // no qualifying pair AND the distributed component labels equal the
+    // exact closure.
+    dfq("q_dedup_components",
+      "WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks), " +
+        "jac AS (SELECT a.doc_id AS ida, b.doc_id AS idb, " +
+        "  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) AS j " +
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id), " +
+        "edges AS (SELECT ida AS a, idb AS b FROM jac WHERE j >= 0.8 " +
+        "  UNION ALL SELECT idb, ida FROM jac WHERE j >= 0.8), " +
+        "reach AS (SELECT a AS id, b AS r FROM edges " +
+        "  UNION SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a WHERE e.b <> reach.id) " +
+        "SELECT d.doc_id AS doc_id, " +
+        "  CAST(least(d.doc_id, coalesce(min(reach.r), d.doc_id)) AS BIGINT) AS keep_id " +
+        "FROM documents d LEFT JOIN reach ON reach.id = d.doc_id " +
+        "GROUP BY d.doc_id ORDER BY doc_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+      Components.dedupGroups(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+    },
+  )
+
+  private val sampling: Seq[Entry] = Seq(
+    // Deterministic (engine-portable) 10% Bernoulli sample: row fate =
+    // md5(key) hex prefix vs threshold '1999' (= floor(0.1·16^4) in hex),
+    // identical on any engine at any parallelism — reproducible corpus
+    // selection, pure map-side filter. The oracle applies the same rule
+    // in SQL and must select the SAME rows, which the per-flag aggregate
+    // then pins.
+    dfq("q_sample_det",
+      "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sq " +
+        "FROM lineitem " +
+        "WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4) < '1999' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("_sk", expr("l_orderkey * 10 + l_linenumber"))
+      Sampling.deterministicSample(li, "_sk", 0.1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sq"))
+        .orderBy("l_returnflag")
+    },
+
+    // Stratified variant: independent per-stratum rates (N 20%, R 5%,
+    // default 10%) from the same hash rule — still one map-side filter,
+    // no per-stratum shuffle, skew-immune.
+    dfq("q_sample_strat",
+      "SELECT l_returnflag, count(*) AS n " +
+        "FROM lineitem " +
+        "WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4) < " +
+        "  CASE l_returnflag WHEN 'N' THEN '3333' WHEN 'R' THEN '0ccc' ELSE '1999' END " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("_sk", expr("l_orderkey * 10 + l_linenumber"))
+      Sampling.stratifiedSample(li, "l_returnflag", "_sk",
+          Map("N" -> 0.2, "R" -> 0.05), defaultFraction = 0.1)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+  )
+
+  private val heavyHitters: Seq[Entry] = Seq(
+    // Exact top-10 hottest keys via Misra-Gries candidates + exact
+    // verify (HeavyHitters.topK). The oracle computes the plain exact
+    // top-10 — green proves the approximate pass lost no true heavy
+    // hitter AND the verify pass restored exact counts. At sf0.01 the
+    // key space fits the summary outright; at sf0.1 it does not (15k
+    // keys vs 8192 counters) and the MG guarantee is doing real work.
+    dfq("q_heavy_hitters",
+      "SELECT CAST(o_custkey AS BIGINT) AS o_custkey, count(*) AS cnt " +
+        "FROM orders GROUP BY o_custkey " +
+        "ORDER BY cnt DESC, o_custkey LIMIT 10") { (s, dir) =>
+      graft.operators.HeavyHitters.topK(
+        Tables.load(s, dir, "orders"), "o_custkey", k = 10)
     },
   )
 
@@ -265,5 +351,6 @@ object PipelineQueries {
   )
 
   def entries: Seq[Entry] =
-    textAnalysis ++ dedup ++ similarity ++ temporal ++ analysis ++ multimodal
+    textAnalysis ++ dedup ++ grouping ++ sampling ++ heavyHitters ++
+      similarity ++ temporal ++ analysis ++ multimodal
 }

@@ -692,6 +692,48 @@ object Queries {
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
 
+    // Value-based (RANGE) window frame over event time: rolling 1-hour
+    // sum per user (§2.5 beyond-reference). Epoch-seconds ordering key so
+    // both engines bound the frame identically; RANGE peers make tie
+    // handling deterministic.
+    sql2("q_window_range",
+      "SELECT event_id, user_id, CAST(unix_timestamp(ts) AS BIGINT) AS t, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(unix_timestamp(ts) AS BIGINT) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sv1h " +
+        "FROM events ORDER BY user_id, t, event_id LIMIT 2000",
+      // floor(epoch): DuckDB's double→BIGINT cast ROUNDS while Spark's
+      // unix_timestamp truncates — sub-second timestamps would drift ±1 s.
+      "SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, " +
+        "round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) " +
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS sv1h " +
+        "FROM events ORDER BY user_id, t, event_id LIMIT 2000"),
+
+    // Flagship analytic shapes (TPC-H Q3/Q5 analogues over the test
+    // schema): realistic filter + multi-join + aggregate + top-k plans —
+    // the dims broadcast, the aggregate combines map-side, the top-k is
+    // TakeOrderedAndProject. Q5's s_nationkey = c_nationkey closes a
+    // cycle through the join graph (the JOB-style shape COMPASS targets).
+    sql("q_flagship_shipping",
+      "SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY o_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+
+    sql("q_flagship_volume",
+      "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey " +
+        "WHERE r_name = 'ASIA' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
     // Extended string functions (beyond-reference: 3.6.1 has only
     // LENGTH/CHAR_LENGTH — SURVEY §2.9; free in Spark).
     sql2("q_string_fns2",

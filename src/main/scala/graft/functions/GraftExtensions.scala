@@ -106,6 +106,14 @@ object GraftExtensions {
         require(c.size == 2, "ngram_hashes(text, n)")
         NgramHashesExpr(c(0), litInt(c(1), "ngram_hashes: n"))
       }),
+    // misra_gries(key, k) → array<struct<key,cnt>> heavy-hitter candidate
+    // summary (mergeable; see MisraGriesAgg / HeavyHitters.topK).
+    (FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2, "misra_gries(key, k)")
+        MisraGriesAgg(c(0), litInt(c(1), "misra_gries: k")).toAggregateExpression()
+      }),
     // lsh_sigs(vec, bits, tables, dim[, seed]) → array<long> of per-table
     // bucket ids — the same deterministic hyperplanes the Similarity
     // operators use, so SQL-side bucketing joins against operator-side

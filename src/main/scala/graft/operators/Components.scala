@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the clustering
+  * step of a dedup pipeline: near-duplicate PAIRS (from MinHash / SimHash
+  * / n-gram verification) become GROUPS, and each group keeps one
+  * canonical representative (the minimum id).
+  *
+  * Algorithm: iterated min-label propagation with pointer jumping.
+  * Each round every node takes the minimum label over {itself, its
+  * neighbors' labels}, then labels chase their own label's label
+  * (`comp ← comp(comp)`), which contracts label chains like union-find
+  * path-halving. Propagation alone needs O(diameter) rounds (a 1M-node
+  * chain would need 1M shuffles); with jumping the label graph contracts
+  * geometrically, so convergence is O(log n) rounds — each round a
+  * constant number of hash-shuffle joins and aggregates on (id, comp)
+  * pairs, never materializing anything wider than the edge list. This is
+  * the standard scalable formulation (cf. the large-star/small-star
+  * map-reduce algorithm); dedup graphs in practice are near-diameter-2
+  * (dup clusters), so the loop exits after 2-3 rounds via the
+  * convergence check.
+  *
+  * Returns one row per node appearing in `edges`: (id, component) with
+  * `component` = the minimum node id reachable. Isolated documents (no
+  * near-dup pair) are their own components — callers union them in from
+  * the corpus if needed (see the `q_dedup_components` entry).
+  */
+object Components {
+
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    // Symmetrize once; every round's neighbor-min join reads this relation.
+    val directed = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")) // also drops null-id edges
+    val sym = OpCaches.track(
+      directed.union(directed.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // comp₀ = min(id, min neighbor) — one aggregate seeds the labels.
+    var labels = OpCaches.track(
+      sym.groupBy(col("a").as("id"))
+        .agg(min(col("b")).as("min_nbr"))
+        .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.count()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Neighbor-min over CURRENT labels: node id ← min comp of neighbors.
+      val nbrMin = sym
+        .join(labels.withColumnsRenamed(Map("id" -> "b_id", "comp" -> "b_comp")),
+          col("b") === col("b_id"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("b_comp")).as("nbr_comp"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // Pointer jumping: comp ← comp(comp). Labels are node ids, so the
+      // label table IS the pointer table; a label already at its root
+      // (comp(comp) == comp) passes through unchanged.
+      val jumped = propagated
+        .join(labels.withColumnsRenamed(Map("id" -> "p_id", "comp" -> "p_comp")),
+          col("comp") === col("p_id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
+      val next = OpCaches.track(jumped.persist(StorageLevel.MEMORY_AND_DISK))
+      // Convergence = no label changed. One count action per round — the
+      // price of a data-dependent fixpoint; each round's inputs are
+      // persisted so the check never recomputes the lineage.
+      val changed = next.join(
+          labels.withColumnsRenamed(Map("comp" -> "old_comp")), Seq("id"))
+        .filter(col("comp") =!= col("old_comp"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup-group summary from near-dup pairs over a corpus: every
+    * document mapped to its component representative (`keep_id` = min id
+    * in the component; singletons map to themselves) — the final
+    * "which row survives" relation of the dedup pipeline.
+    */
+  def dedupGroups(
+      corpus: DataFrame, idCol: String, pairs: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol)
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("keep_id"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data selection.
+  *
+  * Seeded RDD sampling (`df.sample`) draws from a per-partition RNG
+  * stream: the selected row set changes with partitioning, task retries
+  * and engine version — unacceptable when a training corpus must be
+  * re-derivable byte-for-byte. These operators hash a KEY instead: a row's
+  * fate depends only on its key and the salt, on any engine, at any
+  * parallelism. Selection is a pure map-side filter (codegen'd md5 —
+  * no shuffle, no state), so at 100 TB it fuses into the scan it feeds on
+  * and costs one digest per row.
+  *
+  * The decision rule compares the first 4 hex digits of `md5(key || salt)`
+  * against `floor(fraction · 16^4)` written as 4 hex digits: a plain
+  * string comparison both this engine and any SQL oracle evaluate
+  * identically (no cross-engine integer-parsing of hex needed).
+  * Granularity is 1/65536 ≈ 0.0015 %.
+  */
+object Sampling {
+
+  /** 4-hex-digit threshold for a fraction; None = keep everything. */
+  private[graft] def hexThreshold(fraction: Double): Option[String] = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"sample fraction must be in [0, 1], got $fraction")
+    if (fraction >= 1.0) None
+    else Some(f"${math.floor(fraction * 65536).toInt}%04x")
+  }
+
+  private def hexOf(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 4)
+
+  /** Bernoulli sample: keeps ~`fraction` of rows, chosen by key hash.
+    * Deterministic across engines, partitionings and reruns; different
+    * `salt` values draw independent samples from the same corpus.
+    */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    hexThreshold(fraction) match {
+      case None => df
+      case Some(t) => df.filter(hexOf(col(keyCol), salt) < lit(t))
+    }
+
+  /** Stratified sample: an independent per-stratum fraction (strata
+    * missing from the map keep `defaultFraction`). Same hash rule, so the
+    * kept set is the union of per-stratum deterministic samples — still
+    * one map-side filter, no shuffle, skew-immune (no per-stratum
+    * repartition).
+    */
+  def stratifiedSample(
+      df: DataFrame, strataCol: String, keyCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    val hex = hexOf(col(keyCol), salt)
+    def keep(f: Double): Column =
+      hexThreshold(f).map(t => hex < lit(t)).getOrElse(lit(true))
+    val cond = fractions.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, keep(f))
+    }.otherwise(keep(defaultFraction))
+    df.filter(cond)
+  }
+}

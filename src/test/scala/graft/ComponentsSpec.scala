@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def componentsOf(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val out = Components.connectedComponents(df, "src", "dst", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    out
+  }
+
+  /** Reference union-find for randomized comparison. */
+  private def exact(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // find() roots are the minimum id of each set because unions always
+    // point the larger root at the smaller.
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("two triangles and a bridge collapse to one component each") {
+    val got = componentsOf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("a long chain converges within the logarithmic iteration budget") {
+    // 64-node path: plain propagation would need ~64 rounds; pointer
+    // jumping must finish far under the default 25.
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val got = componentsOf(chain)
+    assert(got.values.toSet == Set(1L), s"chain not fully contracted: ${got.values.toSet}")
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = componentsOf(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    // Pure self-loop nodes are dropped by the a =!= b filter (they carry
+    // no connectivity); pair (1,2) resolves to min label 1.
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("randomized graphs match exact union-find") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val got = componentsOf(edges)
+      assert(got == exact(edges), s"trial $trial differs")
+    }
+  }
+
+  test("dedupGroups maps singletons to themselves and members to the min id") {
+    val corpus = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((2L, 5L), (5L, 7L)).toDF("id_a", "id_b")
+    val got = Components.dedupGroups(corpus, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 2L, 6L -> 6L, 7L -> 2L, 8L -> 8L))
+  }
+}
