@@ -231,6 +231,24 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Mean pooling: chunk embeddings → one vector per group via the
+    // vec_avg aggregate (one pass, map-side partials carrying a single
+    // sums[dim] array — never the posexplode'd n×dim shuffle). DuckDB
+    // re-derives every pooled element positionally.
+    dfq("q_embed_pool",
+      "SELECT vec_id % 10 AS grp, CAST(pos AS BIGINT) AS pos, round(avg(v), 6) AS v " +
+        "FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v, " +
+        "      generate_subscripts(embedding, 1) AS pos FROM embeddings) u " +
+        "GROUP BY grp, pos ORDER BY grp, pos") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.groupBy((col("vec_id") % 10).as("grp"))
+        .agg(graft.functions.VecAvgAgg.vec_avg(col("embedding")).as("pooled"))
+        .select(col("grp"), posexplode(col("pooled")))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("col"), 6).as("v"))
+        .orderBy("grp", "pos")
+    },
+
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join).
     opaque("q_ann_neardup") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")

@@ -417,6 +417,30 @@ object Queries {
         "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY rf, ls"),
 
+    // PIVOT / UNPIVOT reshaping (beyond-reference). The oracle states the
+    // expected values as conditional aggregation / UNION ALL — the
+    // dialect-free definition of the same relation.
+    sql2("q_pivot",
+      "SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem) " +
+        "PIVOT (round(sum(l_quantity), 2) FOR l_linestatus IN ('O' AS o_qty, 'F' AS f_qty)) " +
+        "ORDER BY l_returnflag",
+      "SELECT l_returnflag, " +
+        "round(sum(l_quantity) FILTER (l_linestatus = 'O'), 2) AS o_qty, " +
+        "round(sum(l_quantity) FILTER (l_linestatus = 'F'), 2) AS f_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    sql2("q_unpivot",
+      "SELECT l_returnflag, metric, v FROM (" +
+        "SELECT l_returnflag, round(sum(l_quantity), 2) AS qty, " +
+        "round(sum(l_extendedprice), 2) AS price FROM lineitem GROUP BY l_returnflag) " +
+        "UNPIVOT (v FOR metric IN (qty, price)) ORDER BY l_returnflag, metric",
+      "SELECT l_returnflag, 'qty' AS metric, round(sum(l_quantity), 2) AS v " +
+        "FROM lineitem GROUP BY l_returnflag " +
+        "UNION ALL " +
+        "SELECT l_returnflag, 'price' AS metric, round(sum(l_extendedprice), 2) AS v " +
+        "FROM lineitem GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag, metric"),
+
     // Statistical aggregates (beyond-reference): sample stddev/variance,
     // correlation, sample covariance. Rounded — partial-aggregation order
     // differs between engines.

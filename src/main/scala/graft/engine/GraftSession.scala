@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.Tables
-import graft.operators.{Similarity, Temporal, TextAnalysis, TextDedup}
+import graft.operators.{Components, HeavyHitters, Sampling, Similarity, Temporal, TextAnalysis, TextDedup}
 import graft.planner.{CompassSession, SketchTemplateCache}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -57,6 +57,26 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
       emb, emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*)),
       "vec_id", "embedding", k)
   }
+
+  /** Every document mapped to its dedup-group representative (min id;
+    * singletons to themselves): near-dup pairs → connected components.
+    */
+  def dedupGroups(threshold: Double = 0.8): DataFrame =
+    Components.dedupGroups(table("documents"), "doc_id",
+      nearDuplicates(threshold), "id_a", "id_b")
+
+  /** Reproducible Bernoulli sample of a table by key — same kept set on
+    * any engine at any parallelism (see [[Sampling.deterministicSample]]).
+    */
+  def sample(tableName: String, keyCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    Sampling.deterministicSample(table(tableName), keyCol, fraction, salt)
+
+  /** Exact top-k hottest keys of a column (Misra-Gries candidates +
+    * exact verify — see [[HeavyHitters.topK]]).
+    */
+  def heavyHitters(tableName: String, keyCol: String, k: Int = 10): DataFrame =
+    HeavyHitters.topK(table(tableName), keyCol, k)
 
   /** Documents annotated with language, quality, tokens, fingerprints. */
   def curatedDocuments(): DataFrame =

@@ -106,6 +106,14 @@ object GraftExtensions {
         require(c.size == 2, "ngram_hashes(text, n)")
         NgramHashesExpr(c(0), litInt(c(1), "ngram_hashes: n"))
       }),
+    // vec_avg(embedding) → array<double> element-wise mean (mean pooling
+    // / centroids; see VecAvgAgg).
+    (FunctionIdentifier("vec_avg"),
+      new ExpressionInfo(classOf[VecAvgAgg].getName, "vec_avg"),
+      (c: Seq[Expression]) => {
+        require(c.size == 1, "vec_avg(vec)")
+        VecAvgAgg(c.head).toAggregateExpression()
+      }),
     // misra_gries(key, k) → array<struct<key,cnt>> heavy-hitter candidate
     // summary (mergeable; see MisraGriesAgg / HeavyHitters.topK).
     (FunctionIdentifier("misra_gries"),

@@ -33,10 +33,15 @@ object Components {
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    // Symmetrize once; every round's neighbor-min join reads this relation.
-    val directed = edges
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a") =!= col("b")) // also drops null-id edges
+    // Symmetrize once; every round's neighbor-min join reads this
+    // relation. The input lineage (e.g. a full MinHash-LSH pipeline) is
+    // materialized FIRST so the two union branches don't each recompute
+    // it — measured 2× the whole upstream cost without this.
+    val directed = OpCaches.track(
+      edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a") =!= col("b")) // also drops null-id edges
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val sym = OpCaches.track(
       directed.union(directed.select(col("b").as("a"), col("a").as("b")))
         .distinct()
@@ -48,7 +53,13 @@ object Components {
         .agg(min(col("b")).as("min_nbr"))
         .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    labels.count()
+    // Labels only ever DECREASE, so Σcomp strictly decreases on any
+    // change: convergence is "sum unchanged" — one aggregate action per
+    // round, no self-join diff. DECIMAL(38) sum: node-count × id-range
+    // can overflow a 64-bit sum at full scale.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -71,18 +82,14 @@ object Components {
         .select(col("id"),
           least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
       val next = OpCaches.track(jumped.persist(StorageLevel.MEMORY_AND_DISK))
-      // Convergence = no label changed. One count action per round — the
-      // price of a data-dependent fixpoint; each round's inputs are
-      // persisted so the check never recomputes the lineage.
-      val changed = next.join(
-          labels.withColumnsRenamed(Map("comp" -> "old_comp")), Seq("id"))
-        .filter(col("comp") =!= col("old_comp"))
-        .limit(1).count()
+      val nextSum = labelSum(next) // also materializes the persist
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
+    directed.unpersist()
     labels
   }
 

@@ -49,6 +49,22 @@ object EventStream {
     events.groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
 
+  /** Streaming exact deduplication by id — at-least-once transports
+    * (Kafka redeliveries, importer retries) make ingest dedup the first
+    * stateful stage of a training-data stream. The watermark BOUNDS the
+    * dedup state: an id's fingerprint is dropped once its event time
+    * falls behind the watermark, so state is O(ids-per-watermark-window)
+    * forever, not O(stream length) — `dropDuplicates` without the event-
+    * time column would grow without bound. Within the watermark a
+    * duplicate id is emitted exactly once (EventStreamSpec: re-delivered
+    * batches, cross-batch duplicates, and a bounded-state assertion).
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Batch-equivalence helper: LITERALLY the same transform —
     * `withWatermark` is a no-op on batch DataFrames, so one definition
     * serves both engines and cannot drift.

@@ -71,6 +71,40 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup: redelivered ids emit once; state is watermark-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.dedupStream(events, watermark = "2 hours")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // In-batch duplicate (id 2) and a clean id 1.
+      input.addData((1L, ts(1, 10), 10L, "click", 1.0),
+        (2L, ts(1, 20), 11L, "view", 2.0), (2L, ts(1, 20), 11L, "view", 2.0))
+      query.processAllAvailable()
+      // Cross-batch redelivery of ids 1 and 2 within the watermark + new 3.
+      input.addData((1L, ts(1, 10), 10L, "click", 1.0),
+        (2L, ts(1, 20), 11L, "view", 2.0), (3L, ts(1, 50), 12L, "click", 3.0))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), s"duplicates leaked: $ids")
+      // Advance event time far past the watermark: fingerprints for the
+      // 01:xx ids are dropped from state (THE bound), so a very late
+      // redelivery of id 1 emits again — the documented trade of bounded
+      // state, proving expiry actually happens.
+      input.addData((4L, ts(23), 13L, "view", 1.0))
+      query.processAllAvailable()
+      input.addData((1L, ts(23, 10), 10L, "click", 1.0))
+      query.processAllAvailable()
+      val n1 = spark.table("dedup_out").filter(col("event_id") === 1L).count()
+      assert(n1 == 2L, s"expired fingerprint should re-admit id 1, saw $n1 rows")
+    } finally query.stop()
+  }
+
   test("kafka-shaped JSON ingest parses into the events schema") {
     import spark.implicits._
     val raw = Seq(

@@ -24,5 +24,15 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(curated.columns.toSet.intersect(
       Set("lang_pred", "quality", "n_tokens_ws", "fp_rolling")).size == 4)
     assert(curated.count() == 500)
+    // r6 conveniences: dedup groups cover the corpus; deterministic
+    // sample is stable; heavy hitters return exact ordered counts.
+    val groups = gs.dedupGroups()
+    assert(groups.count() == 500)
+    assert(groups.columns.toSeq == Seq("doc_id", "keep_id"))
+    val s1 = gs.sample("orders", "o_orderkey", 0.1).count()
+    assert(s1 == gs.sample("orders", "o_orderkey", 0.1).count() && s1 > 0)
+    val hh = gs.heavyHitters("orders", "o_custkey", k = 3).collect()
+    assert(hh.length == 3 && hh(0).getLong(1) >= hh(2).getLong(1))
+    graft.operators.OpCaches.releaseAll(spark)
   }
 }
