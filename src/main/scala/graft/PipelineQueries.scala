@@ -317,6 +317,25 @@ object PipelineQueries {
         .orderBy("lang_pred")
     },
 
+    // Overlapping token-window chunking (the pre-embedding step):
+    // 64-token chunks, 16-token overlap. DuckDB re-derives every chunk
+    // string and count from the same windowing arithmetic.
+    dfq("q_text_chunks",
+      "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "lists AS (SELECT doc_id, " +
+        "  [array_to_string(t[(CAST(i AS INT)*48+1):(CAST(i AS INT)*48+64)], ' ') " +
+        "   FOR i IN range(0, greatest(CAST(ceil((len(t)-16)/48.0) AS BIGINT), 1))] AS cs " +
+        "  FROM toks) " +
+        "SELECT doc_id, CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS chunk_idx, " +
+        "  unnest(cs) AS chunk_text " +
+        "FROM lists ORDER BY doc_id, chunk_idx") { (s, dir) =>
+      TextAnalysis.chunk(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Quality scores + BPE-ish token counts + fingerprints per doc.
     opaque("q_text_pipeline") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")

@@ -775,6 +775,31 @@ object Queries {
         "split_part(c_name, '#', 2) AS part2 " +
         "FROM customer ORDER BY c_custkey LIMIT 300"),
 
+    // Explicit NULLS FIRST placement under a LIMIT that cuts across the
+    // null group — engines DIFFER on default null ordering (Spark ASC
+    // defaults nulls-first, DuckDB nulls-last), so only the explicit
+    // form is portable; the LIMIT makes wrong placement change the rows.
+    sql("q_nulls_order",
+      "SELECT k, l_orderkey FROM " +
+        "(SELECT nullif(l_linenumber, 3) AS k, l_orderkey FROM lineitem " +
+        " WHERE l_orderkey < 100) t " +
+        "ORDER BY k ASC NULLS FIRST, l_orderkey LIMIT 30"),
+
+    // INTERSECT ALL / EXCEPT ALL multiplicity semantics (beyond-ref).
+    sql("q_set_all",
+      "SELECT " +
+        "(SELECT count(*) FROM (SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2 " +
+        "  INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_quantity > 10) t1) AS n_intersect_all, " +
+        "(SELECT count(*) FROM (SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2 " +
+        "  EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_quantity > 10) t2) AS n_except_all"),
+
+    // Correlated LATERAL subquery with per-row top-2 (beyond-ref).
+    sql("q_lateral",
+      "SELECT c_custkey, o_orderkey, o_total FROM customer, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice AS o_total FROM orders " +
+        "  WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) " +
+        "WHERE c_custkey < 50 ORDER BY c_custkey, o_total DESC, o_orderkey"),
+
     // COALESCE / GREATEST / LEAST / NULLIF composition.
     sql("q_null_fns",
       "SELECT count(*) AS n, " +

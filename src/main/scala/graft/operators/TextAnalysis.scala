@@ -257,6 +257,32 @@ object TextAnalysis {
       .withColumn("n_tokens_bpe", size(split(col(textCol),
         "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=\\p{Punct})")))
 
+  /** Overlapping token-window chunks — the step before embedding: long
+    * documents become (doc_id, chunk_idx, chunk_text) rows of
+    * `chunkTokens` whitespace tokens, consecutive chunks sharing
+    * `overlap` tokens so no context is cut at a boundary. One projection
+    * + posexplode, pure expressions: chunk count per doc is
+    * ceil(max(n_tokens − overlap, 1) / stride) with
+    * stride = chunkTokens − overlap; documents shorter than a chunk
+    * yield exactly one chunk (the whole document). No shuffle — at
+    * 100 TB chunking fuses into the scan that feeds the embedder.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"chunk: need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), "\\s+") // original case — chunks are payload
+    val nChunks = greatest(
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"),
+      lit(1))
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkTokens))))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk_text"))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), "\\s+")))
+  }
+
   /** Heuristic quality score in [0,1]: penalizes extreme length, high
     * punctuation/digit density, low stopword ratio, and token repetition
     * (distinct/total) — the standard cheap pre-filters.
