@@ -173,6 +173,26 @@ object PipelineQueries {
     },
   )
 
+  // One persisted IVF index per (session, data dir). Values are plain
+  // path strings (no back-reference to the session key), so the weak map
+  // lets dead sessions' entries collect — the Tables.currentDir pattern.
+  private val ivfIndexDirs =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  private def ivfIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame): String = synchronized {
+    val perDir = Option(ivfIndexDirs.get(s)).getOrElse {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      ivfIndexDirs.put(s, m); m
+    }
+    perDir.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 16)
+      path
+    })
+  }
+
   private val similarity: Seq[Entry] = Seq(
     // Exact brute-force cosine top-5 for a 10-vector query set (the
     // baseline ANN path; broadcast queries, one corpus pass). DuckDB
@@ -247,6 +267,22 @@ object PipelineQueries {
         .select(col("grp"), (col("pos") + 1).cast("long").as("pos"),
           round(col("col"), 6).as("v"))
         .orderBy("grp", "pos")
+    },
+
+    // Persisted-IVF lifecycle: build the partitioned inverted-list index
+    // ONCE per (session, data dir) — the index's whole point — then query
+    // it with partition-pruned scans (IvfIndexSpec asserts indexed ≡ live
+    // results and the pruned scan). First run pays the build; repeat runs
+    // measure query-only, which is the steady-state the index exists for.
+    // Deterministic (hash-ordered k-means sample), rows-only like the
+    // other seeded ANN paths.
+    opaque("q_ann_ivf_indexed") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir, emb)
+      Similarity.ivfTopKIndexed(
+          emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          path, k = 5, nProbe = 8)
+        .orderBy("query_id", "rank")
     },
 
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join).

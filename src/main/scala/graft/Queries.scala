@@ -189,6 +189,19 @@ object Queries {
       s.read.option("header", "true").schema(df.schema).csv(tmp)
         .agg(count(lit(1)).as("n"), sum("s_suppkey").cast("long").as("s"))
     },
+
+    // The reference's archive importer also handles .bz2 (mapd-core
+    // Archive/; Importer.h:568) — bzip2 round-trip through the same
+    // write→read→aggregate check. (.zip/.7z have no Hadoop codec; n/a.)
+    dfq("q_csv_bzip2",
+      "SELECT count(*) AS n, CAST(sum(s_nationkey) AS BIGINT) AS s FROM supplier") { (s, dir) =>
+      val tmp = tempDir("graft_bz2")
+      val df = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+      df.write.mode("overwrite").option("header", "true")
+        .option("compression", "bzip2").csv(tmp)
+      s.read.option("header", "true").schema(df.schema).csv(tmp)
+        .agg(count(lit(1)).as("n"), sum("s_nationkey").cast("long").as("s"))
+    },
   )
 
   // ===========================================================================
@@ -757,6 +770,26 @@ object Queries {
         "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey " +
         "WHERE r_name = 'ASIA' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+
+    // FIRST_VALUE / LAST_VALUE with null skipping (beyond-ref): Spark
+    // takes ignoreNulls as a function argument, DuckDB as a clause.
+    sql2("q_window_first_last",
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_o, " +
+        "CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_o, " +
+        "CAST(first_value(nullif(o_orderkey % 3, 0), true) OVER w AS BIGINT) AS first_nz " +
+        "FROM orders WHERE o_custkey < 40 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey",
+      "SELECT o_custkey, o_orderkey, " +
+        "CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_o, " +
+        "CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_o, " +
+        "CAST(first_value(nullif(o_orderkey % 3, 0) IGNORE NULLS) OVER w AS BIGINT) AS first_nz " +
+        "FROM orders WHERE o_custkey < 40 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY o_custkey, o_orderkey"),
 
     // Extended string functions (beyond-reference: 3.6.1 has only
     // LENGTH/CHAR_LENGTH — SURVEY §2.9; free in Spark).

@@ -219,36 +219,43 @@ object Similarity {
     * shuffle is the final per-query top-k over the probed fraction
     * (~nProbe/nCentroids) of the corpus.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+  /** Per-row top-n centroid ids against a fixed centroid set,
+    * shuffle-free (centroids ride as broadcast literals). Sort key is
+    * (score, -id): after reverse() ties break on ascending centroid id,
+    * matching the exact re-rank's determinism contract. The row norm is
+    * let-bound via a single-element transform (a lambda variable
+    * evaluates once per row) — referencing an l2norm expression directly
+    * inside the scoring lambda would recompute the dim-length fold per
+    * centroid.
+    */
+  private[graft] def assignToCentroids(
+      df: DataFrame, id: String, vec: String,
+      cents: Array[Array[Double]], n: Int): DataFrame = {
     val kEff = cents.length
     val cArr = typedlit(cents.map(_.toSeq).toSeq) // 1-indexed via element_at
     val cNorm = typedlit(cents.map(c =>
       math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)).toSeq)
+    val top = element_at(
+      transform(array(l2norm(col(vec))), vn => {
+        val scored = transform(sequence(lit(1), lit(kEff)), i =>
+          struct(
+            (dot(col(vec), element_at(cArr, i)) /
+              (vn * element_at(cNorm, i))).as("s"),
+            (-i).as("negc")))
+        slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
+      }), 1)
+    TextAnalysis.widened(df)
+      .select(col(id), col(vec), explode(top).as("c"))
+      .select(col(id), col(vec),
+        (-col("c.negc") - 1).cast("int").as("centroid_id"))
+  }
 
-    // Per-row top-n centroid ids, shuffle-free. Sort key is (score, -id):
-    // after reverse() ties break on ascending centroid id, matching the
-    // exact re-rank's determinism contract. The row norm is let-bound via
-    // a single-element transform (a lambda variable evaluates once per
-    // row) — referencing an l2norm expression directly inside the scoring
-    // lambda would recompute the dim-length fold per centroid.
-    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val top = element_at(
-        transform(array(l2norm(col(vec))), vn => {
-          val scored = transform(sequence(lit(1), lit(kEff)), i =>
-            struct(
-              (dot(col(vec), element_at(cArr, i)) /
-                (vn * element_at(cNorm, i))).as("s"),
-              (-i).as("negc")))
-          slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
-        }), 1)
-      TextAnalysis.widened(df)
-        .select(col(id), col(vec), explode(top).as("c"))
-        .select(col(id), col(vec),
-          (-col("c.negc") - 1).cast("int").as("centroid_id"))
-    }
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    def assign(df: DataFrame, id: String, vec: String, n: Int): DataFrame =
+      assignToCentroids(df, id, vec, cents, n)
 
     val lists = assign(
       corpus.withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "nv")),
@@ -257,6 +264,67 @@ object Similarity {
       queries.withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "qv")),
       "query_id", "qv", nProbe)
 
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    lists.join(broadcast(probes), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persisted IVF index — the "write once, reuse" path SCALE.md
+    * promises: inverted lists land as a parquet table PARTITIONED BY
+    * centroid_id (one directory per list), centroids beside them. At
+    * 100 TB this is one assignment scan; every later query batch reads
+    * only its probed partitions (directory-level partition pruning —
+    * IvfIndexSpec asserts the scan's PartitionFilters), i.e. ~nProbe /
+    * nCentroids of the corpus instead of all of it.
+    *
+    * Returns the centroids for immediate reuse; [[ivfTopKIndexed]] reads
+    * everything back from disk.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nCentroids: Int = 16): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    assignToCentroids(
+        corpus.withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "nv")),
+        "neighbor_id", "nv", cents, 1)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cents
+  }
+
+  /** Query a [[buildIvfIndex]] index. Probe centroid ids become a
+    * LITERAL IN-filter on the partition column, so the lists scan prunes
+    * to the probed directories (the collect is over query-batch × nProbe
+    * ids — query batches are small by contract; the corpus never reaches
+    * the driver). Same output contract as [[ivfTopK]]: (query_id,
+    * neighbor_id, rank, cos), ties on (cos desc, neighbor_id).
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame, idCol: String, vecCol: String,
+      path: String, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probes = assignToCentroids(
+      queries.withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "qv")),
+      "query_id", "qv", cents, nProbe)
+    val probed = probes.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     lists.join(broadcast(probes), "centroid_id")

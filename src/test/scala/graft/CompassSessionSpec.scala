@@ -33,6 +33,29 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(plan.sketchCounts("region") == 1)
   }
 
+  test("flagship TPC-H Q5 analogue (cyclic 6-way, agg + sort) through compass") {
+    // The realistic end-to-end shape a reference user actually runs:
+    // filter + six joins with a cycle (s_nationkey = c_nationkey) +
+    // aggregate + ORDER BY — through the optimizer, identical to vanilla.
+    Tables.registerAll(spark, dir)
+    val q =
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    val cs = new CompassSession(spark)
+    val optimized = cs.sql(q).collect().map(_.toSeq)
+    val vanilla = spark.sql(q).collect().map(_.toSeq)
+    assert(optimized.toSeq == vanilla.toSeq)
+    val plan = cs.lastPlan.get
+    assert(plan.order.size == 6, s"all six instances ordered: ${plan.order}")
+    assert(plan.sketchCounts("region") == 1) // the filter bit
+  }
+
   test("cast-joined query keeps exact semantics through the compass path") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)
