@@ -121,15 +121,15 @@ object PipelineQueries {
 
   private val sampling: Seq[Entry] = Seq(
     // Deterministic (engine-portable) 10% Bernoulli sample: row fate =
-    // md5(key) hex prefix vs threshold '1999' (= floor(0.1·16^4) in hex),
-    // identical on any engine at any parallelism — reproducible corpus
-    // selection, pure map-side filter. The oracle applies the same rule
-    // in SQL and must select the SAME rows, which the per-flag aggregate
-    // then pins.
+    // md5(key || '|' || salt) hex prefix vs threshold '1999'
+    // (= floor(0.1·16^4) in hex), identical on any engine at any
+    // parallelism — reproducible corpus selection, pure map-side filter.
+    // The oracle applies the same rule in SQL and must select the SAME
+    // rows, which the per-flag aggregate then pins.
     dfq("q_sample_det",
       "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sq " +
         "FROM lineitem " +
-        "WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4) < '1999' " +
+        "WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '|'), 1, 4) < '1999' " +
         "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .withColumn("_sk", expr("l_orderkey * 10 + l_linenumber"))
@@ -145,7 +145,7 @@ object PipelineQueries {
     dfq("q_sample_strat",
       "SELECT l_returnflag, count(*) AS n " +
         "FROM lineitem " +
-        "WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4) < " +
+        "WHERE substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '|'), 1, 4) < " +
         "  CASE l_returnflag WHEN 'N' THEN '3333' WHEN 'R' THEN '0ccc' ELSE '1999' END " +
         "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")

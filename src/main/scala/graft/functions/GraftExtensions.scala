@@ -30,7 +30,13 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    ext.injectOptimizerRule(_ => graft.plans.DeferProjectPastTopK)
+    // Pre-CBO, NOT injectOptimizerRule: the latter joins the operator-
+    // optimization FIXED-POINT batch, while DeferProjectPastTopK's
+    // stability argument (see its doc) assumes the fixed point has already
+    // settled. Pre-CBO rules run exactly once after that batch — the same
+    // post-settlement semantics as the `register()` path's
+    // extraOptimizations, just earlier in the final batches.
+    ext.injectPreCBORule(_ => graft.plans.DeferProjectPastTopK)
   }
 }
 
@@ -155,17 +161,25 @@ object GraftExtensions {
   /** Register into an already-built session (tests, notebooks). The
     * optimizer rule goes into the post-optimizer `extraOptimizations`
     * batch — the only rule-injection point that exists after session
-    * build, and a safer one anyway: the main operator-optimization fixed
+    * build, with the same post-fixed-point semantics as the extensions
+    * class's pre-CBO injection: the main operator-optimization fixed
     * point (column pruning, `PushProjectionThroughLimitAndOffset`) has
-    * fully settled before it runs.
+    * fully settled before the rule runs. A session BUILT with the
+    * extensions class already carries the rule pre-CBO, so `register()`
+    * on such a session skips the second injection (the rule's output
+    * shape does not re-match it, so a double application would be a
+    * no-op anyway — this just keeps it out of the plan-rule list twice).
     */
   def register(spark: SparkSession): Unit = {
     functions.foreach {
       case (ident, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    val viaExtensions = spark.conf
+      .getOption("spark.sql.extensions").getOrElse("")
+      .contains(classOf[GraftExtensions].getName)
     val em = spark.experimental
-    if (!em.extraOptimizations.contains(graft.plans.DeferProjectPastTopK))
+    if (!viaExtensions && !em.extraOptimizations.contains(graft.plans.DeferProjectPastTopK))
       em.extraOptimizations = em.extraOptimizations :+ graft.plans.DeferProjectPastTopK
   }
 }

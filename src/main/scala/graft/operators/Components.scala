@@ -90,6 +90,10 @@ object Components {
       iter += 1
     }
     directed.unpersist()
+    // `sym` is fully consumed once the loop converges; only the returned
+    // labels stay pinned (callers release via OpCaches.releaseAll — a
+    // long-lived session must not accumulate one edge-list cache per call).
+    sym.unpersist()
     labels
   }
 

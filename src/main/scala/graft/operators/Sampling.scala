@@ -14,11 +14,21 @@ import org.apache.spark.sql.functions._
   * no shuffle, no state), so at 100 TB it fuses into the scan it feeds on
   * and costs one digest per row.
   *
-  * The decision rule compares the first 4 hex digits of `md5(key || salt)`
-  * against `floor(fraction · 16^4)` written as 4 hex digits: a plain
-  * string comparison both this engine and any SQL oracle evaluate
-  * identically (no cross-engine integer-parsing of hex needed).
-  * Granularity is 1/65536 ≈ 0.0015 %.
+  * The decision rule compares the first 4 hex digits of
+  * `md5(key || '|' || salt)` against `floor(fraction · 16^4)` written as 4
+  * hex digits: a plain string comparison both this engine and any SQL
+  * oracle evaluate identically (no cross-engine integer-parsing of hex
+  * needed). Granularity is 1/65536 ≈ 0.0015 %. The `'|'` separator keeps
+  * distinct (key, salt) pairs distinct — without it key `"1"` + salt
+  * `"23"` and key `"12"` + salt `"3"` would hash identically, breaking
+  * the independent-samples-per-salt contract (keys containing `'|'`
+  * could still alias against a salt that itself contains `'|'`; use
+  * delimiter-free salts for such keys).
+  *
+  * NULL-key policy: a null key has no hash, so null-key rows are ALWAYS
+  * excluded — at every fraction including 1.0, so `fraction = 1.0` and
+  * `fraction = 1.0 - ε` never differ by the whole null-key population.
+  * Callers wanting nulls kept must coalesce the key first.
   */
 object Sampling {
 
@@ -31,19 +41,22 @@ object Sampling {
   }
 
   private def hexOf(key: Column, salt: String): Column =
-    substring(md5(concat(key.cast("string"), lit(salt))), 1, 4)
+    substring(md5(concat(key.cast("string"), lit("|"), lit(salt))), 1, 4)
 
   /** Bernoulli sample: keeps ~`fraction` of rows, chosen by key hash.
     * Deterministic across engines, partitionings and reruns; different
     * `salt` values draw independent samples from the same corpus.
+    * Null-key rows are always excluded (see the policy note above).
     */
   def deterministicSample(
       df: DataFrame, keyCol: String, fraction: Double,
-      salt: String = ""): DataFrame =
+      salt: String = ""): DataFrame = {
+    val nonNull = df.filter(col(keyCol).isNotNull)
     hexThreshold(fraction) match {
-      case None => df
-      case Some(t) => df.filter(hexOf(col(keyCol), salt) < lit(t))
+      case None => nonNull
+      case Some(t) => nonNull.filter(hexOf(col(keyCol), salt) < lit(t))
     }
+  }
 
   /** Stratified sample: an independent per-stratum fraction (strata
     * missing from the map keep `defaultFraction`). Same hash rule, so the
@@ -61,6 +74,6 @@ object Sampling {
     val cond = fractions.foldLeft(when(lit(false), lit(false))) {
       case (acc, (stratum, f)) => acc.when(col(strataCol) === stratum, keep(f))
     }.otherwise(keep(defaultFraction))
-    df.filter(cond)
+    df.filter(col(keyCol).isNotNull).filter(cond)
   }
 }

@@ -25,10 +25,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - at least one projected expression does real work — pure column /
   *     literal reshuffles gain nothing, so plan churn is avoided.
   *
-  * Runs in the post-optimizer `extraOptimizations` batch: the main
-  * operator-optimization fixed point (column pruning, limit pushdown) has
-  * already settled, and the output shape does not re-match the rule, so
-  * the rewrite is stable. The planner then folds
+  * Runs AFTER the operator-optimization fixed point — via the
+  * post-optimizer `extraOptimizations` batch (`GraftExtensions.register`)
+  * or the pre-CBO once-batch (the `GraftExtensions` session-extensions
+  * class); both injection points see the fixed point (column pruning,
+  * limit pushdown) already settled, and the output shape does not
+  * re-match the rule, so the rewrite is stable. The planner then folds
   * `Limit(Project(Sort(child)))` into `TakeOrderedAndProject`, which keeps
   * only the top-k rows in a bounded per-partition heap and projects those.
   *

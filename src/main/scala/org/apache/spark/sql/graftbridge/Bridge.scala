@@ -18,4 +18,13 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The pre-CBO rule list an extensions instance would install — lets
+    * specs assert WHERE a rule was injected without building a whole
+    * session around the extensions class (`buildPreCBORules` is
+    * `private[sql]`).
+    */
+  def preCBORules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildPreCBORules(spark)
 }

@@ -117,6 +117,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"SQL/operator LSH divergence on ${bad.take(3)}")
   }
 
+  test("extensions class injects DeferProjectPastTopK pre-CBO (post-fixed-point), not into the operator batch") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val preCBO = org.apache.spark.sql.graftbridge.Bridge.preCBORules(ext, spark)
+    assert(preCBO == Seq(graft.plans.DeferProjectPastTopK),
+      s"expected exactly the defer rule pre-CBO, got $preCBO")
+  }
+
   test("non-literal seed class is rejected") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val e = intercept[Exception] {

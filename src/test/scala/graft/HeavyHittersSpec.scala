@@ -63,6 +63,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("flat distribution trips the guarantee check and falls back to exact") {
+    // 3000 distinct keys × 5 occurrences: decrements occur (3000 > 64
+    // counters) so certificate (a) fails, and the k-th count (5) is far
+    // below n/(counters+1) ≈ 230 so certificate (b) fails — the operator
+    // must detect this and return the exact top-k via the fallback, never
+    // a silently wrong candidate-limited set.
+    val rows = (1L to 3000L).flatMap(i => Seq.fill(5)(i))
+    val df = new scala.util.Random(7).shuffle(rows).toDF("k")
+    val got = HeavyHitters.topK(df, "k", k = 10, counters = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 10L).map(i => (i, 5L)), s"fallback not exact: $got")
+  }
+
+  test("key space within the summary: exact even when counts are flat (no-decrement certificate)") {
+    // 50 distinct keys ≤ 64 counters: MG never decrements, the summary IS
+    // the exact count table, and the result is exact although the
+    // frequency-bound certificate alone could not prove it.
+    val rows = (1L to 50L).flatMap(i => Seq.fill(3)(i))
+    val df = new scala.util.Random(8).shuffle(rows).toDF("k")
+    val got = HeavyHitters.topK(df, "k", k = 10, counters = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 10L).map(i => (i, 3L)))
+  }
+
   test("SQL misra_gries candidates contain the true heavy hitters") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val cand = spark.sql(

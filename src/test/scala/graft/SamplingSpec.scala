@@ -56,6 +56,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(overlap > 50 && overlap < 600, s"overlap $overlap")
   }
 
+  test("null keys are always excluded — fraction 1.0 and 1.0-ε agree on the policy") {
+    val df = ((1L to 900L).map(Option(_)) ++ Seq.fill(100)(Option.empty[Long]))
+      .toDF("id")
+    assert(Sampling.deterministicSample(df, "id", 1.0).count() == 900,
+      "fraction=1.0 must apply the same null-exclusion rule as every other fraction")
+    val near = Sampling.deterministicSample(df, "id", 0.9999).count()
+    assert(near <= 900 && near > 880, s"got $near")
+    // Stratified path follows the same policy.
+    val strat = df.withColumn("s", lit("x"))
+    assert(Sampling.stratifiedSample(strat, "s", "id",
+      Map.empty[String, Double], defaultFraction = 1.0).count() == 900)
+  }
+
   test("stratified rates apply per stratum; unknown strata get the default") {
     val df = (1L to 30000L).map(i => (i, (i % 3) match {
       case 0 => "x"; case 1 => "y"; case _ => "z"
