@@ -215,7 +215,21 @@ object CompassQueries {
         "AND l1.l_partkey = p_partkey AND l1.l_linenumber < l2.l_linenumber " +
         "AND o_totalprice > 150000 AND p_size <= 25"),
 
-    // Optimizer QUALITY, differentially checked: for three JOB-shaped
+    // Twelve instances — the l1-l2-o1-o2 orderkey quad cycle plus three
+    // nation-region diamonds through ONE shared region instance (text +
+    // rationale on OptimizerQuality.cycle12Text; also a quality family,
+    // so the chosen order's true intermediates are measured, not assumed).
+    viaCompass("q_compass_12way", graft.planner.OptimizerQuality.cycle12Text),
+
+    // Seventeen instances — the reference workload's LARGEST family size
+    // (queries/29a.sql.sq.cnt-class): lineitem self-join clique, two
+    // orders, two customers, four nations, two parts, two suppliers, two
+    // regions, three diamonds. The enumerator's 100-step bound and
+    // branch-and-bound are doing real work here (17 starts over a
+    // 19-edge cyclic graph); the oracle pins end-to-end semantics.
+    viaCompass("q_compass_17way", graft.planner.OptimizerQuality.job17Text),
+
+    // Optimizer QUALITY, differentially checked: for five JOB-shaped
     // families, execute both the COMPASS order and the stock
     // size-descending order prefix-by-prefix and compare TRUE intermediate
     // row sums. The oracle pins compass <= naive for every family, so this
@@ -227,6 +241,7 @@ object CompassQueries {
     dfq("q_compass_quality",
       "SELECT * FROM (" +
         "SELECT 'chain5' AS family, CAST(1 AS BIGINT) AS compass_le_naive " +
+        "UNION ALL SELECT 'cycle12', 1 UNION ALL SELECT 'job17', 1 " +
         "UNION ALL SELECT 'job7cycle', 1 UNION ALL SELECT 'snowflake4', 1" +
         ") t ORDER BY family") { (s, dir) =>
       Tables.registerAll(s, dir)

@@ -34,7 +34,58 @@ object OptimizerQuality {
     * diamond that exposed the degenerate-estimate regime (see
     * Enumerator's alignment guard) and stays as its regression pin.
     */
+  /** 12 instances, JOB upper-mid-size: the l1-l2-o1-o2 orderkey quad
+    * cycle, two supplier branches, and THREE nation-region diamonds
+    * through one shared region instance. Filters pin l1 to one line per
+    * order so the quality prefixes (which exclude residuals by design)
+    * stay countable at bench scale. Shared between the e2e entry
+    * (`q_compass_12way`) and the quality battery, like `job7cycle`.
+    */
+  val cycle12Text: String =
+    "SELECT count(*) AS n FROM lineitem l1, lineitem l2, orders o1, orders o2, " +
+      "customer, nation n1, supplier s1, nation n2, region, part, supplier s2, nation n3 " +
+      "WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_orderkey = o1.o_orderkey " +
+      "AND l2.l_orderkey = o2.o_orderkey AND o1.o_orderkey = o2.o_orderkey " +
+      "AND o1.o_custkey = c_custkey AND c_nationkey = n1.n_nationkey " +
+      "AND l1.l_suppkey = s1.s_suppkey AND s1.s_nationkey = n2.n_nationkey " +
+      "AND n1.n_regionkey = r_regionkey AND n2.n_regionkey = r_regionkey " +
+      "AND l1.l_partkey = p_partkey AND l2.l_suppkey = s2.s_suppkey " +
+      "AND s2.s_nationkey = n3.n_nationkey AND n3.n_regionkey = r_regionkey " +
+      "AND l1.l_linenumber = 1 AND l2.l_quantity > 25 " +
+      "AND o1.o_totalprice > 150000 AND p_size <= 25 " +
+      "AND r_name IN ('ASIA', 'EUROPE')"
+
+  /** 17 instances — the reference workload's largest family size
+    * (reference queries/29a.sql.sq.cnt-class reaches ~17 relation
+    * instances): a three-way lineitem self-join clique closed through two
+    * orders instances, two customer and two part branches, four nation
+    * instances, and two region instances closing three diamonds through
+    * r1. This is the scale where the enumerator's 100-step traversal
+    * bound and branch-and-bound genuinely bind. Shared between
+    * `q_compass_17way` and the quality battery.
+    */
+  val job17Text: String =
+    "SELECT count(*) AS n FROM lineitem l1, lineitem l2, lineitem l3, " +
+      "orders o1, orders o2, customer c1, customer c2, nation n1, nation n2, " +
+      "nation n3, nation n4, supplier s1, supplier s2, part p1, part p2, " +
+      "region r1, region r2 " +
+      "WHERE l1.l_orderkey = l2.l_orderkey AND l2.l_orderkey = l3.l_orderkey " +
+      "AND l1.l_orderkey = o1.o_orderkey AND l3.l_orderkey = o1.o_orderkey " +
+      "AND l2.l_orderkey = o2.o_orderkey " +
+      "AND o1.o_custkey = c1.c_custkey AND o2.o_custkey = c2.c_custkey " +
+      "AND c1.c_nationkey = n1.n_nationkey AND c2.c_nationkey = n4.n_nationkey " +
+      "AND l1.l_suppkey = s1.s_suppkey AND s1.s_nationkey = n2.n_nationkey " +
+      "AND l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n3.n_nationkey " +
+      "AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r1.r_regionkey " +
+      "AND n4.n_regionkey = r1.r_regionkey AND n3.n_regionkey = r2.r_regionkey " +
+      "AND l1.l_partkey = p1.p_partkey AND l2.l_partkey = p2.p_partkey " +
+      "AND l1.l_linenumber = 1 AND l2.l_linenumber = 2 AND l3.l_linenumber = 3 " +
+      "AND o1.o_totalprice > 100000 AND p1.p_size <= 25 AND p2.p_size <= 40 " +
+      "AND r1.r_name IN ('ASIA', 'EUROPE') AND r2.r_name <> 'AFRICA'"
+
   val families: Seq[(String, String)] = Seq(
+    "cycle12" -> cycle12Text,
+    "job17" -> job17Text,
     "chain5" -> ("SELECT count(*) AS n FROM lineitem " +
       "JOIN orders ON l_orderkey = o_orderkey " +
       "JOIN customer ON o_custkey = c_custkey " +
@@ -90,28 +141,63 @@ object OptimizerQuality {
       g.instances.indices.zip(countAll(spark,
         g.instances.indices.map(i => CompassSession.filteredPlan(g, i)))).toMap
     val naive = naiveOrder(g, counts)
-    // Both orders' prefixes in ONE action too: per-prefix counts share
-    // scans and run in parallel instead of 2(n-2) scheduled jobs.
-    val compassPrefixes = (2 until compassOrder.size).map(k => prefixPlan(g, compassOrder.take(k)))
-    val naivePrefixes = (2 until naive.size).map(k => prefixPlan(g, naive.take(k)))
-    val all = countAll(spark, compassPrefixes ++ naivePrefixes)
-    Report(family,
-      all.take(compassPrefixes.size).sum,
-      all.drop(compassPrefixes.size).sum)
+    Report(family, prefixSum(spark, g, compassOrder), prefixSum(spark, g, naive))
+  }
+
+  /** Σ true intermediate cardinalities of an order's prefixes (sizes
+    * 2..n-1), measured by executing the FULL left-deep join ONCE and
+    * reading each join operator's `numOutputRows` metric — on a left-deep
+    * spine the k-th join's output IS prefix k's cardinality. One execution
+    * per order replaces the old harness's O(n) separately-executed prefix
+    * plans (a 17-instance family unioned ~30 join plans; Catalyst
+    * optimization + execution of those dominated the whole battery:
+    * 7.5 s → sub-second per compare at sf0.01).
+    *
+    * The topmost join (the full result, identical for every order —
+    * reference RelAlgExecutor.cpp:2226-2231 excludes it too) is the FIRST
+    * metric in pre-order and is subtracted. If AQE's empty-relation
+    * propagation collapsed the upper spine (an empty intermediate), the
+    * removed joins all had zero output and the full size is zero, so the
+    * surviving joins' sum is already the prefix sum.
+    */
+  private def prefixSum(spark: SparkSession, g: ExtractedJoinGraph,
+      order: Seq[Int]): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val (tree, _) = CompassSession.spliceLeftDeep(g, order,
+      (i, _) => CompassSession.filteredPlan(g, i))
+    val df = Bridge.ofRows(spark, tree)
+    df.agg(count(lit(1)).as("n")).collect()
+    val joins = Bridge.joinOutputRows(df.queryExecution.executedPlan)
+    require(joins.size <= order.size - 1,
+      s"left-deep spine of ${order.size} instances yielded ${joins.size} join operators")
+    if (joins.size == order.size - 1) joins.sum - joins.head else joins.sum
   }
 
   /** Exact row counts of several plans in a single Spark action (a union
     * of per-plan global counts — shared scans, parallel stages).
+    *
+    * Whole-stage codegen is disabled FOR THE MEASUREMENT: these are
+    * one-shot scan-count plans (one per instance), and Janino-compiling
+    * each shape costs more than interpreting it at any scale the harness
+    * runs. The LIVE compass path keeps codegen untouched.
     */
   private def countAll(spark: SparkSession, plans: Seq[LogicalPlan]): Seq[Long] = {
     import org.apache.spark.sql.functions.{count, lit}
     if (plans.isEmpty) return Seq.empty
-    val dfs = plans.zipWithIndex.map { case (p, i) =>
-      Bridge.ofRows(spark, p).agg(count(lit(1)).as("n")).select(
-        lit(i).as("i"), org.apache.spark.sql.functions.col("n"))
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val dfs = plans.zipWithIndex.map { case (p, i) =>
+        Bridge.ofRows(spark, p).agg(count(lit(1)).as("n")).select(
+          lit(i).as("i"), org.apache.spark.sql.functions.col("n"))
+      }
+      dfs.reduce(_.unionAll(_)).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
-    dfs.reduce(_.unionAll(_)).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
   }
 
   /** Stock baseline (reference RelAlgExecutor.cpp:2608-2621 sorts relations
@@ -141,12 +227,4 @@ object OptimizerQuality {
     placed
   }
 
-  /** Left-deep join of a prefix with every edge internal to it applied —
-    * THE SAME splice core CompassSession.rebuildRegion uses
-    * ([[CompassSession.spliceLeftDeep]], minus hints/residual), so the
-    * quality verdict always measures the plan shape COMPASS executes.
-    */
-  private def prefixPlan(g: ExtractedJoinGraph, prefix: Seq[Int]): LogicalPlan =
-    CompassSession.spliceLeftDeep(g, prefix,
-      (i, _) => CompassSession.filteredPlan(g, i))._1
 }

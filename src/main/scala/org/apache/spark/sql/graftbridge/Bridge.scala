@@ -19,6 +19,25 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Per-join `numOutputRows` metrics of an EXECUTED physical plan, in
+    * pre-order (root-most join first), descending through AQE wrappers and
+    * query stages. On a left-deep join spine this is every prefix's true
+    * cardinality from one execution — the measurement
+    * [[graft.planner.OptimizerQuality]] reads instead of re-executing
+    * O(n) prefix plans. Lives here because the adaptive-plan accessors
+    * are `private[sql]`.
+    */
+  def joinOutputRows(plan: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      joinOutputRows(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      joinOutputRows(q.plan)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.metrics.get("numOutputRows").map(_.value).toSeq ++
+        j.children.flatMap(joinOutputRows)
+    case other => other.children.flatMap(joinOutputRows)
+  }
+
   /** The pre-CBO rule list an extensions instance would install — lets
     * specs assert WHERE a rule was injected without building a whole
     * session around the extensions class (`buildPreCBORules` is

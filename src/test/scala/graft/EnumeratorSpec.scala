@@ -187,6 +187,76 @@ class EnumeratorSpec extends AnyFunSuite {
       s"both 20k-row facts placed too early: $order")
   }
 
+  test("K17 golden: reference-workload-scale graph (17 nodes, 19 edges, 3 diamonds) under the bound") {
+    // Mirrors q_compass_17way's topology: a 3-node lineitem clique closed
+    // through two orders instances, two customer and two part branches,
+    // four nations, two suppliers, two regions (r1 = 2-row survivor hub of
+    // three diamonds). 0=l1 1=l2 2=l3 3=o1 4=o2 5=c1 6=c2 7=n1 8=n2 9=n3
+    // 10=n4 11=s1 12=s2 13=p1 14=p2 15=r1 16=r2.
+    val reg = new SeedRegistry(rows)
+    val edgeSpec = Seq(
+      ((0, "ok"), (1, "ok")), ((1, "ok"), (2, "ok")), ((0, "ok"), (3, "ok")),
+      ((2, "ok"), (3, "ok")), ((1, "ok"), (4, "ok")),
+      ((3, "ck"), (5, "ck")), ((4, "ck2"), (6, "ck2")),
+      ((5, "nk"), (7, "nk")), ((6, "nk4"), (10, "nk4")),
+      ((0, "sk"), (11, "sk")), ((11, "nk2"), (8, "nk2")),
+      ((1, "sk2"), (12, "sk2")), ((12, "nk3"), (9, "nk3")),
+      ((7, "rk"), (15, "rk")), ((8, "rk"), (15, "rk")), ((10, "rk"), (15, "rk")),
+      ((9, "rk2"), (16, "rk2")),
+      ((0, "pk"), (13, "pk")), ((1, "pk2"), (14, "pk2")))
+    edgeSpec.foreach { case ((i, a), (j, b)) =>
+      reg.addPredicate((i.toString, a), (j.toString, b))
+    }
+    val rng = new scala.util.Random(41)
+    val dom = Map("ok" -> 4000, "ck" -> 1000, "ck2" -> 1000, "sk" -> 400,
+      "sk2" -> 400, "pk" -> 2000, "pk2" -> 2000, "nk" -> 25, "nk2" -> 25,
+      "nk3" -> 25, "nk4" -> 25, "rk" -> 5, "rk2" -> 5)
+    def tab(i: Int, cols: Seq[String], n: Int): GraphNode =
+      GraphNode(i, mkSketch(reg, i.toString, cols,
+        Seq.fill(n)(cols.map(c => rng.nextInt(dom(c))))))
+    val nodes = IndexedSeq(
+      tab(0, Seq("ok", "sk", "pk"), 4000), tab(1, Seq("ok", "sk2", "pk2"), 4000),
+      tab(2, Seq("ok"), 4000), tab(3, Seq("ok", "ck"), 2500),
+      tab(4, Seq("ok", "ck2"), 4000), tab(5, Seq("ck", "nk"), 1000),
+      tab(6, Seq("ck2", "nk4"), 1000), tab(7, Seq("nk", "rk"), 25),
+      tab(8, Seq("nk2", "rk"), 25), tab(9, Seq("nk3", "rk2"), 25),
+      tab(10, Seq("nk4", "rk"), 25), tab(11, Seq("sk", "nk2"), 400),
+      tab(12, Seq("sk2", "nk3"), 400), tab(13, Seq("pk"), 1000),
+      tab(14, Seq("pk2"), 1600), tab(15, Seq("rk"), 2), tab(16, Seq("rk2"), 4))
+    val en = new Enumerator(nodes, edgeSpec)
+    val t0 = System.nanoTime()
+    val (order, cost) = en.optimalOrder()
+    val ms = (System.nanoTime() - t0) / 1e6
+    // The 100-step bound must still find a COMPLETE connected order at the
+    // reference workload's top size — this is the claim the bound's value
+    // (reference variables_details.txt:13-14) rests on.
+    assert(order.toSet == (0 to 16).toSet, s"incomplete order: $order")
+    assert(ms < 30000, s"K17 enumeration took ${ms}ms")
+    assert(cost > 0 && cost.isFinite)
+    val adj = edgeSpec.flatMap { case ((i, _), (j, _)) => Seq(i -> j, j -> i) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    order.indices.drop(1).foreach { k =>
+      assert(order.take(k).exists(p => adj(order(k)).contains(p)),
+        s"disconnected prefix at $k: $order")
+    }
+    // No 4000-row fact instance may LEAD the order.
+    assert(!Set(0, 1, 2, 4).contains(order.head),
+      s"order starts from a large table: $order")
+    // And the choice must beat the stock size-descending connected order
+    // on the enumerator's own estimate scale (greedy largest-adjacent,
+    // computed — 17 nodes is too error-prone to hand-write).
+    val sizes = nodes.map(n => n.id -> n.sketch.count).toMap
+    var naive = Vector(sizes.maxBy(_._2)._1)
+    while (naive.size < nodes.size) {
+      val remaining = nodes.map(_.id).filterNot(naive.contains)
+      val connected = remaining.filter(i => adj(i).exists(naive.contains))
+      val pool = if (connected.nonEmpty) connected else remaining
+      naive :+= pool.maxBy(sizes)
+    }
+    val naiveCost = (2 until naive.size).map(k => en.estimate(naive.take(k))).sum
+    assert(cost <= naiveCost, s"chosen cost $cost worse than naive $naiveCost: $order")
+  }
+
   test("degenerate multiway estimates fall back to the cascade (region-diamond golden)") {
     // The shape that exposed the no-signal regime: two branches
     // (customer-nation and supplier-nation) meeting at a tiny shared dim

@@ -22,64 +22,22 @@ object ProfileSlow {
       println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
-    def mat(df: org.apache.spark.sql.DataFrame): Long = df.queryExecution.toRdd.count()
 
-    val docs = Tables.load(spark, sfDir, "documents")
-    time("docs.rdd.getNumPartitions")(docs.rdd.getNumPartitions)
-    time("lang_id full (cold)")(mat(
-      operators.TextAnalysis.withLanguageId(docs, "text")
-        .groupBy("lang_pred").agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n")).orderBy("lang_pred")))
-    time("lang_id full (warm)")(mat(
-      operators.TextAnalysis.withLanguageId(docs, "text")
-        .groupBy("lang_pred").agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("n")).orderBy("lang_pred")))
-    time("lang_id kernel only, no repartition")(mat(
-      docs.select(graft.functions.LangProfileOps.langHitCounts(
-        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")),
-        Seq("the" -> Seq(1)), Seq("th" -> Seq(1)), 1).as("h"))))
-
-    val dedup = time("minhash full (cold)")(mat(
-      {
-        val d = Tables.load(spark, sfDir, "documents")
-        val dups = operators.TextDedup.minhashNearDups(d, "doc_id", "text", threshold = 0.8)
-        d.join(dups.select(org.apache.spark.sql.functions.col("id_b").as("doc_id")),
-          Seq("doc_id"), "left_anti")
-          .select("doc_id", "n_chars").orderBy("doc_id")
-      }))
-    operators.OpCaches.releaseAll(spark)
-    time("minhash sigs only")(mat(
-      {
-        val d = Tables.load(spark, sfDir, "documents")
-        d.select(org.apache.spark.sql.functions.col("doc_id"),
-          operators.TextDedup.minhashSignature(
-            operators.TextDedup.shingleHashes(
-              org.apache.spark.sql.functions.col("text"), 3), 64).as("sig"))
-      }))
-    operators.OpCaches.releaseAll(spark)
-    time("minhash full (warm)")(mat(
-      {
-        val d = Tables.load(spark, sfDir, "documents")
-        val dups = operators.TextDedup.minhashNearDups(d, "doc_id", "text", threshold = 0.8)
-        d.join(dups.select(org.apache.spark.sql.functions.col("id_b").as("doc_id")),
-          Seq("doc_id"), "left_anti")
-          .select("doc_id", "n_chars").orderBy("doc_id")
-      }))
-    operators.OpCaches.releaseAll(spark)
-
-    val emb = Tables.load(spark, sfDir, "embeddings")
-    time("lsh full (cold)")(mat(
-      operators.Similarity.lshTopK(
-        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, bits = 10, tables = 8)
-        .orderBy("query_id", "rank")))
-    operators.OpCaches.releaseAll(spark)
-    time("lsh full (warm)")(mat(
-      operators.Similarity.lshTopK(
-        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
-        "vec_id", "embedding", k = 5, bits = 10, tables = 8)
-        .orderBy("query_id", "rank")))
-    operators.OpCaches.releaseAll(spark)
+    val cs = new graft.planner.CompassSession(spark,
+      templateCache = Some(graft.planner.SketchTemplateCache.default()))
+    time("warmTemplates")(cs.warmTemplates(
+      graft.planner.OptimizerQuality.families.map(f => spark.sql(f._2))))
+    // Per-family compare, twice (cold + warm).
+    (1 to 2).foreach { lap =>
+      graft.planner.OptimizerQuality.families.foreach { case (fam, text) =>
+        time(s"compare($fam) lap$lap")(
+          graft.planner.OptimizerQuality.compare(spark, cs, fam, text))
+      }
+    }
+    // Phase split for job17: optimize() alone vs the count harness.
+    val df = spark.sql(graft.planner.OptimizerQuality.job17Text)
+    time("job17 optimize() only")(cs.optimize(df))
+    println(cs.lastPlan.map(_.explainString).getOrElse("no plan"))
     spark.stop()
   }
 }
