@@ -42,17 +42,31 @@ object Components {
         .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
         .filter(col("a") =!= col("b")) // also drops null-id edges
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val sym = OpCaches.track(
+    // Lineage truncation, not just caching: a persisted DataFrame still
+    // carries its FULL logical plan — every round would re-analyze and
+    // re-optimize the upstream pipeline (for dedup, the whole MinHash-LSH
+    // HOF lattice) plus all previous rounds' joins, and that plan work
+    // (not data) dominated the loop at bench scale. An EAGER checkpoint
+    // roots the plan at the materialized partitions: reliable (dir-based)
+    // when `sparkContext.setCheckpointDir` was called, executor-local
+    // otherwise — standard iterative-graph practice; set a checkpoint dir
+    // at cluster scale so executor loss cannot orphan a long loop.
+    // Checkpointed blocks are freed by the ContextCleaner once the
+    // DataFrame is unreachable (unpersist() is a no-op on them).
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val sym = ckpt(
       directed.union(directed.select(col("b").as("a"), col("a").as("b")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .distinct())
+    // The edge pipeline is fully consumed into `sym`'s checkpoint.
+    directed.unpersist()
 
     // comp₀ = min(id, min neighbor) — one aggregate seeds the labels.
-    var labels = OpCaches.track(
+    var labels = ckpt(
       sym.groupBy(col("a").as("id"))
         .agg(min(col("b")).as("min_nbr"))
-        .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .select(col("id"), least(col("id"), col("min_nbr")).as("comp")))
     // Labels only ever DECREASE, so Σcomp strictly decreases on any
     // change: convergence is "sum unchanged" — one aggregate action per
     // round, no self-join diff. DECIMAL(38) sum: node-count × id-range
@@ -81,19 +95,20 @@ object Components {
           col("comp") === col("p_id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("p_comp"), col("comp"))).as("comp"))
-      val next = OpCaches.track(jumped.persist(StorageLevel.MEMORY_AND_DISK))
-      val nextSum = labelSum(next) // also materializes the persist
-      labels.unpersist()
+      // Eager checkpoint materializes the round AND keeps the next round's
+      // plan constant-size (labels is always a leaf, never k rounds of
+      // nested joins); the superseded round's blocks go with its GC'd
+      // DataFrame.
+      val next = ckpt(jumped)
+      val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    directed.unpersist()
-    // `sym` is fully consumed once the loop converges; only the returned
-    // labels stay pinned (callers release via OpCaches.releaseAll — a
-    // long-lived session must not accumulate one edge-list cache per call).
-    sym.unpersist()
+    // `sym` and the intermediate rounds are checkpoint-backed: their
+    // blocks are reclaimed by the ContextCleaner once unreachable. Only
+    // the returned labels' blocks outlive the call, until IT is collected.
     labels
   }
 

@@ -304,6 +304,29 @@ object Similarity {
     cents
   }
 
+  /** Incremental maintenance for a [[buildIvfIndex]] index — the append
+    * path a growing pipeline needs (a 100 TB corpus is ingested, not
+    * rebuilt): assign the new rows with the PERSISTED centroids and append
+    * them to the partitioned lists (dynamic-partition append touches only
+    * the directories the new rows land in). The quantizer is intentionally
+    * NOT re-fit — queries stay consistent with the existing lists; re-fit
+    * by rebuilding once drift warrants it (the usual IVF contract).
+    * Appended rows must carry the same embedding element type as the
+    * original build (one parquet schema per lists table).
+    */
+  def appendToIvfIndex(
+      newRows: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newRows.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    assignToCentroids(
+        newRows.withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "nv")),
+        "neighbor_id", "nv", cents, 1)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/lists")
+  }
+
   /** Query a [[buildIvfIndex]] index. Probe centroid ids become a
     * LITERAL IN-filter on the partition column, so the lists scan prunes
     * to the probed directories (the collect is over query-batch × nProbe

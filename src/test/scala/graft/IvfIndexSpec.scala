@@ -55,6 +55,41 @@ class IvfIndexSpec extends AnyFunSuite {
     graft.operators.OpCaches.releaseAll(spark)
   }
 
+  test("append then query ≡ same-centroid full assignment (incremental maintenance)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = clusteredCorpus(perCluster = 60)
+    val partA = corpus.filter(col("vec_id") < 300L)
+    val partB = corpus.filter(col("vec_id") >= 300L)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf4").toString
+    Similarity.buildIvfIndex(partA, "vec_id", "embedding", path, nCentroids = 8)
+    Similarity.appendToIvfIndex(partB, "vec_id", "embedding", path)
+    // The lists table must now equal assigning the WHOLE corpus with the
+    // index's (part-A-fit) centroids — the exact relation a from-scratch
+    // build with these centroids would write. (A plain rebuild re-fits the
+    // quantizer on A∪B, so equality is asserted against the same-centroid
+    // reference, which is what the append contract promises.)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+    val expected = Similarity.assignToCentroids(
+        corpus.withColumnsRenamed(Map("vec_id" -> "neighbor_id", "embedding" -> "nv")),
+        "neighbor_id", "nv", cents, 1)
+      .select("neighbor_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = spark.read.parquet(s"$path/lists")
+      .select("neighbor_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == expected, "appended lists diverge from same-centroid assignment")
+    // And appended rows are reachable through the query path: a part-B
+    // query over its own cluster must surface part-B neighbors.
+    val queries = partB.filter(col("vec_id") === 420L)
+    val hits = Similarity.ivfTopKIndexed(queries, "vec_id", "embedding",
+        path, k = 5, nProbe = 2)
+      .collect().map(_.getLong(1))
+    assert(hits.nonEmpty && hits.exists(_ >= 300L),
+      s"appended rows not reachable via the index: ${hits.mkString(",")}")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("centroids round-trip through the index directory") {
     val corpus = clusteredCorpus(perCluster = 30)
     val path = java.nio.file.Files.createTempDirectory("graft_ivf3").toString

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch profiler (Test/runMain graft.ProfileSlow) — phase timings for
   * the bench's slowest entries. Not part of the driver contract.
@@ -19,25 +20,22 @@ object ProfileSlow {
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[profile] $label%-44s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
+    def mat(df: org.apache.spark.sql.DataFrame): Long = df.queryExecution.toRdd.count()
 
-    val cs = new graft.planner.CompassSession(spark,
-      templateCache = Some(graft.planner.SketchTemplateCache.default()))
-    time("warmTemplates")(cs.warmTemplates(
-      graft.planner.OptimizerQuality.families.map(f => spark.sql(f._2))))
-    // Per-family compare, twice (cold + warm).
     (1 to 2).foreach { lap =>
-      graft.planner.OptimizerQuality.families.foreach { case (fam, text) =>
-        time(s"compare($fam) lap$lap")(
-          graft.planner.OptimizerQuality.compare(spark, cs, fam, text))
-      }
+      val docs = Tables.load(spark, sfDir, "documents")
+      val pairs = time(s"lap$lap minhashNearDups (build plan)")(
+        operators.TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+      val nPairs = time(s"lap$lap pairs materialize")(pairs.count())
+      println(s"  pairs = $nPairs")
+      val grouped = time(s"lap$lap dedupGroups total")(
+        operators.Components.dedupGroups(docs, "doc_id", pairs, "id_a", "id_b"))
+      time(s"lap$lap final orderBy+materialize")(mat(grouped.orderBy("doc_id")))
+      operators.OpCaches.releaseAll(spark)
     }
-    // Phase split for job17: optimize() alone vs the count harness.
-    val df = spark.sql(graft.planner.OptimizerQuality.job17Text)
-    time("job17 optimize() only")(cs.optimize(df))
-    println(cs.lastPlan.map(_.explainString).getOrElse("no plan"))
     spark.stop()
   }
 }
