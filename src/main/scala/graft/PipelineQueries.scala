@@ -372,14 +372,37 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
-    // Quality scores + BPE-ish token counts + fingerprints per doc.
-    opaque("q_text_pipeline") { (s, dir) =>
+    // Quality scores + BPE-ish token counts, composed — ORACLE-CHECKED:
+    // DuckDB re-derives the extraction-based subword count and the full
+    // quality arithmetic (length gate, punct/digit density, stopword hit
+    // rate, token diversity) term-for-term in the same evaluation order.
+    dfq("q_text_pipeline",
+      "WITH toks AS (" +
+        "  SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS t FROM documents) " +
+        "SELECT doc_id, CAST(len(t) AS INT) AS n_tokens_ws, " +
+        "  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_tokens_bpe, " +
+        "  round(" +
+        "    (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\\p{N}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * least(CAST(len(list_intersect(list_distinct(t), ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / greatest(len(t), 1) * 5 + 0.5, 1.0)" +
+        "    * least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0), 6) AS quality " +
+        "FROM toks ORDER BY doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val out = TextAnalysis.withFingerprints(
-        TextAnalysis.withQualityScore(
-          TextAnalysis.withTokenCounts(docs, "text"), "text"), "text")
-      out.select("doc_id", "n_tokens_ws", "n_tokens_bpe", "quality",
-        "fp_rolling", "fp_set").orderBy("doc_id")
+      TextAnalysis.withQualityScore(
+          TextAnalysis.withTokenCounts(docs, "text"), "text")
+        .select("doc_id", "n_tokens_ws", "n_tokens_bpe", "quality")
+        .orderBy("doc_id")
+    },
+
+    // Content fingerprints (rolling + order-free set digest): xxhash64-
+    // based compiled kernels — no SQL engine ships that hash, so this
+    // stays a deterministic rows-only entry; bit-level behavior is pinned
+    // by TextDedupSpec's kernel-vs-HOF twins.
+    opaque("q_text_fingerprints") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.withFingerprints(docs, "text")
+        .select("doc_id", "fp_rolling", "fp_set").orderBy("doc_id")
     },
   )
 
@@ -403,8 +426,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Deterministic frame sampling over payload byte windows.
-    opaque("q_multimodal_frames") { (s, dir) =>
+    // Deterministic frame sampling over payload byte windows — ORACLE-
+    // CHECKED: the md5-prefix frame checksums are re-derived by DuckDB on
+    // the same windows (testdata text is ASCII, so VARCHAR substr ≡ the
+    // byte slices Spark computes on the binary payload; non-UTF-8
+    // byte-exactness is spec-pinned separately in SimilaritySpec).
+    dfq("q_multimodal_frames",
+      "WITH w AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, text FROM documents) " +
+        "SELECT doc_id, n_bytes, CAST(f AS INT) AS frame, " +
+        "substr(md5(substr(text, CAST(f * greatest(n_bytes // 4, 1) + 1 AS BIGINT), CAST(greatest(n_bytes // 4, 1) AS BIGINT))), 1, 16) AS frame_checksum " +
+        "FROM w CROSS JOIN (SELECT unnest([0,1,2,3]) AS f) fr " +
+        "ORDER BY doc_id, frame") { (s, dir) =>
       val media = Multimodal.asMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, "doc_id", frames = 4)

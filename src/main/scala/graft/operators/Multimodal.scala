@@ -134,6 +134,9 @@ object Multimodal {
     * expressions — no data leaves the executor row. `substring` operates
     * directly on the BinaryType payload, so windows are true byte offsets
     * and non-UTF-8 payloads (real JPEG/audio bytes) slice losslessly.
+    * The checksum is a 16-hex-char (64-bit) md5 PREFIX of the window —
+    * engine-portable (any SQL oracle computes the same digest; crc32 is
+    * not generally available), same collision budget as the old crc.
     */
   def sampleFrames(df: DataFrame, idCol: String, frames: Int = 4): DataFrame =
     df.select(col(idCol), col("meta.n_bytes").as("n_bytes"),
@@ -141,8 +144,8 @@ object Multimodal {
         // Spark's `/` is double division — floor it so window offsets are
         // exact byte positions, not truncated fractional strides.
         val w = greatest(floor(col("meta.n_bytes") / frames).cast(LongType), lit(1L))
-        crc32(substring(col("payload"),
-          (f * w + 1).cast(IntegerType), w.cast(IntegerType)))
+        substring(md5(substring(col("payload"),
+          (f * w + 1).cast(IntegerType), w.cast(IntegerType))), 1, 16)
       })))
       .withColumnsRenamed(Map("pos" -> "frame", "col" -> "frame_checksum"))
 }

@@ -248,14 +248,19 @@ object TextAnalysis {
        |SELECT $pred AS lang_pred, count(*) AS n FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  /** Whitespace token count plus a BPE-ish subword count from a regex that
-    * splits on word/punct/digit boundaries (an upper-bound proxy for BPE
-    * vocab tokenization without shipping a vocab).
+  /** Whitespace token count plus a BPE-ish subword count: letter runs,
+    * digit runs, and single other-non-space characters each count one
+    * token (an upper-bound proxy for BPE vocab tokenization without
+    * shipping a vocab). Counted by token EXTRACTION, not boundary
+    * splitting — the r6 formulation split on lookarounds, which only
+    * Java regexes support, so no RE2-class engine (DuckDB, Go, Rust)
+    * could re-derive it; this pattern means the same thing in both
+    * regex families and the pipeline entry hash-checks cross-engine.
     */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens_ws", size(tokens(col(textCol))))
-      .withColumn("n_tokens_bpe", size(split(col(textCol),
-        "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|\\s+|(?=\\p{Punct})")))
+      .withColumn("n_tokens_bpe", size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
   /** Overlapping token-window chunks — the step before embedding: long
     * documents become (doc_id, chunk_idx, chunk_text) rows of

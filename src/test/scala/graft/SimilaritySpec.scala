@@ -184,13 +184,14 @@ class SimilaritySpec extends AnyFunSuite {
           crc32(col("payload")).as("checksum"),
           lit(8).as("width"), lit(8).as("height")).as("meta"))
     val got = Multimodal.sampleFrames(media, "doc_id", frames = 4).collect()
-      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getString(3)).toMap
     for ((id, bytes) <- rows; f <- 0 until 4) {
       val w = math.max(bytes.length / 4, 1)
       val slice = bytes.slice(f * w, math.min(f * w + w, bytes.length))
-      val crc = new java.util.zip.CRC32(); crc.update(slice)
-      assert(got((id, f)) == crc.getValue,
-        s"frame ($id,$f): engine ${got((id, f))} != jvm ${crc.getValue}")
+      val md = java.security.MessageDigest.getInstance("MD5").digest(slice)
+        .map(b => f"$b%02x").mkString.take(16)
+      assert(got((id, f)) == md,
+        s"frame ($id,$f): engine ${got((id, f))} != jvm $md")
     }
   }
 }
