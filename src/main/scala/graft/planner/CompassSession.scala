@@ -68,12 +68,15 @@ final case class CompassPlan(
   * Thresholds match the reference defaults
   * (Catalog/COMPASS_init_variables.txt:1-5).
   *
-  * Concurrency contract: one in-flight optimized query per session —
-  * optimize() releases the PREVIOUS query's push-down caches, so
-  * interleaving two queries on one CompassSession would unpin caches the
-  * other still reads (correctness is unaffected; the filtered scans just
-  * recompute). Concurrent workloads use one CompassSession per thread;
-  * the sketch jobs inside a single optimize() are themselves parallel.
+  * Concurrency contract: push-down caches are scoped per QUERY HANDLE
+  * ([[QueryScope]]) — optimize() on a scope releases only THAT scope's
+  * previous query's caches, so interleaved queries on one session never
+  * unpin each other's: give each in-flight query stream its own
+  * `newScope()`. The session's own optimize()/sql() run in a default
+  * scope (the one-query-at-a-time convenience surface). Releasing is
+  * never a correctness event — a released query's filtered scans just
+  * recompute. The sketch jobs inside a single optimize() are themselves
+  * parallel.
   */
 final class CompassSession(
     val spark: SparkSession,
@@ -97,35 +100,68 @@ final class CompassSession(
   /** `\fpd`-style toggle (reference: mapd-core/SQLFrontend/mapdql.cpp:1313). */
   @volatile var fpdEnabled: Boolean = true
 
-  // Filtered-instance push-down caches pinned for the CURRENT optimized
-  // query; released at the next optimize() / close(). r2 kept selective
-  // survivors persisted forever (the reference frees its temporary
-  // push-down tables per query — RelAlgExecutor.h:121-133).
-  private val keptCaches = scala.collection.mutable.Buffer.empty[DataFrame]
-
-  /** Unpersist push-down caches pinned by the previous optimized query.
-    * A previously returned DataFrame stays CORRECT afterwards — it just
-    * recomputes its filtered scans if re-run.
+  /** One in-flight optimized query's cache scope. Filtered-instance
+    * push-down caches pin under the scope that ran the optimize(); the
+    * scope's NEXT optimize() (or `release()`/session `close()`) unpins
+    * them — r2 kept selective survivors persisted forever (the reference
+    * frees its temporary push-down tables per query —
+    * RelAlgExecutor.h:121-133), and r6's single session-wide buffer let
+    * any optimize() unpin caches an interleaved query on the same
+    * session was still reading.
     */
-  def releaseCaches(): Unit = keptCaches.synchronized {
-    keptCaches.foreach(_.unpersist(false))
-    keptCaches.clear()
+  final class QueryScope private[CompassSession] () {
+    private[CompassSession] val kept = scala.collection.mutable.Buffer.empty[DataFrame]
+
+    /** Unpersist this scope's pinned caches. A previously returned
+      * DataFrame stays CORRECT afterwards — it just recomputes its
+      * filtered scans if re-run.
+      */
+    def release(): Unit = kept.synchronized {
+      kept.foreach(_.unpersist(false))
+      kept.clear()
+    }
+
+    def optimize(df: DataFrame): DataFrame =
+      CompassSession.this.optimizeIn(this, df)
+
+    def sql(text: String): DataFrame = optimize(spark.sql(text))
+
+    /** Test hook: caches currently pinned by this scope's last query. */
+    private[graft] def pinned: Seq[DataFrame] = kept.synchronized(kept.toSeq)
   }
+
+  private val scopes = scala.collection.mutable.Buffer.empty[QueryScope]
+
+  /** A fresh cache scope — one per concurrently in-flight query stream. */
+  def newScope(): QueryScope = scopes.synchronized {
+    val s = new QueryScope
+    scopes += s
+    s
+  }
+
+  private val defaultScope = newScope()
+
+  /** Unpersist every scope's push-down caches. */
+  def releaseCaches(): Unit =
+    scopes.synchronized(scopes.toSeq).foreach(_.release())
 
   def close(): Unit = releaseCaches()
 
-  /** Test hook: push-down caches currently pinned by the last query. */
+  /** Test hook: push-down caches currently pinned by any scope. */
   private[graft] def pinnedCaches: Seq[DataFrame] =
-    keptCaches.synchronized(keptCaches.toSeq)
+    scopes.synchronized(scopes.toSeq).flatMap(_.pinned)
 
   def sql(text: String): DataFrame = optimize(spark.sql(text))
 
   /** Reorder the query's inner-join region by sketch estimates; returns the
-    * input unchanged when the shape is not optimizable.
+    * input unchanged when the shape is not optimizable. Runs in the
+    * session's default scope — interleaved callers use [[newScope]].
     */
-  def optimize(df: DataFrame): DataFrame = {
+  def optimize(df: DataFrame): DataFrame = optimizeIn(defaultScope, df)
+
+  private def optimizeIn(scope: QueryScope, df: DataFrame): DataFrame = {
     if (!fpdEnabled) return df
-    releaseCaches()
+    scope.release()
     try {
       val analyzed = df.queryExecution.analyzed
       JoinGraphExtractor.extract(analyzed) match {
@@ -133,7 +169,7 @@ final class CompassSession(
           // Timing mirrors the reference's per-phase instrumentation
           // (FilterPushDownSketch.cpp:1564-1569, RelAlgExecutor.cpp:2628).
           val t0 = System.nanoTime()
-          val nodes = buildSketches(g)
+          val nodes = buildSketches(g, scope)
           val t1 = System.nanoTime()
           val en = new Enumerator(nodes, enumeratorEdges(g))
           val (order, _) = en.optimalOrder()
@@ -290,7 +326,7 @@ final class CompassSession(
     * per-job scheduling overhead stops being × nInstances). Seed
     * resolution stays sequential — SeedRegistry mutates.
     */
-  private def buildSketches(g: ExtractedJoinGraph): IndexedSeq[GraphNode] = {
+  private def buildSketches(g: ExtractedJoinGraph, scope: QueryScope): IndexedSeq[GraphNode] = {
     val reg = new SeedRegistry(sketchRows)
     g.edges.foreach { case ((ia, a), (ib, b)) =>
       reg.addPredicate(seedKey(g, ia, a), seedKey(g, ib, b))
@@ -350,7 +386,7 @@ final class CompassSession(
         if (hasFilter && tinyTemplate.isEmpty && sketch.count <= maxPushDownSize) {
           val df = Bridge.ofRows(spark, filteredPlan(g, inst.idx))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          keptCaches.synchronized { keptCaches += df }
+          scope.kept.synchronized { scope.kept += df }
         }
         GraphNode(inst.idx, sketch)
       }

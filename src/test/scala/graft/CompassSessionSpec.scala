@@ -335,6 +335,39 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cs.pinnedCaches.isEmpty)
   }
 
+  test("interleaved scopes: two in-flight queries keep their own push-down caches") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val s1 = cs.newScope()
+    val s2 = cs.newScope()
+    val qa =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000""".stripMargin
+    val qb = qa.replace("400000", "430000")
+    val outA = s1.sql(qa)
+    val pinnedA = s1.pinned
+    assert(pinnedA.nonEmpty, "scope 1 should pin the selective survivor")
+    // Interleave: scope 2 optimizes BEFORE scope 1's query has run. The
+    // r6 session-wide buffer released scope 1's caches here.
+    val outB = s2.sql(qb)
+    assert(s2.pinned.nonEmpty, "scope 2 should pin its own survivor")
+    assert(pinnedA.forall(_.storageLevel.useMemory),
+      "scope 2's optimize() must not unpin scope 1's caches")
+    // Both interleaved queries read their OWN caches and agree with SQL.
+    assert(outA.head().getLong(0) == spark.sql(qa).head().getLong(0))
+    assert(outB.head().getLong(0) == spark.sql(qb).head().getLong(0))
+    // A scope's next query releases only ITS previous caches.
+    s1.sql(qa.replace("400000", "450000")).collect()
+    assert(pinnedA.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "scope 1's next optimize() must release its own previous caches")
+    assert(s2.pinned.forall(_.storageLevel.useMemory),
+      "scope 1's release must leave scope 2 pinned")
+    cs.close()
+    assert(cs.pinnedCaches.isEmpty)
+  }
+
   test("a failing sketch job falls back AND its push-down caches are releasable") {
     import org.apache.spark.sql.functions.{col, udf}
     Tables.registerAll(spark, dir)
