@@ -130,6 +130,25 @@ object TextDedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
+  /** Pure-expression band hashes of a text column: element b = xxhash64
+    * of the b-th signature band — the same banding arithmetic
+    * [[bandsOf]] materializes, as ONE column expression with no persist,
+    * so streaming operators (where persist() does not exist) can bucket
+    * with the identical scheme ([[graft.streaming.EventStream.dedupNearStream]]).
+    * The signature is let-bound via a single-element transform so the
+    * minhash kernel evaluates once per row, not once per band.
+    */
+  private[graft] def bandHashes(
+      text: Column, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    element_at(
+      transform(array(minhashSignature(shingleHashes(text, shingleK), numHashes)),
+        sig => transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(sig, b * r + 1, lit(r)))))), 1)
+  }
+
   /** Near-duplicate candidate pairs via banded MinHash-LSH, verified with
     * exact shingle-set Jaccard ≥ `threshold`. Returns (id_a, id_b, jaccard)
     * with id_a < id_b. The only shuffles: the band self-join (small keys)

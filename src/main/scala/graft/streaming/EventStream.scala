@@ -65,6 +65,45 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming NEAR-duplicate dedup — the streaming face of the batch
+    * MinHash family ([[graft.operators.TextDedup.minhashNearDups]]): each
+    * document's signature is cut into `bands` band hashes (the same
+    * banding kernels), every band CLAIMS its LSH bucket through
+    * `dropDuplicatesWithinWatermark`, and a document survives iff it
+    * claimed ALL its buckets — i.e. no band collided with any document
+    * seen inside the watermark.
+    *
+    * Candidate-level semantics, recall-oriented: a band collision drops
+    * the newcomer WITHOUT the batch operator's exact-Jaccard verify —
+    * verification would need every prior document's shingles in state
+    * (unbounded); run the batch verify over the compacted output when
+    * precision matters. Colliding documents inside ONE micro-batch may
+    * both drop (each claims a disjoint bucket subset). State is bounded:
+    * one fingerprint per claimed (band, bucket) inside the watermark plus
+    * the per-window counts — never document text.
+    *
+    * Output (append mode, emitted when the window closes): one row per
+    * surviving document — (window_start, id, text).
+    */
+  def dedupNearStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol), col(textCol),
+        posexplode(graft.operators.TextDedup.bandHashes(
+          col(textCol), numHashes, bands, shingleK)))
+      .withColumnsRenamed(Map("pos" -> "_band", "col" -> "_band_hash"))
+    banded
+      .dropDuplicatesWithinWatermark("_band", "_band_hash")
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("_n_claimed"), first(col(textCol)).as("_text"))
+      .filter(col("_n_claimed") === bands)
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("_text").as(textCol))
+  }
+
   /** Batch-equivalence helper: LITERALLY the same transform —
     * `withWatermark` is a no-op on batch DataFrames, so one definition
     * serves both engines and cannot drift.

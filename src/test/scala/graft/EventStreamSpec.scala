@@ -71,6 +71,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup dedup: planted near-dups across micro-batches drop, fresh docs survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "green turtles watch from a mossy stone bridge near the old mill pond " +
+      "every single morning without fail in the cold mountain air"
+    val nearDup = base.replace("morning", "evening") // shingle jaccard ≈ 0.9
+    val fresh2 = "completely different content about distributed query engines " +
+      "and columnar storage formats with vectorized execution pipelines and " +
+      "adaptive partitioning strategies for modern analytics workloads at scale"
+    val fresh3 = "a genuinely novel third document describing watermark " +
+      "semantics for stateful stream processing operators running in append " +
+      "mode across many micro batches of arriving training data"
+    val query = EventStream.dedupNearStream(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1, 5), base), (2L, ts(1, 10), fresh2))
+      query.processAllAvailable()
+      // Micro-batch 2: an exact redelivery under a NEW id, a near-dup of
+      // doc 1, and a fresh document — the cross-batch cases.
+      input.addData((3L, ts(1, 20), base), (4L, ts(1, 25), nearDup),
+        (5L, ts(1, 30), fresh3))
+      query.processAllAvailable()
+      input.addData((99L, ts(23), "flush flush flush")) // close the window
+      query.processAllAvailable()
+      val kept = spark.table("neardup_out")
+        .filter(col("window_start") === ts(1))
+        .collect().map(_.getLong(1)).toSet
+      assert(Set(1L, 2L, 5L).subsetOf(kept), s"fresh docs must survive: $kept")
+      assert(!kept.contains(3L), s"exact duplicate under a new id must drop: $kept")
+      assert(!kept.contains(4L), s"near-duplicate (changed one token) must drop: $kept")
+    } finally query.stop()
+  }
+
   test("streaming dedup: redelivered ids emit once; state is watermark-bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
