@@ -165,32 +165,37 @@ final class Enumerator(
   }
 
   /** Independence-cascade estimate of |⋈ traversal|: Π survivor counts ×
-    * Π edge selectivities over a most-selective spanning forest (greedy
-    * Prim; extra cycle edges are ignored — an upper bound, like every
-    * cascade). Edge selectivity = pairwise sketch estimate / (|a|·|b|),
-    * clamped to [0, 1]. Members with no edge into the tree contribute a
-    * cartesian factor, mirroring rebuildRegion's Cross splice.
+    * Π edge selectivities over EVERY internal edge (each unordered node
+    * pair once — the System-R independence assumption). Edge selectivity
+    * = pairwise sketch estimate / (|a|·|b|), clamped to [0, 1]. Members
+    * with no edge contribute a cartesian factor, mirroring
+    * rebuildRegion's Cross splice.
+    *
+    * r7: the r5 formulation multiplied only a most-selective spanning
+    * FOREST, ignoring cycle-closing edges. That inflated exactly the
+    * orders that close cycles early — on the 17-instance family the
+    * stock baseline (which places the orderkey clique first) was
+    * estimated as WORSE than the search's pick while being 25 % better
+    * in true intermediates, so both the search ranking and the
+    * stock-candidate fallback compared lies. All-edge products
+    * under-estimate when predicates correlate, but they rank
+    * cycle-closing prefixes fairly; the floor of 1.0 below keeps deep
+    * prefixes out of the clamp-noise regime the alignment guard exists
+    * for.
     */
   private def cascadeEstimate(traversal: Seq[Int]): Double = {
-    val members = traversal.toSet
     var est = traversal.map(n => math.max(1.0, sketchOf(n).count.toDouble)).product
-    var inTree = Set(traversal.head)
-    while (inTree.size < members.size) {
-      // Most selective edge crossing the cut; cartesian (sel = 1) if none.
-      val candidates = for {
-        n <- (members -- inTree).toSeq
-        m <- inTree.toSeq
-        if joinCols.contains((n, m))
-      } yield (n, edgeSelectivity(n, m))
-      if (candidates.isEmpty) {
-        inTree += (members -- inTree).head
-      } else {
-        val (n, sel) = candidates.minBy(_._2)
-        est *= sel
-        inTree += n
+    var i = 0
+    while (i < traversal.size) {
+      var j = i + 1
+      while (j < traversal.size) {
+        if (joinCols.contains((traversal(i), traversal(j))))
+          est *= edgeSelectivity(traversal(i), traversal(j))
+        j += 1
       }
+      i += 1
     }
-    est
+    math.max(est, 1.0)
   }
 
   private def edgeSelectivity(a: Int, b: Int): Double = {
@@ -223,10 +228,45 @@ final class Enumerator(
     val visited = mutable.Set.empty[Int]
   }
 
+  /** Estimated Σ-intermediate cost of an explicit order (prefixes of size
+    * 2..N-1 — the same cost the DFS accumulates).
+    */
+  def orderCost(order: Seq[Int]): Double =
+    (2 until order.size).map(k => estimate(order.take(k))).sum
+
+  /** The stock baseline order: largest sketch count first, then repeatedly
+    * the largest instance adjacent to the placed prefix (largest remaining
+    * when nothing connects — the Cross case), ties to the smaller id.
+    * The same construction [[graft.planner.OptimizerQuality.naiveOrder]]
+    * applies to TRUE counts — and sketch counts ARE exact survivor
+    * counts, so the two coincide up to count ties.
+    */
+  def stockOrder(): Seq[Int] = {
+    val adj: Map[Int, Set[Int]] = joinCols.keys.toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty)
+    def largest(cand: Iterable[Int]): Int =
+      cand.minBy(i => (-sketchOf(i).count, i))
+    var placed = Vector(largest(nodes.map(_.id)))
+    while (placed.size < total) {
+      val remaining = nodes.map(_.id).filterNot(placed.contains)
+      val connected = remaining.filter(i => adj(i).exists(placed.contains))
+      placed :+= largest(if (connected.nonEmpty) connected else remaining)
+    }
+    placed
+  }
+
   /** The optimal connected left-deep order and its accumulated
     * intermediate-size estimate. Cost of an order = Σ estimate(prefix) for
     * prefixes of size 2..N-1 (the full join is identical for all orders and
     * excluded, reference: RelAlgExecutor.cpp:2226-2231).
+    *
+    * The STOCK order is always a candidate: past ~12 nodes the 100-step
+    * bound explores a vanishing fraction of the order space, and a bounded
+    * search that returns something WORSE than the baseline it exists to
+    * beat is a regression the optimizer must not ship (the 17-instance
+    * quality family caught exactly that). If the search's best costs more
+    * than the stock order under the enumerator's own estimates, the stock
+    * order wins.
     */
   def optimalOrder(): (Seq[Int], Double) = {
     val fallback = nodes.sortBy(n => -n.sketch.count).map(_.id)
@@ -239,7 +279,15 @@ final class Enumerator(
         dfs(start, Set.empty, 0.0, st)
       }
     }
-    if (st.bestOrder.isEmpty) (fallback, 0.0) else (st.bestOrder, st.best)
+    if (st.bestOrder.isEmpty) return (fallback, 0.0)
+    val stock = stockOrder()
+    // A disconnected member inside an otherwise seed-aligned prefix can
+    // make estimation throw (composedPlane's require); an unestimable
+    // stock candidate simply doesn't compete.
+    val stockCost =
+      try orderCost(stock)
+      catch { case scala.util.control.NonFatal(_) => Double.MaxValue }
+    if (stockCost < st.best) (stock, stockCost) else (st.bestOrder, st.best)
   }
 
   /** Returns the "future visited" set (nodes reached below this frame),

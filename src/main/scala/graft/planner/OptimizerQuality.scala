@@ -145,32 +145,42 @@ object OptimizerQuality {
   }
 
   /** Σ true intermediate cardinalities of an order's prefixes (sizes
-    * 2..n-1), measured by executing the FULL left-deep join ONCE and
-    * reading each join operator's `numOutputRows` metric — on a left-deep
-    * spine the k-th join's output IS prefix k's cardinality. One execution
-    * per order replaces the old harness's O(n) separately-executed prefix
-    * plans (a 17-instance family unioned ~30 join plans; Catalyst
-    * optimization + execution of those dominated the whole battery:
-    * 7.5 s → sub-second per compare at sf0.01).
+    * 2..n-1), measured by executing the left-deep join of the FIRST n-1
+    * instances ONCE and reading each join operator's `numOutputRows`
+    * metric — on a left-deep spine the k-th join's output IS prefix k's
+    * cardinality, and the (n-1)-tree's TOP join is the last prefix the
+    * sum needs. One execution per order replaces the old harness's O(n)
+    * separately-executed prefix plans (a 17-instance family unioned ~30
+    * join plans; Catalyst optimization + execution of those dominated
+    * the whole battery: 7.5 s → sub-second per compare at sf0.01), and
+    * stopping at n-1 also skips the FULL join — the most expensive
+    * execution of all, identical for every order and excluded from the
+    * comparison anyway (reference RelAlgExecutor.cpp:2226-2231).
     *
-    * The topmost join (the full result, identical for every order —
-    * reference RelAlgExecutor.cpp:2226-2231 excludes it too) is the FIRST
-    * metric in pre-order and is subtracted. If AQE's empty-relation
-    * propagation collapsed the upper spine (an empty intermediate), the
-    * removed joins all had zero output and the full size is zero, so the
-    * surviving joins' sum is already the prefix sum.
+    * If AQE's empty-relation propagation collapsed the upper spine (an
+    * empty intermediate), the removed joins all had zero output, so the
+    * surviving joins' sum is still the prefix sum.
     */
   private def prefixSum(spark: SparkSession, g: ExtractedJoinGraph,
       order: Seq[Int]): Long = {
     import org.apache.spark.sql.functions.{count, lit}
-    val (tree, _) = CompassSession.spliceLeftDeep(g, order,
+    if (order.size <= 2) return 0L
+    val (tree, _) = CompassSession.spliceLeftDeep(g, order.dropRight(1),
       (i, _) => CompassSession.filteredPlan(g, i))
-    val df = Bridge.ofRows(spark, tree)
-    df.agg(count(lit(1)).as("n")).collect()
-    val joins = Bridge.joinOutputRows(df.queryExecution.executedPlan)
-    require(joins.size <= order.size - 1,
-      s"left-deep spine of ${order.size} instances yielded ${joins.size} join operators")
-    if (joins.size == order.size - 1) joins.sum - joins.head else joins.sum
+    // Metrics MUST be read from the QueryExecution that actually ran: a
+    // derived Dataset (`df.agg(...)`) plans its own operator instances
+    // with their own accumulators, and the original frame's lazily
+    // planned `executedPlan` reports zeros forever.
+    val counted = Bridge.ofRows(spark, tree).agg(count(lit(1)).as("n"))
+    counted.collect()
+    val joins = Bridge.joinOutputRows(counted.queryExecution.executedPlan)
+    require(joins.size <= order.size - 2,
+      s"left-deep spine of ${order.size - 1} instances yielded ${joins.size} join operators")
+    // Pre-order = root-first: under an AQE empty-relation collapse the
+    // topmost SURVIVING join is the one that went empty.
+    require(joins.size == order.size - 2 || joins.headOption.forall(_ == 0L),
+      s"spine joins missing without an empty-relation collapse: $joins")
+    joins.sum
   }
 
   /** Exact row counts of several plans in a single Spark action (a union
@@ -204,7 +214,10 @@ object OptimizerQuality {
     * by descending size): largest filtered instance first, then repeatedly
     * the largest instance adjacent to the placed prefix (largest remaining
     * when nothing connects — the Cross case, as in rebuildRegion). Ties
-    * break on instance name for cross-run determinism.
+    * break on instance INDEX — deterministic, and the same tie-break as
+    * `Enumerator.stockOrder`, so when the enumerator falls back to its
+    * stock candidate the two orders coincide exactly (sketch counts are
+    * exact survivor counts) and the quality comparison reads equal sums.
     */
   def naiveOrder(g: ExtractedJoinGraph, counts: Map[Int, Long]): Seq[Int] = {
     val adj: Map[Int, Set[Int]] = {
@@ -216,7 +229,7 @@ object OptimizerQuality {
       m.toMap.withDefaultValue(Set.empty)
     }
     def largest(cand: Iterable[Int]): Int =
-      cand.minBy(i => (-counts(i), g.instances(i).name))
+      cand.minBy(i => (-counts(i), i))
     val all = g.instances.indices.toSet
     var placed = Vector(largest(all))
     while (placed.size < all.size) {

@@ -77,6 +77,13 @@ class OptimizerQualitySpec extends AnyFunSuite {
           s"order=${cs.lastPlan.map(_.order.mkString("->")).getOrElse("?")}")
         assert(r.compassLeNaive,
           s"$fam: compass ${r.compassSum} > naive ${r.naiveSum}")
+        // The measurement must be LIVE: every family's naive order has
+        // non-empty intermediates at sf0.001, so an all-zero sum means
+        // the join metrics were read from an unexecuted plan (the
+        // r7 regression this guards) — compassLeNaive would then pass
+        // vacuously on 0 <= 0.
+        assert(r.naiveSum > 0,
+          s"$fam: naive prefix sum is zero — metrics not read from the executed plan?")
       }
     } finally cs.close()
   }
