@@ -314,6 +314,34 @@ class EnumeratorSpec extends AnyFunSuite {
       s"cascade cross-branch estimate far from truth (~120k): $crossBranch")
   }
 
+  test("cascade counts cycle-closing edges (mixed-attribute triangle golden)") {
+    // Three 1000-row nodes joined pairwise on THREE DISTINCT attributes
+    // (mixed seed classes → the cascade path), each with domain 100 →
+    // each pairwise selectivity ≈ 1/100. Truth of the triangle ≈
+    // 1000³/100³ = 1000; a spanning-forest cascade (the r5-r6
+    // formulation) multiplies only two edges and reports ~100 000 — the
+    // 100× inflation that made cycle-closing orders look bad and let the
+    // 17-instance family pick a 25 %-worse-than-stock order.
+    val reg = new SeedRegistry(rows)
+    val edgeSpec = Seq(
+      ((0, "x"), (1, "x")), ((0, "y"), (2, "y")), ((1, "z"), (2, "z")))
+    edgeSpec.foreach { case ((i, a), (j, b)) =>
+      reg.addPredicate((i.toString, a), (j.toString, b))
+    }
+    val rng = new scala.util.Random(43)
+    val nodes = IndexedSeq(
+      GraphNode(0, mkSketch(reg, "0", Seq("x", "y"),
+        Seq.fill(1000)(Seq(rng.nextInt(100), rng.nextInt(100))))),
+      GraphNode(1, mkSketch(reg, "1", Seq("x", "z"),
+        Seq.fill(1000)(Seq(rng.nextInt(100), rng.nextInt(100))))),
+      GraphNode(2, mkSketch(reg, "2", Seq("y", "z"),
+        Seq.fill(1000)(Seq(rng.nextInt(100), rng.nextInt(100))))))
+    val en = new Enumerator(nodes, edgeSpec)
+    val tri = en.estimate(Seq(0, 1, 2))
+    assert(tri > 200 && tri < 5000,
+      s"triangle estimate $tri far from truth (~1000) — cycle edge dropped?")
+  }
+
   test("traversal bound keeps dense graphs tractable") {
     // complete graph K7 — unbounded enumeration is 7! orders; the 100-step
     // bound per start must cap the work while still returning an order.
