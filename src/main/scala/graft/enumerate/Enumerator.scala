@@ -114,8 +114,8 @@ final class Enumerator(
         // fingerprints), not value-based: mixing sketch-scaled and
         // cascade-scaled numbers inside one search misleads the bound, so
         // each regime is used consistently — reference product-median
-        // where its math holds, cascaded spanning-forest selectivities
-        // (exact survivor counts x pairwise sketch estimates, always
+        // where its math holds, an all-edge independence cascade
+        // (exact survivor counts x pairwise sketch selectivities, always
         // seed-aligned on their own predicate) everywhere else.
         // Planes are composed only on the aligned path: each composition
         // clones |traversal| full planes (~600 KB each), and a
