@@ -44,8 +44,20 @@ object PipelineQueries {
   private val dedup: Seq[Entry] = Seq(
     // MinHash-LSH near-dup dedup: docs kept after removing every near
     // duplicate (Jaccard ≥ 0.8) except the lowest-id representative.
-    // Banded LSH self-join — never all-pairs.
-    opaque("q_dedup_minhash") { (s, dir) =>
+    // Banded LSH self-join — never all-pairs. ORACLE-CHECKED (r7): DuckDB
+    // re-derives the kept set from brute-force ALL-PAIRS word-3-shingle
+    // Jaccard (affordable at oracle scale; the same first-principles
+    // relation the components oracle uses) — green proves the banded
+    // candidate generation missed no qualifying pair AND the exact
+    // verifier agreed with an independent Jaccard implementation.
+    dfq("q_dedup_minhash",
+      "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks), " +
+        "dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.8) " +
+        "SELECT d.doc_id, d.n_chars FROM documents d " +
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped) ORDER BY d.doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val dups = TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
       docs.join(dups.select(col("id_b").as("doc_id")), Seq("doc_id"), "left_anti")
