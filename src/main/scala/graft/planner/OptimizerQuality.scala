@@ -134,12 +134,18 @@ object OptimizerQuality {
     val compassOrder = plan.order.map(nameToIdx)
     require(compassOrder.sorted == g.instances.indices.toList,
       s"$family: COMPASS order ${plan.order} does not cover the graph")
-    // The baseline gets TRUE filtered cardinalities (not sketch counts):
-    // the strongest version of the stock ordering. One union job, not
-    // |instances| sequential count actions.
-    val counts: Map[Int, Long] =
-      g.instances.indices.zip(countAll(spark,
-        g.instances.indices.map(i => CompassSession.filteredPlan(g, i)))).toMap
+    // The baseline gets TRUE filtered cardinalities — which the sketch
+    // counts already ARE: FagmsSketchAgg counts every surviving row
+    // exactly (filtered instances) and templates carry the full table
+    // count, so re-counting with a separate scan job per instance (the
+    // r5-r6 harness) measured the same numbers twice. One deviation: a
+    // filtered table below PUSH_DOWN_MIN_TABLE_SIZE_SK served by the
+    // tiny-template shortcut reports its UNFILTERED count (≤ 200 rows
+    // by definition), which can only move that tiny dim EARLIER in the
+    // size-descending baseline — a stronger-or-equal stock order, so the
+    // compass ≤ naive pin is made harder, never easier.
+    val counts: Map[Int, Long] = g.instances.indices
+      .map(i => i -> plan.sketchCounts(g.instances(i).name)).toMap
     val naive = naiveOrder(g, counts)
     Report(family, prefixSum(spark, g, compassOrder), prefixSum(spark, g, naive))
   }
@@ -181,33 +187,6 @@ object OptimizerQuality {
     require(joins.size == order.size - 2 || joins.headOption.forall(_ == 0L),
       s"spine joins missing without an empty-relation collapse: $joins")
     joins.sum
-  }
-
-  /** Exact row counts of several plans in a single Spark action (a union
-    * of per-plan global counts — shared scans, parallel stages).
-    *
-    * Whole-stage codegen is disabled FOR THE MEASUREMENT: these are
-    * one-shot scan-count plans (one per instance), and Janino-compiling
-    * each shape costs more than interpreting it at any scale the harness
-    * runs. The LIVE compass path keeps codegen untouched.
-    */
-  private def countAll(spark: SparkSession, plans: Seq[LogicalPlan]): Seq[Long] = {
-    import org.apache.spark.sql.functions.{count, lit}
-    if (plans.isEmpty) return Seq.empty
-    val key = "spark.sql.codegen.wholeStage"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
-      val dfs = plans.zipWithIndex.map { case (p, i) =>
-        Bridge.ofRows(spark, p).agg(count(lit(1)).as("n")).select(
-          lit(i).as("i"), org.apache.spark.sql.functions.col("n"))
-      }
-      dfs.reduce(_.unionAll(_)).collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** Stock baseline (reference RelAlgExecutor.cpp:2608-2621 sorts relations

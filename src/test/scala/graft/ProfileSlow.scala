@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiler (Test/runMain graft.ProfileSlow) — phase timings for
   * the bench's slowest entries. Not part of the driver contract.
@@ -23,18 +22,15 @@ object ProfileSlow {
       println(f"[profile] $label%-44s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
-    def mat(df: org.apache.spark.sql.DataFrame): Long = df.queryExecution.toRdd.count()
-
+    val cs = new graft.planner.CompassSession(spark,
+      templateCache = Some(graft.planner.SketchTemplateCache.default()))
+    time("warmTemplates")(cs.warmTemplates(
+      graft.planner.OptimizerQuality.families.map(f => spark.sql(f._2))))
     (1 to 2).foreach { lap =>
-      val docs = Tables.load(spark, sfDir, "documents")
-      val pairs = time(s"lap$lap minhashNearDups (build plan)")(
-        operators.TextDedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
-      val nPairs = time(s"lap$lap pairs materialize")(pairs.count())
-      println(s"  pairs = $nPairs")
-      val grouped = time(s"lap$lap dedupGroups total")(
-        operators.Components.dedupGroups(docs, "doc_id", pairs, "id_a", "id_b"))
-      time(s"lap$lap final orderBy+materialize")(mat(grouped.orderBy("doc_id")))
-      operators.OpCaches.releaseAll(spark)
+      graft.planner.OptimizerQuality.families.foreach { case (fam, text) =>
+        time(s"compare($fam) lap$lap")(
+          graft.planner.OptimizerQuality.compare(spark, cs, fam, text))
+      }
     }
     spark.stop()
   }
