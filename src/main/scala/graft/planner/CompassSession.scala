@@ -95,6 +95,10 @@ final class CompassSession(
     broadcastRowLimit: Long = 100000,
     templateCache: Option[SketchTemplateCache] = None) {
 
+  /** Last-completed optimize() wins — introspection only (explain traces,
+    * quality harness); concurrent scopes wanting their own trace read it
+    * immediately after their optimize() returns or synchronize externally.
+    */
   @volatile var lastPlan: Option[CompassPlan] = None
 
   /** `\fpd`-style toggle (reference: mapd-core/SQLFrontend/mapdql.cpp:1313). */

@@ -368,6 +368,28 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cs.pinnedCaches.isEmpty)
   }
 
+  test("two THREADS optimizing concurrently on one session both get correct results") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    val qa =
+      """SELECT count(*) AS n FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 410000""".stripMargin
+    val qb = qa.replace("410000", "440000")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Each thread takes its own scope, optimizes, AND executes — overlapping
+    // sketch jobs, cache pinning, and main-query actions on one session.
+    val fa = Future { cs.newScope().sql(qa).head().getLong(0) }
+    val fb = Future { cs.newScope().sql(qb).head().getLong(0) }
+    val (na, nb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(na == spark.sql(qa).head().getLong(0), "thread A result diverged")
+    assert(nb == spark.sql(qb).head().getLong(0), "thread B result diverged")
+    cs.close()
+  }
+
   test("a failing sketch job falls back AND its push-down caches are releasable") {
     import org.apache.spark.sql.functions.{col, udf}
     Tables.registerAll(spark, dir)
