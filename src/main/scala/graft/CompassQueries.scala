@@ -238,11 +238,16 @@ object CompassQueries {
     // Family list and its rationale live on OptimizerQuality.families —
     // shared with OptimizerQualitySpec so the spec pins exactly this
     // workload.
+    // The `measured` column pins the harness itself: every family's naive
+    // order has non-empty true intermediates at oracle scale, so a dead
+    // measurement (r7 found one: metrics read from a never-executed plan
+    // report zeros and 0<=0 passes vacuously) turns the row red instead
+    // of silently weakening the compass<=naive claim.
     dfq("q_compass_quality",
       "SELECT * FROM (" +
-        "SELECT 'chain5' AS family, CAST(1 AS BIGINT) AS compass_le_naive " +
-        "UNION ALL SELECT 'cycle12', 1 UNION ALL SELECT 'job17', 1 " +
-        "UNION ALL SELECT 'job7cycle', 1 UNION ALL SELECT 'snowflake4', 1" +
+        "SELECT 'chain5' AS family, CAST(1 AS BIGINT) AS compass_le_naive, CAST(1 AS BIGINT) AS measured " +
+        "UNION ALL SELECT 'cycle12', 1, 1 UNION ALL SELECT 'job17', 1, 1 " +
+        "UNION ALL SELECT 'job7cycle', 1, 1 UNION ALL SELECT 'snowflake4', 1, 1" +
         ") t ORDER BY family") { (s, dir) =>
       Tables.registerAll(s, dir)
       val cs = compass(s)
@@ -250,8 +255,9 @@ object CompassQueries {
         graft.planner.OptimizerQuality.compare(s, cs, fam, text)
       }
       import s.implicits._
-      reports.map(r => (r.family, if (r.compassLeNaive) 1L else 0L))
-        .toDF("family", "compass_le_naive").orderBy("family")
+      reports.map(r => (r.family, if (r.compassLeNaive) 1L else 0L,
+          if (r.naiveSum > 0) 1L else 0L))
+        .toDF("family", "compass_le_naive", "measured").orderBy("family")
     },
 
     // LEFT-joined lookup above an inner chain: the inner portion is
