@@ -101,6 +101,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sketch-count broadcast hints must survive splicing:\n$plan")
   }
 
+  test("17-way COMPASS plan: filters pushed, dims broadcast, joins left-deep at the top size") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark,
+      templateCache = Some(graft.planner.SketchTemplateCache.default()))
+    val df = cs.sql(graft.planner.OptimizerQuality.job17Text)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    // Per-instance filters must reach the parquet scans even through the
+    // 17-instance splice (Catalyst re-optimizes the rebuilt region).
+    assert(plan.contains("GreaterThan(o_totalprice,100000"),
+      s"orders filter not pushed through the 17-way splice:\n$plan")
+    assert(plan.contains("EqualTo(l_linenumber,1"),
+      s"lineitem pin not pushed through the 17-way splice:\n$plan")
+    // Sketch-count-driven broadcast hints: every small instance (nations,
+    // regions, parts, suppliers, customers) should build a broadcast
+    // side — a 17-way all-shuffle plan would be the scale failure mode.
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 8, s"expected >=8 broadcast joins, got $nBroadcast:\n$plan")
+    cs.close()
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, never materialized inners") {
     val semi = planOf("q_join_semi")
     assert(semi.contains("LeftSemi"), s"IN-subquery must plan as a semi join:\n$semi")
