@@ -215,6 +215,17 @@ object CompassQueries {
         "AND l1.l_partkey = p_partkey AND l1.l_linenumber < l2.l_linenumber " +
         "AND o_totalprice > 150000 AND p_size <= 25"),
 
+    // Cross-instance DISJUNCTION: the OR references two different
+    // instances, so it can neither become an equi-edge nor a pushed
+    // per-instance filter — it rides the splice as a residual conjunct
+    // applied above the reordered region (JoinGraphExtractorSpec pins the
+    // classification; this entry pins the end-to-end semantics).
+    viaCompass("q_compass_residual_or",
+      "SELECT count(*) AS n FROM lineitem, orders, customer " +
+        "WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey " +
+        "AND (o_totalprice > 250000 OR c_acctbal > 8000) " +
+        "AND l_quantity > 5"),
+
     // Twelve instances — the l1-l2-o1-o2 orderkey quad cycle plus three
     // nation-region diamonds through ONE shared region instance (text +
     // rationale on OptimizerQuality.cycle12Text; also a quality family,
