@@ -126,9 +126,11 @@ object Bench {
       "q1_agg", "q_scan_full", "q_join_inner", "q_join_multiway",
       "q_count_distinct", "q_orderby_limit", "q_window_running",
       "q_sessionize_batch", "q_compass_multiway", "q_compass_filtered",
-      "q_compass_6way", "q_compass_9way", "q_compass_quality",
+      "q_compass_6way", "q_compass_9way", "q_compass_12way",
+      "q_compass_17way", "q_compass_quality",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
-      "q_ann_exact", "q_ann_lsh", "q_ann_ivf", "q_ann_neardup",
+      "q_dedup_components", "q_ann_exact", "q_ann_lsh", "q_ann_ivf",
+      "q_ann_ivf_indexed", "q_ann_neardup",
       "q_asof_join", "q_range_join", "q_lang_id", "q_text_pipeline",
       "q_events_window")
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq

@@ -347,7 +347,7 @@ object Similarity {
     val probed = probes.select("centroid_id").distinct()
       .collect().map(_.getInt(0)).sorted
     val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+      .filter(col("centroid_id").isin(probed.toIndexedSeq.map(Int.box): _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     lists.join(broadcast(probes), "centroid_id")

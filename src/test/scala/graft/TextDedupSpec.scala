@@ -117,8 +117,8 @@ class TextDedupSpec extends AnyFunSuite {
       .toDF("sh")
     val without = Seq(Tuple1(Seq[java.lang.Long](17L, 23L))).toDF("sh")
     val ab = Array(3L, 5L, 7L, 11L)
-    val sigN = withNull.select(TextHashOps.minhashSig(col("sh"), ab)).head.getSeq[Long](0)
-    val sig0 = without.select(TextHashOps.minhashSig(col("sh"), ab)).head.getSeq[Long](0)
+    val sigN = withNull.select(TextHashOps.minhashSig(col("sh"), ab)).head().getSeq[Long](0)
+    val sig0 = without.select(TextHashOps.minhashSig(col("sh"), ab)).head().getSeq[Long](0)
     assert(sigN == sig0, "null shingle elements must be skipped, not hashed as 0")
   }
 
