@@ -85,6 +85,47 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
         TextAnalysis.withTokenCounts(
           TextAnalysis.withLanguageId(table("documents"), "text"), "text"), "text"), "text")
 
+  /** A dedicated cache scope for one concurrent query stream on this
+    * session: interleaved scopes never unpin each other's push-down
+    * caches (see [[CompassSession.QueryScope]]). Use `scope.sql(...)`.
+    */
+  def newQueryScope(): CompassSession#QueryScope = compass.newScope()
+
+  /** Build (or rebuild) the persisted IVF ANN index for `embeddings` at
+    * `path` — inverted lists parquet-partitioned by centroid, queries
+    * read only probed directories (see [[Similarity.buildIvfIndex]]).
+    */
+  def buildAnnIndex(path: String, nCentroids: Int = 16): Unit = {
+    Similarity.buildIvfIndex(table("embeddings"), "vec_id", "embedding",
+      path, nCentroids)
+    ()
+  }
+
+  /** Query a persisted IVF index built by [[buildAnnIndex]]. */
+  def annQuery(queryIds: Seq[Long], path: String, k: Int = 5,
+      nProbe: Int = 4): DataFrame =
+    Similarity.ivfTopKIndexed(
+      table("embeddings").filter(
+        org.apache.spark.sql.functions.col("vec_id").isin(queryIds.map(Long.box): _*)),
+      "vec_id", "embedding", path, k, nProbe)
+
+  /** Append new embedding rows ((vec_id, embedding) columns) to a
+    * persisted IVF index — assigned with the index's existing centroids
+    * (see [[Similarity.appendToIvfIndex]]).
+    */
+  def annAppend(newRows: DataFrame, path: String): Unit =
+    Similarity.appendToIvfIndex(newRows, "vec_id", "embedding", path)
+
+  /** Overlapping token-window chunks of `documents` (pre-embedding step). */
+  def chunkedDocuments(chunkTokens: Int = 64, overlap: Int = 16): DataFrame =
+    TextAnalysis.chunk(table("documents"), "doc_id", "text", chunkTokens, overlap)
+
+  /** Streaming MinHash near-dup dedup over a (doc_id, ts, text) stream —
+    * see [[graft.streaming.EventStream.dedupNearStream]].
+    */
+  def dedupDocStream(docs: DataFrame): DataFrame =
+    graft.streaming.EventStream.dedupNearStream(docs, "doc_id", "text")
+
   /** Backward as-of join (point-in-time lookup) — see [[Temporal.asofJoin]]. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       carry: Seq[String]): DataFrame =

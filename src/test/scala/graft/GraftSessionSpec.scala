@@ -33,6 +33,19 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(s1 == gs.sample("orders", "o_orderkey", 0.1).count() && s1 > 0)
     val hh = gs.heavyHitters("orders", "o_custkey", k = 3).collect()
     assert(hh.length == 3 && hh(0).getLong(1) >= hh(2).getLong(1))
+    // r7 conveniences: query scopes, chunking, the persisted ANN index
+    // lifecycle (build → query → append).
+    val scope = gs.newQueryScope()
+    assert(scope.sql(q).head().getLong(0) == n1)
+    assert(gs.chunkedDocuments().count() >= 500)
+    val idx = java.nio.file.Files.createTempDirectory("graft_gs_ivf").toString
+    gs.buildAnnIndex(idx, nCentroids = 4)
+    val hits = gs.annQuery(Seq(0L, 1L), idx, k = 3)
+    assert(hits.count() == 6)
+    import spark.implicits._
+    gs.annAppend(Seq((100000L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding"), idx)
+    assert(spark.read.parquet(s"$idx/lists")
+      .filter($"neighbor_id" === 100000L).count() == 1)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }
