@@ -64,10 +64,30 @@ object PipelineQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
-    // Per-document 64-bit SimHash signatures + Hamming-bucket candidates.
-    opaque("q_dedup_simhash") { (s, dir) =>
+    // Per-document 64-bit SimHash signatures. Partial-soundness oracle:
+    // no SQL engine ships xxhash64, so the TOKEN HASHES are emitted
+    // alongside the signature (their correctness is pinned by the
+    // kernel-vs-HOF bit-identity twins in TextDedupSpec) and DuckDB
+    // independently re-runs the whole bit-aggregation — per-bit signed
+    // sums over the hashes, sign test, 64-bit reassembly (bit 63 via the
+    // two's-complement offset) — and must land on the identical BIGINT.
+    dfq("q_dedup_simhash",
+      "WITH res AS (SELECT doc_id, term_hashes FROM " +
+        s"read_parquet('${Queries.VerifyOutToken}/q_dedup_simhash/*.parquet')), " +
+        "bits AS (SELECT doc_id, j, " +
+        "  sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
+        "  FROM (SELECT doc_id, unnest(term_hashes) AS h FROM res) u " +
+        "  CROSS JOIN range(0, 64) js(j) GROUP BY doc_id, j), " +
+        "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN " +
+        "  CASE WHEN j = 63 THEN -9223372036854775807 - 1 " +
+        "       ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END " +
+        "  ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id) " +
+        "SELECT r.doc_id, r.term_hashes, g.simhash " +
+        "FROM res r JOIN sig g ON g.doc_id = r.doc_id ORDER BY r.doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      docs.select(col("doc_id"), TextDedup.simhash64(col("text")).as("simhash"))
+      docs.select(col("doc_id"),
+          transform(split(col("text"), "\\s+"), w => xxhash64(w)).as("term_hashes"),
+          TextDedup.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -205,6 +225,34 @@ object PipelineQueries {
     })
   }
 
+  /** Partial-soundness oracle for ANN top-k entries: the returned
+    * neighbor SET is approximate by design (seeded hyperplanes /
+    * k-means — not re-derivable in SQL), but every VALUE in it is not.
+    * DuckDB reads the entry's own Verify dump ([[Queries.VerifyOutToken]]),
+    * recomputes each returned pair's cosine from the embeddings parquet
+    * in double precision, and re-ranks by (rounded cosine desc, neighbor
+    * id). Green means: every cosine the engine reported is right, every
+    * rank is monotone in true cosine, and nothing self-paired — the
+    * recall side stays spec-bounded (SimilaritySpec ≥0.9 on clustered
+    * data), turning the former rows-only trust into a soundness oracle.
+    */
+  private def annSoundnessSql(name: String): String =
+    "WITH res AS (SELECT query_id, neighbor_id FROM " +
+      s"read_parquet('${Queries.VerifyOutToken}/$name/*.parquet')), " +
+      "pairs AS (SELECT r.query_id, r.neighbor_id, q.embedding AS qv, c.embedding AS cv " +
+      "  FROM res r JOIN embeddings q ON q.vec_id = r.query_id " +
+      "  JOIN embeddings c ON c.vec_id = r.neighbor_id), " +
+      "dots AS (SELECT query_id, neighbor_id, sum(qa * ca) AS dotp, " +
+      "  sqrt(sum(qa * qa)) AS na, sqrt(sum(ca * ca)) AS nb " +
+      "  FROM (SELECT query_id, neighbor_id, unnest(qv)::DOUBLE AS qa, " +
+      "        unnest(cv)::DOUBLE AS ca FROM pairs) u " +
+      "  GROUP BY query_id, neighbor_id) " +
+      "SELECT query_id, neighbor_id, " +
+      "  CAST(row_number() OVER (PARTITION BY query_id " +
+      "    ORDER BY round(dotp / (na * nb), 6) DESC, neighbor_id) AS INT) AS rank, " +
+      "  round(dotp / (na * nb), 6) AS cos " +
+      "FROM dots ORDER BY query_id, rank"
+
   private val similarity: Seq[Entry] = Seq(
     // Exact brute-force cosine top-5 for a 10-vector query set (the
     // baseline ANN path; broadcast queries, one corpus pass). DuckDB
@@ -244,7 +292,7 @@ object PipelineQueries {
     // SimilaritySpec on CLUSTERED data (the regime LSH serves); on this
     // synthetic unclustered table the operator is exercised for shape and
     // determinism only.
-    opaque("q_ann_lsh") { (s, dir) =>
+    dfq("q_ann_lsh", annSoundnessSql("q_ann_lsh")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.lshTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -255,7 +303,7 @@ object PipelineQueries {
     // IVF-style ANN: inverted lists from a coarse quantizer, probe-then-
     // re-rank (the other scale path named in the brief; recall asserted
     // on clustered data in SimilaritySpec).
-    opaque("q_ann_ivf") { (s, dir) =>
+    dfq("q_ann_ivf", annSoundnessSql("q_ann_ivf")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       Similarity.ivfTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -288,7 +336,7 @@ object PipelineQueries {
     // measure query-only, which is the steady-state the index exists for.
     // Deterministic (hash-ordered k-means sample), rows-only like the
     // other seeded ANN paths.
-    opaque("q_ann_ivf_indexed") { (s, dir) =>
+    dfq("q_ann_ivf_indexed", annSoundnessSql("q_ann_ivf_indexed")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
       val path = ivfIndexFor(s, dir, emb)
       Similarity.ivfTopKIndexed(
@@ -298,12 +346,34 @@ object PipelineQueries {
     },
 
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join).
-    opaque("q_ann_neardup") { (s, dir) =>
+    // Threshold 0.45 with wide recall params (bits=6 → 64 buckets/table,
+    // 8 tables): the synthetic embeddings plant no near-dups (max
+    // pairwise cosine ≈0.51 at sf0.01), so a production-style 0.9 cut
+    // returns the empty set and verifies nothing — this cut makes the
+    // seeded run return real pairs for the oracle to check. Oracle =
+    // same partial-soundness pattern as the ANN entries: DuckDB
+    // recomputes each RETURNED pair's cosine from the embeddings and
+    // re-applies the (id_a < id_b, cos ≥ threshold) predicates — a pair
+    // with a wrong cosine, wrong order, or below the cut vanishes from
+    // the oracle side and fails the row compare.
+    dfq("q_ann_neardup",
+      "WITH res AS (SELECT id_a, id_b FROM " +
+        s"read_parquet('${Queries.VerifyOutToken}/q_ann_neardup/*.parquet')), " +
+        "pairs AS (SELECT r.id_a, r.id_b, a.embedding AS va, b.embedding AS vb " +
+        "  FROM res r JOIN embeddings a ON a.vec_id = r.id_a " +
+        "  JOIN embeddings b ON b.vec_id = r.id_b), " +
+        "dots AS (SELECT id_a, id_b, sum(xa * xb) AS dotp, " +
+        "  sqrt(sum(xa * xa)) AS na, sqrt(sum(xb * xb)) AS nb " +
+        "  FROM (SELECT id_a, id_b, unnest(va)::DOUBLE AS xa, " +
+        "        unnest(vb)::DOUBLE AS xb FROM pairs) u " +
+        "  GROUP BY id_a, id_b) " +
+        "SELECT id_a, id_b, round(dotp / (na * nb), 6) AS cos FROM dots " +
+        "WHERE id_a < id_b AND round(dotp / (na * nb), 6) >= 0.45 " +
+        "ORDER BY id_a, id_b") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.cosineNearDups(emb, "vec_id", "embedding", threshold = 0.9,
-        bits = 8, tables = 6)
-        .agg(count(lit(1)).as("n_pairs"),
-          coalesce(round(avg("cos"), 4), lit(0.0)).as("avg_cos"))
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", threshold = 0.45,
+        bits = 6, tables = 8)
+        .orderBy("id_a", "id_b")
     },
   )
 
@@ -407,14 +477,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Content fingerprints (rolling + order-free set digest): xxhash64-
-    // based compiled kernels — no SQL engine ships that hash, so this
-    // stays a deterministic rows-only entry; bit-level behavior is pinned
-    // by TextDedupSpec's kernel-vs-HOF twins.
-    opaque("q_text_fingerprints") { (s, dir) =>
+    // Content fingerprints (rolling + order-free set digest). Same
+    // partial-soundness pattern as q_dedup_simhash: xxhash64 itself is
+    // not SQL-re-derivable (kernel-vs-HOF twins pin it), so the ordered
+    // token hashes and distinct-token hashes are emitted and DuckDB
+    // independently re-folds BOTH digests — the Karp-Rabin chain
+    // (acc·31 + h mod 2³¹-1, seed 17, order-sensitive, via list_reduce
+    // over the ordered list) and the XOR set digest — to the same BIGINTs.
+    dfq("q_text_fingerprints",
+      "WITH res AS (SELECT doc_id, term_hashes, distinct_hashes FROM " +
+        s"read_parquet('${Queries.VerifyOutToken}/q_text_fingerprints/*.parquet')) " +
+        "SELECT doc_id, term_hashes, distinct_hashes, " +
+        "  list_reduce(list_prepend(CAST(17 AS BIGINT), " +
+        "    list_transform(term_hashes, h -> ((h % 2147483647) + 2147483647) % 2147483647)), " +
+        "    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling, " +
+        "  list_reduce(list_prepend(CAST(0 AS BIGINT), distinct_hashes), " +
+        "    (acc, h) -> xor(acc, h)) AS fp_set " +
+        "FROM res ORDER BY doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
+      val toks = split(lower(col("text")), "\\s+")
       TextAnalysis.withFingerprints(docs, "text")
-        .select("doc_id", "fp_rolling", "fp_set").orderBy("doc_id")
+        .withColumn("term_hashes", transform(toks, w => xxhash64(w)))
+        // Distinct by TOKEN then hashed — the kernel's dedup unit (two
+        // tokens colliding on xxhash64 must XOR twice, not once).
+        .withColumn("distinct_hashes",
+          transform(array_distinct(toks), w => xxhash64(w)))
+        .select("doc_id", "term_hashes", "distinct_hashes",
+          "fp_rolling", "fp_set")
+        .orderBy("doc_id")
     },
   )
 

@@ -44,6 +44,18 @@ object Queries {
   /** Not SQL-expressible in DuckDB → driver records a rows-only check. */
   def opaque(name: String)(fn: QueryFn): Entry = Entry(name, fn, None)
 
+  /** Placeholder in oracle SQL for the Verify output directory —
+    * [[Verify]] substitutes the absolute path at dump time. Lets an
+    * oracle re-derive checkable columns of an APPROXIMATE-BY-DESIGN
+    * result (ANN neighbor sets, signature intermediates) from the result
+    * itself plus the base tables: the returned SET is the engine's, but
+    * every value and ordering in it is independently recomputed — the
+    * reference's differential-comparator pattern
+    * (mapd-core/Tests/ExecuteTest.cpp:132-168) extended to partial
+    * soundness.
+    */
+  val VerifyOutToken = "{{VERIFY_OUT}}"
+
   /** Temp dir for write-read round-trip entries, deleted on JVM exit —
     * repeated Verify/Bench runs must not accumulate lineitem-sized dumps
     * in /tmp.

@@ -37,8 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Partial-soundness oracles (ANN / signature entries) re-derive the
+    // checkable columns of the SPARK RESULT: the SQL reads this run's
+    // dump via read_parquet, so the output dir is substituted here, at
+    // dump time, as an absolute path (DuckDB runs from an unknown cwd).
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(Queries.VerifyOutToken, absOut))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -135,12 +135,15 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // Rank by the 6-dp-rounded cosine (then neighbor id), like
+    // bruteForceTopK's rankRounded mode: the differential oracle
+    // re-derives rank from its own rounded cosines, so both engines must
+    // order identically even when raw doubles differ in the last ulp.
     candidates
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** Lloyd's k-means (cosine assignment, mean update) over a
@@ -266,13 +269,14 @@ object Similarity {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // Rounded-cosine ranking — same cross-engine determinism contract as
+    // lshTopK / bruteForceTopK(rankRounded).
     lists.join(broadcast(probes), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** Persisted IVF index — the "write once, reuse" path SCALE.md
@@ -352,11 +356,10 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     lists.join(broadcast(probes), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (all
@@ -369,11 +372,14 @@ object Similarity {
     val b = lshBuckets(df, idCol, vecCol, bits, tables, dim)
     val a1 = b.withColumnsRenamed(Map(idCol -> "id_a", vecCol -> "va"))
     val a2 = b.withColumnsRenamed(Map(idCol -> "id_b", vecCol -> "vb"))
+    // Threshold on the ROUNDED cosine: the differential oracle re-derives
+    // the filter from its own 6-dp rounding, and a raw-value cut would
+    // disagree on pairs whose cosine straddles the boundary within an ulp.
     a1.join(a2, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }
