@@ -66,8 +66,28 @@ object Bench {
         try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
         graft.operators.OpCaches.releaseAll(spark)
       }
+    // Headline subset: stable keys for round-over-round comparison; these
+    // also get the median-of-3 warm treatment below.
+    val headline = Vector(
+      "q1_agg", "q_scan_full", "q_join_inner", "q_join_multiway",
+      "q_count_distinct", "q_orderby_limit", "q_window_running",
+      "q_sessionize_batch", "q_compass_multiway", "q_compass_filtered",
+      "q_compass_6way", "q_compass_9way", "q_compass_12way",
+      "q_compass_17way", "q_compass_quality",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
+      "q_dedup_components", "q_ann_exact", "q_ann_lsh", "q_ann_ivf",
+      "q_ann_ivf_indexed", "q_ann_neardup",
+      "q_asof_join", "q_range_join", "q_lang_id", "q_text_pipeline",
+      "q_events_window")
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
     val warmTimings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-entry warm spread [min, median, max] — single-shot times on
+    // sub-second queries in a shared sandbox swing 2-4x run-over-run
+    // (r7→r8 measured 2.5-4.5x on BYTE-IDENTICAL code), so one sample
+    // cannot support a 2x regression gate. Headline entries take 3 warm
+    // laps and report the median as the comparable number plus the
+    // spread so a real regression is distinguishable from noise.
+    val warmSpread = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens
@@ -93,12 +113,24 @@ object Bench {
       // recomputation, not cache reads; only generated-code and JIT state
       // carries over. Cold stays the primary (round-comparable) metric.
       if (timings(e.name).isRight) {
-        val t1 = System.nanoTime()
-        try {
-          materialize(e.run(spark, sfDir))
-          warmTimings(e.name) = (System.nanoTime() - t1) / 1e9
-        } catch { case _: Throwable => () }
-        graft.operators.OpCaches.releaseAll(spark)
+        val nLaps = if (headline.contains(e.name)) 3 else 1
+        val laps = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var lap = 0
+        while (lap < nLaps) {
+          val t1 = System.nanoTime()
+          try {
+            materialize(e.run(spark, sfDir))
+            laps += (System.nanoTime() - t1) / 1e9
+          } catch { case _: Throwable => lap = nLaps }
+          graft.operators.OpCaches.releaseAll(spark)
+          lap += 1
+        }
+        if (laps.nonEmpty) {
+          val sortedLaps = laps.sorted
+          warmTimings(e.name) = sortedLaps(sortedLaps.size / 2)
+          warmSpread(e.name) = (sortedLaps.head,
+            sortedLaps(sortedLaps.size / 2), sortedLaps.last)
+        }
       }
     }
     def esc(s: String): String =
@@ -118,21 +150,14 @@ object Bench {
     // fixed representative subset (stable keys, round-over-round
     // comparable) plus this run's slowest entries and the totals.
     val warmTotal = warmTimings.values.sum
+    def f3(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val spreadJson = warmSpread.map { case (k, (mn, md, mx)) =>
+      s""""${esc(k)}":[${f3(mn)},${f3(md)},${f3(mx)}]"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"errors":$nErr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val headline = Vector(
-      "q1_agg", "q_scan_full", "q_join_inner", "q_join_multiway",
-      "q_count_distinct", "q_orderby_limit", "q_window_running",
-      "q_sessionize_batch", "q_compass_multiway", "q_compass_filtered",
-      "q_compass_6way", "q_compass_9way", "q_compass_12way",
-      "q_compass_17way", "q_compass_quality",
-      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram",
-      "q_dedup_components", "q_ann_exact", "q_ann_lsh", "q_ann_ivf",
-      "q_ann_ivf_indexed", "q_ann_neardup",
-      "q_asof_join", "q_range_join", "q_lang_id", "q_text_pipeline",
-      "q_events_window")
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq
       .sortBy(-_._2).take(5)
     val compact = (headline.flatMap(k => timings.get(k).map(k -> _)) ++
@@ -140,7 +165,15 @@ object Bench {
       slow.filterNot(kv => headline.contains(kv._1)).map { case (k, t) => k -> Right(t) }
       ).distinctBy(_._1)
     def f2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"errors":$nErr,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // The 3 widest warm spreads (max/min ratio) go on the compact line:
+    // the driver's window is ~2000 chars, so the full spread map stays in
+    // BENCH_FULL.json and stdout carries just enough to flag noise.
+    val noisiest = warmSpread.toSeq
+      .sortBy { case (_, (mn, _, mx)) => -(mx / math.max(mn, 1e-9)) }.take(3)
+      .map { case (k, (mn, md, mx)) =>
+        s""""${esc(k)}":[${f2(mn)},${f2(md)},${f2(mx)}]"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"errors":$nErr,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
