@@ -721,13 +721,37 @@ object Queries {
         " EXCEPT SELECT o_custkey FROM orders) t2) AS n_never_ordered"),
 
     // Window frame aggregates: running sum + centered moving average
-    // (§2.5 beyond-reference).
-    sql("q_window_running",
+    // (§2.5 beyond-reference). The oracle stays the global-window SQL;
+    // the Spark side computes the SAME relation through
+    // [[graft.operators.Prefix]] — a partition-less `ROWS UNBOUNDED
+    // PRECEDING` window was the one plan in the repo that funnels the
+    // whole relation into a single task ("No Partition Defined" in every
+    // r7/r8 bench tail). Now: distributed grouped agg → two-pass prefix
+    // sum (range-partitioned per-partition windows + broadcast offsets)
+    // → banded-join moving average → top-500 by the global index. No
+    // single-partition WindowExec at any scale (PlanAuditSpec-asserted).
+    dfq("q_window_running",
       "SELECT o_orderkey, CAST(sum(cnt) OVER (ORDER BY o_orderkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n, " +
         "round(avg(price) OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS ma5 " +
         "FROM (SELECT o_orderkey, count(*) AS cnt, sum(o_totalprice) AS price " +
-        "FROM orders GROUP BY o_orderkey) t ORDER BY o_orderkey LIMIT 500"),
+        "FROM orders GROUP BY o_orderkey) t ORDER BY o_orderkey LIMIT 500") { (s, dir) =>
+      val t = Tables.load(s, dir, "orders")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("price"))
+      val run = graft.operators.Prefix.withRunningSums(
+        t, "o_orderkey", Seq("cnt" -> "running_n"))
+      // The LIMIT 500 output depends only on global rows 1..502 (the
+      // 2-FOLLOWING frame of row 500 ends at 502) — bound the banded
+      // ma5 join to those before exploding contributors; the prefix
+      // pass above still covers the full relation.
+      val bounded = run.filter(col("_idx") <= 502)
+      graft.operators.Prefix.withCenteredAvg(bounded, "_idx", "price", "ma5raw")
+        .filter(col("_idx") <= 500)
+        .select(col("o_orderkey"), col("running_n").cast("long"),
+          round(col("ma5raw"), 4).as("ma5"))
+        .orderBy("o_orderkey")
+    },
 
     // LEAD/LAG/RANK/DENSE_RANK/NTILE (§2.5 beyond-reference).
     sql("q_window_lead_lag",

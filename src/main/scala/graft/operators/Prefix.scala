@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.DataFrame
+
+/** Distributed global running aggregates — the scale-safe replacement for
+  * `sum(x) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+  * ROW)`. A partition-less window moves the ENTIRE relation to one task
+  * (Spark logs "No Partition Defined ... moving all data to a single
+  * partition"); correct at any size, but the one plan shape that cannot
+  * survive a 100× scale-up — it was the single `weak` plan left in the
+  * r7/r8 audits.
+  *
+  * Two-pass prefix-sum shape instead (the textbook parallel scan):
+  *
+  *  1. range-partition by the order key, so partition i holds a
+  *     contiguous key range and every partition computes its LOCAL
+  *     running sums independently (`Window.partitionBy(_pid)` — a real
+  *     partition key, parallel, no warning);
+  *  2. per-partition totals — O(#partitions) rows, contractually tiny
+  *     like the IVF centroid collect — come to the driver, which
+  *     prefix-sums them into per-partition OFFSETS broadcast back;
+  *     global running value = local running value + partition offset,
+  *     global row index = local row number + partition row offset.
+  *
+  * Total cost: two balanced full-data shuffles (range + pid-hash) and a
+  * broadcast join — no single-task stage anywhere, at any scale.
+  */
+object Prefix {
+
+  /** Adds a global 1-based row index (`idxCol`) ordered by `orderCol`,
+    * plus one global running-sum column per `(valueCol, outCol)` pair.
+    * Value columns must be LONG or DOUBLE (cast first otherwise); ties
+    * on `orderCol` are ordered arbitrarily-but-deterministically within
+    * a partition (callers needing total determinism pass a unique key).
+    * Nulls in value columns count as zero (SQL `sum` skips them).
+    */
+  def withRunningSums(
+      df: DataFrame, orderCol: String,
+      sums: Seq[(String, String)], idxCol: String = "_idx",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    sums.foreach { case (v, _) =>
+      val t = df.schema(v).dataType
+      require(t == LongType || t == DoubleType,
+        s"withRunningSums: $v must be LONG or DOUBLE, got $t")
+    }
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+    val local = sums.foldLeft(
+      df.repartitionByRange(n, col(orderCol))
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_lidx", row_number().over(w).cast("long"))) {
+      case (acc, (v, out)) =>
+        acc.withColumn(s"_loc_$out", coalesce(sum(col(v)).over(w), lit(0).cast(df.schema(v).dataType)))
+    }
+    // Read twice (totals + result join): materialize once.
+    val localP = OpCaches.track(local
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val aggs = count(lit(1)).as("_n") +:
+      sums.map { case (v, out) => sum(col(v)).as(s"_tot_$out") }
+    val totals = localP.groupBy("_pid").agg(aggs.head, aggs.tail: _*)
+      .orderBy("_pid").collect()
+    // Driver-side EXCLUSIVE prefix over the per-partition totals.
+    var rowOff = 0L
+    val sumOff = Array.fill[Any](sums.size)(null)
+    val offsetRows = totals.map { r =>
+      val pid = r.getInt(0)
+      val vals = sums.indices.map { i =>
+        val cur = sumOff(i)
+        val tot = r.get(i + 2)
+        sumOff(i) = (cur, tot) match {
+          case (null, t) => t
+          case (c, null) => c
+          case (c: Long, t: Long) => c + t
+          case (c: Double, t: Double) => c + t
+        }
+        cur
+      }
+      val out = org.apache.spark.sql.Row.fromSeq(pid +: rowOff +: vals)
+      rowOff += r.getLong(1)
+      out
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType) +:
+      org.apache.spark.sql.types.StructField("_idx_off", LongType) +:
+      sums.map { case (v, out) =>
+        org.apache.spark.sql.types.StructField(s"_off_$out", df.schema(v).dataType)
+      })
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val joined = localP.join(broadcast(offsets), "_pid")
+      .withColumn(idxCol, col("_lidx") + col("_idx_off"))
+    sums.foldLeft(joined) { case (acc, (_, out)) =>
+      acc.withColumn(out,
+        col(s"_loc_$out") + coalesce(col(s"_off_$out"), lit(0)))
+    }.drop(("_pid" +: "_lidx" +: "_idx_off" +:
+      sums.flatMap { case (_, out) => Seq(s"_loc_$out", s"_off_$out") }): _*)
+  }
+
+  /** Centered moving aggregate over a global row index — the scale-safe
+    * `avg(x) OVER (ORDER BY k ROWS BETWEEN b PRECEDING AND b FOLLOWING)`:
+    * each row's value is exploded to the 2b+1 indices whose frame it
+    * belongs to and re-aggregated by target index (one shuffle on a LONG
+    * key, never a global window). Frames clip at the edges exactly like
+    * the window form — absent neighbors simply contribute nothing.
+    * Expects `idxCol` from [[withRunningSums]] (gap-free 1..N).
+    */
+  def withCenteredAvg(
+      df: DataFrame, idxCol: String, valueCol: String, outCol: String,
+      before: Int = 2, after: Int = 2): DataFrame = {
+    val targets = (-after to before).map(d => col(idxCol) + d)
+    val contrib = df.select(col(idxCol), col(valueCol))
+      .withColumn("_tgt", explode(array(targets: _*)))
+      .groupBy("_tgt").agg(avg(valueCol).as(outCol))
+    df.join(contrib, df(idxCol) === contrib("_tgt")).drop("_tgt")
+  }
+}

@@ -182,6 +182,30 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_window_running has NO single-partition window (distributed prefix sum)") {
+    // A partition-less `ROWS UNBOUNDED PRECEDING` window funnels the whole
+    // relation into one task ("No Partition Defined" warning) — the one
+    // plan shape that cannot survive a 100x scale-up. The Prefix rewrite
+    // must leave every WindowExec with a real partition key (_pid) and no
+    // single-partition exchange anywhere.
+    Tables.registerAll(spark, dir)
+    val df = Queries.queryMap("q_window_running")(spark, dir)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    // The per-partition windows live inside the persisted local-prefix
+    // relation's nested plan — match any operator line carrying a window
+    // spec, at any nesting depth.
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected the per-partition windows in:\n$plan")
+    windowLines.foreach { l =>
+      assert(l.contains("_pid"),
+        s"partition-less window back in the running-sum plan:\n$l")
+    }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the running-sum plan:\n$plan")
+  }
+
   test("top-k order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
     val plan = planOf("q_orderby_limit")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")

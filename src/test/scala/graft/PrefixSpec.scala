@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Prefix
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.operators.Prefix]] — the distributed two-pass prefix sum must
+  * be bit-equal to the single-partition global-window formulation it
+  * replaces, across real multi-partition inputs (the offset path must be
+  * LIVE: a single-partition run would pass vacuously with offsets ≡ 0).
+  */
+class PrefixSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def sample = {
+    import spark.implicits._
+    // Unordered input, duplicate-free keys, long + double values.
+    (1 to 400).map(i => ((i * 131) % 401, i.toLong % 7, (i % 13) * 0.5))
+      .toDF("k", "cnt", "price")
+  }
+
+  test("withRunningSums equals the global-window running sum (long + double)") {
+    val df = sample
+    val got = Prefix.withRunningSums(df, "k",
+        Seq("cnt" -> "run_cnt", "price" -> "run_price"), numPartitions = 8)
+      .select("k", "_idx", "run_cnt", "run_price")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("_idx", row_number().over(Window.orderBy("k")).cast("long"))
+      .withColumn("run_cnt", sum("cnt").over(w))
+      .withColumn("run_price", sum("price").over(w))
+      .select("k", "_idx", "run_cnt", "run_price")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.length == 400)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3)).toSeq)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"run_price at k=${g._1}: ${g._4} vs ${e._4}")
+    }
+  }
+
+  test("offset path is live: the input really spans multiple range partitions") {
+    val df = sample
+    val nPids = df.repartitionByRange(8, col("k"))
+      .withColumn("_pid", spark_partition_id())
+      .select("_pid").distinct().count()
+    assert(nPids >= 4, s"sample collapsed to $nPids partitions — offsets untested")
+  }
+
+  test("withCenteredAvg equals ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING, edges clipped") {
+    val df = Prefix.withRunningSums(sample, "k", Nil, numPartitions = 8)
+    val got = Prefix.withCenteredAvg(df, "_idx", "price", "ma5")
+      .select("k", "ma5").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val expected = sample
+      .withColumn("ma5", avg("price").over(Window.orderBy("k").rowsBetween(-2, 2)))
+      .select("k", "ma5").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._2 - e._2) < 1e-9, s"ma5 at k=${g._1}: ${g._2} vs ${e._2}")
+    }
+  }
+
+  test("single-row and empty inputs") {
+    import spark.implicits._
+    val one = Seq((5, 3L)).toDF("k", "v")
+    val r = Prefix.withRunningSums(one, "k", Seq("v" -> "rv")).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("_idx") == 1L && r.head.getAs[Long]("rv") == 3L)
+    val empty = Seq.empty[(Int, Long)].toDF("k", "v")
+    assert(Prefix.withRunningSums(empty, "k", Seq("v" -> "rv")).collect().isEmpty)
+  }
+}
