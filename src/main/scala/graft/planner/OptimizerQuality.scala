@@ -168,9 +168,15 @@ object OptimizerQuality {
     * surviving joins' sum is still the prefix sum.
     */
   private def prefixSum(spark: SparkSession, g: ExtractedJoinGraph,
-      order: Seq[Int]): Long = {
+      order: Seq[Int]): Long = prefixRows(spark, g, order).sum
+
+  /** True cardinality of each prefix (sizes 2..n-1, ascending) of a
+    * left-deep order, measured from ONE spine execution.
+    */
+  def prefixRows(spark: SparkSession, g: ExtractedJoinGraph,
+      order: Seq[Int]): Seq[Long] = {
     import org.apache.spark.sql.functions.{count, lit}
-    if (order.size <= 2) return 0L
+    if (order.size <= 2) return Nil
     val (tree, _) = CompassSession.spliceLeftDeep(g, order.dropRight(1),
       (i, _) => CompassSession.filteredPlan(g, i))
     // Metrics MUST be read from the QueryExecution that actually ran: a
@@ -186,7 +192,42 @@ object OptimizerQuality {
     // topmost SURVIVING join is the one that went empty.
     require(joins.size == order.size - 2 || joins.headOption.forall(_ == 0L),
       s"spine joins missing without an empty-relation collapse: $joins")
-    joins.sum
+    // Root-first = prefix sizes DESCENDING; reverse to ascending and pad
+    // the collapsed (necessarily empty) top prefixes with zeros.
+    joins.reverse.padTo(order.size - 2, 0L)
+  }
+
+  /** Per-prefix (estimate, true-rows) telemetry of the COMPASS-chosen
+    * order — the estimator-drift canary. The order comparison in
+    * [[compare]] can stay green while the estimator silently degrades
+    * (both orders mis-ranked by the same decaying numbers); pairing the
+    * enumerator's own prefix estimates (CompassPlan.intermediateEstimates)
+    * with the measured `numOutputRows` of the same prefixes makes the
+    * accuracy itself spec-boundable.
+    */
+  final case class PrefixPoint(prefixSize: Int, estimate: Double, trueRows: Long) {
+    /** est/true with both sides floored at 1 (a 0-row prefix estimated
+      * as ~1 is perfect, not infinitely wrong). */
+    def ratio: Double = math.max(estimate, 1.0) / math.max(trueRows.toDouble, 1.0)
+  }
+
+  def estimateTelemetry(spark: SparkSession, cs: CompassSession,
+      family: String, text: String): Seq[PrefixPoint] = {
+    val df = spark.sql(text)
+    val g = JoinGraphExtractor.extract(df.queryExecution.analyzed)
+      .getOrElse(sys.error(s"$family: not an optimizable join region"))._1
+    cs.lastPlan = None
+    cs.optimize(df)
+    val plan = cs.lastPlan
+      .getOrElse(sys.error(s"$family: query did not take the COMPASS path"))
+    val nameToIdx = g.instances.map(i => i.name -> i.idx).toMap
+    val order = plan.order.map(nameToIdx)
+    val rows = prefixRows(spark, g, order)
+    require(plan.intermediateEstimates.size == rows.size,
+      s"$family: ${plan.intermediateEstimates.size} estimates vs ${rows.size} measured prefixes")
+    plan.intermediateEstimates.zip(rows).zipWithIndex.map {
+      case ((e, r), i) => PrefixPoint(i + 2, e, r)
+    }
   }
 
   /** Stock baseline (reference RelAlgExecutor.cpp:2608-2621 sorts relations

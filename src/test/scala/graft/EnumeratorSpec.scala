@@ -76,6 +76,44 @@ class EnumeratorSpec extends AnyFunSuite {
     assert(order.take(2).toSet == Set(0, 1), s"expected center+left first, got $order")
   }
 
+  test("composite-key edges estimate from the FIRST column pair only (pinned divergence)") {
+    // Reference-faithful: `join_cols_info.find` takes the first entry
+    // (mapd-core/QueryEngine/RelAlgExecutor.cpp:2104-2118), and
+    // Enumerator.joinCols mirrors it — a two-column composite edge is
+    // estimated as if only its first column joined, systematically
+    // OVER-estimating (the second predicate's selectivity is dropped).
+    // This golden pins the behavior so a future "improvement" (min over
+    // pairs, product of selectivities, …) cannot silently change plan
+    // choices that the K-goldens and the quality battery were tuned
+    // against; change it only together with this spec and a COVERAGE
+    // note update (§2.8).
+    val reg = new SeedRegistry(rows)
+    reg.addPredicate(("0", "k"), ("1", "k"))
+    reg.addPredicate(("0", "j"), ("1", "j"))
+    val rng = new scala.util.Random(23)
+    val aData = Seq.fill(4000)(Seq(rng.nextInt(100), rng.nextInt(500)))
+    val bData = Seq.fill(3000)(Seq(rng.nextInt(100), rng.nextInt(500)))
+    val a = mkSketch(reg, "0", Seq("k", "j"), aData)
+    val b = mkSketch(reg, "1", Seq("k", "j"), bData)
+    val en = new Enumerator(
+      IndexedSeq(GraphNode(0, a), GraphNode(1, b)),
+      Seq(((0, "k"), (1, "k")), ((0, "j"), (1, "j"))))
+    // EXACTLY the k-only pairwise estimate — bit-equal, not approximately.
+    val kOnly = graft.sketch.Estimator.pairwise(
+      a.planes(a.columnIndex("k")), b.planes(b.columnIndex("k")),
+      rows, buckets)
+    assert(en.estimate(Seq(0, 1)) == kOnly,
+      "composite edge no longer estimates from the first column pair")
+    // And that number over-estimates the composite truth by ~|j-domain|:
+    // true |a ⋈(k,j) b| is ~500x smaller than |a ⋈(k) b|.
+    val trueComposite = {
+      val bSet = bData.groupBy(identity).view.mapValues(_.size)
+      aData.iterator.map(t => bSet.getOrElse(t, 0)).sum
+    }
+    assert(kOnly > 10.0 * math.max(trueComposite, 1),
+      s"expected the pinned over-estimate: est=$kOnly true=$trueComposite")
+  }
+
   test("no-edge fallback: descending cardinality (MapD stock order)") {
     val reg = new SeedRegistry(rows)
     val a = mkSketch(reg, "0", Seq("k"), Seq.fill(10)(Seq(1)))

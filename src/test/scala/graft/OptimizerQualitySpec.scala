@@ -66,6 +66,39 @@ class OptimizerQualitySpec extends AnyFunSuite {
     } finally cs.close()
   }
 
+  test("estimator telemetry: prefix estimates track true rows on chain5/snowflake4") {
+    // The order comparison can stay green while the estimator silently
+    // rots (both orders mis-ranked by the same decaying numbers) — this
+    // pins the ACCURACY itself. chain5/snowflake4 are the stable
+    // seed-aligned pairwise + cascade shapes; per-prefix est/true ratios
+    // (floored at 1 row on both sides) must stay inside a band wide
+    // enough for the independence assumption, narrow enough that clamp
+    // noise (~0 estimates) or a broken plane (10^3x off) fails loudly.
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      Seq("chain5", "snowflake4").foreach { fam =>
+        val text = OptimizerQuality.families.toMap.apply(fam)
+        val pts = OptimizerQuality.estimateTelemetry(spark, cs, fam, text)
+        info(s"$fam: " + pts.map(p =>
+          f"|${p.prefixSize}|: est=${p.estimate}%.1f true=${p.trueRows} r=${p.ratio}%.3f").mkString(" "))
+        assert(pts.nonEmpty, s"$fam: no prefix telemetry")
+        // Liveness: a dead metrics read (all-zero trueRows) must fail.
+        assert(pts.map(_.trueRows).sum > 0,
+          s"$fam: all prefixes measured 0 rows — metrics not read from the executed plan?")
+        val ratios = pts.map(_.ratio).sorted
+        val median = ratios(ratios.size / 2)
+        assert(median >= 0.02 && median <= 50.0,
+          s"$fam: median est/true ratio $median outside [0.02, 50] — estimator drift")
+        ratios.foreach { r =>
+          assert(r >= 1e-3 && r <= 1e3,
+            s"$fam: a prefix ratio $r outside [1e-3, 1e3] — clamp noise or broken plane")
+        }
+      }
+    } finally cs.close()
+  }
+
   test("compass order's true intermediate sum <= stock order's, per family") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     val cs = new CompassSession(spark,
