@@ -66,6 +66,11 @@ object Bench {
         try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
         graft.operators.OpCaches.releaseAll(spark)
       }
+    // Synthetic-IMDb build for the JOB corpus entries is likewise a
+    // one-time offline cost (idempotent on-disk dataset, usually already
+    // written by a prior Verify run) — not query time.
+    if (selected.exists(_.name.startsWith("q_job")))
+      try graft.job.JobCorpus.ensureData(spark) catch { case _: Throwable => () }
     // Headline subset: stable keys for round-over-round comparison; these
     // also get the median-of-3 warm treatment below.
     val headline = Vector(

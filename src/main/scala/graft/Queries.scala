@@ -884,7 +884,9 @@ object Queries {
   val relational: Seq[Entry] =
     sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars
 
-  def all: Seq[Entry] = relational ++ CompassQueries.entries ++ PipelineQueries.entries
+  def all: Seq[Entry] =
+    relational ++ CompassQueries.entries ++ PipelineQueries.entries ++
+      JobEntries.entries
 
   def queryMap: Map[String, QueryFn] = all.map(e => e.name -> e.run).toMap
   def oracleMap: Map[String, String] =

@@ -1,0 +1,529 @@
+package graft.job
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The literal Join Order Benchmark corpus — the reference's own workload
+  * (113 `COUNT(*)` queries over the 21-table IMDb schema,
+  * reference queries dir, the `.sq.cnt` files; schema
+  * `/root/reference/dataset/schematext.sql:2-170`) executed end-to-end
+  * against a DETERMINISTIC synthetic IMDb and differentially checked: the
+  * driver re-runs the identical SQL text in DuckDB over the same parquet
+  * files and compares all 113 counts.
+  *
+  * The synthetic data is hash-generated (xxhash64 of the row id — no RNG
+  * state, identical on every build) with value pools seeded from the
+  * workload's own predicate literals, so equality/LIKE/IN/range
+  * predicates select real fractions and most queries count nonzero rows;
+  * join keys are uniform over the referenced table's id space. Scale is
+  * deliberately small (~400 k rows total): the corpus exists to verify
+  * QUERY SEMANTICS (join graphs up to 17 instances, disjunctive
+  * residuals, IS NULL arms, string ranges) across 113 real shapes, while
+  * the sf-scaled TPC-H-ish entries carry the throughput benchmarking.
+  */
+object JobCorpus {
+
+  /** Fixed location — the oracle SQL must reference the same files the
+    * entry wrote, and the driver's DuckDB runs from an unknown cwd.
+    */
+  val dataPath = "/tmp/graft_imdb_v1"
+
+  // ---------------------------------------------------------------------
+  // Deterministic generator plumbing
+  // ---------------------------------------------------------------------
+
+  /** Deterministic pool pick: xxhash64(salt, id) pmod |pool|. */
+  private def pick(pool: Seq[String], salt: String): Column =
+    element_at(typedlit(pool),
+      pmod(xxhash64(lit(salt), col("id")), lit(pool.size)).cast("int") + 1)
+
+  /** `c` with ~1/k of rows nulled (deterministically). */
+  private def nullable(c: Column, salt: String, k: Int): Column =
+    when(pmod(xxhash64(lit(salt + "_null"), col("id")), lit(k)) === 0,
+      lit(null).cast("string")).otherwise(c)
+
+  private def nullableInt(c: Column, salt: String, k: Int): Column =
+    when(pmod(xxhash64(lit(salt + "_null"), col("id")), lit(k)) === 0,
+      lit(null).cast("int")).otherwise(c)
+
+  /** Uniform int in [1, n] keyed by (salt, id) — foreign keys. */
+  private def fk(n: Int, salt: String): Column =
+    (pmod(xxhash64(lit(salt), col("id")), lit(n)) + 1).cast("int")
+
+  /** Uniform int in [lo, hi]. */
+  private def intIn(lo: Int, hi: Int, salt: String): Column =
+    (pmod(xxhash64(lit(salt), col("id")), lit(hi - lo + 1)) + lo).cast("int")
+
+  /** Production year, recent-skewed (max of two uniform draws over
+    * 1935..2014): the workload's year predicates cluster on 2000-2014,
+    * and a flat 90-year spread starved them.
+    */
+  private def productionYear(salt: String): Column =
+    greatest(intIn(1935, 2014, salt + "_y1"), intIn(1935, 2014, salt + "_y2"))
+
+  private def base(spark: SparkSession, n: Int): DataFrame =
+    spark.range(1, n + 1).select(col("id").cast("int").as("id"))
+
+  // ---------------------------------------------------------------------
+  // Value pools — seeded from the workload's own predicate literals (the
+  // harvested constants of the 113 queries) plus neutral filler so
+  // predicates select strict subsets.
+  // ---------------------------------------------------------------------
+
+  // Dimension enumerations: ids are 1-based positions in these lists.
+  private val companyTypes = Seq(
+    "production companies", "distributors",
+    "special effects companies", "miscellaneous companies")
+  private val kindTypes = Seq(
+    "movie", "tv movie", "tv series", "video movie", "video game",
+    "episode", "tv mini series")
+  private val linkTypes = Seq(
+    "follows", "followed by", "sequel", "remake of", "remade as",
+    "references", "referenced in", "features", "featured in",
+    "spin off from", "spin off", "version of", "similar to",
+    "edited into", "edited from", "alternate language version of",
+    "unknown link", "spoofs")
+  private val roleTypes = Seq(
+    "actor", "actress", "producer", "writer", "cinematographer",
+    "composer", "costume designer", "director", "editor",
+    "miscellaneous crew", "production designer", "guest")
+  private val compCastTypes = Seq("cast", "crew", "complete", "complete+verified")
+  private val infoTypes: Seq[String] = Seq(
+    // Workload-referenced types first (stable small ids).
+    "top 250 rank", "bottom 10 rank", "rating", "votes", "budget",
+    "genres", "countries", "languages", "release dates", "trivia",
+    "mini biography", "height", "birth notes", "where now", "book",
+    "biographical movie", "portrayed in", "interviews", "quotes"
+  ) ++ (20 to 113).map(i => s"info type $i")
+
+  private val genrePool = Seq(
+    "Drama", "Horror", "Action", "Sci-Fi", "Thriller", "Crime",
+    "Western", "War", "Family", "Comedy", "Romance", "Documentary",
+    "Adventure", "Animation", "Musical", "Mystery")
+  private val countryLangPool = Seq(
+    "USA", "America", "American", "Sweden", "Swedish", "Norway",
+    "Norwegian", "Denmark", "Danish", "Denish", "Germany", "German",
+    "Bulgaria", "English", "France", "Japan", "Italy", "Spain",
+    "Finland", "Iceland", "Polish", "Dutch")
+  private val releasePool = Seq(
+    "USA: May 2005", "USA: October 2008", "USA: 12 June 1999",
+    "USA: March 1994", "USA: 4 July 2013", "USA: December 2001",
+    "Japan: 2007", "Japan: August 2004", "Japan: 3 May 2011",
+    "Germany: 1998", "France: 2009", "Sweden: 1987",
+    "UK: February 2006", "Canada: 2012", "Australia: 1995")
+  private val miscInfoPool = Seq(
+    "Some production trivia", "Shot on location", "Budget note",
+    "8000", "12000", "250", "1.85 : 1", "Dolby Digital")
+
+  // Half-point grid 1.0..9.5: covers every rating literal the workload
+  // compares against while keeping exact-match predicates (info = '5.0')
+  // at a ~1/18 hit rate — a 0..9.9 grid made them vanishingly rare.
+  private val ratingPool: Seq[String] =
+    (2 to 19).map(i => s"${i / 2}.${if (i % 2 == 0) "0" else "5"}")
+
+  private val mcNotePool = Seq(
+    "(co-production)", "(presents)", "(as Metro-Goldwyn-Mayer Pictures)",
+    "(2006) (USA) (TV)", "(2007) (worldwide)", "(1994) (VHS)",
+    "(2008) (Blu-ray)", "(France) (theatrical)", "(Japan) (theatrical)",
+    "(USA) (theatrical)", "(2012) (USA) (all media)", "(uncredited)",
+    "(in association with)", "(produced by)")
+  private val ciNotePool = Seq(
+    "(voice)", "(voice: English version)", "(producer)", "(uncredited)",
+    "(voice) (uncredited)", "(archive footage)", "(credit only)",
+    "(as himself)")
+  private val titlePool = Seq(
+    "Shrek 2", "Kung Fu Panda 2", "The Champion Returns",
+    "Freddy vs Jason", "Saw IV", "One Piece: Grand Battle",
+    "Dragon Ball Z: The Fight", "Birdemic: Shock and Terror",
+    "Vampire Diaries", "The Money Movie", "Murder at Midnight",
+    "A Loser Story", "Mord in Berlin", "The murder house",
+    "Champion of the Ring", "Night of the Hunter", "Quiet Days",
+    "Spring Harvest", "Autumn Letters", "The Long Road",
+    "City of Glass", "Silent Rivers", "Golden Years", "Harbor Lights")
+  private val namePool = Seq(
+    "Downey Robert Jr.", "Robert Downey", "Angela Bertram",
+    "Tim Angelson", "Yo Yuki", "Yoko Tanaka", "Bert Amundsen",
+    "Zorro Xan", "Xavier Zimmer", "Anna B. Yu", "Angel Martinez",
+    "Bertil Ohlin", "Antonio Yudo", "Yusuf Timson", "Zack Bertoni",
+    "Ximena Ybarra", "Carl Svensson", "Maria Lindqvist",
+    "John Carpenter", "Erik Nilsen", "Hanna Petrov")
+  private val charNamePool = Seq(
+    "Queen", "Tony Stark", "Iron Man", "Sherlock Holmes",
+    "Spider-Man", "Batman", "Superman", "The Gunman", "Wise Man",
+    "Queen Mother", "Iron Manager", "Old man at the station",
+    "Angry Man", "Doctor", "Nurse", "Police Officer", "The Stranger",
+    "Shop Keeper", "Taxi Driver", "Teacher")
+  private val companyNamePool = Seq(
+    "Warner Bros. Pictures", "20th Century Fox Film Corp.",
+    "Twentieth Century Fox Home Entertainment", "Lionsgate Films",
+    "DreamWorks Animation", "YouTube", "Marvel Film Works",
+    "Nordisk Film", "Svensk Filmindustri", "Studio Ghibli",
+    "Gaumont", "Pathe Films", "Mosfilm", "Cinecitta Studios",
+    "Babelsberg Film", "Toho Company", "Shaw Brothers",
+    "Ealing Studios", "RKO Radio Pictures", "United Artists")
+  private val akaNamePool = Seq(
+    "Anna Smith", "A. Smith", "Bobby Dee", "Angie B.", "Roberta D.",
+    "Jan van Aken", "Sasha Ivanova", "Mario Andretti", "Lena Maria",
+    "Karl Johan")
+  private val pcodePool = Seq("D123", "A536", "B624", "R163", "X525", "Z600")
+  private val piNotePool = Seq(
+    "Volker Boehm", "Interview note", "Biography source",
+    "Archive reference", "Editor note")
+
+  // ---------------------------------------------------------------------
+  // Table generators — schema per reference schematext.sql.
+  // ---------------------------------------------------------------------
+
+  // Dimension cardinalities deliberately SMALL relative to the fact
+  // sizes below (mi ~6 rows/movie, ci ~7.5, mk/mc ~3.75): JOB's
+  // conjunctive multi-fact queries only count nonzero when the same
+  // movie hits several per-fact predicates at once, and that joint
+  // probability scales with per-movie fact density.
+  private val nTitle = 8000
+  private val nName = 10000
+  private val nCharName = 5000
+  private val nCompanyName = 2000
+  private val nKeyword = 2000
+
+  private def dimension(spark: SparkSession, values: Seq[String],
+      col2: String): DataFrame = {
+    import spark.implicits._
+    values.zipWithIndex.map { case (v, i) => (i + 1, v) }.toDF("id", col2)
+  }
+
+  /** Harvested workload keywords get the SMALL ids (movie_keyword's fk
+    * range covers them densely); filler pads the dictionary.
+    */
+  private val keywordValues: Seq[String] = Seq(
+    "sequel", "superhero", "marvel-comics", "based-on-comic",
+    "based-on-novel", "fight", "violence", "blood", "gore", "murder",
+    "murder-in-title", "character-name-in-title", "revenge", "death",
+    "female-nudity", "hospital", "alienation", "dignity", "loner",
+    "computer-animation", "computer-animated-movie", "hand-to-hand-combat",
+    "martial-arts", "laser", "magnet", "claw", "web", "nerd", "hero",
+    "tv-special", "second-part", "10,000-mile-club",
+    "marvel-cinematic-universe", "the-sequel-of-dreams"
+  ) ++ (35 to nKeyword).map(i => s"kw-$i")
+
+  def generators(spark: SparkSession): Seq[(String, DataFrame)] = Seq(
+    "company_type" -> dimension(spark, companyTypes, "kind"),
+    "kind_type" -> dimension(spark, kindTypes, "kind"),
+    "link_type" -> dimension(spark, linkTypes, "link"),
+    "role_type" -> dimension(spark, roleTypes, "role_name"),
+    "comp_cast_type" -> dimension(spark, compCastTypes, "kind"),
+    "info_type" -> dimension(spark, infoTypes, "info"),
+    "keyword" -> dimension(spark, keywordValues, "keyword")
+      .withColumn("phonetic_code", nullable(pick(pcodePool, "kw_pc"), "kw_pc", 6)),
+
+    "title" -> base(spark, nTitle).select(
+      col("id"),
+      pick(titlePool, "t_title").as("title"),
+      nullable(pick(Seq("I", "II", "III"), "t_ii"), "t_ii", 4).as("imdb_index"),
+      fk(kindTypes.size, "t_kind").as("kind_id"),
+      nullableInt(productionYear("t_year"), "t_year", 10).as("production_year"),
+      nullableInt(intIn(1, 9999999, "t_imdb"), "t_imdb", 3).as("imdb_id"),
+      nullable(pick(pcodePool, "t_pc"), "t_pc", 5).as("phonetic_code"),
+      nullableInt(fk(nTitle, "t_ep_of"), "t_ep_of", 4).as("episode_of_id"),
+      nullableInt(intIn(1, 12, "t_season"), "t_season", 3).as("season_nr"),
+      nullableInt(intIn(1, 120, "t_ep"), "t_ep", 3).as("episode_nr"),
+      nullable(pick(Seq("1998-2004", "2005-2010", "2011-????"), "t_sy"), "t_sy", 4)
+        .as("series_years"),
+      md5(concat(lit("t"), col("id"))).as("md5sum")),
+
+    "movie_companies" -> base(spark, 30000).select(
+      col("id"),
+      fk(nTitle, "mc_movie").as("movie_id"),
+      fk(nCompanyName, "mc_company").as("company_id"),
+      fk(companyTypes.size, "mc_ctype").as("company_type_id"),
+      nullable(pick(mcNotePool, "mc_note"), "mc_note", 4).as("note")),
+
+    "movie_info" -> base(spark, 50000).select(
+      col("id"),
+      fk(nTitle, "mi_movie").as("movie_id"),
+      // Half the rows carry the four workload-core types (every real
+      // IMDb movie has genres/countries/languages/release dates; a flat
+      // 1/113 spread left 95% of movies without a countries row and
+      // starved every IN-list country/genre predicate).
+      when(pmod(xxhash64(lit("mi_core"), col("id")), lit(2)) === 0,
+        element_at(typedlit(Seq(
+          infoTypes.indexOf("genres") + 1,
+          infoTypes.indexOf("countries") + 1,
+          infoTypes.indexOf("languages") + 1,
+          infoTypes.indexOf("release dates") + 1)),
+          pmod(xxhash64(lit("mi_core_t"), col("id")), lit(4)).cast("int") + 1))
+        .otherwise(fk(infoTypes.size, "mi_type")).as("info_type_id"))
+      .withColumn("info",
+        // Type-correlated values: genres/countries/languages/release
+        // dates draw from their own pools (the workload's IN-lists and
+        // release-date LIKEs must land on rows of the RIGHT info type);
+        // other types carry mixed filler.
+        when(col("info_type_id") === (infoTypes.indexOf("genres") + 1),
+          pick(genrePool, "mi_genre"))
+          .when(col("info_type_id") === (infoTypes.indexOf("countries") + 1),
+            pick(countryLangPool, "mi_country"))
+          .when(col("info_type_id") === (infoTypes.indexOf("languages") + 1),
+            pick(countryLangPool, "mi_lang"))
+          .when(col("info_type_id") === (infoTypes.indexOf("release dates") + 1),
+            pick(releasePool, "mi_rel"))
+          .otherwise(pick(miscInfoPool, "mi_misc")))
+      .withColumn("note",
+        nullable(pick(Seq("(internet release)", "found on internet",
+          "(theatrical)", "(TV premiere)", "archive note"), "mi_note"), "mi_note", 3)),
+
+    "movie_info_idx" -> base(spark, 25000).select(
+      col("id"),
+      fk(nTitle, "mix_movie").as("movie_id"),
+      // Rank/rating/vote types only — mirrors real IMDb where the _idx
+      // table holds the orderable stats the workload ranges over.
+      element_at(typedlit(Seq(
+        infoTypes.indexOf("top 250 rank") + 1,
+        infoTypes.indexOf("bottom 10 rank") + 1,
+        infoTypes.indexOf("rating") + 1,
+        infoTypes.indexOf("votes") + 1)),
+        pmod(xxhash64(lit("mix_type"), col("id")), lit(4)).cast("int") + 1)
+        .as("info_type_id"),
+      pick(ratingPool, "mix_info").as("info"),
+      nullable(pick(Seq("note A", "note B"), "mix_note"), "mix_note", 3).as("note")),
+
+    "movie_keyword" -> base(spark, 30000).select(
+      col("id"),
+      fk(nTitle, "mk_movie").as("movie_id"),
+      // Dense over the small (workload-referenced) keyword ids.
+      fk(400, "mk_kw").as("keyword_id")),
+
+    "cast_info" -> base(spark, 60000).select(
+      col("id"),
+      fk(nName, "ci_person").as("person_id"),
+      fk(nTitle, "ci_movie").as("movie_id"),
+      nullableInt(fk(nCharName, "ci_role"), "ci_role", 3).as("person_role_id"),
+      nullable(pick(ciNotePool, "ci_note"), "ci_note", 3).as("note"),
+      nullableInt(intIn(1, 40, "ci_order"), "ci_order", 3).as("nr_order"),
+      // Cast rows concentrate on the first six roles (actor/actress/
+      // producer/writer/cinematographer/composer) — the workload's role
+      // predicates all land there, and 1/12 uniform diluted them.
+      fk(6, "ci_rt").as("role_id")),
+
+    "name" -> base(spark, nName).select(
+      col("id"),
+      pick(namePool, "n_name").as("name"),
+      nullable(pick(Seq("I", "II"), "n_ii"), "n_ii", 5).as("imdb_index"),
+      nullableInt(intIn(1, 9999999, "n_imdb"), "n_imdb", 3).as("imdb_id"),
+      nullable(pick(Seq("m", "f"), "n_gender"), "n_gender", 8).as("gender"),
+      nullable(pick(pcodePool, "n_pcf"), "n_pcf", 4).as("name_pcode_cf"),
+      nullable(pick(pcodePool, "n_pnf"), "n_pnf", 4).as("name_pcode_nf"),
+      nullable(pick(pcodePool, "n_sp"), "n_sp", 4).as("surname_pcode"),
+      md5(concat(lit("n"), col("id"))).as("md5sum")),
+
+    "char_name" -> base(spark, nCharName).select(
+      col("id"),
+      pick(charNamePool, "cn_name").as("name"),
+      nullable(pick(Seq("I", "II"), "cn_ii"), "cn_ii", 5).as("imdb_index"),
+      nullableInt(intIn(1, 9999999, "cn_imdb"), "cn_imdb", 3).as("imdb_id"),
+      nullable(pick(pcodePool, "cn_pnf"), "cn_pnf", 4).as("name_pcode_nf"),
+      nullable(pick(pcodePool, "cn_sp"), "cn_sp", 4).as("surname_pcode"),
+      md5(concat(lit("c"), col("id"))).as("md5sum")),
+
+    "company_name" -> base(spark, nCompanyName).select(
+      col("id"),
+      pick(companyNamePool, "co_name").as("name"),
+      nullable(pick(Seq("[us]", "[de]", "[jp]", "[nl]", "[ru]", "[sm]",
+        "[pl]", "[gb]", "[fr]", "[se]"), "co_cc"), "co_cc", 8).as("country_code"),
+      nullableInt(intIn(1, 9999999, "co_imdb"), "co_imdb", 3).as("imdb_id"),
+      nullable(pick(pcodePool, "co_pnf"), "co_pnf", 4).as("name_pcode_nf"),
+      nullable(pick(pcodePool, "co_psf"), "co_psf", 4).as("name_pcode_sf"),
+      md5(concat(lit("co"), col("id"))).as("md5sum")),
+
+    "aka_name" -> base(spark, 12000).select(
+      col("id"),
+      fk(nName, "an_person").as("person_id"),
+      pick(akaNamePool, "an_name").as("name"),
+      nullable(pick(Seq("I"), "an_ii"), "an_ii", 6).as("imdb_index"),
+      nullable(pick(pcodePool, "an_pcf"), "an_pcf", 4).as("name_pcode_cf"),
+      nullable(pick(pcodePool, "an_pnf"), "an_pnf", 4).as("name_pcode_nf"),
+      nullable(pick(pcodePool, "an_sp"), "an_sp", 4).as("surname_pcode"),
+      md5(concat(lit("a"), col("id"))).as("md5sum")),
+
+    "aka_title" -> base(spark, 8000).select(
+      col("id"),
+      fk(nTitle, "at_movie").as("movie_id"),
+      pick(titlePool, "at_title").as("title"),
+      nullable(pick(Seq("I"), "at_ii"), "at_ii", 6).as("imdb_index"),
+      fk(kindTypes.size, "at_kind").as("kind_id"),
+      nullableInt(productionYear("at_year"), "at_year", 6).as("production_year"),
+      nullable(pick(pcodePool, "at_pc"), "at_pc", 5).as("phonetic_code"),
+      nullableInt(fk(nTitle, "at_ep_of"), "at_ep_of", 4).as("episode_of_id"),
+      nullableInt(intIn(1, 12, "at_season"), "at_season", 3).as("season_nr"),
+      nullableInt(intIn(1, 120, "at_ep"), "at_ep", 3).as("episode_nr"),
+      nullable(pick(Seq("(worldwide title)", "(US title)"), "at_note"), "at_note", 3)
+        .as("note"),
+      md5(concat(lit("at"), col("id"))).as("md5sum")),
+
+    "movie_link" -> base(spark, 4000).select(
+      col("id"),
+      fk(nTitle, "ml_movie").as("movie_id"),
+      fk(nTitle, "ml_linked").as("linked_movie_id"),
+      fk(linkTypes.size, "ml_lt").as("link_type_id")),
+
+    "complete_cast" -> base(spark, 6000).select(
+      col("id"),
+      nullableInt(fk(nTitle, "cc_movie"), "cc_movie", 10).as("movie_id"),
+      // subject ∈ {cast, crew}; status ∈ {complete, complete+verified} —
+      // the id split the workload's cct1/cct2 predicates rely on.
+      (pmod(xxhash64(lit("cc_subj"), col("id")), lit(2)) + 1).cast("int")
+        .as("subject_id"),
+      (pmod(xxhash64(lit("cc_status"), col("id")), lit(2)) + 3).cast("int")
+        .as("status_id")),
+
+    "person_info" -> base(spark, 20000).select(
+      col("id"),
+      fk(nName, "pi_person").as("person_id"),
+      element_at(typedlit(Seq(
+        infoTypes.indexOf("mini biography") + 1,
+        infoTypes.indexOf("height") + 1,
+        infoTypes.indexOf("trivia") + 1,
+        infoTypes.indexOf("quotes") + 1)),
+        pmod(xxhash64(lit("pi_type"), col("id")), lit(4)).cast("int") + 1)
+        .as("info_type_id"),
+      pick(Seq("A short biography text", "182 cm", "Fun trivia item",
+        "A quotable line", "Born in a small town"), "pi_info").as("info"),
+      nullable(pick(piNotePool, "pi_note"), "pi_note", 3).as("note")))
+
+  val tableNames: Seq[String] = Seq(
+    "aka_name", "aka_title", "cast_info", "char_name", "comp_cast_type",
+    "company_name", "company_type", "complete_cast", "info_type", "keyword",
+    "kind_type", "link_type", "movie_companies", "movie_info",
+    "movie_info_idx", "movie_keyword", "movie_link", "name", "person_info",
+    "role_type", "title")
+
+  /** Write the synthetic IMDb once (idempotent: `_GRAFT_READY` marker).
+    * One parquet file per table so the oracle can glob
+    * `<table>.parquet` slash `*.parquet`.
+    */
+  def ensureData(spark: SparkSession): Unit = synchronized {
+    val marker = new java.io.File(s"$dataPath/_GRAFT_READY")
+    if (marker.exists()) return
+    generators(spark).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dataPath/$name.parquet")
+    }
+    require(new java.io.File(dataPath).isDirectory)
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+  }
+
+  private val registered = new java.util.WeakHashMap[SparkSession, Boolean]()
+
+  def registerViews(spark: SparkSession): Unit = synchronized {
+    if (Option(registered.get(spark)).contains(true)) return
+    tableNames.foreach { t =>
+      spark.read.parquet(s"$dataPath/$t.parquet").createOrReplaceTempView(t)
+    }
+    registered.put(spark, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // The workload
+  // ---------------------------------------------------------------------
+
+  private def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** (name, SQL text) for all 113 queries, name-sorted. */
+  lazy val queries: Seq[(String, String)] = {
+    val names = resource("/job/index.txt").linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq.sorted
+    require(names.size == 113, s"expected 113 JOB queries, found ${names.size}")
+    names.map(n => n -> resource(s"/job/$n.sql"))
+  }
+
+  /** Run every query through the engine's SQL surface; one (q, n) row
+    * each. Execution is per-query (113 independent Spark jobs — a
+    * 113-branch union would be one pathological Catalyst tree); the
+    * collected counts are genuine executor results, assembled into a
+    * DataFrame only for the driver's differential compare.
+    */
+  def runAll(spark: SparkSession): DataFrame = {
+    ensureData(spark)
+    registerViews(spark)
+    import spark.implicits._
+    // Concurrent submission: each query is a tiny independent job whose
+    // cost is dominated by driver-side planning, so 8 planner threads
+    // overlap planning with execution (Spark SQL is thread-safe across
+    // jobs on one session; local[32] has the cores idle). ~4x wall-clock
+    // over sequential submission at this scale.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futures = queries.map { case (name, text) =>
+        scala.concurrent.Future(name -> spark.sql(text).head().getLong(0))
+      }
+      scala.concurrent.Await
+        .result(scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration(15, "min"))
+        .toDF("q", "n").orderBy("q")
+    } finally pool.shutdown()
+  }
+
+  /** The DuckDB twin: the SAME 113 query texts, each table reference
+    * rewritten to read the entry's own parquet files, one scalar
+    * subquery per query, UNION ALL'd into the (q, n) relation.
+    */
+  lazy val duckOracleSql: String = duckOracleSqlFor(queries.map(_._1))
+
+  /** The DuckDB twin for a named subset of the corpus. */
+  def duckOracleSqlFor(names: Seq[String]): String = {
+    val byName = queries.toMap
+    val branches = names.sorted.map { name =>
+      s"SELECT '$name' AS q, (${rewriteFrom(byName(name))}) AS n"
+    }
+    branches.mkString("SELECT q, n FROM (", " UNION ALL ", ") ORDER BY q")
+  }
+
+  /** Rewrite `FROM t1 AS a1, t2 AS a2, ...` to read_parquet file refs.
+    * JOB's FROM clauses are plain comma lists with AS aliases.
+    */
+  private[graft] def rewriteFrom(text: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?is)\\bFROM\\b(.*?)\\bWHERE\\b").matcher(text)
+    require(m.find(), s"no FROM..WHERE in:\n$text")
+    val items = m.group(1).split(",").map(_.trim).map { item =>
+      val parts = item.split("\\s+")
+      val table = parts.head
+      require(tableNames.contains(table), s"unknown JOB table '$table'")
+      val alias = if (parts.length >= 3 && parts(1).equalsIgnoreCase("AS")) parts(2)
+        else if (parts.length == 2) parts(1)
+        else table
+      s"read_parquet('$dataPath/$table.parquet/*.parquet') AS $alias"
+    }
+    text.substring(0, m.start()) + "FROM " + items.mkString(", ") + " WHERE " +
+      text.substring(m.end())
+  }
+
+  /** Representative subset routed through the COMPASS pre-pass (the full
+    * engine path: join-graph extraction → per-instance sketches →
+    * enumeration → splice). The whole corpus through COMPASS would add
+    * ~900 sketch jobs per run; the subset proves the literal workload
+    * takes the optimized path and returns identical counts, while the
+    * full 113 run through the vanilla surface above.
+    */
+  val compassSubset: Seq[String] = Seq("1a", "3b", "6a", "11a", "17e", "20a")
+
+  def runCompassSubset(spark: SparkSession,
+      cs: graft.planner.CompassSession): DataFrame = {
+    ensureData(spark)
+    registerViews(spark)
+    import spark.implicits._
+    val byName = queries.toMap
+    compassSubset.map { name =>
+      // Reset first: lastPlan would otherwise still hold the PREVIOUS
+      // query's plan when this one silently falls back.
+      cs.lastPlan = None
+      val df = cs.sql(byName(name))
+      require(cs.lastPlan.isDefined, s"JOB $name did not take the COMPASS path")
+      name -> df.head().getLong(0)
+    }.toDF("q", "n").orderBy("q")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.job.JobCorpus
+import graft.planner.{CompassSession, SketchTemplateCache}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The literal JOB workload over the synthetic IMDb: every query must
+  * analyze, a sample must execute (the full 113 run in Verify each
+  * round), the COMPASS subset must take the optimized path and return
+  * the vanilla counts, and the generator must be deterministic.
+  */
+class JobCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("all 113 queries parse and analyze against the synthetic schema") {
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    assert(JobCorpus.queries.size == 113)
+    JobCorpus.queries.foreach { case (name, text) =>
+      // Analysis resolves every table/column against the generated
+      // schema — a generator column drift fails here, cheaply.
+      spark.sql(text).queryExecution.assertAnalyzed()
+    }
+  }
+
+  test("sampled corpus queries execute; workload predicates select nonzero rows") {
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    val sample = JobCorpus.queries.zipWithIndex.filter(_._2 % 5 == 0).map(_._1)
+    val counts = sample.map { case (name, text) =>
+      name -> spark.sql(text).head().getLong(0)
+    }
+    info(counts.map { case (n, c) => s"$n=$c" }.mkString(" "))
+    assert(counts.forall(_._2 >= 0))
+    // The pools are seeded from the workload's own literals — a healthy
+    // generator makes a majority of the sampled shapes nonzero. (Zero
+    // counts still differential-check correctly; this guards against a
+    // silently-degenerate generator where EVERYTHING is zero.)
+    assert(counts.count(_._2 > 0) * 2 >= counts.size,
+      s"most sampled queries count zero: $counts")
+  }
+
+  test("COMPASS subset takes the optimized path and matches vanilla counts") {
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      val viaCompass = JobCorpus.runCompassSubset(spark, cs)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byName = JobCorpus.queries.toMap
+      JobCorpus.compassSubset.foreach { name =>
+        val vanilla = spark.sql(byName(name)).head().getLong(0)
+        assert(viaCompass(name) == vanilla,
+          s"JOB $name: compass=${viaCompass(name)} vanilla=$vanilla")
+      }
+    } finally cs.close()
+  }
+
+  test("generator is deterministic: same counts and checksums on regeneration") {
+    val gens = JobCorpus.generators(spark).toMap
+    val t1 = gens("title")
+    val again = JobCorpus.generators(spark).toMap.apply("title")
+    import org.apache.spark.sql.functions._
+    def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      // pmod before summing: a raw Σ xxhash64 overflows Long under ANSI.
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(df.columns.map(col): _*), lit(1000000007L)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(fingerprint(t1) == fingerprint(again))
+  }
+
+  test("rewriteFrom points every table at the entry's parquet files") {
+    val sql = JobCorpus.rewriteFrom(
+      "SELECT COUNT(*) FROM title AS t, movie_keyword AS mk " +
+        "WHERE t.id = mk.movie_id")
+    assert(sql.contains(s"read_parquet('${JobCorpus.dataPath}/title.parquet/*.parquet') AS t"))
+    assert(sql.contains(s"read_parquet('${JobCorpus.dataPath}/movie_keyword.parquet/*.parquet') AS mk"))
+    assert(!sql.matches("(?s).*FROM\\s+title.*"))
+  }
+}
