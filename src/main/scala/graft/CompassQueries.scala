@@ -126,10 +126,21 @@ object CompassQueries {
       "SELECT count(*) AS n FROM supplier, nation, region " +
         "WHERE s_nationkey = n_nationkey AND n_name LIKE 'B%'"),
 
-    // Pure-SQL sketch pipeline through the extension-registered functions
-    // (estimate is approximate → deterministic rows-only check; accuracy
-    // is pinned by GraftExtensionsSpec).
-    opaque("q_sketch_sql") { (s, dir) =>
+    // Pure-SQL sketch pipeline through the extension-registered
+    // functions. Bounded-soundness oracle: the sketch's survivor count
+    // must EXACTLY equal DuckDB's count(*) (fagms_count is exact by
+    // construction), and the pairwise join estimate must land within 2x
+    // of the true join size (the GraftExtensionsSpec accuracy pin,
+    // driver-checked) — either violation drops the row from the oracle
+    // side and fails the compare.
+    dfq("q_sketch_sql",
+      "WITH res AS (SELECT n_orders, est_join FROM " +
+        "read_parquet('{{VERIFY_OUT}}/q_sketch_sql/*.parquet')), " +
+        "ex AS (SELECT (SELECT count(*) FROM orders) AS n_orders_e, " +
+        "(SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) AS join_e) " +
+        "SELECT r.n_orders, r.est_join FROM res r, ex " +
+        "WHERE r.n_orders = ex.n_orders_e " +
+        "AND r.est_join * 2 >= ex.join_e AND r.est_join <= ex.join_e * 2") { (s, dir) =>
       graft.functions.GraftExtensions.register(s)
       Tables.registerAll(s, dir)
       s.sql(

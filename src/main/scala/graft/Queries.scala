@@ -404,9 +404,21 @@ object Queries {
         "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part, " +
         "CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flag FROM lineitem"),
 
-    // APPROX_COUNT_DISTINCT — Spark HLL++ vs DuckDB HLL differ by design;
-    // rows-only check. Reference: mapd-core/QueryEngine/HyperLogLog.h:88-120.
-    opaque("q_approx_distinct") { (s, dir) =>
+    // APPROX_COUNT_DISTINCT — Spark HLL++ vs DuckDB HLL differ by
+    // design, so the VALUE cannot hash-match; the oracle instead
+    // re-derives the EXACT distinct counts and passes the engine's
+    // approximations through only when they sit within 3x the declared
+    // relative standard deviation (default rsd 0.05 → 15%) — an
+    // out-of-bound estimate vanishes from the oracle side and fails the
+    // row compare. Reference: mapd-core/QueryEngine/HyperLogLog.h:88-120.
+    dfq("q_approx_distinct",
+      "WITH res AS (SELECT approx_parts, approx_supps FROM " +
+        "read_parquet('{{VERIFY_OUT}}/q_approx_distinct/*.parquet')), " +
+        "ex AS (SELECT count(DISTINCT l_partkey) AS ep, " +
+        "count(DISTINCT l_suppkey) AS es FROM lineitem) " +
+        "SELECT r.approx_parts, r.approx_supps FROM res r, ex " +
+        "WHERE abs(r.approx_parts - ex.ep) <= 0.15 * ex.ep " +
+        "AND abs(r.approx_supps - ex.es) <= 0.15 * ex.es") { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
           approx_count_distinct("l_suppkey").as("approx_supps"))
@@ -477,14 +489,24 @@ object Queries {
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
     // Approximate percentile — implementations differ by design (Spark
-    // KLL-ish vs DuckDB t-digest) → rows-only; ScalarFnsSpec bounds the
-    // error against the exact percentile.
-    Entry("q_approx_percentile", (s, dir) => {
+    // KLL-ish vs DuckDB t-digest), so no value hash-match; the oracle
+    // re-derives the EXACT discrete median per group and passes the
+    // engine's approximation through only within the 2% relative error
+    // ScalarFnsSpec pins — a drifting sketch drops the row and fails
+    // the compare.
+    dfq("q_approx_percentile",
+      "WITH res AS (SELECT l_returnflag, p50a FROM " +
+        "read_parquet('{{VERIFY_OUT}}/q_approx_percentile/*.parquet')), " +
+        "ex AS (SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS p50e " +
+        "FROM lineitem GROUP BY l_returnflag) " +
+        "SELECT r.l_returnflag, r.p50a FROM res r JOIN ex USING (l_returnflag) " +
+        "WHERE abs(r.p50a - ex.p50e) <= 0.02 * ex.p50e " +
+        "ORDER BY r.l_returnflag") { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("SELECT l_returnflag, " +
         "round(approx_percentile(l_extendedprice, 0.5, 10000), 2) AS p50a " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
-    }, None),
+    },
 
     // Exact interpolated percentiles (beyond-reference; DuckDB
     // quantile_cont ≙ Spark percentile — both linear interpolation).
