@@ -509,7 +509,9 @@ object JobCorpus {
     * takes the optimized path and returns identical counts, while the
     * full 113 run through the vanilla surface above.
     */
-  val compassSubset: Seq[String] = Seq("1a", "3b", "6a", "11a", "17e", "20a")
+  val compassSubset: Seq[String] = Seq(
+    "1a", "2d", "3b", "5c", "6a", "8a", "10a", "11a", "13a", "15d",
+    "17e", "20a")
 
   def runCompassSubset(spark: SparkSession,
       cs: graft.planner.CompassSession): DataFrame = {

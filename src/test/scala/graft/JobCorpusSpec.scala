@@ -57,6 +57,30 @@ class JobCorpusSpec extends AnyFunSuite {
     } finally cs.close()
   }
 
+  test("optimizer quality on literal JOB queries: no catastrophic order, aggregate win") {
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      val byName = JobCorpus.queries.toMap
+      val reports = JobCorpus.compassSubset.map { name =>
+        val r = graft.planner.OptimizerQuality.compare(spark, cs, name, byName(name))
+        info(s"$name: compass=${r.compassSum} naive=${r.naiveSum} " +
+          s"order=${cs.lastPlan.map(_.order.mkString("->")).getOrElse("?")}")
+        r
+      }
+      val bad = reports.filter(r => r.compassSum > 2L * r.naiveSum + 100)
+      assert(bad.isEmpty, s"catastrophic JOB orders: ${bad.map(r =>
+        s"${r.family} ${r.compassSum} vs ${r.naiveSum}")}")
+      assert(reports.map(_.compassSum).sum <= reports.map(_.naiveSum).sum,
+        "compass lost to stock in aggregate on the JOB subset")
+      // Liveness: at least one query must measure nonzero intermediates.
+      assert(reports.map(_.naiveSum).sum > 0,
+        "all JOB naive sums zero — metrics not read from executed plans?")
+    } finally cs.close()
+  }
+
   test("generator is deterministic: same counts and checksums on regeneration") {
     val gens = JobCorpus.generators(spark).toMap
     val t1 = gens("title")
