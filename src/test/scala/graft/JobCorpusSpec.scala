@@ -81,6 +81,29 @@ class JobCorpusSpec extends AnyFunSuite {
     } finally cs.close()
   }
 
+  test("estimator telemetry on a JOB query: prefix estimates stay in a sane band") {
+    // Same drift canary as OptimizerQualitySpec's chain5/snowflake4, on
+    // an IMDb-shaped graph (string-predicate dims, fact-fact movie_id
+    // joins). Band is wide — the independence cascade drifts more on
+    // correlated IMDb predicates — but a clamp-noise regime (~0) or a
+    // broken plane (1e4x) still fails.
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      val text = JobCorpus.queries.toMap.apply("17e")
+      val pts = graft.planner.OptimizerQuality.estimateTelemetry(spark, cs, "17e", text)
+      info("17e: " + pts.map(p =>
+        f"|${p.prefixSize}|: est=${p.estimate}%.1f true=${p.trueRows} r=${p.ratio}%.3f").mkString(" "))
+      assert(pts.nonEmpty && pts.map(_.trueRows).sum > 0)
+      val ratios = pts.map(_.ratio).sorted
+      val median = ratios(ratios.size / 2)
+      assert(median >= 1e-3 && median <= 1e3,
+        s"17e: median est/true ratio $median outside [1e-3, 1e3]")
+    } finally cs.close()
+  }
+
   test("generator is deterministic: same counts and checksums on regeneration") {
     val gens = JobCorpus.generators(spark).toMap
     val t1 = gens("title")
