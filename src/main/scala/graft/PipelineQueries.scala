@@ -189,6 +189,36 @@ object PipelineQueries {
     },
   )
 
+  private val skew: Seq[Entry] = Seq(
+    // Hot-key-safe distinct-set aggregation (value-salted two-phase —
+    // see operators/Skew.scala; AQE can't fix grow-with-key aggregation
+    // state, salting can). Oracle = the plain single-phase formulation.
+    dfq("q_skew_collect_set",
+      "SELECT l_suppkey, list_sort(list_distinct(list(l_linenumber))) AS l_linenumber_set " +
+        "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey") { (s, dir) =>
+      graft.operators.Skew.collectSetSalted(
+          Tables.load(s, dir, "lineitem"), "l_suppkey", "l_linenumber", salts = 8)
+        .orderBy("l_suppkey")
+    },
+
+    // Hot-key-safe per-key top-k (per-salt top-k then exact top-k over
+    // salts x k candidates). Oracle = the plain window formulation.
+    dfq("q_skew_topk",
+      "SELECT user_id, round(value, 2) AS v, event_id, CAST(rnk AS INT) AS rank FROM " +
+        "(SELECT user_id, value, event_id, row_number() OVER " +
+        " (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk " +
+        " FROM events WHERE user_id < 50) t " +
+        "WHERE rnk <= 3 ORDER BY user_id, rank") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 50)
+        .select("user_id", "value", "event_id")
+      graft.operators.Skew.topKPerKeySalted(
+          ev, "user_id", "value", "event_id", k = 3, salts = 8)
+        .select(col("user_id"), round(col("value"), 2).as("v"),
+          col("event_id"), col("rank"))
+        .orderBy("user_id", "rank")
+    },
+  )
+
   private val heavyHitters: Seq[Entry] = Seq(
     // Exact top-10 hottest keys via Misra-Gries candidates + exact
     // verify (HeavyHitters.topK). The oracle computes the plain exact
@@ -558,6 +588,6 @@ object PipelineQueries {
   )
 
   def entries: Seq[Entry] =
-    textAnalysis ++ dedup ++ grouping ++ sampling ++ heavyHitters ++
+    textAnalysis ++ dedup ++ grouping ++ sampling ++ skew ++ heavyHitters ++
       similarity ++ temporal ++ analysis ++ multimodal
 }

@@ -122,6 +122,61 @@ class PlanAuditSpec extends AnyFunSuite {
     cs.close()
   }
 
+  test("JOB query through the COMPASS splice keeps pushdown and broadcasts") {
+    // Same contract as the 17-way test, on the reference's OWN workload
+    // shape: after the splice re-orders 1a's five instances, the string
+    // dim filters must still reach the parquet scans and the tiny dims
+    // (company_type, info_type) must broadcast.
+    graft.job.JobCorpus.ensureData(spark)
+    graft.job.JobCorpus.registerViews(spark)
+    val cs = new CompassSession(spark,
+      templateCache = Some(graft.planner.SketchTemplateCache.default()))
+    try {
+      val df = cs.sql(graft.job.JobCorpus.queries.toMap.apply("1a"))
+      assert(cs.lastPlan.isDefined, "1a must take the COMPASS path")
+      df.collect()
+      val plan = finalPlan(df.queryExecution.executedPlan.toString)
+      assert(plan.contains("EqualTo(kind,production companies)"),
+        s"company_type filter not pushed through the JOB splice:\n$plan")
+      assert(plan.contains("EqualTo(info,top 250 rank)"),
+        s"info_type filter not pushed through the JOB splice:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"tiny JOB dims must broadcast after the splice:\n$plan")
+    } finally cs.close()
+  }
+
+  test("AQE splits skewed join partitions (the 100 TB hot-key path) — LIVE, not claimed") {
+    // SCALE.md leans on AQE for runtime skew handling; this pins that the
+    // mechanism actually fires in this engine's sessions. Thresholds are
+    // tuned down so a planted hot key (~85% of one side) qualifies as
+    // skewed at test scale; the executed plan must show the skew split.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val left = spark.range(0, 200000)
+        .select((when(pmod(col("id"), lit(100)) < 85, lit(7L))
+          .otherwise(pmod(col("id"), lit(5000)))).as("k"),
+          md5(col("id").cast("string")).as("pad"))
+      val right = spark.range(0, 5000).select(col("id").as("k"),
+        md5(col("id").cast("string")).as("rpad"))
+      val joined = left.join(right, "k").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = finalPlan(joined.queryExecution.executedPlan.toString)
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE skew-join did not fire on the planted hot key:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, never materialized inners") {
     val semi = planOf("q_join_semi")
     assert(semi.contains("LeftSemi"), s"IN-subquery must plan as a semi join:\n$semi")
