@@ -849,6 +849,44 @@ object Queries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey"),
 
+    // Distribution window functions PERCENT_RANK / CUME_DIST / NTH_VALUE
+    // (§2.5 beyond-reference).
+    sql("q_window_rank_stats",
+      "SELECT o_custkey, o_orderkey, " +
+        "round(percent_rank() OVER w, 6) AS prnk, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "CAST(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS second_o " +
+        "FROM orders WHERE o_custkey < 40 " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
+        "ORDER BY o_custkey, o_orderkey"),
+
+    // Edit distance (beyond-reference) — the fuzzy-matching primitive a
+    // dedup pipeline uses for short fields (names, titles); identical
+    // Levenshtein semantics in both engines.
+    sql("q_string_distance",
+      "SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS dist " +
+        "FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey"),
+
+    // Integer bitwise surface (beyond-reference): AND/OR/XOR, shifts,
+    // popcount. Spark spells xor `^` and shifts as functions; DuckDB
+    // spells xor as a function and shifts as operators.
+    sql2("q_bit_ops",
+      "SELECT CAST(sum(l_orderkey & 255) AS BIGINT) AS s_and, " +
+        "CAST(sum(l_orderkey | l_linenumber) AS BIGINT) AS s_or, " +
+        "CAST(sum(l_orderkey ^ l_linenumber) AS BIGINT) AS s_xor, " +
+        "CAST(sum(shiftleft(l_linenumber, 3)) AS BIGINT) AS s_shl, " +
+        "CAST(sum(shiftright(l_orderkey, 2)) AS BIGINT) AS s_shr, " +
+        "CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS s_pop " +
+        "FROM lineitem",
+      "SELECT CAST(sum(l_orderkey & 255) AS BIGINT) AS s_and, " +
+        "CAST(sum(l_orderkey | l_linenumber) AS BIGINT) AS s_or, " +
+        "CAST(sum(xor(l_orderkey, l_linenumber)) AS BIGINT) AS s_xor, " +
+        "CAST(sum(l_linenumber << 3) AS BIGINT) AS s_shl, " +
+        "CAST(sum(l_orderkey >> 2) AS BIGINT) AS s_shr, " +
+        "CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS s_pop " +
+        "FROM lineitem"),
+
     // Extended string functions (beyond-reference: 3.6.1 has only
     // LENGTH/CHAR_LENGTH — SURVEY §2.9; free in Spark).
     sql2("q_string_fns2",
