@@ -849,6 +849,54 @@ object Queries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
         "ORDER BY o_custkey, o_orderkey"),
 
+    // Ordered string aggregation (beyond-reference): Spark has no
+    // ORDER BY inside an aggregate, so the deterministic form is
+    // sort-then-concat; DuckDB's string_agg orders natively.
+    sql2("q_string_agg",
+      "SELECT c_nationkey, concat_ws(',', array_sort(collect_list(c_mktsegment))) AS segs " +
+        "FROM customer WHERE c_custkey <= 60 GROUP BY c_nationkey ORDER BY c_nationkey",
+      "SELECT c_nationkey, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs " +
+        "FROM customer WHERE c_custkey <= 60 GROUP BY c_nationkey ORDER BY c_nationkey"),
+
+    // Position-independent union (beyond-reference): Spark exposes it on
+    // the DataFrame API only (unionByName), DuckDB as UNION ALL BY NAME.
+    dfq("q_union_by_name",
+      "SELECT k, v FROM (" +
+        "SELECT c_custkey AS k, c_mktsegment AS v FROM customer WHERE c_custkey <= 5 " +
+        "UNION ALL BY NAME " +
+        "SELECT s_name AS v, s_suppkey + 1000 AS k FROM supplier WHERE s_suppkey <= 5" +
+        ") t ORDER BY k") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_custkey") <= 5)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("v"))
+      val sup = Tables.load(s, dir, "supplier").filter(col("s_suppkey") <= 5)
+        .select(col("s_name").as("v"), (col("s_suppkey") + 1000).as("k"))
+      c.unionByName(sup).orderBy("k")
+    },
+
+    // GROUP BY ALL (beyond-reference; both engines resolve the
+    // non-aggregated output columns).
+    sql("q_group_by_all",
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity), 2) AS q FROM lineitem GROUP BY ALL " +
+        "ORDER BY l_returnflag, l_linestatus"),
+
+    // Higher-order array functions (beyond-reference): transform /
+    // filter / exists / aggregate over a constructed array — dialect
+    // twins (Spark lambda HOFs vs DuckDB list_* functions).
+    sql2("q_array_hof",
+      "SELECT c_custkey, " +
+        "CAST(aggregate(transform(arr, x -> x * 2), 0L, (a, x) -> a + x) AS BIGINT) AS s2, " +
+        "CAST(size(filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even, " +
+        "exists(arr, x -> x > 90) AS has_big " +
+        "FROM (SELECT c_custkey, array(c_custkey, c_nationkey, c_custkey % 7) AS arr " +
+        "FROM customer WHERE c_custkey <= 100) t ORDER BY c_custkey",
+      "SELECT c_custkey, " +
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(arr, x -> x * 2)), (a, x) -> a + x) AS BIGINT) AS s2, " +
+        "CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even, " +
+        "len(list_filter(arr, x -> x > 90)) > 0 AS has_big " +
+        "FROM (SELECT c_custkey, [c_custkey, c_nationkey, c_custkey % 7] AS arr " +
+        "FROM customer WHERE c_custkey <= 100) t ORDER BY c_custkey"),
+
     // Distribution window functions PERCENT_RANK / CUME_DIST / NTH_VALUE
     // (§2.5 beyond-reference).
     sql("q_window_rank_stats",
