@@ -71,22 +71,30 @@ object PipelineQueries {
     // independently re-runs the whole bit-aggregation — per-bit signed
     // sums over the hashes, sign test, 64-bit reassembly (bit 63 via the
     // two's-complement offset) — and must land on the identical BIGINT.
+    // The final projection serializes the hash list (concat_ws / CSV) —
+    // the driver comparator sorts on every output column and cannot sort
+    // raw arrays; the oracle re-splits the CSV back to a BIGINT list
+    // inside its CTEs for the bit-level re-fold.
     dfq("q_dedup_simhash",
-      "WITH res AS (SELECT doc_id, term_hashes FROM " +
+      "WITH res AS (SELECT doc_id, term_hashes_csv FROM " +
         s"read_parquet('${Queries.VerifyOutToken}/q_dedup_simhash/*.parquet')), " +
+        "hs AS (SELECT doc_id, term_hashes_csv, " +
+        "  list_transform(string_split(term_hashes_csv, ','), x -> CAST(x AS BIGINT)) AS term_hashes " +
+        "  FROM res), " +
         "bits AS (SELECT doc_id, j, " +
         "  sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s " +
-        "  FROM (SELECT doc_id, unnest(term_hashes) AS h FROM res) u " +
+        "  FROM (SELECT doc_id, unnest(term_hashes) AS h FROM hs) u " +
         "  CROSS JOIN range(0, 64) js(j) GROUP BY doc_id, j), " +
         "sig AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN " +
         "  CASE WHEN j = 63 THEN -9223372036854775807 - 1 " +
         "       ELSE CAST(1 AS BIGINT) << CAST(j AS INT) END " +
         "  ELSE 0 END) AS BIGINT) AS simhash FROM bits GROUP BY doc_id) " +
-        "SELECT r.doc_id, r.term_hashes, g.simhash " +
-        "FROM res r JOIN sig g ON g.doc_id = r.doc_id ORDER BY r.doc_id") { (s, dir) =>
+        "SELECT r.doc_id, r.term_hashes_csv, g.simhash " +
+        "FROM hs r JOIN sig g ON g.doc_id = r.doc_id ORDER BY r.doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("doc_id"),
-          transform(split(col("text"), "\\s+"), w => xxhash64(w)).as("term_hashes"),
+          concat_ws(",", transform(split(col("text"), "\\s+"),
+            w => xxhash64(w).cast("string"))).as("term_hashes_csv"),
           TextDedup.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     },
@@ -193,11 +201,18 @@ object PipelineQueries {
     // Hot-key-safe distinct-set aggregation (value-salted two-phase —
     // see operators/Skew.scala; AQE can't fix grow-with-key aggregation
     // state, salting can). Oracle = the plain single-phase formulation.
+    // Final select serializes the sorted set (the comparator cannot sort
+    // array columns); both engines sort numerically THEN stringify, so
+    // the CSVs match element-for-element.
     dfq("q_skew_collect_set",
-      "SELECT l_suppkey, list_sort(list_distinct(list(l_linenumber))) AS l_linenumber_set " +
+      "SELECT l_suppkey, array_to_string(list_sort(list_distinct(list(l_linenumber))), ',') " +
+        "  AS l_linenumber_set_csv " +
         "FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey") { (s, dir) =>
       graft.operators.Skew.collectSetSalted(
           Tables.load(s, dir, "lineitem"), "l_suppkey", "l_linenumber", salts = 8)
+        .select(col("l_suppkey"),
+          concat_ws(",", transform(col("l_linenumber_set"), v => v.cast("string")))
+            .as("l_linenumber_set_csv"))
         .orderBy("l_suppkey")
     },
 
@@ -514,25 +529,33 @@ object PipelineQueries {
     // independently re-folds BOTH digests — the Karp-Rabin chain
     // (acc·31 + h mod 2³¹-1, seed 17, order-sensitive, via list_reduce
     // over the ordered list) and the XOR set digest — to the same BIGINTs.
+    // Hash lists are CSV-serialized in the final select (the comparator
+    // cannot sort array columns); the oracle re-splits them to BIGINT
+    // lists inside its CTEs before re-folding both digests.
     dfq("q_text_fingerprints",
-      "WITH res AS (SELECT doc_id, term_hashes, distinct_hashes FROM " +
-        s"read_parquet('${Queries.VerifyOutToken}/q_text_fingerprints/*.parquet')) " +
-        "SELECT doc_id, term_hashes, distinct_hashes, " +
+      "WITH res AS (SELECT doc_id, term_hashes_csv, distinct_hashes_csv FROM " +
+        s"read_parquet('${Queries.VerifyOutToken}/q_text_fingerprints/*.parquet')), " +
+        "hs AS (SELECT doc_id, term_hashes_csv, distinct_hashes_csv, " +
+        "  list_transform(string_split(term_hashes_csv, ','), x -> CAST(x AS BIGINT)) AS term_hashes, " +
+        "  list_transform(string_split(distinct_hashes_csv, ','), x -> CAST(x AS BIGINT)) AS distinct_hashes " +
+        "  FROM res) " +
+        "SELECT doc_id, term_hashes_csv, distinct_hashes_csv, " +
         "  list_reduce(list_prepend(CAST(17 AS BIGINT), " +
         "    list_transform(term_hashes, h -> ((h % 2147483647) + 2147483647) % 2147483647)), " +
         "    (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling, " +
         "  list_reduce(list_prepend(CAST(0 AS BIGINT), distinct_hashes), " +
         "    (acc, h) -> xor(acc, h)) AS fp_set " +
-        "FROM res ORDER BY doc_id") { (s, dir) =>
+        "FROM hs ORDER BY doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val toks = split(lower(col("text")), "\\s+")
       TextAnalysis.withFingerprints(docs, "text")
-        .withColumn("term_hashes", transform(toks, w => xxhash64(w)))
+        .withColumn("term_hashes_csv",
+          concat_ws(",", transform(toks, w => xxhash64(w).cast("string"))))
         // Distinct by TOKEN then hashed — the kernel's dedup unit (two
         // tokens colliding on xxhash64 must XOR twice, not once).
-        .withColumn("distinct_hashes",
-          transform(array_distinct(toks), w => xxhash64(w)))
-        .select("doc_id", "term_hashes", "distinct_hashes",
+        .withColumn("distinct_hashes_csv",
+          concat_ws(",", transform(array_distinct(toks), w => xxhash64(w).cast("string"))))
+        .select("doc_id", "term_hashes_csv", "distinct_hashes_csv",
           "fp_rolling", "fp_set")
         .orderBy("doc_id")
     },
@@ -549,12 +572,39 @@ object PipelineQueries {
 
     // Stubbed decode → fixed-length float features via mapPartitions
     // (partition-batched decoder shape; see Multimodal.extractFeatures).
-    opaque("q_multimodal_decode") { (s, dir) =>
+    // ORACLE-CHECKED (r10): the stub decode is deterministic byte
+    // arithmetic (FNV-1a-style fold + float32 accumulation), so DuckDB
+    // re-derives it from first principles via a recursive CTE — one
+    // iteration per byte index, every doc advanced in lockstep, HUGEINT
+    // emulating the 64-bit wrap-around multiply (mod 2^64) and REAL
+    // casts replaying the exact float32 addition order. Testdata text is
+    // pure ASCII, so ascii(substr(..)) ≡ the UTF-8 payload bytes Spark
+    // folds. Fixed-point floor(x·1e4+0.5) because per-row round()
+    // differs between engines on .5 boundaries.
+    dfq("q_multimodal_decode",
+      "WITH RECURSIVE steps AS (" +
+        "  SELECT doc_id, text, length(text) AS n, 0 AS i, " +
+        "    CAST(14695981039346656037 AS HUGEINT) AS h, " +
+        "    CAST(0 AS REAL) AS f0, CAST(0 AS REAL) AS f7 " +
+        "  FROM documents " +
+        "  UNION ALL " +
+        "  SELECT doc_id, text, n, i + 1, nh, " +
+        "    CAST(CASE WHEN i % 8 = 0 THEN f0 + CAST((nh >> 40) & 255 AS REAL)/CAST(255 AS REAL) ELSE f0 END AS REAL), " +
+        "    CAST(CASE WHEN i % 8 = 7 THEN f7 + CAST((nh >> 40) & 255 AS REAL)/CAST(255 AS REAL) ELSE f7 END AS REAL) " +
+        "  FROM (SELECT doc_id, text, n, i, f0, f7, " +
+        "      (xor(h, CAST(ascii(substr(text, i + 1, 1)) AS HUGEINT)) * 1099511628211) % 18446744073709551616 AS nh " +
+        "    FROM steps WHERE i < n) t) " +
+        "SELECT doc_id, CAST(floor(CAST(f0 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f0fp, " +
+        "  CAST(floor(CAST(f7 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f7fp " +
+        "FROM steps WHERE i = n ORDER BY doc_id") { (s, dir) =>
       val media = Multimodal.asMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media, "doc_id", dim = 8)
-        .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 8), 4).as("f7"))
+        .select(col("doc_id"),
+          floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
+            .cast("long").as("f0fp"),
+          floor(element_at(col("features"), 8).cast("double") * 10000 + 0.5)
+            .cast("long").as("f7fp"))
         .orderBy("doc_id")
     },
 
@@ -577,12 +627,35 @@ object PipelineQueries {
 
     // Stubbed resize (stride-sampled payload to a pixel budget) composed
     // with feature extraction — media table in, media table out.
-    opaque("q_multimodal_resize") { (s, dir) =>
+    // ORACLE-CHECKED (r10): the 64×64 budget is 64 bytes, so DuckDB
+    // first re-derives the stride sample ((i·stride).toInt in the same
+    // double arithmetic) as a byte list, then replays the decode fold
+    // over it exactly as the q_multimodal_decode oracle does.
+    dfq("q_multimodal_resize",
+      "WITH RECURSIVE src AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
+        "resized AS (SELECT doc_id, " +
+        "  CASE WHEN n <= 64 THEN [ascii(substr(text, CAST(j AS INT) + 1, 1)) FOR j IN range(0, n)] " +
+        "       ELSE [ascii(substr(text, CAST(floor(CAST(j AS DOUBLE) * (CAST(n AS DOUBLE)/64)) AS INT) + 1, 1)) FOR j IN range(0, 64)] " +
+        "  END AS bs FROM src), " +
+        "steps AS (" +
+        "  SELECT doc_id, bs, len(bs) AS n, 0 AS i, " +
+        "    CAST(14695981039346656037 AS HUGEINT) AS h, CAST(0 AS REAL) AS f0 " +
+        "  FROM resized " +
+        "  UNION ALL " +
+        "  SELECT doc_id, bs, n, i + 1, nh, " +
+        "    CAST(CASE WHEN i % 4 = 0 THEN f0 + CAST((nh >> 40) & 255 AS REAL)/CAST(255 AS REAL) ELSE f0 END AS REAL) " +
+        "  FROM (SELECT doc_id, bs, n, i, f0, " +
+        "      (xor(h, CAST(bs[i + 1] AS HUGEINT)) * 1099511628211) % 18446744073709551616 AS nh " +
+        "    FROM steps WHERE i < n) t) " +
+        "SELECT doc_id, CAST(floor(CAST(f0 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f0fp " +
+        "FROM steps WHERE i = n ORDER BY doc_id") { (s, dir) =>
       val media = Multimodal.asMediaTable(
         Tables.load(s, dir, "documents"), "doc_id", "text")
       val small = Multimodal.resize(media, "doc_id", width = 64, height = 64)
       Multimodal.extractFeatures(small, "doc_id", dim = 4)
-        .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"))
+        .select(col("doc_id"),
+          floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
+            .cast("long").as("f0fp"))
         .orderBy("doc_id")
     },
   )

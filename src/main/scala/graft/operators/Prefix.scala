@@ -31,16 +31,22 @@ import org.apache.spark.sql.DataFrame
 object Prefix {
 
   /** Adds a global 1-based row index (`idxCol`) ordered by `orderCol`,
-    * plus one global running-sum column per `(valueCol, outCol)` pair.
-    * Value columns must be LONG or DOUBLE (cast first otherwise); ties
-    * on `orderCol` are ordered arbitrarily-but-deterministically within
-    * a partition (callers needing total determinism pass a unique key).
-    * Nulls in value columns count as zero (SQL `sum` skips them).
+    * plus one global running-sum column per `(valueCol, outCol)` pair —
+    * ROWS-frame semantics: each row's sum covers exactly the rows at or
+    * before its index, so (idx, running-sum) pairs are always mutually
+    * consistent, including under ties. Value columns must be LONG or
+    * DOUBLE (cast first otherwise). Ties on `orderCol` are broken by
+    * `tieCols` in order; with no tiebreak, tied rows are ordered
+    * arbitrarily-but-consistently (idx and sums still agree — both
+    * functions share one window sort; callers needing a REPRODUCIBLE
+    * tie order across runs pass a unique `tieCols`). Null values are
+    * skipped like SQL `sum`: the running sum stays NULL until the first
+    * non-null value, then nulls contribute nothing.
     */
   def withRunningSums(
       df: DataFrame, orderCol: String,
       sums: Seq[(String, String)], idxCol: String = "_idx",
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, tieCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -49,13 +55,20 @@ object Prefix {
       require(t == LongType || t == DoubleType,
         s"withRunningSums: $v must be LONG or DOUBLE, got $t")
     }
-    val w = Window.partitionBy("_pid").orderBy(orderCol)
+    val orderCols = col(orderCol) +: tieCols.map(col)
+    val wBase = Window.partitionBy("_pid").orderBy(orderCols: _*)
+    // Explicit ROWS frame: the default for an ordered window is RANGE
+    // UNBOUNDED PRECEDING..CURRENT ROW, which hands every peer of a tie
+    // group the full tie-group sum while row_number keeps counting —
+    // diverging from the documented ROWS semantics this operator
+    // replaces.
+    val wRows = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sums.foldLeft(
-      df.repartitionByRange(n, col(orderCol))
+      df.repartitionByRange(n, orderCols: _*)
         .withColumn("_pid", spark_partition_id())
-        .withColumn("_lidx", row_number().over(w).cast("long"))) {
+        .withColumn("_lidx", row_number().over(wBase).cast("long"))) {
       case (acc, (v, out)) =>
-        acc.withColumn(s"_loc_$out", coalesce(sum(col(v)).over(w), lit(0).cast(df.schema(v).dataType)))
+        acc.withColumn(s"_loc_$out", sum(col(v)).over(wRows))
     }
     // Read twice (totals + result join): materialize once.
     val localP = OpCaches.track(local
@@ -94,9 +107,17 @@ object Prefix {
       spark.sparkContext.parallelize(offsetRows, 1), offSchema)
     val joined = localP.join(broadcast(offsets), "_pid")
       .withColumn(idxCol, col("_lidx") + col("_idx_off"))
-    sums.foldLeft(joined) { case (acc, (_, out)) =>
+    sums.foldLeft(joined) { case (acc, (v, out)) =>
+      // Exact SQL running-sum null semantics: NULL while BOTH the local
+      // prefix and every earlier partition's total are all-null (no
+      // non-null value seen yet globally); otherwise nulls on either
+      // side contribute zero. A plain `+` would null out rows whose
+      // partition hasn't seen a value even when earlier partitions have.
+      val loc = col(s"_loc_$out"); val off = col(s"_off_$out")
+      val zero = lit(0).cast(df.schema(v).dataType)
       acc.withColumn(out,
-        col(s"_loc_$out") + coalesce(col(s"_off_$out"), lit(0)))
+        when(loc.isNull && off.isNull, loc)
+          .otherwise(coalesce(loc, zero) + coalesce(off, zero)))
     }.drop(("_pid" +: "_lidx" +: "_idx_off" +:
       sums.flatMap { case (_, out) => Seq(s"_loc_$out", s"_off_$out") }): _*)
   }

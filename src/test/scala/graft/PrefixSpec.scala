@@ -67,6 +67,64 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate order keys: ROWS semantics hold — each row adds exactly its own value") {
+    import spark.implicits._
+    // Heavy ties: only 20 distinct keys across 300 rows. Under the RANGE
+    // default every tie peer would carry the full tie-group sum while
+    // _idx keeps counting — the (idx, run) pairs would not chain.
+    val df = (1 to 300).map(i => ((i * 7) % 20, (i % 5).toLong + 1)).toDF("k", "cnt")
+    val rows = Prefix.withRunningSums(df, "k", Seq("cnt" -> "run"), numPartitions = 8)
+      .select("k", "_idx", "cnt", "run")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(rows.map(_._2).toSeq == (1L to 300L).toSeq, "gap-free global index")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq, "idx respects key order")
+    var prev = 0L
+    rows.foreach { case (k, idx, cnt, run) =>
+      assert(run - prev == cnt, s"row idx=$idx k=$k: run $run - prev $prev != own cnt $cnt")
+      prev = run
+    }
+  }
+
+  test("duplicate order keys + unique tieCols equals the global-window form exactly") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => ((i * 7) % 20, i, (i % 9).toLong)).toDF("k", "tie", "cnt")
+    val got = Prefix.withRunningSums(df, "k", Seq("cnt" -> "run"),
+        numPartitions = 8, tieCols = Seq("tie"))
+      .select("tie", "_idx", "run").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy("k", "tie")
+    val expected = df
+      .withColumn("_idx", row_number().over(w).cast("long"))
+      .withColumn("run", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("tie", "_idx", "run").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("leading nulls stay NULL until the first non-null value (SQL sum semantics)") {
+    import spark.implicits._
+    // First 150 keys all-null — they span multiple range partitions, so
+    // the NULL must survive the cross-partition offset combine, not just
+    // the local window.
+    val df = (1 to 400)
+      .map(i => (i, if (i <= 150) None else Some((i % 7).toLong)))
+      .toDF("k", "v")
+    val got = Prefix.withRunningSums(df, "k", Seq("v" -> "rv"), numPartitions = 8)
+      .select("k", "rv").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    val expected = df
+      .withColumn("rv", sum("v").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "rv").collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    assert(got.take(150).forall(_._2.isEmpty), "prefix before any value must be NULL, not 0")
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("single-row and empty inputs") {
     import spark.implicits._
     val one = Seq((5, 3L)).toDF("k", "v")
