@@ -68,9 +68,14 @@ object Bench {
       }
     // Synthetic-IMDb build for the JOB corpus entries is likewise a
     // one-time offline cost (idempotent on-disk dataset, usually already
-    // written by a prior Verify run) — not query time.
+    // written by a prior Verify run) — not query time. The COMPASS-path
+    // entries additionally get their unfiltered sketch templates
+    // pre-built (PRE_PROCESSING, same as CompassQueries.warm above) so
+    // they measure steady-state planning.
     if (selected.exists(_.name.startsWith("q_job")))
       try graft.job.JobCorpus.ensureData(spark) catch { case _: Throwable => () }
+    if (selected.exists(e => e.name == "q_job_compass" || e.name == "q_job_quality"))
+      try JobEntries.warmJob(spark) catch { case _: Throwable => () }
     // Headline subset: stable keys for round-over-round comparison; these
     // also get the median-of-3 warm treatment below.
     val headline = Vector(
@@ -118,10 +123,19 @@ object Bench {
       // recomputation, not cache reads; only generated-code and JIT state
       // carries over. Cold stays the primary (round-comparable) metric.
       if (timings(e.name).isRight) {
-        val nLaps = if (headline.contains(e.name)) 3 else 1
+        // The checkpoint-heavy trio measured 3x lap-over-lap swings on
+        // identical code (r9 warm_spread) — GC/page-cache jitter on
+        // eager-checkpoint entries. 5 laps instead of 3 so their median
+        // resolves a 2x regression gate through that noise.
+        val checkpointHeavy = Set("q_dedup_minhash", "q_ann_neardup", "q_dedup_components")
+        val nLaps = if (checkpointHeavy(e.name)) 5
+          else if (headline.contains(e.name)) 3 else 1
         val laps = scala.collection.mutable.ArrayBuffer.empty[Double]
         var lap = 0
         while (lap < nLaps) {
+          // Between-lap heap settle for the jittery trio: an eager
+          // checkpoint mid-lap is where a pending GC lands otherwise.
+          if (checkpointHeavy(e.name)) System.gc()
           val t1 = System.nanoTime()
           try {
             materialize(e.run(spark, sfDir))
@@ -159,8 +173,18 @@ object Bench {
     val spreadJson = warmSpread.map { case (k, (mn, md, mx)) =>
       s""""${esc(k)}":[${f3(mn)},${f3(md)},${f3(mx)}]"""
     }.mkString("{", ",", "}")
+    // Planning-overhead split for the COMPASS-path JOB subset — the
+    // per-query (sketch, enumerate, exec) ms the reference prints per
+    // query. Totals go on the compact stdout line; the per-query triples
+    // only fit the file.
+    val jobRuns = graft.job.JobCorpus.lastCompassRuns
+    val jobPlanningTotals =
+      s""""sketch_ms":${jobRuns.map(_.sketchMs).sum},"enumerate_ms":${jobRuns.map(_.enumerateMs).sum},"exec_ms":${jobRuns.map(_.execMs).sum}"""
+    val jobPlanningFull = jobRuns.map(r =>
+        s""""${esc(r.name)}":[${r.sketchMs},${r.enumerateMs},${r.execMs}]""")
+      .mkString(s"""{$jobPlanningTotals,"per_query_sketch_enum_exec_ms":{""", ",", "}}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"errors":$nErr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq
@@ -178,7 +202,7 @@ object Bench {
       .map { case (k, (mn, md, mx)) =>
         s""""${esc(k)}":[${f2(mn)},${f2(md)},${f2(mx)}]"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"errors":$nErr,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":{$jobPlanningTotals},"errors":$nErr,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,18 +13,33 @@ object JobEntries {
 
   // One COMPASS session per Spark session: the sketch template cache is
   // the point of the PRE_PROCESSING analogue — rebuilding it per entry
-  // call would benchmark construction, not querying.
+  // call would benchmark construction, not querying. The value is held
+  // behind a WeakReference: a CompassSession strongly references its
+  // SparkSession, so storing it directly as the WeakHashMap value would
+  // pin its own key forever and defeat the weak-map idiom.
   private val compassSessions =
-    new java.util.WeakHashMap[SparkSession, CompassSession]()
+    new java.util.WeakHashMap[SparkSession,
+      java.lang.ref.WeakReference[CompassSession]]()
+  // Cleared entries' sessions would be rebuilt on next use; keep the
+  // most recent alive so the steady-state single-session path never
+  // re-warms the template cache.
+  @volatile private var lastCompass: CompassSession = null
 
   private def compassFor(s: SparkSession): CompassSession = synchronized {
-    Option(compassSessions.get(s)).getOrElse {
+    Option(compassSessions.get(s)).flatMap(r => Option(r.get)).getOrElse {
       val cs = new CompassSession(s,
         templateCache = Some(SketchTemplateCache.default()))
-      compassSessions.put(s, cs)
+      compassSessions.put(s, new java.lang.ref.WeakReference(cs))
+      lastCompass = cs
       cs
     }
   }
+
+  /** Untimed PRE_PROCESSING for Bench: dataset + views + unfiltered
+    * sketch templates for the COMPASS subset, on the same per-session
+    * CompassSession the timed entries use.
+    */
+  def warmJob(s: SparkSession): Int = JobCorpus.warmCompass(s, compassFor(s))
 
   val entries: Seq[Entry] = Seq(
     // The reference's own 113-query workload, end to end. The synthetic
@@ -53,7 +68,7 @@ object JobEntries {
     // 610 vs 2,822,620 rows).
     dfq("q_job_quality",
       "SELECT * FROM (" +
-        JobCorpus.compassSubset.sorted.map(n =>
+        JobCorpus.qualitySubset.sorted.map(n =>
           s"SELECT '$n' AS q, CAST(1 AS BIGINT) AS no_catastrophe, " +
             "CAST(1 AS BIGINT) AS measured").mkString(" UNION ALL ") +
         " UNION ALL SELECT 'zz_aggregate', 1, 1) t ORDER BY q") { (s, _) =>
@@ -61,7 +76,7 @@ object JobEntries {
       JobCorpus.registerViews(s)
       val cs = compassFor(s)
       val byName = JobCorpus.queries.toMap
-      val reports = JobCorpus.compassSubset.map { name =>
+      val reports = JobCorpus.qualitySubset.map { name =>
         graft.planner.OptimizerQuality.compare(s, cs, name, byName(name))
       }
       import s.implicits._

@@ -375,6 +375,11 @@ object Similarity {
     // Threshold on the ROUNDED cosine: the differential oracle re-derives
     // the filter from its own 6-dp rounding, and a raw-value cut would
     // disagree on pairs whose cosine straddles the boundary within an ulp.
+    // Rounding NARROWS but does not fully close that window — a raw
+    // cosine within an ulp of a 6-dp rounding boundary can still round
+    // differently across engines (different summation order); residual
+    // flake odds are ~1e-10 per pair, accepted rather than papered over
+    // with an epsilon band that would blur the operator's contract.
     a1.join(a2, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")

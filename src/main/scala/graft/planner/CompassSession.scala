@@ -116,6 +116,12 @@ final class CompassSession(
   final class QueryScope private[CompassSession] () {
     private[CompassSession] val kept = scala.collection.mutable.Buffer.empty[DataFrame]
 
+    /** This scope's own last COMPASS plan — unlike the session-level
+      * `lastPlan`, safe to read under concurrent scopes (each in-flight
+      * query stream sees exactly its own trace).
+      */
+    @volatile var lastPlan: Option[CompassPlan] = None
+
     /** Unpersist this scope's pinned caches. A previously returned
       * DataFrame stays CORRECT afterwards — it just recomputes its
       * filtered scans if re-run.
@@ -143,6 +149,15 @@ final class CompassSession(
     s
   }
 
+  /** Release a scope's caches and forget it — for short-lived per-query
+    * scopes (a long-running session spawning one scope per query would
+    * otherwise grow the scope registry without bound).
+    */
+  def dropScope(s: QueryScope): Unit = {
+    s.release()
+    scopes.synchronized { scopes -= s; () }
+  }
+
   private val defaultScope = newScope()
 
   /** Unpersist every scope's push-down caches. */
@@ -166,6 +181,7 @@ final class CompassSession(
   private def optimizeIn(scope: QueryScope, df: DataFrame): DataFrame = {
     if (!fpdEnabled) return df
     scope.release()
+    scope.lastPlan = None
     try {
       val analyzed = df.queryExecution.analyzed
       JoinGraphExtractor.extract(analyzed) match {
@@ -187,13 +203,15 @@ final class CompassSession(
           // Estimates here are introspection only — a failure (e.g. a
           // multi-way prefix with a fully disconnected member under the
           // fallback order) must not knock the query off the COMPASS path.
-          lastPlan = Some(CompassPlan(
+          val published = CompassPlan(
             order.map(i => g.instances(i).name),
             order.indices.drop(1).dropRight(1).map(k =>
               scala.util.Try(en.estimate(order.take(k + 1))).getOrElse(Double.NaN)),
             nodes.map(n => g.instances(n.id).name -> n.sketch.count).toMap,
             sketchBuildMillis = (t1 - t0) / 1000000,
-            enumerateMillis = (t2 - t1) / 1000000))
+            enumerateMillis = (t2 - t1) / 1000000)
+          scope.lastPlan = Some(published)
+          lastPlan = Some(published)
           spliced
         case _ => df
       }

@@ -64,7 +64,10 @@ class JobCorpusSpec extends AnyFunSuite {
       templateCache = Some(SketchTemplateCache.default()))
     try {
       val byName = JobCorpus.queries.toMap
-      val reports = JobCorpus.compassSubset.map { name =>
+      // qualitySubset, not the full 33-family compassSubset: two spine
+      // executions per query bound what fits a test run, same as the
+      // driver entry (q_job_quality).
+      val reports = JobCorpus.qualitySubset.map { name =>
         val r = graft.planner.OptimizerQuality.compare(spark, cs, name, byName(name))
         info(s"$name: compass=${r.compassSum} naive=${r.naiveSum} " +
           s"order=${cs.lastPlan.map(_.order.mkString("->")).getOrElse("?")}")
@@ -81,26 +84,72 @@ class JobCorpusSpec extends AnyFunSuite {
     } finally cs.close()
   }
 
-  test("estimator telemetry on a JOB query: prefix estimates stay in a sane band") {
+  test("estimator telemetry on literal JOB families: prefix estimates stay in a sane band") {
     // Same drift canary as OptimizerQualitySpec's chain5/snowflake4, on
-    // an IMDb-shaped graph (string-predicate dims, fact-fact movie_id
-    // joins). Band is wide — the independence cascade drifts more on
-    // correlated IMDb predicates — but a clamp-noise regime (~0) or a
-    // broken plane (1e4x) still fails.
+    // IMDb-shaped graphs (string-predicate dims, fact-fact movie_id
+    // joins) across four families of different sizes. Bands are wide —
+    // the independence cascade UNDER-estimates hard on correlated IMDb
+    // predicates (deep prefixes measure est=1 vs hundreds of true rows;
+    // that regime is exactly where sketch re-ranking still orders
+    // correctly, see the quality test above) — but a clamp-noise regime
+    // (~0 everywhere) or a broken plane (1e4x) still fails.
     JobCorpus.ensureData(spark)
     JobCorpus.registerViews(spark)
     val cs = new CompassSession(spark,
       templateCache = Some(SketchTemplateCache.default()))
     try {
-      val text = JobCorpus.queries.toMap.apply("17e")
-      val pts = graft.planner.OptimizerQuality.estimateTelemetry(spark, cs, "17e", text)
-      info("17e: " + pts.map(p =>
-        f"|${p.prefixSize}|: est=${p.estimate}%.1f true=${p.trueRows} r=${p.ratio}%.3f").mkString(" "))
-      assert(pts.nonEmpty && pts.map(_.trueRows).sum > 0)
-      val ratios = pts.map(_.ratio).sorted
-      val median = ratios(ratios.size / 2)
-      assert(median >= 1e-3 && median <= 1e3,
-        s"17e: median est/true ratio $median outside [1e-3, 1e3]")
+      val byName = JobCorpus.queries.toMap
+      Seq("1a", "6a", "17e", "20a").foreach { q =>
+        val pts = graft.planner.OptimizerQuality.estimateTelemetry(spark, cs, q, byName(q))
+        info(s"$q: " + pts.map(p =>
+          f"|${p.prefixSize}|: est=${p.estimate}%.1f true=${p.trueRows} r=${p.ratio}%.3f").mkString(" "))
+        assert(pts.nonEmpty && pts.map(_.trueRows).sum > 0,
+          s"$q: no live prefix telemetry")
+        pts.foreach { p =>
+          assert(p.ratio >= 1e-4 && p.ratio <= 1e4,
+            s"$q: prefix ratio ${p.ratio} outside [1e-4, 1e4] — clamp noise or broken plane")
+        }
+        val ratios = pts.map(_.ratio).sorted
+        val median = ratios(ratios.size / 2)
+        assert(median >= 5e-3 && median <= 1e2,
+          s"$q: median est/true ratio $median outside [5e-3, 1e2]")
+      }
+    } finally cs.close()
+  }
+
+  test("planning split on the COMPASS subset: enumeration driver-local, planning proportionate") {
+    // The reference prints per-query sketch-build / estimation /
+    // push-down ms (FilterPushDownSketch.cpp:1395-1396,1564-1569) and
+    // its port target keeps planning a bounded fraction of runtime.
+    // Telemetry here comes from the same CompassRun records Bench emits
+    // into BENCH_FULL.json's job_planning block. Bounds are loose (the
+    // 8-way concurrent submission inflates per-query wall-clock when
+    // threads contend for the shared sketch pool) but pin the two real
+    // regressions: enumeration must stay driver-local milliseconds, and
+    // total planning must not dwarf execution (a broken template cache
+    // rebuilding full-table sketches per query measured ~10x).
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      JobCorpus.warmCompass(spark, cs)
+      JobCorpus.runCompassSubset(spark, cs).collect()
+      val runs = JobCorpus.lastCompassRuns
+      assert(runs.size == JobCorpus.compassSubset.size)
+      val sketchTot = runs.map(_.sketchMs).sum
+      val enumTot = runs.map(_.enumerateMs).sum
+      val execTot = runs.map(_.execMs).sum
+      info(s"sketch=${sketchTot}ms enumerate=${enumTot}ms exec=${execTot}ms " +
+        f"planning_frac=${(sketchTot + enumTot).toDouble / math.max(sketchTot + enumTot + execTot, 1)}%.2f")
+      assert(execTot > 0, "no measured execution time — telemetry dead?")
+      val enums = runs.map(_.enumerateMs).sorted
+      assert(enums(enums.size / 2) <= 500,
+        s"median enumeration ${enums(enums.size / 2)}ms — not driver-local microsecond work")
+      assert(enums.last <= 5000,
+        s"worst enumeration ${enums.last}ms — enumerator bound regression")
+      assert(sketchTot + enumTot <= 5L * execTot + 5000,
+        s"planning ${sketchTot + enumTot}ms dwarfs execution ${execTot}ms — template cache dead?")
     } finally cs.close()
   }
 
