@@ -73,7 +73,12 @@ object Bench {
     // pre-built (PRE_PROCESSING, same as CompassQueries.warm above) so
     // they measure steady-state planning.
     if (selected.exists(_.name.startsWith("q_job")))
-      try graft.job.JobCorpus.ensureData(spark) catch { case _: Throwable => () }
+      try {
+        graft.job.JobCorpus.ensureData(spark)
+        // The corpus entry reads the sf-scaled IMDb at bench scale —
+        // build it here, untimed, like the base dataset.
+        graft.job.JobCorpus.ensureData(spark, graft.job.JobCorpus.scaleFor(sfDir))
+      } catch { case _: Throwable => () }
     if (selected.exists(e => e.name == "q_job_compass" || e.name == "q_job_quality"))
       try JobEntries.warmJob(spark) catch { case _: Throwable => () }
     // Headline subset: stable keys for round-over-round comparison; these
@@ -128,7 +133,12 @@ object Bench {
         // eager-checkpoint entries. 5 laps instead of 3 so their median
         // resolves a 2x regression gate through that noise.
         val checkpointHeavy = Set("q_dedup_minhash", "q_ann_neardup", "q_dedup_components")
+        // Median-of-3 exists to resolve sub-second noise; the 40s+
+        // sf-scaled corpus entry's relative spread is small (measured
+        // 1.16x) and 3 laps of it would dominate the whole bench wall.
+        val longRunning = Set("q_job_corpus")
         val nLaps = if (checkpointHeavy(e.name)) 5
+          else if (longRunning(e.name)) 1
           else if (headline.contains(e.name)) 3 else 1
         val laps = scala.collection.mutable.ArrayBuffer.empty[Double]
         var lap = 0

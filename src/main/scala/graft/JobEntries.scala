@@ -43,10 +43,13 @@ object JobEntries {
 
   val entries: Seq[Entry] = Seq(
     // The reference's own 113-query workload, end to end. The synthetic
-    // IMDb is fixed-size (semantics coverage, not throughput — the
-    // sf-scaled entries carry that), so the entry ignores the sf dir.
-    dfq("q_job_corpus", JobCorpus.duckOracleSql) { (s, _) =>
-      JobCorpus.runAll(s)
+    // IMDb scales with the sf dir (sf0.1 → 10x cardinalities at a
+    // separate path) so bench timings are throughput-meaningful; the
+    // correctness gate always runs at sf0.01 → scale 1 → exactly the
+    // base files the static DuckDB twin reads. A verify at any OTHER sf
+    // would mismatch loudly, never silently.
+    dfq("q_job_corpus", JobCorpus.duckOracleSql) { (s, dir) =>
+      JobCorpus.runAll(s, dir)
     },
 
     // A representative subset through the full COMPASS path (extraction →

@@ -28,6 +28,24 @@ object JobCorpus {
     */
   val dataPath = "/tmp/graft_imdb_v1"
 
+  /** Location of a scaled variant (scale 1 IS the oracle-checked base). */
+  def dataPathFor(m: Int): String =
+    if (m <= 1) dataPath else s"${dataPath}_x$m"
+
+  /** Scale multiplier derived from the sf dir, so JOB corpus timings
+    * track the bench's data scale (throughput-meaningful) while the
+    * correctness gate keeps the base dataset: the driver verifies at
+    * sf0.01 → multiplier 1 → the entry reads exactly the files the
+    * static DuckDB twin reads. sf0.1 → 10. Capped at 20 (the corpus
+    * verifies semantics; a runaway sf must not build a 100x IMDb).
+    */
+  private[graft] def scaleFor(sfDir: String): Int = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .getOrElse(0.01)
+    math.min(20, math.max(1, math.round(sf / 0.01).toInt))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic generator plumbing
   // ---------------------------------------------------------------------
@@ -178,12 +196,16 @@ object JobCorpus {
   // sizes below (mi ~6 rows/movie, ci ~7.5, mk/mc ~3.75): JOB's
   // conjunctive multi-fact queries only count nonzero when the same
   // movie hits several per-fact predicates at once, and that joint
-  // probability scales with per-movie fact density.
-  private val nTitle = 8000
-  private val nName = 10000
-  private val nCharName = 5000
-  private val nCompanyName = 2000
-  private val nKeyword = 2000
+  // probability scales with per-movie fact density. These are BASE
+  // (scale-1) sizes; `generators(spark, m)` multiplies entity and fact
+  // tables together so per-movie fact density — and with it every
+  // predicate's hit FRACTION — stays constant across scales, making
+  // scaled counts grow ~linearly rather than combinatorially.
+  private val baseTitle = 8000
+  private val baseName = 10000
+  private val baseCharName = 5000
+  private val baseCompanyName = 2000
+  private val baseKeyword = 2000
 
   private def dimension(spark: SparkSession, values: Seq[String],
       col2: String): DataFrame = {
@@ -194,7 +216,7 @@ object JobCorpus {
   /** Harvested workload keywords get the SMALL ids (movie_keyword's fk
     * range covers them densely); filler pads the dictionary.
     */
-  private val keywordValues: Seq[String] = Seq(
+  private def keywordValues(nKeyword: Int): Seq[String] = Seq(
     "sequel", "superhero", "marvel-comics", "based-on-comic",
     "based-on-novel", "fight", "violence", "blood", "gore", "murder",
     "murder-in-title", "character-name-in-title", "revenge", "death",
@@ -205,14 +227,20 @@ object JobCorpus {
     "marvel-cinematic-universe", "the-sequel-of-dreams"
   ) ++ (35 to nKeyword).map(i => s"kw-$i")
 
-  def generators(spark: SparkSession): Seq[(String, DataFrame)] = Seq(
+  def generators(spark: SparkSession, m: Int = 1): Seq[(String, DataFrame)] = {
+    val nTitle = baseTitle * m
+    val nName = baseName * m
+    val nCharName = baseCharName * m
+    val nCompanyName = baseCompanyName * m
+    val nKeyword = baseKeyword * m
+    Seq(
     "company_type" -> dimension(spark, companyTypes, "kind"),
     "kind_type" -> dimension(spark, kindTypes, "kind"),
     "link_type" -> dimension(spark, linkTypes, "link"),
     "role_type" -> dimension(spark, roleTypes, "role_name"),
     "comp_cast_type" -> dimension(spark, compCastTypes, "kind"),
     "info_type" -> dimension(spark, infoTypes, "info"),
-    "keyword" -> dimension(spark, keywordValues, "keyword")
+    "keyword" -> dimension(spark, keywordValues(nKeyword), "keyword")
       .withColumn("phonetic_code", nullable(pick(pcodePool, "kw_pc"), "kw_pc", 6)),
 
     "title" -> base(spark, nTitle).select(
@@ -230,14 +258,14 @@ object JobCorpus {
         .as("series_years"),
       md5(concat(lit("t"), col("id"))).as("md5sum")),
 
-    "movie_companies" -> base(spark, 30000).select(
+    "movie_companies" -> base(spark, 30000 * m).select(
       col("id"),
       fk(nTitle, "mc_movie").as("movie_id"),
       fk(nCompanyName, "mc_company").as("company_id"),
       fk(companyTypes.size, "mc_ctype").as("company_type_id"),
       nullable(pick(mcNotePool, "mc_note"), "mc_note", 4).as("note")),
 
-    "movie_info" -> base(spark, 50000).select(
+    "movie_info" -> base(spark, 50000 * m).select(
       col("id"),
       fk(nTitle, "mi_movie").as("movie_id"),
       // Half the rows carry the four workload-core types (every real
@@ -270,7 +298,7 @@ object JobCorpus {
         nullable(pick(Seq("(internet release)", "found on internet",
           "(theatrical)", "(TV premiere)", "archive note"), "mi_note"), "mi_note", 3)),
 
-    "movie_info_idx" -> base(spark, 25000).select(
+    "movie_info_idx" -> base(spark, 25000 * m).select(
       col("id"),
       fk(nTitle, "mix_movie").as("movie_id"),
       // Rank/rating/vote types only — mirrors real IMDb where the _idx
@@ -285,13 +313,13 @@ object JobCorpus {
       pick(ratingPool, "mix_info").as("info"),
       nullable(pick(Seq("note A", "note B"), "mix_note"), "mix_note", 3).as("note")),
 
-    "movie_keyword" -> base(spark, 30000).select(
+    "movie_keyword" -> base(spark, 30000 * m).select(
       col("id"),
       fk(nTitle, "mk_movie").as("movie_id"),
       // Dense over the small (workload-referenced) keyword ids.
       fk(400, "mk_kw").as("keyword_id")),
 
-    "cast_info" -> base(spark, 60000).select(
+    "cast_info" -> base(spark, 60000 * m).select(
       col("id"),
       fk(nName, "ci_person").as("person_id"),
       fk(nTitle, "ci_movie").as("movie_id"),
@@ -333,7 +361,7 @@ object JobCorpus {
       nullable(pick(pcodePool, "co_psf"), "co_psf", 4).as("name_pcode_sf"),
       md5(concat(lit("co"), col("id"))).as("md5sum")),
 
-    "aka_name" -> base(spark, 12000).select(
+    "aka_name" -> base(spark, 12000 * m).select(
       col("id"),
       fk(nName, "an_person").as("person_id"),
       pick(akaNamePool, "an_name").as("name"),
@@ -343,7 +371,7 @@ object JobCorpus {
       nullable(pick(pcodePool, "an_sp"), "an_sp", 4).as("surname_pcode"),
       md5(concat(lit("a"), col("id"))).as("md5sum")),
 
-    "aka_title" -> base(spark, 8000).select(
+    "aka_title" -> base(spark, 8000 * m).select(
       col("id"),
       fk(nTitle, "at_movie").as("movie_id"),
       pick(titlePool, "at_title").as("title"),
@@ -358,13 +386,13 @@ object JobCorpus {
         .as("note"),
       md5(concat(lit("at"), col("id"))).as("md5sum")),
 
-    "movie_link" -> base(spark, 4000).select(
+    "movie_link" -> base(spark, 4000 * m).select(
       col("id"),
       fk(nTitle, "ml_movie").as("movie_id"),
       fk(nTitle, "ml_linked").as("linked_movie_id"),
       fk(linkTypes.size, "ml_lt").as("link_type_id")),
 
-    "complete_cast" -> base(spark, 6000).select(
+    "complete_cast" -> base(spark, 6000 * m).select(
       col("id"),
       nullableInt(fk(nTitle, "cc_movie"), "cc_movie", 10).as("movie_id"),
       // subject ∈ {cast, crew}; status ∈ {complete, complete+verified} —
@@ -374,7 +402,7 @@ object JobCorpus {
       (pmod(xxhash64(lit("cc_status"), col("id")), lit(2)) + 3).cast("int")
         .as("status_id")),
 
-    "person_info" -> base(spark, 20000).select(
+    "person_info" -> base(spark, 20000 * m).select(
       col("id"),
       fk(nName, "pi_person").as("person_id"),
       element_at(typedlit(Seq(
@@ -387,6 +415,7 @@ object JobCorpus {
       pick(Seq("A short biography text", "182 cm", "Fun trivia item",
         "A quotable line", "Born in a small town"), "pi_info").as("info"),
       nullable(pick(piNotePool, "pi_note"), "pi_note", 3).as("note")))
+  }
 
   val tableNames: Seq[String] = Seq(
     "aka_name", "aka_title", "cast_info", "char_name", "comp_cast_type",
@@ -399,24 +428,33 @@ object JobCorpus {
     * One parquet file per table so the oracle can glob
     * `<table>.parquet` slash `*.parquet`.
     */
-  def ensureData(spark: SparkSession): Unit = synchronized {
-    val marker = new java.io.File(s"$dataPath/_GRAFT_READY")
+  def ensureData(spark: SparkSession, m: Int = 1): Unit = synchronized {
+    val path = dataPathFor(m)
+    val marker = new java.io.File(s"$path/_GRAFT_READY")
     if (marker.exists()) return
-    generators(spark).foreach { case (name, df) =>
-      df.coalesce(1).write.mode("overwrite").parquet(s"$dataPath/$name.parquet")
+    generators(spark, m).foreach { case (name, df) =>
+      // Scale 1 must stay a single file per table (the DuckDB twin globs
+      // it); scaled builds write parallel — nothing globs them and a
+      // 20x cast_info through one task is pointless serialization.
+      val w = if (m <= 1) df.coalesce(1) else df
+      w.write.mode("overwrite").parquet(s"$path/$name.parquet")
     }
-    require(new java.io.File(dataPath).isDirectory)
+    require(new java.io.File(path).isDirectory)
     java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
   }
 
-  private val registered = new java.util.WeakHashMap[SparkSession, Boolean]()
+  // Which scale's views a session currently has registered — re-register
+  // on scale change (entries at different scales interleave in one
+  // Bench/Verify session; temp view names are shared).
+  private val registered = new java.util.WeakHashMap[SparkSession, Integer]()
 
-  def registerViews(spark: SparkSession): Unit = synchronized {
-    if (Option(registered.get(spark)).contains(true)) return
+  def registerViews(spark: SparkSession, m: Int = 1): Unit = synchronized {
+    if (Option(registered.get(spark)).exists(_.intValue == m)) return
+    val path = dataPathFor(m)
     tableNames.foreach { t =>
-      spark.read.parquet(s"$dataPath/$t.parquet").createOrReplaceTempView(t)
+      spark.read.parquet(s"$path/$t.parquet").createOrReplaceTempView(t)
     }
-    registered.put(spark, true)
+    registered.put(spark, Integer.valueOf(m))
   }
 
   // ---------------------------------------------------------------------
@@ -444,9 +482,10 @@ object JobCorpus {
     * collected counts are genuine executor results, assembled into a
     * DataFrame only for the driver's differential compare.
     */
-  def runAll(spark: SparkSession): DataFrame = {
-    ensureData(spark)
-    registerViews(spark)
+  def runAll(spark: SparkSession, sfDir: String = ""): DataFrame = {
+    val m = scaleFor(sfDir)
+    ensureData(spark, m)
+    registerViews(spark, m)
     import spark.implicits._
     // Concurrent submission: each query is a tiny independent job whose
     // cost is dominated by driver-side planning, so 8 planner threads

@@ -153,6 +153,29 @@ class JobCorpusSpec extends AnyFunSuite {
     } finally cs.close()
   }
 
+  test("sf-dir scale mapping: gate scale is 1, bench scale is 10, capped") {
+    assert(JobCorpus.scaleFor("/root/testdata/sf0.001") == 1)
+    assert(JobCorpus.scaleFor("/root/testdata/sf0.01") == 1)
+    assert(JobCorpus.scaleFor("/root/testdata/sf0.1") == 10)
+    assert(JobCorpus.scaleFor("/root/testdata/sf1.0") == 20, "cap")
+    assert(JobCorpus.scaleFor("") == 1, "no sf in path -> base scale")
+    assert(JobCorpus.dataPathFor(1) == JobCorpus.dataPath)
+    assert(JobCorpus.dataPathFor(10) == JobCorpus.dataPath + "_x10")
+  }
+
+  test("scaled generators multiply entity and fact cardinalities together") {
+    val base = JobCorpus.generators(spark).toMap
+    val x2 = JobCorpus.generators(spark, 2).toMap
+    // Entity + fact tables scale; dimension enumerations must NOT (their
+    // ids are 1-based positions in fixed pools the predicates reference).
+    Seq("title", "cast_info", "movie_info", "keyword").foreach { t =>
+      assert(x2(t).count() == 2 * base(t).count(), s"$t should scale 2x")
+    }
+    Seq("kind_type", "company_type", "info_type", "role_type").foreach { t =>
+      assert(x2(t).count() == base(t).count(), s"$t must stay fixed")
+    }
+  }
+
   test("generator is deterministic: same counts and checksums on regeneration") {
     val gens = JobCorpus.generators(spark).toMap
     val t1 = gens("title")
