@@ -500,7 +500,7 @@ object JobCorpus {
     * data side grows ~1000× and the defaults win — the profile is gated
     * on the scaled volume staying interactive, not applied globally.
     */
-  private def interactiveSession(spark: SparkSession, m: Int): SparkSession =
+  private[graft] def interactiveSession(spark: SparkSession, m: Int): SparkSession =
     synchronized {
       Option(interactiveSessions.get(spark)).filter(_._1 == m).map(_._2)
         .getOrElse {

@@ -176,6 +176,24 @@ class JobCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("interactive profile is scoped to the corpus child session, parent untouched") {
+    JobCorpus.ensureData(spark)
+    val child = JobCorpus.interactiveSession(spark, 1)
+    assert(child ne spark)
+    assert(child.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(child.conf.get("spark.sql.codegen.wholeStage") == "false")
+    assert(child.conf.get("spark.sql.constraintPropagation.enabled") == "false")
+    // The tuned conf must NOT leak to the parent: every other entry in a
+    // Verify/Bench session keeps AQE + codegen (the defaults that win on
+    // data-heavy plans).
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.codegen.wholeStage") == "true")
+    // Memoized per (parent, scale): repeat call returns the same child.
+    assert(JobCorpus.interactiveSession(spark, 1) eq child)
+    // Views resolve in the child (registered at construction).
+    assert(child.table("title").columns.contains("production_year"))
+  }
+
   test("generator is deterministic: same counts and checksums on regeneration") {
     val gens = JobCorpus.generators(spark).toMap
     val t1 = gens("title")
