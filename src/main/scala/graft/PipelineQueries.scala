@@ -561,6 +561,66 @@ object PipelineQueries {
     },
   )
 
+  private val corpus: Seq[Entry] = Seq(
+    // Repetition-based quality signals (Gopher/C4-style): duplicate-word
+    // mass + hottest-2-gram count per document. DuckDB re-derives all
+    // three integers from the same tokenization.
+    dfq("q_text_repetition",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents), " +
+        "base AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM toks), " +
+        "grams AS (SELECT doc_id, unnest([w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] " +
+        "  FOR i IN range(1, greatest(len(w)-1, 0)+1)]) AS g FROM toks), " +
+        "top AS (SELECT doc_id, max(c) AS tc FROM " +
+        "  (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g) q GROUP BY doc_id) " +
+        "SELECT b.doc_id AS doc_id, CAST(b.n_words AS BIGINT) AS n_words, " +
+        "  CAST(b.n_words - b.n_distinct AS BIGINT) AS n_dup_words, " +
+        "  CAST(coalesce(t.tc, 0) AS BIGINT) AS top_gram_count " +
+        "FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id ORDER BY b.doc_id") { (s, dir) =>
+      graft.operators.Corpus.withRepetitionSignals(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Test-set decontamination: word-4-gram overlap of every document
+    // against a held-out benchmark (docs 0-4 stand in for the eval set).
+    // DuckDB independently rebuilds both shingle sets and the distinct-
+    // overlap counts — at sf0.01 the corpus has 16 organically
+    // contaminated docs beyond the 5 benchmark members themselves.
+    dfq("q_decontaminate",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, [array_to_string(w[CAST(i AS INT):CAST(i+3 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(w)-3, 0)+1)] AS s FROM toks), " +
+        "bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 5), " +
+        "ov AS (SELECT sh.doc_id AS doc_id, count(DISTINCT u.g) AS n_overlap " +
+        "  FROM sh, unnest(sh.s) AS u(g) WHERE u.g IN (SELECT g FROM bench) GROUP BY sh.doc_id) " +
+        "SELECT t.doc_id AS doc_id, CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap, " +
+        "  CAST(CASE WHEN coalesce(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
+        "FROM toks t LEFT JOIN ov o ON o.doc_id = t.doc_id ORDER BY t.doc_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Corpus.decontaminate(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "text", n = 4)
+        .orderBy("doc_id")
+    },
+
+    // Concat-then-chunk sequence packing into 256-token context windows:
+    // each doc's global token start offset (distributed prefix sum) and
+    // first/last window. DuckDB checks against the plain global window
+    // formulation.
+    dfq("q_pack_sequences",
+      "WITH toks AS (SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "cum AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER " +
+        "  (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off FROM toks) " +
+        "SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off, " +
+        "  CAST(floor(start_off / 256.0) AS BIGINT) AS first_window, " +
+        "  CAST(floor((start_off + n_tokens - 1) / 256.0) AS BIGINT) AS last_window " +
+        "FROM cum ORDER BY doc_id") { (s, dir) =>
+      graft.operators.Corpus.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text", capacity = 256)
+        .orderBy("doc_id")
+    },
+  )
+
   private val multimodal: Seq[Entry] = Seq(
     // Binary payload + typed metadata struct (the multimodal column
     // contract) — metadata is SQL-checkable against DuckDB.
@@ -662,5 +722,5 @@ object PipelineQueries {
 
   def entries: Seq[Entry] =
     textAnalysis ++ dedup ++ grouping ++ sampling ++ skew ++ heavyHitters ++
-      similarity ++ temporal ++ analysis ++ multimodal
+      similarity ++ temporal ++ analysis ++ corpus ++ multimodal
 }

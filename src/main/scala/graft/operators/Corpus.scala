@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-preparation operators a large-scale pretraining pipeline needs
+  * beyond per-document scoring: repetition-based quality signals, test-set
+  * decontamination, and sequence packing. All three are declarative
+  * DataFrame plans — map-side token work, partial-aggregated shuffles on
+  * bounded keys, and the distributed prefix sum — so each survives a
+  * 100× scale-up without a single-task stage.
+  */
+object Corpus {
+
+  private def words(textCol: String): Column =
+    split(lower(col(textCol)), "\\s+")
+
+  /** Word n-gram strings of `w` (1-based `element_at`); empty array when
+    * the document is shorter than `n` tokens.
+    */
+  private def gramStrings(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition-based quality signals (the Gopher/C4-style rules):
+    * duplicate-word mass and the hottest 2-gram's count per document.
+    * Exact integer outputs — the filter thresholds (fractions) derive
+    * trivially and stay engine-portable.
+    *
+    * Shape: word stats are map-side expressions; the top-gram pass is
+    * explode → partial-aggregated count on (doc, gram) → per-doc max —
+    * exchange traffic is bounded by distinct grams per doc, never the
+    * token stream.
+    */
+  def withRepetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), words(textCol).as("_w"))
+      .withColumn("_nw", size(col("_w")).cast("long"))
+      .withColumn("_nd", size(array_distinct(col("_w"))).cast("long"))
+    val grams = base.select(col(idCol),
+      explode(gramStrings(col("_w"), 2)).as("_g"))
+    val top = grams
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(max(col("_c")).as("_tc"))
+    base.join(top, Seq(idCol), "left")
+      .select(col(idCol), col("_nw").as("n_words"),
+        (col("_nw") - col("_nd")).as("n_dup_words"),
+        coalesce(col("_tc"), lit(0L)).as("top_gram_count"))
+  }
+
+  /** Test-set decontamination: per document, how many of its distinct
+    * word `n`-grams appear anywhere in `benchmark` (the held-out eval
+    * texts), plus the 0/1 contamination flag. Benchmark shingles are
+    * deduplicated and BROADCAST — eval sets are kilobytes-to-megabytes
+    * against a corpus of terabytes, so the corpus-side scan stays
+    * shuffle-free; drop the broadcast hint if a benchmark ever rivals
+    * the corpus.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 4): DataFrame = {
+    val docSh = docs.select(col(idCol),
+      explode(gramStrings(words(textCol), n)).as("_s"))
+    val benchSh = benchmark
+      .select(explode(gramStrings(words(benchTextCol), n)).as("_s"))
+      .distinct()
+    val overlaps = docSh.join(broadcast(benchSh), "_s")
+      .groupBy(col(idCol)).agg(countDistinct(col("_s")).as("_ov"))
+    docs.select(col(idCol)).join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_ov"), lit(0L)).as("n_overlap"),
+        (coalesce(col("_ov"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  /** Concat-then-chunk sequence packing (the GPT-style pretraining
+    * batcher): documents ordered by `idCol` are conceptually concatenated
+    * and cut into `capacity`-token context windows; each document gets
+    * its global token start offset and the first/last window it lands
+    * in. The offsets come from [[Prefix.withRunningSums]] — the
+    * distributed two-pass prefix sum — so packing a 100 TB corpus is two
+    * balanced shuffles, never a single-task global window.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val toks = df.select(col(idCol),
+      size(words(textCol)).cast("long").as("n_tokens"))
+    Prefix.withRunningSums(toks, idCol, Seq("n_tokens" -> "_cum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("_cum") - col("n_tokens")).as("start_off"))
+      .withColumn("first_window",
+        floor(col("start_off") / capacity).cast("long"))
+      .withColumn("last_window",
+        floor((col("start_off") + col("n_tokens") - 1) / capacity).cast("long"))
+  }
+}
