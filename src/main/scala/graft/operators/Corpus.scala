@@ -17,6 +17,13 @@ object Corpus {
 
   /** Word n-gram strings of `w` (1-based `element_at`); empty array when
     * the document is shorter than `n` tokens.
+    *
+    * `w` MUST be a projected column reference, never the inline
+    * `words(...)` expression: the `transform` lambda is interpreted
+    * (higher-order functions skip codegen and subexpression
+    * elimination), so an inline split would be re-evaluated for every
+    * `element_at` of every gram — O(grams × n) regex splits per
+    * document, measured 30× slower on the documents table.
     */
   private def gramStrings(w: Column, n: Int): Column =
     when(size(w) >= n,
@@ -61,10 +68,12 @@ object Corpus {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 4): DataFrame = {
-    val docSh = docs.select(col(idCol),
-      explode(gramStrings(words(textCol), n)).as("_s"))
+    val docSh = docs
+      .select(col(idCol), words(textCol).as("_w"))
+      .select(col(idCol), explode(gramStrings(col("_w"), n)).as("_s"))
     val benchSh = benchmark
-      .select(explode(gramStrings(words(benchTextCol), n)).as("_s"))
+      .select(words(benchTextCol).as("_w"))
+      .select(explode(gramStrings(col("_w"), n)).as("_s"))
       .distinct()
     val overlaps = docSh.join(broadcast(benchSh), "_s")
       .groupBy(col(idCol)).agg(countDistinct(col("_s")).as("_ov"))
