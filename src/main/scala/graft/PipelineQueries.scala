@@ -619,6 +619,39 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text", capacity = 256)
         .orderBy("doc_id")
     },
+
+    // Token-budget selection: longest documents first (priority =
+    // -char-length, ties by doc_id), keep the maximal prefix whose
+    // cumulative token count fits 10k tokens. DuckDB replays the same
+    // ordered window sum and prefix cut.
+    dfq("q_token_budget",
+      "WITH toks AS (SELECT doc_id, -len(text) AS prio, " +
+        "  CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents), " +
+        "cum AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER " +
+        "  (ORDER BY prio, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM toks) " +
+        "SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens " +
+        "FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id") { (s, dir) =>
+      graft.operators.Corpus.selectToBudget(
+          Tables.load(s, dir, "documents")
+            .withColumn("_prio", -length(col("text"))),
+          "doc_id", "text", budget = 10000L, priorityCol = "_prio")
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test partition (80/10/10) by doc_id hash —
+    // disjoint labeled assignment, pure map-side. DuckDB re-derives every
+    // label from the same md5 boundary rule (0.8 -> 0xcccc, 0.9 -> 0xe666).
+    dfq("q_train_split",
+      "SELECT doc_id, CASE WHEN h < 'cccc' THEN 'train' " +
+        "  WHEN h < 'e666' THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS h " +
+        "  FROM documents) q ORDER BY doc_id") { (s, dir) =>
+      graft.operators.Corpus.splitAssign(
+          Tables.load(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
   )
 
   private val multimodal: Seq[Entry] = Seq(

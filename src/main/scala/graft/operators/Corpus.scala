@@ -104,4 +104,60 @@ object Corpus {
       .withColumn("last_window",
         floor((col("start_off") + col("n_tokens") - 1) / capacity).cast("long"))
   }
+
+  /** Token-budget selection (the "take the best N billion tokens" cut):
+    * rank documents by `priorityCol` ascending (ties broken by `idCol`,
+    * so the kept set is reproducible across engines and reruns) and keep
+    * the maximal prefix whose cumulative token count fits `budget`.
+    * Greedy-prefix semantics: the first document that overflows the
+    * budget is dropped and NO later document is considered — later
+    * smaller docs backfilling the gap would make the kept set depend on
+    * the whole tail, not a prefix.
+    *
+    * The cumulative count comes from [[Prefix.withRunningSums]], so the
+    * cut is two balanced shuffles at any corpus size — never a
+    * single-task global window.
+    */
+  def selectToBudget(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, priorityCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val toks = df.select(col(idCol), col(priorityCol),
+      size(words(textCol)).cast("long").as("n_tokens"))
+    Prefix.withRunningSums(toks, priorityCol,
+        Seq("n_tokens" -> "_cum"), tieCols = Seq(idCol))
+      .filter(col("_cum") <= budget)
+      .select(col(idCol), col("n_tokens"), col("_cum").as("cum_tokens"))
+  }
+
+  /** Disjoint train/validation/test assignment: each row gets a `split`
+    * label, decided only by `md5(key || '|' || salt)` against the
+    * cumulative-fraction boundaries — the same engine-portable hash rule
+    * as [[Sampling]] (see its scaladoc for determinism and granularity),
+    * so the partition is stable across engines, partitionings and
+    * reruns, and any SQL oracle re-derives it. Pure map-side projection:
+    * no shuffle, fuses into the scan at any scale. Fractions must sum to
+    * 1 (the last split absorbs the 1/65536-granularity remainder);
+    * null-key rows are excluded per the Sampling null policy.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "splitAssign: need at least one split")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitAssign: duplicate split names in ${splits.map(_._1)}")
+    splits.foreach { case (name, f) =>
+      require(f > 0.0 && f <= 1.0, s"split '$name' fraction $f not in (0, 1]") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"splitAssign: fractions sum to $total, expected 1.0")
+    val hex = Sampling.hexOf(col(keyCol), salt)
+    // Boundaries at cumulative fractions; the final split is the
+    // otherwise-branch, so every hash value lands somewhere.
+    val bounds = splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+      .tail.map(c => f"${math.floor(c * 65536).toInt}%04x")
+    val assigned = splits.init.zip(bounds)
+      .foldLeft(when(lit(false), lit(""))) {
+        case (acc, ((name, _), b)) => acc.when(hex < lit(b), name)
+      }.otherwise(splits.last._1)
+    df.filter(col(keyCol).isNotNull).withColumn("split", assigned)
+  }
 }

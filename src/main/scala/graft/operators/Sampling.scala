@@ -40,7 +40,7 @@ object Sampling {
     else Some(f"${math.floor(fraction * 65536).toInt}%04x")
   }
 
-  private def hexOf(key: Column, salt: String): Column =
+  private[operators] def hexOf(key: Column, salt: String): Column =
     substring(md5(concat(key.cast("string"), lit("|"), lit(salt))), 1, 4)
 
   /** Bernoulli sample: keeps ~`fraction` of rows, chosen by key hash.

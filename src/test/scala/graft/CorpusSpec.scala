@@ -74,4 +74,73 @@ class CorpusSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("selectToBudget: greedy prefix keeps order, drops overflow tail") {
+    import spark.implicits._
+    // Priority order (prio, id): (0,1)=4 tok, (0,3)=3 tok, (1,2)=5 tok,
+    // (2,4)=1 tok. Budget 9: keeps docs 1,3 (cum 4,7); doc 2 overflows
+    // (cum 12) and doc 4 (cum 13) stays dropped even though its 1 token
+    // alone would fit — greedy-prefix, not knapsack.
+    val docs = Seq(
+      (1L, 0, "a b c d"), (2L, 1, "e f g h i"),
+      (3L, 0, "j k l"), (4L, 2, "m")
+    ).toDF("doc_id", "prio", "text")
+    val got = Corpus.selectToBudget(docs, "doc_id", "text", 9L, "prio")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 4L, 4L), (3L, 3L, 7L)))
+  }
+
+  test("splitAssign: disjoint total cover, null policy, validation") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "nullkey"))
+        .toDF("doc_id", "text"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Corpus.splitAssign(df, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // Every non-null key labeled exactly once; null key excluded.
+    assert(got.length == 200 && got.map(_._1).distinct.length == 200)
+    val byName = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    // Same rule as the Sampling scaladoc: first 4 md5 hex digits of
+    // "key|" against the cumulative boundaries.
+    got.foreach { case (id, name) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      val expect = if (h < "cccc") "train" else if (h < "e666") "val" else "test"
+      assert(name == expect, s"doc $id: $name vs $expect (h=$h)")
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(df, "doc_id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+  }
+
+  test("decontaminate: optimized plan splits each text exactly once") {
+    import spark.implicits._
+    // The gram lambda is interpreted (HOFs skip codegen and subexpression
+    // elimination), so if Catalyst ever collapses the pre-projected split
+    // back into the lambda body, the split re-runs for every element_at of
+    // every gram — a measured 30x slowdown. Pin one StringSplit per side.
+    // A LocalRelation fixture would be constant-folded (split evaluated at
+    // planning time, zero StringSplit left to count) — use a parquet scan.
+    val dir = java.nio.file.Files.createTempDirectory("corpus_plan").toString
+    Seq((1L, "a b c d e f"), (2L, "x y z w v u"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val plan = Corpus.decontaminate(docs, "doc_id", "text",
+        docs.limit(1), "text", 4)
+      .queryExecution.optimizedPlan
+    var splits = 0
+    plan.foreach(_.expressions.foreach(_.foreach { e =>
+      if (e.getClass.getSimpleName == "StringSplit") splits += 1
+    }))
+    assert(splits == 2, s"expected 2 StringSplit (doc + bench side), got $splits")
+  }
 }
