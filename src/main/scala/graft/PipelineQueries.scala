@@ -374,6 +374,32 @@ object PipelineQueries {
         .orderBy("grp", "pos")
     },
 
+    // Symmetric int8 quantization of the embedding corpus (scale =
+    // max|v|/127, round-half-up) — every quantized element, the scale,
+    // and the max reconstruction error re-derived elementwise by DuckDB
+    // from the same order-fixed double arithmetic. Quantized vectors are
+    // CSV-serialized in the final select (array columns break the
+    // comparator sort).
+    dfq("q_embed_quantize",
+      "WITH s AS (SELECT vec_id, embedding, " +
+        "    greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) / 127 AS sc " +
+        "  FROM embeddings), " +
+        "q AS (SELECT vec_id, sc, embedding, " +
+        "    [CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT) FOR x IN embedding] AS qv " +
+        "  FROM s) " +
+        "SELECT vec_id, round(sc, 9) AS scale_r, " +
+        "  array_to_string([CAST(e AS VARCHAR) FOR e IN qv], ',') AS q_csv, " +
+        "  round(list_max([abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE) " +
+        "      - qv[CAST(i AS INT)] * sc) FOR i IN range(1, len(qv) + 1)]), 9) AS err_r " +
+        "FROM q ORDER BY vec_id") { (s, dir) =>
+      Similarity.quantizeInt8(Tables.load(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), round(col("q_scale"), 9).as("scale_r"),
+          concat_ws(",", transform(col("q_vec"), q => q.cast("string")))
+            .as("q_csv"),
+          round(col("q_err"), 9).as("err_r"))
+        .orderBy("vec_id")
+    },
+
     // Persisted-IVF lifecycle: build the partitioned inverted-list index
     // ONCE per (session, data dir) — the index's whole point — then query
     // it with partition-pruned scans (IvfIndexSpec asserts indexed ≡ live
@@ -557,6 +583,60 @@ object PipelineQueries {
           concat_ws(",", transform(array_distinct(toks), w => xxhash64(w).cast("string"))))
         .select("doc_id", "term_hashes_csv", "distinct_hashes_csv",
           "fp_rolling", "fp_set")
+        .orderBy("doc_id")
+    },
+
+    // PII scrubbing (emails, IPv4, phone numbers). The base corpus is
+    // PII-free word salad, so deterministic synthetic PII is appended per
+    // doc — redaction then has real work to do on every row. DuckDB
+    // builds the identical string, counts with the same RE2-compatible
+    // patterns, and replays the 3-step replace chain to the same md5.
+    dfq("q_pii_redact",
+      "WITH pii AS (SELECT doc_id, text || ' reach user' || CAST(doc_id AS VARCHAR) " +
+        "  || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.org from 10.' " +
+        "  || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) " +
+        "  || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t " +
+        "  FROM documents) " +
+        "SELECT doc_id, " +
+        "  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+        "  CAST(len(regexp_extract_all(t, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ipv4, " +
+        "  CAST(len(regexp_extract_all(t, '\\+\\d{1,3}[- ]\\d{3}-\\d{4}')) AS BIGINT) AS n_phone, " +
+        "  md5(regexp_replace(regexp_replace(regexp_replace(t, " +
+        "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "    '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'), " +
+        "    '\\+\\d{1,3}[- ]\\d{3}-\\d{4}', '<PHONE>', 'g')) AS red_md5 " +
+        "FROM pii ORDER BY doc_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val withPii = docs.withColumn("_pii_text", concat(
+        col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".org from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250 + 1).cast("string"), lit(" call +1 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      TextAnalysis.withPiiRedacted(withPii, "_pii_text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-self-trained unigram surprisal (the cheap perplexity-filter
+    // proxy): bits/token under the corpus's own unigram distribution.
+    // Per-token surprisal is 6-dp-rounded DECIMAL before the document
+    // sum, so the aggregate is exact and partition-order-free in both
+    // engines; only the final mean divides in double.
+    dfq("q_lm_score",
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
+        "  FROM documents), " +
+        "vocab AS (SELECT tok, count(*) AS n_w FROM toks GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS n_total FROM toks), " +
+        "sc AS (SELECT doc_id, CAST(round(-log2(CAST(n_w AS DOUBLE) / n_total), 6) " +
+        "    AS DECIMAL(18,6)) AS s " +
+        "  FROM toks JOIN vocab USING (tok) CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bits_per_token " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
+      TextAnalysis.withUnigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
   )

@@ -387,4 +387,32 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth step
+    * before an embedding corpus is indexed at scale (4× smaller than
+    * float32; distance kernels read int8 directly). scale = max|v|/127,
+    * q[i] = round-half-up(v[i]/scale), so q spans the full [-127, 127]
+    * range with no clamp needed (|v[i]| ≤ max|v| by construction; the
+    * 1e-30 floor only guards the all-zero vector, which quantizes to
+    * zeros). Adds `q_scale`, `q_vec`, and `q_err` = max|v[i] −
+    * q[i]·scale| ≤ scale/2, the per-vector reconstruction bound.
+    *
+    * Pure elementwise expressions — no shuffle, no reduction across
+    * rows; every float op is order-fixed (max over an array, per-element
+    * divide, floor), so results are bit-identical on any engine with
+    * IEEE doubles — which is what lets a SQL oracle re-derive every
+    * element. round-half-up via floor(x + 0.5), not round(): banker's
+    * vs half-away rounding differs across engines on exact .5.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    df.withColumn("q_scale", greatest(maxAbs, lit(1e-30)) / 127d)
+      .withColumn("q_vec",
+        transform(v, x =>
+          floor(x.cast("double") / col("q_scale") + 0.5).cast("int")))
+      .withColumn("q_err",
+        array_max(zip_with(v, col("q_vec"),
+          (x, q) => abs(x.cast("double") - q.cast("double") * col("q_scale")))))
+  }
 }

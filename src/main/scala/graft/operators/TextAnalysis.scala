@@ -336,4 +336,74 @@ object TextAnalysis {
         aggregate(transform(array_sort(array_distinct(toks)), w => xxhash64(w)),
           lit(0L), (acc, h) => acc.bitwiseXOR(h)))
   }
+
+  /** PII patterns, RE2-compatible (no lookaround, no backreferences) so
+    * the exact same pattern text runs under Java regex (Spark) and RE2
+    * (DuckDB, and most scale-out scrubbing stacks). Order matters:
+    * redaction applies email → IPv4 → phone, each over the previous
+    * step's output, so a match consumed by an earlier rule can't
+    * re-match a later one.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"),
+    ("phone", "\\+\\d{1,3}[- ]\\d{3}-\\d{4}", "<PHONE>"))
+
+  /** PII scrubbing — the compliance pass every training-data pipeline
+    * runs before anything else sees the text. Adds `n_<kind>` match
+    * counts (over the original text) and `redacted` (placeholders
+    * substituted, rules applied in [[piiPatterns]] order). Pure
+    * regexp_replace / regexp_extract_all expression chain: codegen'd,
+    * no shuffle, fuses into the scan at any corpus size.
+    */
+  def withPiiRedacted(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+    }
+    counted.withColumn("redacted",
+      piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+        regexp_replace(c, pat, tag)
+      })
+  }
+
+  /** Corpus-self-trained unigram LM surprisal — the cheap stand-in for
+    * the CCNet/Gopher perplexity filter: documents whose tokens are
+    * globally rare score high bits-per-token and get routed to a
+    * quality review. Two shuffles total: one groupBy over DISTINCT
+    * tokens (vocab), one groupBy over doc ids; the token→probability
+    * join broadcasts when `maxVocab` bounds the vocabulary (the 100 TB
+    * shape — out-of-vocab tokens fall back to count 1, i.e. the rarest
+    * observable probability, so the bound changes scores only for the
+    * tail the filter would flag anyway).
+    *
+    * Cross-engine determinism: each token's surprisal is rounded to
+    * 6 dp and cast to DECIMAL(18,6) BEFORE the per-document sum —
+    * decimal addition is exact and order-independent, so the aggregate
+    * cannot drift with partitioning (double sums can, by an ulp per
+    * reorder). The only float op left is log2 of a ratio of two exact
+    * integers, identical on both engines' libm for these magnitudes.
+    */
+  def withUnigramSurprisal(df: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocabAll = toks.groupBy("tok").agg(count(lit(1)).as("n_w"))
+    val vocab =
+      if (maxVocab > 0)
+        broadcast(vocabAll.orderBy(col("n_w").desc, col("tok")).limit(maxVocab))
+      else vocabAll
+    val total = vocabAll.agg(sum("n_w").as("n_total")) // 1 row — broadcast join
+    toks.join(vocab, Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("_s",
+        round(-log2(coalesce(col("n_w"), lit(1L)).cast("double") /
+          col("n_total").cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("_s").as("_sum"))
+      // Divide in DOUBLE, not decimal — Spark's decimal-division result
+      // scale differs from DuckDB's; the sum itself stays exact decimal.
+      .select(col(idCol), col("n_tokens"),
+        round(col("_sum").cast("double") / col("n_tokens"), 6)
+          .as("bits_per_token"))
+  }
 }

@@ -194,4 +194,26 @@ class SimilaritySpec extends AnyFunSuite {
         s"frame ($id,$f): engine ${got((id, f))} != jvm $md")
     }
   }
+
+  test("int8 quantization: full-range codes, error bound, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-127.0f, 127.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "embedding").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getSeq[Int](3), r.getDouble(4)))).toMap
+    val (s1, q1, e1) = out(1L)
+    assert(s1 == 2.0 / 127)
+    // 1.0/scale = 63.5 → round-half-up 64; -2.0 → -127; 0.5 → 32.
+    assert(q1 == Seq(64, -127, 32))
+    assert(e1 <= s1 / 2 + 1e-15, s"err $e1 exceeds scale/2 ${s1 / 2}")
+    val (_, q2, e2) = out(2L)
+    assert(q2 == Seq(0, 0, 0) && e2 == 0.0)
+    val (s3, q3, e3) = out(3L)
+    assert(s3 == 1.0 && q3 == Seq(-127, 127) && e3 == 0.0)
+    out.values.foreach { case (_, q, _) =>
+      assert(q.forall(c => c >= -127 && c <= 127)) }
+  }
 }

@@ -244,4 +244,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1L)._1 != out(3L)._1, "rolling fp is order-sensitive")
     assert(out(1L)._2 == out(3L)._2, "set fp is order-free")
   }
+
+  test("pii redaction: planted email/ip/phone hit, clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to jane.doe+x@corp.example.co from 192.168.0.1 or call +44 123-4567 today"),
+      (2L, "no pii here 1.2.3 not an ip 12345"),
+      (3L, "a@b.io c@d.org 10.0.0.1 8.8.8.8")).toDF("doc_id", "text")
+    val out = TextAnalysis.withPiiRedacted(df, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((1L, 1L, 1L)))
+    assert(out(1L)._2 ==
+      "write to <EMAIL> from <IP> or call <PHONE> today")
+    assert(out(2L)._1 == ((0L, 0L, 0L)))
+    assert(out(2L)._2 == "no pii here 1.2.3 not an ip 12345")
+    assert(out(3L)._1 == ((2L, 2L, 0L)))
+    assert(out(3L)._2 == "<EMAIL> <EMAIL> <IP> <IP>")
+  }
+
+  test("unigram surprisal: corpus-frequency bits/token; maxVocab OOV fallback") {
+    import spark.implicits._
+    // Counts: a:2, b:2, c:2, N=6 → common tokens cost log2(3) bits,
+    // OOV fallback (count 1) costs log2(6).
+    val df = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2_3 = r6(math.log(3.0) / math.log(2.0))
+    val log2_6 = r6(math.log(6.0) / math.log(2.0))
+    val full = TextAnalysis.withUnigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(full(1L) == ((3L, r6(3 * log2_3 / 3))))
+    assert(full(2L) == ((3L, r6(3 * log2_3 / 3))))
+    // maxVocab=2 keeps {a, b} (count desc, token asc); c becomes OOV.
+    val bounded = TextAnalysis.withUnigramSurprisal(df, "doc_id", "text",
+        maxVocab = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(bounded(1L) == ((3L, r6(3 * log2_3 / 3))))
+    assert(bounded(2L) == ((3L, r6((log2_3 + 2 * log2_6) / 3))))
+  }
 }
