@@ -313,4 +313,31 @@ class PlanAuditSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(keys == expectedKeys)
   }
+
+  test("pii redaction and int8 quantization are shuffle-free scan-fused maps") {
+    val docs = Tables.load(spark, dir, "documents")
+    val pii = graft.operators.TextAnalysis.withPiiRedacted(docs, "text")
+    pii.collect()
+    val piiPlan = pii.queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"),
+      s"pii redaction must not shuffle:\n$piiPlan")
+    val emb = Tables.load(spark, dir, "embeddings")
+    val qz = graft.operators.Similarity.quantizeInt8(emb, "embedding")
+    qz.collect()
+    val qzPlan = qz.queryExecution.executedPlan.toString
+    assert(!qzPlan.contains("Exchange"),
+      s"quantization must not shuffle:\n$qzPlan")
+  }
+
+  test("bounded-vocab surprisal broadcasts the vocab (the 100 TB join shape)") {
+    val docs = Tables.load(spark, dir, "documents")
+    val scored = graft.operators.TextAnalysis.withUnigramSurprisal(
+      docs, "doc_id", "text", maxVocab = 1000)
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token→prob join must broadcast the bounded vocab:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sort-merge token join would shuffle the whole exploded corpus:\n$plan")
+  }
 }
