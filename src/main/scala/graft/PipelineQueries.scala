@@ -732,6 +732,55 @@ object PipelineQueries {
         .select("doc_id", "split")
         .orderBy("doc_id")
     },
+
+    // The composed curation flagship: language + quality gate → exact
+    // dedup (keep lowest doc_id per normalized text) → unigram-surprisal
+    // gate (LM trained on the FULL corpus, applied to survivors) →
+    // train/val/test split → per-split doc/token totals. Every stage is
+    // an operator with its own green entry; this row proves they compose
+    // — DuckDB replays the whole five-stage pipeline end-to-end.
+    dfq("q_curation_e2e",
+      "WITH toks AS (SELECT doc_id, text, lang, " +
+        "    string_split_regex(lower(text), '\\s+') AS t FROM documents), " +
+        "qual AS (SELECT doc_id, text, lang, round(" +
+        "    (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\\p{N}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * least(CAST(len(list_intersect(list_distinct(t), ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / greatest(len(t), 1) * 5 + 0.5, 1.0)" +
+        "    * least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0), 6) AS quality " +
+        "  FROM toks), " +
+        "kept1 AS (SELECT doc_id, text FROM qual WHERE lang = 'en' AND quality >= 0.45), " +
+        "dedup AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY lower(trim(text))), " +
+        "ftoks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
+        "vocab AS (SELECT tok, count(*) AS n_w FROM ftoks GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS n_total FROM ftoks), " +
+        "sc AS (SELECT doc_id, CAST(round(-log2(CAST(n_w AS DOUBLE) / n_total), 6) " +
+        "    AS DECIMAL(18,6)) AS s FROM ftoks JOIN vocab USING (tok) CROSS JOIN tot), " +
+        "lm AS (SELECT doc_id, count(*) AS n_tokens, " +
+        "    round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bpt FROM sc GROUP BY doc_id), " +
+        "kept2 AS (SELECT d.doc_id, lm.n_tokens FROM dedup d JOIN lm ON d.doc_id = lm.doc_id " +
+        "  WHERE lm.bpt <= 4.91), " +
+        "labeled AS (SELECT doc_id, n_tokens, " +
+        "    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) < 'cccc' THEN 'train' " +
+        "      WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) < 'e666' THEN 'val' " +
+        "      ELSE 'test' END AS split FROM kept2) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "  CAST(sum(n_tokens) AS BIGINT) AS n_toks " +
+        "FROM labeled GROUP BY split ORDER BY split") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val kept1 = TextAnalysis.withQualityScore(docs, "text")
+        .filter(col("lang") === "en" && col("quality") >= 0.45)
+      val dedup = kept1.groupBy(lower(trim(col("text"))))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val lm = TextAnalysis.withUnigramSurprisal(docs, "doc_id", "text")
+      val kept2 = dedup.join(lm, "doc_id")
+        .filter(col("bits_per_token") <= 4.91)
+      graft.operators.Corpus.splitAssign(kept2, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_toks"))
+        .orderBy("split")
+    },
   )
 
   private val multimodal: Seq[Entry] = Seq(
