@@ -93,6 +93,7 @@ object Bench {
       "q_dedup_components", "q_ann_exact", "q_ann_lsh", "q_ann_ivf",
       "q_ann_ivf_indexed", "q_ann_neardup",
       "q_asof_join", "q_range_join", "q_lang_id", "q_text_pipeline",
+      "q_lm_score", "q_curation_e2e",
       "q_events_window", "q_job_corpus")
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Either[String, Double]]
     val warmTimings = scala.collection.mutable.LinkedHashMap.empty[String, Double]

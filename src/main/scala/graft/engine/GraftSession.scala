@@ -143,6 +143,33 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
       attributionSec: Long = 3600): DataFrame =
     graft.streaming.EventStream.attributionJoin(impressions, clicks, attributionSec)
 
+  /** Documents with PII match counts and a `redacted` text column —
+    * see [[TextAnalysis.withPiiRedacted]].
+    */
+  def piiRedactedDocuments(): DataFrame =
+    TextAnalysis.withPiiRedacted(table("documents"), "text")
+
+  /** Per-document unigram-LM bits/token (perplexity-filter proxy);
+    * `maxVocab > 0` is the bounded-vocabulary broadcast path — see
+    * [[TextAnalysis.withUnigramSurprisal]].
+    */
+  def surprisalScores(maxVocab: Int = 0): DataFrame =
+    TextAnalysis.withUnigramSurprisal(table("documents"), "doc_id", "text",
+      maxVocab)
+
+  /** Embeddings with int8 codes, per-vector scale and reconstruction
+    * bound — see [[Similarity.quantizeInt8]].
+    */
+  def quantizedEmbeddings(): DataFrame =
+    Similarity.quantizeInt8(table("embeddings"), "embedding")
+
+  /** Deterministic disjoint split labels over `documents` — see
+    * [[graft.operators.Corpus.splitAssign]].
+    */
+  def trainSplit(splits: Seq[(String, Double)] =
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
+    graft.operators.Corpus.splitAssign(table("documents"), "doc_id", splits)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

@@ -46,6 +46,19 @@ class GraftSessionSpec extends AnyFunSuite {
     gs.annAppend(Seq((100000L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding"), idx)
     assert(spark.read.parquet(s"$idx/lists")
       .filter($"neighbor_id" === 100000L).count() == 1)
+    // r10 conveniences: PII scrub, surprisal scores, int8 quantization,
+    // deterministic split — shapes + key invariants.
+    val pii = gs.piiRedactedDocuments()
+    assert(pii.columns.contains("redacted") && pii.count() == 500)
+    val lm = gs.surprisalScores(maxVocab = 500)
+    assert(lm.columns.toSeq == Seq("doc_id", "n_tokens", "bits_per_token")
+      && lm.count() == 500)
+    val qz = gs.quantizedEmbeddings().select("q_vec").head().getSeq[Int](0)
+    assert(qz.forall(c => c >= -127 && c <= 127))
+    val split = gs.trainSplit().groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.keySet == Set("train", "val", "test")
+      && split.values.sum == 500)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }
