@@ -639,6 +639,52 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     },
+
+    // Bigram conditional surprisal (−log2 P(w|prev), corpus-trained) —
+    // the conditional-LM step beyond q_lm_score. DuckDB rebuilds the
+    // bigram table with aligned parallel unnests and re-derives every
+    // document's bits/bigram through the same DECIMAL-exact sum.
+    dfq("q_lm_bigram",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+        "  FROM documents), " +
+        "bg AS (SELECT doc_id, " +
+        "    unnest([t[CAST(i - 1 AS INT)] FOR i IN range(2, len(t) + 1)]) AS prev, " +
+        "    unnest([t[CAST(i AS INT)] FOR i IN range(2, len(t) + 1)]) AS tok " +
+        "  FROM toks WHERE len(t) >= 2), " +
+        "cb AS (SELECT prev, tok, count(*) AS n_pair FROM bg GROUP BY prev, tok), " +
+        "cp AS (SELECT prev, count(*) AS n_prev FROM bg GROUP BY prev), " +
+        "sc AS (SELECT doc_id, CAST(round(-log2(CAST(n_pair AS DOUBLE) / n_prev), 6) " +
+        "    AS DECIMAL(18,6)) AS s FROM bg JOIN cb USING (prev, tok) JOIN cp USING (prev)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bits_per_bigram " +
+        "FROM sc GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
+      TextAnalysis.withBigramSurprisal(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Per-document top-3 TF-IDF keywords. The (score desc, term asc)
+    // ranking happens on EXACT decimal scores — tf · 6-dp-decimal idf —
+    // so the cut cannot differ across engines; DuckDB re-derives every
+    // (rank, term, score) triple.
+    dfq("q_tfidf_topk",
+      "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term " +
+        "  FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
+        "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, " +
+        "    tf * CAST(round(log2(CAST(n_docs AS DOUBLE) / df_t), 6) AS DECIMAL(18,6)) AS score " +
+        "  FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
+        "ranked AS (SELECT doc_id, term, score, " +
+        "    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk " +
+        "  FROM scored) " +
+        "SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, CAST(score AS DOUBLE) AS score " +
+        "FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank") { (s, dir) =>
+      TextAnalysis.withTfIdfTopK(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
   )
 
   private val corpus: Seq[Entry] = Seq(

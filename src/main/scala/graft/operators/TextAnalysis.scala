@@ -406,4 +406,66 @@ object TextAnalysis {
         round(col("_sum").cast("double") / col("n_tokens"), 6)
           .as("bits_per_token"))
   }
+
+  /** Bigram conditional surprisal — one step closer to the real
+    * perplexity filter than [[withUnigramSurprisal]]: each adjacent
+    * token pair costs −log2 P(w | prev) = −log2(c(prev,w) / c(prev)),
+    * with both counts trained on this corpus's own bigram table.
+    * Bigram extraction is SHUFFLE-FREE (slice + arrays_zip + explode —
+    * no per-document window, no lag): documents shorter than two
+    * tokens produce no bigrams and drop out. Same cross-engine
+    * determinism contract as the unigram scorer: per-bigram surprisal
+    * is 6-dp DECIMAL before the exact order-free document sum.
+    */
+  def withBigramSurprisal(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val bg = df.select(col(idCol),
+        explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
+          .as("_p"))
+      .select(col(idCol), col("_p.0").as("prev"), col("_p.1").as("tok"))
+    val pairCounts = bg.groupBy("prev", "tok").agg(count(lit(1)).as("n_pair"))
+    val prevCounts = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
+    bg.join(pairCounts, Seq("prev", "tok"))
+      .join(prevCounts, Seq("prev"))
+      .withColumn("_s",
+        round(-log2(col("n_pair").cast("double") /
+          col("n_prev").cast("double")), 6).cast("decimal(18,6)"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("_s").as("_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("_sum").cast("double") / col("n_bigrams"), 6)
+          .as("bits_per_bigram"))
+  }
+
+  /** Per-document top-`k` TF-IDF keywords: score = tf · idf with
+    * idf = log2(N / df) over this corpus (N = document count, df =
+    * documents containing the term). idf is 6-dp DECIMAL, so tf·idf is
+    * exact decimal arithmetic and the (score desc, term asc) ranking is
+    * engine-independent — no float comparison anywhere near the cut.
+    * Two aggregations (doc-term tf, term df) + one per-document window
+    * partitioned by `idCol`; the df table broadcasts when the
+    * vocabulary is bounded, and N rides a 1-row broadcast.
+    */
+  def withTfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"withTfIdfTopK: k must be positive, got $k")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs")) // 1 row
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf",
+        round(log2(col("n_docs").cast("double") / col("df_t")), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        col("score").cast("double").as("score"))
+  }
 }

@@ -285,4 +285,38 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bounded(1L) == ((3L, r6(3 * log2_3 / 3))))
     assert(bounded(2L) == ((3L, r6((log2_3 + 2 * log2_6) / 3))))
   }
+
+  test("bigram surprisal: conditional bits; sub-2-token docs drop out") {
+    import spark.implicits._
+    // Bigrams: doc1 (a,b)(b,a)(a,c), doc2 (c,a); prev counts a:2 b:1 c:1
+    // → P(b|a)=P(c|a)=1/2 cost 1 bit, P(a|b)=P(a|c)=1 cost 0.
+    val df = Seq((1L, "a b a c"), (2L, "c a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withBigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L), "single-token doc must drop out")
+    assert(out(1L) == ((3L, 0.666667)))
+    assert(out(2L) == ((1L, 0.0)))
+  }
+
+  test("tf-idf top-k: exact-decimal ranking with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z w"))
+      .toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2_3 = r6(math.log(3.0) / math.log(2.0))   // idf of df=1 terms
+    val log2_15 = r6(math.log(1.5) / math.log(2.0))  // idf of df=2 terms
+    val out = TextAnalysis.withTfIdfTopK(df, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    assert(out((1L, 1L)) == (("x", 2 * log2_3)))
+    assert(out((1L, 2L)) == (("y", log2_15)))
+    // doc2: y and z tie exactly (same tf, same df) → term asc breaks it.
+    assert(out((2L, 1L)) == (("y", log2_15)))
+    assert(out((2L, 2L)) == (("z", log2_15)))
+    assert(out((3L, 1L)) == (("z", 3 * log2_15)))
+    assert(out((3L, 2L)) == (("w", log2_3)))
+  }
 }
