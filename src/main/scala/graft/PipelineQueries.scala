@@ -64,6 +64,29 @@ object PipelineQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     },
 
+    // Incremental-ingestion near-dup check: a "new batch" (doc_id ≥ 400)
+    // against the "existing corpus" (doc_id < 400) — the daily-crawl
+    // shape where per-day cost scales with the batch, never a corpus
+    // self-join. Green proves the asymmetric banding missed no
+    // qualifying cross pair: DuckDB brute-forces ALL old×new Jaccards.
+    dfq("q_dedup_incremental",
+      "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks), " +
+        "oc AS (SELECT * FROM sh WHERE doc_id < 400), " +
+        "nb AS (SELECT * FROM sh WHERE doc_id >= 400) " +
+        "SELECT nb.doc_id AS batch_id, oc.doc_id AS corpus_id, " +
+        "  round(CAST(len(list_intersect(nb.g, oc.g)) AS DOUBLE) / len(list_distinct(nb.g || oc.g)), 6) AS jaccard " +
+        "FROM nb JOIN oc ON CAST(len(list_intersect(nb.g, oc.g)) AS DOUBLE) " +
+        "  / len(list_distinct(nb.g || oc.g)) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      TextDedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    },
+
     // Per-document 64-bit SimHash signatures. Partial-soundness oracle:
     // no SQL engine ships xxhash64, so the TOKEN HASHES are emitted
     // alongside the signature (their correctness is pinned by the

@@ -189,6 +189,49 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental-ingestion near-dup check: which documents of a NEW
+    * `batch` near-duplicate something already in `corpus`? The
+    * daily-crawl shape — the corpus is never self-joined (its band
+    * relation is an artifact a real deployment materializes once and
+    * appends to), only batch buckets meet corpus buckets, so per-day
+    * cost scales with the batch, not the corpus. Returns
+    * (batch_id, corpus_id, jaccard) with exact shingle-Jaccard ≥
+    * `threshold`, verified on candidates only. The skew guard drops
+    * oversized CORPUS buckets (boilerplate); batch buckets are bounded
+    * by the batch size.
+    */
+  def minhashNearDupsAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val shC = shingleDF(corpus, idCol, textCol, shingleK)
+    val shB = shingleDF(batch, idCol, textCol, shingleK)
+    val bandedC = bandsOf(shC, idCol, numHashes, bands)
+    val bandedB = bandsOf(shB, idCol, numHashes, bands)
+    val oversized = bandedC.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_hash")
+    val boundedC = bandedC.join(broadcast(oversized),
+      Seq("band", "band_hash"), "left_anti")
+    val candidates = boundedC
+      .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
+      .join(bandedB.select(col("band"), col("band_hash"),
+        col(idCol).as("batch_id")), Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id").distinct()
+    candidates
+      .join(shB.withColumnsRenamed(Map(idCol -> "batch_id", "sh" -> "sh_b")),
+        "batch_id")
+      .join(shC.withColumnsRenamed(Map(idCol -> "corpus_id", "sh" -> "sh_c")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace terms: bit j of the signature is the
     * sign of Σ_terms (±1 depending on bit j of xxhash64(term)). Compiled
     * kernel ([[graft.functions.TextHashKernel.simhash]]); bit-identical to

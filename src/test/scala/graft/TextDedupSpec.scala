@@ -286,6 +286,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(bounded(2L) == ((3L, r6((log2_3 + 2 * log2_6) / 3))))
   }
 
+  test("incremental near-dup: cross pairs only, batch-internal dups ignored") {
+    import spark.implicits._
+    val base = corpus()  // docs 1..60: (1,2) near-dup, (3,4) identical
+    val old = base.filter($"doc_id" <= 2 || $"doc_id" >= 5)
+    val batchDocs = base.filter($"doc_id" === 3 || $"doc_id" === 4)
+      // doc 61: near-dup of corpus doc 1 (one word changed).
+      .union(Seq((61L, base.filter($"doc_id" === 1).head().getString(1)
+        .replaceFirst("\\w+", "changed"))).toDF("doc_id", "text"))
+    val got = TextDedup.minhashNearDupsAgainst(old, batchDocs,
+        "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((61L, 1L)), s"planted cross near-dup missed: $got")
+    // 3 and 4 are identical but BOTH in the batch → never reported.
+    assert(!got.exists(p => p._1 == 3L || p._1 == 4L),
+      s"batch-internal pair leaked into cross results: $got")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("bigram surprisal: conditional bits; sub-2-token docs drop out") {
     import spark.implicits._
     // Bigrams: doc1 (a,b)(b,a)(a,c), doc2 (c,a); prev counts a:2 b:1 c:1
