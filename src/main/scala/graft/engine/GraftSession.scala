@@ -170,6 +170,27 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame =
     graft.operators.Corpus.splitAssign(table("documents"), "doc_id", splits)
 
+  /** Per-document top-k TF-IDF keywords — see
+    * [[TextAnalysis.withTfIdfTopK]].
+    */
+  def tfIdfKeywords(k: Int = 3): DataFrame =
+    TextAnalysis.withTfIdfTopK(table("documents"), "doc_id", "text", k)
+
+  /** Which documents of `batch` near-duplicate something already in
+    * `documents`? The incremental-ingestion check — see
+    * [[TextDedup.minhashNearDupsAgainst]].
+    */
+  def dedupAgainstCorpus(batch: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    TextDedup.minhashNearDupsAgainst(table("documents"), batch,
+      "doc_id", "text", threshold)
+
+  /** Stateless streaming curation gate (PII scrub + quality filter) —
+    * see [[graft.streaming.EventStream.curateStream]].
+    */
+  def curateDocStream(docs: DataFrame, minQuality: Double = 0.3): DataFrame =
+    graft.streaming.EventStream.curateStream(docs, "text", minQuality)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

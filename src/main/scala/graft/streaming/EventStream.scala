@@ -104,6 +104,23 @@ object EventStream {
         col("_text").as(textCol))
   }
 
+  /** Stateless streaming curation gate: PII-scrub then quality-score the
+    * incoming document stream and keep rows at or above `minQuality` —
+    * pure projections (no state, no shuffle, no watermark needed), so
+    * the SAME batch operators serve the stream unchanged and the gate
+    * composes ahead of [[dedupNearStream]] in an ingest pipeline. The
+    * quality score is computed on the REDACTED text: PII placeholders,
+    * not the PII, participate in the punct/token statistics — the same
+    * order a batch curation pass uses.
+    */
+  def curateStream(docs: DataFrame, textCol: String,
+      minQuality: Double = 0.3): DataFrame = {
+    val scrubbed = graft.operators.TextAnalysis
+      .withPiiRedacted(docs, textCol)
+    graft.operators.TextAnalysis.withQualityScore(scrubbed, "redacted")
+      .filter(col("quality") >= minQuality)
+  }
+
   /** Batch-equivalence helper: LITERALLY the same transform —
     * `withWatermark` is a no-op on batch DataFrames, so one definition
     * serves both engines and cannot drift.

@@ -108,6 +108,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming curation gate: PII scrubbed, junk dropped, batch-identical") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val good = "the quick brown fox jumps over the lazy dog near a mossy " +
+      "bridge every morning for fun and reach me at jane@corp.example.com today"
+    val junk = "!!! ??? ### $$$ %%% &&& *** ((( ))) @@@ ^^^ ~~~ ||| +++ ==="
+    val query = EventStream.curateStream(docs, "text")
+      .select("doc_id", "redacted", "quality")
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1, 5), good), (2L, ts(1, 10), junk))
+      query.processAllAvailable()
+      val rows = spark.table("curate_out").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(rows.keySet == Set(1L), s"junk doc must be gated out: $rows")
+      assert(rows(1L)._1.contains("<EMAIL>") && !rows(1L)._1.contains("@corp"),
+        s"streamed text must be redacted: ${rows(1L)._1}")
+      // Batch equivalence: the SAME operator call on a batch frame.
+      val batch = EventStream.curateStream(
+          Seq((1L, ts(1, 5), good), (2L, ts(1, 10), junk))
+            .toDF("doc_id", "ts", "text"), "text")
+        .select("doc_id", "redacted", "quality").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      assert(batch == rows, "stream and batch curation must agree")
+    } finally query.stop()
+  }
+
   test("streaming dedup: redelivered ids emit once; state is watermark-bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
