@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count invariance: the r10 scoring operators claim their
+  * float aggregations cannot drift with physical partitioning (per-item
+  * 6-dp DECIMAL before every sum — decimal addition is exact and
+  * order-free). A double-sum formulation would violate these asserts by
+  * an ulp on some partitioning, which is exactly the drift that flips a
+  * 6-dp round on a filter boundary at 100 TB. Pinned here bit-for-bit
+  * across 1, 7, and 32 partitions.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(n: Int = 200): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "the", "a", "of", "and", "to")
+    (1L to n.toLong).map(i =>
+      i -> Seq.fill(30)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      .toDF("doc_id", "text")
+  }
+
+  private def embeddings(n: Int = 100): DataFrame = {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1L to n.toLong).map(i =>
+      i -> Seq.fill(16)(rng.nextFloat() * 2 - 1)).toDF("vec_id", "embedding")
+  }
+
+  private def pinned(mk: DataFrame => DataFrame, base: DataFrame): Unit = {
+    val expected = mk(base.repartition(1)).collect().map(_.toString).sorted
+    for (p <- Seq(7, 32)) {
+      val got = mk(base.repartition(p)).collect().map(_.toString).sorted
+      assert(got.sameElements(expected),
+        s"result drifted between 1 and $p partitions")
+    }
+  }
+
+  test("unigram surprisal is bit-identical across partitionings") {
+    pinned(TextAnalysis.withUnigramSurprisal(_, "doc_id", "text"), docs())
+  }
+
+  test("bigram surprisal is bit-identical across partitionings") {
+    pinned(TextAnalysis.withBigramSurprisal(_, "doc_id", "text"), docs())
+  }
+
+  test("tf-idf top-k is bit-identical across partitionings") {
+    pinned(TextAnalysis.withTfIdfTopK(_, "doc_id", "text", k = 3), docs())
+  }
+
+  test("int8 quantization is bit-identical across partitionings") {
+    pinned(Similarity.quantizeInt8(_, "embedding"), embeddings())
+  }
+}
