@@ -802,6 +802,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // BPE merge learning (3 rounds): the tokenizer-training loop. DuckDB
+    // replays every round as a chained CTE — re-counting adjacent symbol
+    // pairs, re-deriving the argmax under the same (n desc, pair asc)
+    // tie-break, and re-applying the literal greedy replace — so the
+    // learned merge table is differentially checked end-to-end.
+    dfq("q_bpe_merges",
+      "WITH w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s " +
+        "  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents) q " +
+        "  WHERE w <> ''), " +
+        "p1 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
+        "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
+        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w0) q), " +
+        "m1 AS (SELECT l, r, count(*) AS n FROM p1 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
+        "w1 AS (SELECT replace(s, ' ' || m1.l || ' ' || m1.r || ' ', ' ' || m1.l || m1.r || ' ') AS s FROM w0, m1), " +
+        "p2 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
+        "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
+        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w1) q), " +
+        "m2 AS (SELECT l, r, count(*) AS n FROM p2 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
+        "w2 AS (SELECT replace(s, ' ' || m2.l || ' ' || m2.r || ' ', ' ' || m2.l || m2.r || ' ') AS s FROM w1, m2), " +
+        "p3 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
+        "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
+        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w2) q), " +
+        "m3 AS (SELECT l, r, count(*) AS n FROM p3 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1) " +
+        "SELECT round, l AS left, r AS right, CAST(n AS BIGINT) AS n FROM (" +
+        "  SELECT 1 AS round, * FROM m1 UNION ALL " +
+        "  SELECT 2, * FROM m2 UNION ALL SELECT 3, * FROM m3) " +
+        "ORDER BY round") { (s, dir) =>
+      graft.operators.Corpus.bpeMerges(
+          Tables.load(s, dir, "documents"), "text", rounds = 3)
+        .orderBy("round")
+    },
+
     // The composed curation flagship: language + quality gate → exact
     // dedup (keep lowest doc_id per normalized text) → unigram-surprisal
     // gate (LM trained on the FULL corpus, applied to survivors) →

@@ -129,6 +129,64 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("_cum").as("cum_tokens"))
   }
 
+  /** Byte-pair-encoding merge learning, the core loop of tokenizer
+    * training: start from characters, repeatedly count adjacent symbol
+    * pairs across every word occurrence in the corpus and merge the most
+    * frequent pair (ties broken by pair text, so the learned table is
+    * deterministic). Returns the merge table — one row per round:
+    * (round, left, right, n) — which IS the tokenizer artifact a real
+    * pipeline ships.
+    *
+    * Words are independent rows (one per occurrence, so frequency
+    * weighting is implicit) holding the space-joined symbol string
+    * `" c1 c2 … ck "`; a merge is a literal `replace` of `" l r "` with
+    * `" lr "` — left-to-right non-overlapping, the BPE greedy order, and
+    * identical across engines. Each round is one partial-aggregated
+    * count shuffle over (pair) plus a driver argmax of ONE row (the
+    * contractually-tiny collect pattern); the corpus never leaves the
+    * cluster and is re-persisted per round, so `rounds` sequential jobs
+    * of map-side replaces is the whole cost — at 100 TB the counts
+    * shuffle carries distinct pairs, not occurrences.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, s"bpeMerges: rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    var corpus = df
+      .select(explode(words(textCol)).as("w"))
+      .filter(col("w") =!= "")
+      // split(w, "") keeps one trailing "" (Java split limit -1) — remove
+      // it or every word ends with a phantom empty symbol.
+      .select(concat(lit(" "),
+        concat_ws(" ", array_remove(split(col("w"), ""), "")),
+        lit(" ")).as("s"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val cached = OpCaches.track(corpus.persist())
+      val t = split(trim(col("s")), " ")
+      val top = cached
+        .select(explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
+        .select(col("p.0").as("l"), col("p.1").as("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is one symbol
+      else {
+        val (l, rt, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, l, rt, n))
+        corpus = cached.select(replace(col("s"),
+          lit(s" $l $rt "), lit(s" $l$rt ")).as("s"))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "left", "right", "n")
+      .select(col("round").cast("long"), col("left"), col("right"), col("n"))
+  }
+
   /** Disjoint train/validation/test assignment: each row gets a `split`
     * label, decided only by `md5(key || '|' || salt)` against the
     * cumulative-fraction boundaries — the same engine-portable hash rule

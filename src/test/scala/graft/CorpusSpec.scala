@@ -122,6 +122,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merges: greedy overlap counting, deterministic argmax, exhaustion") {
+    import spark.implicits._
+    // ' a a a ' contributes TWO (a,a) pairs (overlap counts, greedy merge
+    // later collapses left-to-right): round 1 merges (a,a) n=5 →
+    // ' aa a ' / ' aa ' / ' a b '; round 2 (aa,a) n=2; round 3 (a,b) n=1;
+    // round 4 finds no pairs → exhausted, table stays 3 rows.
+    val docs = Seq((1L, "aaa aa"), (2L, "ab aaa")).toDF("doc_id", "text")
+    val got = Corpus.bpeMerges(docs, "text", rounds = 4)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq((1L, "a", "a", 5L), (2L, "aa", "a", 2L),
+      (3L, "a", "b", 1L)))
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("decontaminate: optimized plan splits each text exactly once") {
     import spark.implicits._
     // The gram lambda is interpreted (HOFs skip codegen and subexpression
