@@ -191,6 +191,14 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def curateDocStream(docs: DataFrame, minQuality: Double = 0.3): DataFrame =
     graft.streaming.EventStream.curateStream(docs, "text", minQuality)
 
+  /** Learn a BPE merge table on `documents` — see
+    * [[graft.operators.Corpus.bpeMerges]]; feed the collected
+    * (left, right) rows to [[graft.operators.Corpus.applyBpe]] to
+    * tokenize.
+    */
+  def learnBpeMerges(rounds: Int = 16): DataFrame =
+    graft.operators.Corpus.bpeMerges(table("documents"), "text", rounds)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

@@ -187,6 +187,32 @@ object Corpus {
       .select(col("round").cast("long"), col("left"), col("right"), col("n"))
   }
 
+  /** Apply a learned merge table (from [[bpeMerges]], or any
+    * (left, right) sequence in merge order) to tokenize documents:
+    * every word is decomposed to characters and the merges replayed in
+    * training order — the standard BPE inference rule. Adds
+    * `n_bpe_tokens` (symbols after merging, summed over words) and
+    * `n_chars_alpha` (symbols before merging = non-space chars), so the
+    * compression the tokenizer bought is measurable per document. The
+    * merge table is driver-side (tokenizer artifacts are KBs); the
+    * per-document work is a pure expression chain — shuffle-free,
+    * scan-fused at any corpus size.
+    */
+  def applyBpe(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val decomposed = transform(words(textCol), w =>
+      concat(lit(" "), concat_ws(" ", array_remove(split(w, ""), "")),
+        lit(" ")))
+    val merged = merges.foldLeft(decomposed) { case (c, (l, r)) =>
+      transform(c, s => replace(s, lit(s" $l $r "), lit(s" $l$r ")))
+    }
+    df.withColumn("n_bpe_tokens",
+        aggregate(merged, lit(0L),
+          (acc, s) => acc + size(split(trim(s), " "))))
+      .withColumn("n_chars_alpha",
+        aggregate(words(textCol), lit(0L), (acc, w) => acc + length(w)))
+  }
+
   /** Disjoint train/validation/test assignment: each row gets a `split`
     * label, decided only by `md5(key || '|' || salt)` against the
     * cumulative-fraction boundaries — the same engine-portable hash rule

@@ -138,6 +138,24 @@ class CorpusSpec extends AnyFunSuite {
     graft.operators.OpCaches.releaseAll(spark)
   }
 
+  test("applyBpe: merge order matters; counts match a hand tokenization") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aa"), (2L, "ab aaa")).toDF("doc_id", "text")
+    // Merges learned above: (a,a) then (aa,a) then (a,b).
+    // doc1: 'aaa'→[aaa], 'aa'→[aa] → 2 tokens, 5 chars.
+    // doc2: 'ab'→[ab], 'aaa'→[aaa] → 2 tokens, 5 chars.
+    val got = Corpus.applyBpe(docs, "text",
+        Seq(("a", "a"), ("aa", "a"), ("a", "b")))
+      .select("doc_id", "n_bpe_tokens", "n_chars_alpha")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 5L), (2L, 2L, 5L)))
+    // Without the (aa,a) merge, 'aaa' stays [aa, a] → 3 tokens for doc1.
+    val partial = Corpus.applyBpe(docs, "text", Seq(("a", "a")))
+      .select("doc_id", "n_bpe_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(partial(1L) == 3L && partial(2L) == 4L)
+  }
+
   test("decontaminate: optimized plan splits each text exactly once") {
     import spark.implicits._
     // The gram lambda is interpreted (HOFs skip codegen and subexpression
