@@ -154,6 +154,9 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id", "n_bpe_tokens").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(partial(1L) == 3L && partial(2L) == 4L)
+    intercept[IllegalArgumentException] {
+      Corpus.bpeMerges(docs, "text", rounds = 0)
+    }
   }
 
   test("decontaminate: optimized plan splits each text exactly once") {
