@@ -808,22 +808,22 @@ object PipelineQueries {
     // tie-break, and re-applying the literal greedy replace — so the
     // learned merge table is differentially checked end-to-end.
     dfq("q_bpe_merges",
-      "WITH w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s " +
+      "WITH w0 AS (SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s " +
         "  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents) q " +
         "  WHERE w <> ''), " +
         "p1 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
         "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
-        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w0) q), " +
+        "  FROM (SELECT string_split(trim(s), '  ') AS t FROM w0) q), " +
         "m1 AS (SELECT l, r, count(*) AS n FROM p1 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
-        "w1 AS (SELECT replace(s, ' ' || m1.l || ' ' || m1.r || ' ', ' ' || m1.l || m1.r || ' ') AS s FROM w0, m1), " +
+        "w1 AS (SELECT replace(s, ' ' || m1.l || '  ' || m1.r || ' ', ' ' || m1.l || m1.r || ' ') AS s FROM w0, m1), " +
         "p2 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
         "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
-        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w1) q), " +
+        "  FROM (SELECT string_split(trim(s), '  ') AS t FROM w1) q), " +
         "m2 AS (SELECT l, r, count(*) AS n FROM p2 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
-        "w2 AS (SELECT replace(s, ' ' || m2.l || ' ' || m2.r || ' ', ' ' || m2.l || m2.r || ' ') AS s FROM w1, m2), " +
+        "w2 AS (SELECT replace(s, ' ' || m2.l || '  ' || m2.r || ' ', ' ' || m2.l || m2.r || ' ') AS s FROM w1, m2), " +
         "p3 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
         "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
-        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w2) q), " +
+        "  FROM (SELECT string_split(trim(s), '  ') AS t FROM w2) q), " +
         "m3 AS (SELECT l, r, count(*) AS n FROM p3 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1) " +
         "SELECT round, l AS left, r AS right, CAST(n AS BIGINT) AS n FROM (" +
         "  SELECT 1 AS round, * FROM m1 UNION ALL " +
@@ -840,35 +840,35 @@ object PipelineQueries {
     // re-learns the same merges (chained CTEs as q_bpe_merges) and
     // replays the per-word replace chain document by document.
     dfq("q_bpe_tokenize",
-      "WITH w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s " +
+      "WITH w0 AS (SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s " +
         "  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents) q " +
         "  WHERE w <> ''), " +
         "p1 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
         "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
-        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w0) q), " +
+        "  FROM (SELECT string_split(trim(s), '  ') AS t FROM w0) q), " +
         "m1 AS (SELECT l, r, count(*) AS n FROM p1 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
-        "w1 AS (SELECT replace(s, ' ' || m1.l || ' ' || m1.r || ' ', ' ' || m1.l || m1.r || ' ') AS s FROM w0, m1), " +
+        "w1 AS (SELECT replace(s, ' ' || m1.l || '  ' || m1.r || ' ', ' ' || m1.l || m1.r || ' ') AS s FROM w0, m1), " +
         "p2 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
         "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
-        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w1) q), " +
+        "  FROM (SELECT string_split(trim(s), '  ') AS t FROM w1) q), " +
         "m2 AS (SELECT l, r, count(*) AS n FROM p2 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
-        "w2 AS (SELECT replace(s, ' ' || m2.l || ' ' || m2.r || ' ', ' ' || m2.l || m2.r || ' ') AS s FROM w1, m2), " +
+        "w2 AS (SELECT replace(s, ' ' || m2.l || '  ' || m2.r || ' ', ' ' || m2.l || m2.r || ' ') AS s FROM w1, m2), " +
         "p3 AS (SELECT unnest([t[CAST(i AS INT)] FOR i IN range(1, len(t))]) AS l, " +
         "    unnest([t[CAST(i + 1 AS INT)] FOR i IN range(1, len(t))]) AS r " +
-        "  FROM (SELECT string_split(trim(s), ' ') AS t FROM w2) q), " +
+        "  FROM (SELECT string_split(trim(s), '  ') AS t FROM w2) q), " +
         "m3 AS (SELECT l, r, count(*) AS n FROM p3 GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1), " +
         "docs AS (SELECT doc_id, " +
-        "    [' ' || array_to_string(string_split(w, ''), ' ') || ' ' " +
+        "    ['  ' || array_to_string(string_split(w, ''), '  ') || '  ' " +
         "     FOR w IN string_split_regex(lower(text), '\\s+')] AS ws, " +
         "    [length(w) FOR w IN string_split_regex(lower(text), '\\s+')] AS wl " +
         "  FROM documents) " +
         "SELECT doc_id, " +
-        "  CAST(list_sum([len(string_split(trim(" +
+        "  CAST(list_sum([len(string_split_regex(trim(" +
         "    replace(replace(replace(s, " +
-        "      ' ' || m1.l || ' ' || m1.r || ' ', ' ' || m1.l || m1.r || ' '), " +
-        "      ' ' || m2.l || ' ' || m2.r || ' ', ' ' || m2.l || m2.r || ' '), " +
-        "      ' ' || m3.l || ' ' || m3.r || ' ', ' ' || m3.l || m3.r || ' ')" +
-        "    ), ' ')) FOR s IN ws]) AS BIGINT) AS n_bpe_tokens, " +
+        "      ' ' || m1.l || '  ' || m1.r || ' ', ' ' || m1.l || m1.r || ' '), " +
+        "      ' ' || m2.l || '  ' || m2.r || ' ', ' ' || m2.l || m2.r || ' '), " +
+        "      ' ' || m3.l || '  ' || m3.r || ' ', ' ' || m3.l || m3.r || ' ')" +
+        "    ), '  ')) FOR s IN ws]) AS BIGINT) AS n_bpe_tokens, " +
         "  CAST(list_sum(wl) AS BIGINT) AS n_chars_alpha " +
         "FROM docs, m1, m2, m3 ORDER BY doc_id") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")

@@ -121,8 +121,13 @@ object Corpus {
   def selectToBudget(df: DataFrame, idCol: String, textCol: String,
       budget: Long, priorityCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val toks = df.select(col(idCol), col(priorityCol),
-      size(words(textCol)).cast("long").as("n_tokens"))
+    // Null-text rows are excluded (same policy as splitAssign's null
+    // keys): a null token count would ride the previous row's running
+    // sum through the filter and appear "selected" while consuming no
+    // budget.
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(priorityCol),
+        size(words(textCol)).cast("long").as("n_tokens"))
     Prefix.withRunningSums(toks, priorityCol,
         Seq("n_tokens" -> "_cum"), tieCols = Seq(idCol))
       .filter(col("_cum") <= budget)
@@ -138,15 +143,21 @@ object Corpus {
     * pipeline ships.
     *
     * Words are independent rows (one per occurrence, so frequency
-    * weighting is implicit) holding the space-joined symbol string
-    * `" c1 c2 … ck "`; a merge is a literal `replace` of `" l r "` with
-    * `" lr "` — left-to-right non-overlapping, the BPE greedy order, and
-    * identical across engines. Each round is one partial-aggregated
-    * count shuffle over (pair) plus a driver argmax of ONE row (the
-    * contractually-tiny collect pattern); the corpus never leaves the
-    * cluster and is re-persisted per round, so `rounds` sequential jobs
-    * of map-side replaces is the whole cost — at 100 TB the counts
-    * shuffle carries distinct pairs, not occurrences.
+    * weighting is implicit) holding the DOUBLE-space-joined symbol
+    * string `"  c1  c2  …  ck  "`; a merge is a literal `replace` of
+    * `" l  r "` with `" lr "`. The double-space separator is what makes
+    * one literal replace EXACTLY the canonical greedy left-to-right
+    * non-overlapping BPE pass: each match consumes one of the two
+    * boundary spaces on each side, leaving one for the adjacent
+    * occurrence — with single spaces, back-to-back occurrences share a
+    * delimiter and every second one is skipped (`xyxy` would tokenize
+    * [xy, x, y] instead of [xy, xy]). Identical `replace` semantics in
+    * every engine. Each round is one partial-aggregated count shuffle
+    * over (pair) plus a driver argmax of ONE row (the contractually-tiny
+    * collect pattern); the corpus never leaves the cluster, each round
+    * re-persists and the previous round unpersists, so peak cache is
+    * ~2 corpus copies — at 100 TB the counts shuffle carries distinct
+    * pairs, not occurrences.
     */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds > 0, s"bpeMerges: rounds must be positive, got $rounds")
@@ -156,15 +167,16 @@ object Corpus {
       .filter(col("w") =!= "")
       // split(w, "") keeps one trailing "" (Java split limit -1) — remove
       // it or every word ends with a phantom empty symbol.
-      .select(concat(lit(" "),
-        concat_ws(" ", array_remove(split(col("w"), ""), "")),
-        lit(" ")).as("s"))
+      .select(concat(lit("  "),
+        concat_ws("  ", array_remove(split(col("w"), ""), "")),
+        lit("  ")).as("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var prev: Option[DataFrame] = None
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
       val cached = OpCaches.track(corpus.persist())
-      val t = split(trim(col("s")), " ")
+      val t = split(trim(col("s")), "  ")
       val top = cached
         .select(explode(arrays_zip(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))).as("p"))
@@ -172,13 +184,18 @@ object Corpus {
         .groupBy("l", "r").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      // The count action materialized `cached`; the round before it is
+      // no longer an input of anything — drop it so peak cache stays ~2
+      // corpus copies regardless of `rounds`.
+      prev.foreach(_.unpersist())
+      prev = Some(cached)
       if (top.isEmpty) exhausted = true // every word is one symbol
       else {
         val (l, rt, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r, l, rt, n))
         corpus = cached.select(replace(col("s"),
-          lit(s" $l $rt "), lit(s" $l$rt ")).as("s"))
+          lit(s" $l  $rt "), lit(s" $l$rt ")).as("s"))
         r += 1
       }
     }
@@ -200,15 +217,17 @@ object Corpus {
     */
   def applyBpe(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    // Same double-space separator scheme as [[bpeMerges]] — one literal
+    // replace per merge IS the canonical greedy non-overlapping pass.
     val decomposed = transform(words(textCol), w =>
-      concat(lit(" "), concat_ws(" ", array_remove(split(w, ""), "")),
-        lit(" ")))
+      concat(lit("  "), concat_ws("  ", array_remove(split(w, ""), "")),
+        lit("  ")))
     val merged = merges.foldLeft(decomposed) { case (c, (l, r)) =>
-      transform(c, s => replace(s, lit(s" $l $r "), lit(s" $l$r ")))
+      transform(c, s => replace(s, lit(s" $l  $r "), lit(s" $l$r ")))
     }
     df.withColumn("n_bpe_tokens",
         aggregate(merged, lit(0L),
-          (acc, s) => acc + size(split(trim(s), " "))))
+          (acc, s) => acc + size(split(trim(s), "  "))))
       .withColumn("n_chars_alpha",
         aggregate(words(textCol), lit(0L), (acc, w) => acc + length(w)))
   }

@@ -386,7 +386,12 @@ object TextAnalysis {
     */
   def withUnigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = 0): DataFrame = {
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // Materialize the exploded tokens once (shingleDF convention): the
+    // relation fans out three ways (vocab count, total, join probe) and
+    // would otherwise re-tokenize the full corpus per branch.
+    val toks = OpCaches.track(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val vocabAll = toks.groupBy("tok").agg(count(lit(1)).as("n_w"))
     val vocab =
       if (maxVocab > 0)
@@ -420,11 +425,15 @@ object TextAnalysis {
   def withBigramSurprisal(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = tokens(col(textCol))
-    val bg = df.select(col(idCol),
-        explode(arrays_zip(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
-          .as("_p"))
-      .select(col(idCol), col("_p.0").as("prev"), col("_p.1").as("tok"))
+    // Materialized once — fans out to pair counts, prev counts, and the
+    // join probe (same reasoning as withUnigramSurprisal's toks).
+    val bg = OpCaches.track(
+      df.select(col(idCol),
+          explode(arrays_zip(
+            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
+            .as("_p"))
+        .select(col(idCol), col("_p.0").as("prev"), col("_p.1").as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairCounts = bg.groupBy("prev", "tok").agg(count(lit(1)).as("n_pair"))
     val prevCounts = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
     bg.join(pairCounts, Seq("prev", "tok"))
@@ -452,7 +461,11 @@ object TextAnalysis {
       k: Int = 3): DataFrame = {
     require(k > 0, s"withTfIdfTopK: k must be positive, got $k")
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    // tf feeds both the document-frequency aggregate and the scored join
+    // — materialize it rather than re-tokenizing the corpus twice.
+    val tf = OpCaches.track(
+      toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs")) // 1 row
     val w = org.apache.spark.sql.expressions.Window

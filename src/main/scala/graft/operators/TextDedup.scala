@@ -197,8 +197,13 @@ object TextDedup {
     * cost scales with the batch, not the corpus. Returns
     * (batch_id, corpus_id, jaccard) with exact shingle-Jaccard ≥
     * `threshold`, verified on candidates only. The skew guard drops
-    * oversized CORPUS buckets (boilerplate); batch buckets are bounded
-    * by the batch size.
+    * oversized CORPUS buckets (boilerplate) — and because this flow has
+    * no separate whole-relation exact-dup pass to fall back on (the
+    * self-join variant's justification), an exact-digest join
+    * compensates: a batch doc identical to corpus boilerplate living
+    * only in dropped buckets still surfaces as a candidate (digest
+    * collisions are harmless — the exact-Jaccard verify rejects them).
+    * Batch buckets are bounded by the batch size.
     */
   def minhashNearDupsAgainst(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
@@ -214,11 +219,18 @@ object TextDedup {
       .select("band", "band_hash")
     val boundedC = bandedC.join(broadcast(oversized),
       Seq("band", "band_hash"), "left_anti")
-    val candidates = boundedC
+    val lshCandidates = boundedC
       .select(col("band"), col("band_hash"), col(idCol).as("corpus_id"))
       .join(bandedB.select(col("band"), col("band_hash"),
         col(idCol).as("batch_id")), Seq("band", "band_hash"))
-      .select("batch_id", "corpus_id").distinct()
+      .select("batch_id", "corpus_id")
+    val exactCandidates = batch
+      .select(col(idCol).as("batch_id"),
+        xxhash64(lower(trim(col(textCol)))).as("_digest"))
+      .join(corpus.select(col(idCol).as("corpus_id"),
+        xxhash64(lower(trim(col(textCol)))).as("_digest")), "_digest")
+      .select("batch_id", "corpus_id")
+    val candidates = lshCandidates.union(exactCandidates).distinct()
     candidates
       .join(shB.withColumnsRenamed(Map(idCol -> "batch_id", "sh" -> "sh_b")),
         "batch_id")

@@ -110,8 +110,11 @@ object EventStream {
     * the SAME batch operators serve the stream unchanged and the gate
     * composes ahead of [[dedupNearStream]] in an ingest pipeline. The
     * quality score is computed on the REDACTED text: PII placeholders,
-    * not the PII, participate in the punct/token statistics — the same
-    * order a batch curation pass uses.
+    * not the PII, participate in the punct/token statistics — the text
+    * being scored is the text that would be trained on. (The batch
+    * flagship `q_curation_e2e` deliberately gates on RAW-text quality
+    * before a separate scrub; the two orders differ only for documents
+    * whose PII substrings straddle the quality threshold.)
     */
   def curateStream(docs: DataFrame, textCol: String,
       minQuality: Double = 0.3): DataFrame = {

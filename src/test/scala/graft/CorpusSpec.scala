@@ -154,6 +154,15 @@ class CorpusSpec extends AnyFunSuite {
       .select("doc_id", "n_bpe_tokens").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(partial(1L) == 3L && partial(2L) == 4L)
+    // Canonical greedy: back-to-back disjoint occurrences BOTH merge —
+    // 'xyxy' → [xy, xy], not [xy, x, y]. (The double-space separator
+    // scheme exists exactly for this case: with single-space joins the
+    // two ' x y ' matches share a delimiter and the second is skipped.)
+    val adjacent = Corpus.applyBpe(
+        Seq((1L, "xyxy xyxyxy")).toDF("doc_id", "text"), "text",
+        Seq(("x", "y")))
+      .select("n_bpe_tokens").head().getLong(0)
+    assert(adjacent == 2L + 3L, s"greedy adjacent merges broken: $adjacent")
     intercept[IllegalArgumentException] {
       Corpus.bpeMerges(docs, "text", rounds = 0)
     }
