@@ -304,6 +304,24 @@ class TextDedupSpec extends AnyFunSuite {
     graft.operators.OpCaches.releaseAll(spark)
   }
 
+  test("incremental near-dup: exact dup of oversized-bucket boilerplate still caught") {
+    import spark.implicits._
+    // 80 identical corpus docs -> every band bucket holds 80 > maxBucket=16,
+    // so the LSH path drops them all; the exact-digest pass must still
+    // surface the batch doc that equals the boilerplate.
+    val boiler = "terms of service apply to all users of this site " +
+      "please read carefully before proceeding with registration today"
+    val old = (1L to 80L).map(i => i -> boiler).toDF("doc_id", "text")
+    val batchDocs = Seq(200L -> boiler, 201L -> "something genuinely new here")
+      .toDF("doc_id", "text")
+    val got = TextDedup.minhashNearDupsAgainst(old, batchDocs,
+        "doc_id", "text", threshold = 0.8, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.size == 80 && got.forall(_._1 == 200L),
+      s"exact-digest pass must pair doc 200 with all 80 boilerplate docs: ${got.size}")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("bigram surprisal: conditional bits; sub-2-token docs drop out") {
     import spark.implicits._
     // Bigrams: doc1 (a,b)(b,a)(a,c), doc2 (c,a); prev counts a:2 b:1 c:1
