@@ -56,4 +56,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   test("int8 quantization is bit-identical across partitionings") {
     pinned(Similarity.quantizeInt8(_, "embedding"), embeddings())
   }
+
+  test("bpe merge learning is identical across partitionings") {
+    // The per-round argmax is a global TakeOrdered over integer counts
+    // with a total-order tie-break — no float anywhere, so the learned
+    // table cannot depend on physical layout.
+    pinned(graft.operators.Corpus.bpeMerges(_, "text", rounds = 4), docs())
+  }
 }
