@@ -880,6 +880,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Split-leakage audit: near-duplicate pairs whose members landed in
+    // DIFFERENT train/val/test splits — the contamination a random
+    // document-level split cannot prevent (near-dups of training docs
+    // leaking into test). Composes minhash near-dup pairs with the
+    // deterministic split labels; DuckDB re-derives both sides from
+    // first principles (brute-force all-pairs Jaccard + the md5
+    // boundary rule).
+    dfq("q_split_leakage",
+      "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks), " +
+        "pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.8), " +
+        "labeled AS (SELECT doc_id, CASE WHEN h < 'cccc' THEN 'train' " +
+        "    WHEN h < 'e666' THEN 'val' ELSE 'test' END AS split " +
+        "  FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || '|'), 1, 4) AS h " +
+        "    FROM documents) q) " +
+        "SELECT la.split AS split_a, lb.split AS split_b, CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM pairs p JOIN labeled la ON p.ia = la.doc_id JOIN labeled lb ON p.ib = lb.doc_id " +
+        "WHERE la.split <> lb.split GROUP BY 1, 2 ORDER BY 1, 2") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8)
+      val labeled = graft.operators.Corpus.splitAssign(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+      pairs
+        .join(labeled.withColumnsRenamed(
+          Map("doc_id" -> "id_a", "split" -> "split_a")), "id_a")
+        .join(labeled.withColumnsRenamed(
+          Map("doc_id" -> "id_b", "split" -> "split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("split_a", "split_b")
+    },
+
     // The composed curation flagship: language + quality gate → exact
     // dedup (keep lowest doc_id per normalized text) → unigram-surprisal
     // gate (LM trained on the FULL corpus, applied to survivors) →
