@@ -965,6 +965,75 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_toks"))
         .orderBy("split")
     },
+
+    // Domain-mixture sampling: re-balance the corpus to target per-
+    // language token weights (en .4 / de .2 / fr .2 / es .1 / zh .1 of
+    // an 8k-token budget) by keeping each language's greedy prefix under
+    // a deterministic md5 shuffle order. Spark computes the per-group
+    // cumulative sums via the GROUPED two-pass prefix (never a
+    // PARTITION-BY-language window — one task per language cannot
+    // survive 100×); DuckDB re-derives the identical kept set with
+    // exactly that window, so the scale-safe plan is differentially
+    // pinned against the textbook formulation.
+    dfq("q_mixture_sample",
+      "WITH toks AS (SELECT doc_id, lang, " +
+        "    substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8) AS draw, " +
+        "    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens " +
+        "  FROM documents), " +
+        "w(lang, cap) AS (VALUES ('en', 3200), ('de', 1600), ('fr', 1600), " +
+        "  ('es', 800), ('zh', 800)), " +
+        "cum AS (SELECT doc_id, lang, n_tokens, sum(n_tokens) OVER " +
+        "    (PARTITION BY lang ORDER BY draw, doc_id " +
+        "     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens " +
+        "  FROM toks) " +
+        "SELECT c.doc_id, c.lang, c.n_tokens, CAST(c.cum_tokens AS BIGINT) AS cum_tokens " +
+        "FROM cum c JOIN w USING (lang) WHERE c.cum_tokens <= w.cap " +
+        "ORDER BY doc_id") { (s, dir) =>
+      graft.operators.Corpus.sampleToMixture(
+          Tables.load(s, dir, "documents"), "doc_id", "text", "lang",
+          Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1),
+          budget = 8000L)
+        .orderBy("doc_id")
+    },
+
+    // Cross-document repeated 5-token spans (exact-substring dedup at
+    // shingle granularity): the boilerplate detector — DuckDB regenerates
+    // every span from first principles and re-counts.
+    dfq("q_span_repeated",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+        "  FROM documents), " +
+        "g AS (SELECT doc_id, unnest([array_to_string(t[CAST(i AS INT):CAST(i+4 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-4, 0)+1)]) AS span FROM toks) " +
+        "SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "  CAST(count(*) AS BIGINT) AS n_occ " +
+        "FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2 " +
+        "ORDER BY n_docs DESC, n_occ DESC, span") { (s, dir) =>
+      TextDedup.repeatedSpans(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy(desc("n_docs"), desc("n_occ"), col("span"))
+    },
+
+    // Per-document span-sharing profile: how much of each document is
+    // made of spans that also occur elsewhere — the removal threshold
+    // real pipelines apply when no whole-document duplicate exists.
+    // Docs shorter than 5 tokens have no spans and are absent from both
+    // engines' outputs.
+    dfq("q_span_stats",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+        "  FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(" +
+        "  [array_to_string(t[CAST(i AS INT):CAST(i+4 AS INT)], ' ') " +
+        "   FOR i IN range(1, greatest(len(t)-4, 0)+1)])) AS span FROM toks), " +
+        "sh AS (SELECT span FROM g GROUP BY span HAVING count(*) >= 2) " +
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "  CAST(count(sh.span) AS BIGINT) AS n_shared, " +
+        "  round(CAST(count(sh.span) AS DOUBLE) / count(*), 6) AS shared_frac " +
+        "FROM g LEFT JOIN sh ON g.span = sh.span " +
+        "GROUP BY g.doc_id ORDER BY doc_id") { (s, dir) =>
+      TextDedup.spanShareStats(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id")
+    },
   )
 
   private val multimodal: Seq[Entry] = Seq(

@@ -199,6 +199,26 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def learnBpeMerges(rounds: Int = 16): DataFrame =
     graft.operators.Corpus.bpeMerges(table("documents"), "text", rounds)
 
+  /** Re-balance `documents` to target per-language token weights — see
+    * [[graft.operators.Corpus.sampleToMixture]].
+    */
+  def mixtureSample(weights: Seq[(String, Double)], budget: Long,
+      groupCol: String = "lang"): DataFrame =
+    graft.operators.Corpus.sampleToMixture(table("documents"),
+      "doc_id", "text", groupCol, weights, budget)
+
+  /** Cross-document repeated k-token spans over `documents` — see
+    * [[graft.operators.TextDedup.repeatedSpans]].
+    */
+  def repeatedSpans(k: Int = 5, minDocs: Int = 2): DataFrame =
+    TextDedup.repeatedSpans(table("documents"), "doc_id", "text", k, minDocs)
+
+  /** Per-document span-sharing profile over `documents` — see
+    * [[graft.operators.TextDedup.spanShareStats]].
+    */
+  def spanShareStats(k: Int = 5, minDocs: Int = 2): DataFrame =
+    TextDedup.spanShareStats(table("documents"), "doc_id", "text", k, minDocs)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

@@ -25,7 +25,7 @@ object Corpus {
     * `element_at` of every gram — O(grams × n) regex splits per
     * document, measured 30× slower on the documents table.
     */
-  private def gramStrings(w: Column, n: Int): Column =
+  private[operators] def gramStrings(w: Column, n: Int): Column =
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
@@ -262,5 +262,48 @@ object Corpus {
         case (acc, ((name, _), b)) => acc.when(hex < lit(b), name)
       }.otherwise(splits.last._1)
     df.filter(col(keyCol).isNotNull).withColumn("split", assigned)
+  }
+
+  /** Domain-mixture sampling — "re-balance the corpus to the target
+    * per-domain token weights": for each group g (language, source
+    * domain) with weight w_g, keep the greedy prefix of g's documents —
+    * ordered by a deterministic per-document md5 draw (salted, ties by
+    * `idCol`), i.e. a reproducible shuffle — whose cumulative token
+    * count fits `floor(w_g * budget)`. Same greedy-prefix semantics as
+    * [[selectToBudget]] (the first overflowing document is dropped and
+    * nothing backfills), applied independently per group; groups absent
+    * from `weights` are excluded entirely.
+    *
+    * Scale: the per-group cumulative count comes from the GROUPED
+    * [[Prefix.withRunningSums]] — a `PARTITION BY group` window would
+    * funnel each domain into one task (five languages at 100 TB = five
+    * straggler tasks); the grouped prefix sum keeps both shuffles
+    * balanced because hot groups span many range partitions. The weight
+    * table joins in as a broadcast literal.
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, weights: Seq[(String, Double)], budget: Long,
+      salt: String = "mix"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(weights.nonEmpty, "sampleToMixture: need at least one weight")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"sampleToMixture: duplicate groups in ${weights.map(_._1)}")
+    weights.foreach { case (g, w) =>
+      require(w > 0.0, s"group '$g' weight $w must be positive") }
+    val caps = weights.map { case (g, w) =>
+      (g, math.floor(w * budget).toLong) }
+    val capDf = df.sparkSession.createDataFrame(caps)
+      .toDF(groupCol, "_cap")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        substring(md5(concat(col(idCol).cast("string"), lit("|"), lit(salt))),
+          1, 8).as("_draw"),
+        size(words(textCol)).cast("long").as("n_tokens"))
+    Prefix.withRunningSums(toks, "_draw", Seq("n_tokens" -> "_cum"),
+        tieCols = Seq(idCol), groupCols = Seq(groupCol))
+      .join(broadcast(capDf), groupCol)
+      .filter(col("_cum") <= col("_cap"))
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        col("_cum").as("cum_tokens"))
   }
 }

@@ -42,11 +42,24 @@ object Prefix {
     * tie order across runs pass a unique `tieCols`). Null values are
     * skipped like SQL `sum`: the running sum stays NULL until the first
     * non-null value, then nulls contribute nothing.
+    *
+    * `groupCols` generalizes to PER-GROUP running sums — the scale-safe
+    * replacement for `sum(x) OVER (PARTITION BY g ORDER BY k ROWS …)`
+    * when groups are few but huge (languages, sources, domains): the
+    * window form funnels each group into ONE task, so five languages at
+    * 100 TB become five straggler tasks. Here the range partitioner
+    * splits on (group, order) — a hot group simply spans many
+    * partitions — and the driver prefix runs per group over
+    * O(#partitions + #groups) total rows (each partition holds whole
+    * groups except at its two edges, so the totals relation stays
+    * contractually tiny for low-cardinality groups). `idxCol` and the
+    * running sums restart at every group boundary.
     */
   def withRunningSums(
       df: DataFrame, orderCol: String,
       sums: Seq[(String, String)], idxCol: String = "_idx",
-      numPartitions: Int = 0, tieCols: Seq[String] = Nil): DataFrame = {
+      numPartitions: Int = 0, tieCols: Seq[String] = Nil,
+      groupCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -55,6 +68,8 @@ object Prefix {
       require(t == LongType || t == DoubleType,
         s"withRunningSums: $v must be LONG or DOUBLE, got $t")
     }
+    if (groupCols.nonEmpty)
+      return withGroupedRunningSums(df, orderCol, sums, idxCol, n, tieCols, groupCols)
     val orderCols = col(orderCol) +: tieCols.map(col)
     val wBase = Window.partitionBy("_pid").orderBy(orderCols: _*)
     // Explicit ROWS frame: the default for an ordered window is RANGE
@@ -120,6 +135,96 @@ object Prefix {
           .otherwise(coalesce(loc, zero) + coalesce(off, zero)))
     }.drop(("_pid" +: "_lidx" +: "_idx_off" +:
       sums.flatMap { case (_, out) => Seq(s"_loc_$out", s"_off_$out") }): _*)
+  }
+
+  /** The grouped form of [[withRunningSums]] (dispatched via its
+    * `groupCols` parameter). Same two-pass shape; the differences:
+    *
+    *  - the range partitioner keys on (group…, order, tie…), so rows of
+    *    one group occupy a contiguous RUN of partitions and a partition
+    *    boundary cuts at most one group — the per-(partition, group)
+    *    totals relation has ≤ #partitions + #groups − 1 rows;
+    *  - local windows partition by (_pid, group…): real partition keys,
+    *    parallel, no single-task group stage ever;
+    *  - the driver prefix threads per-group accumulators through the
+    *    pid-ascending total rows (range contiguity makes pid order =
+    *    within-group order), and offsets join back null-safely on
+    *    (_pid, group…).
+    */
+  private def withGroupedRunningSums(
+      df: DataFrame, orderCol: String, sums: Seq[(String, String)],
+      idxCol: String, n: Int, tieCols: Seq[String],
+      groupCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val orderCols = col(orderCol) +: tieCols.map(col)
+    val wBase = Window.partitionBy(("_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    val wRows = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sums.foldLeft(
+      df.repartitionByRange(n, (groupCols.map(col) ++ orderCols): _*)
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_lidx", row_number().over(wBase).cast("long"))) {
+      case (acc, (v, out)) =>
+        acc.withColumn(s"_loc_$out", sum(col(v)).over(wRows))
+    }
+    val localP = OpCaches.track(local
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val aggs = count(lit(1)).as("_n") +:
+      sums.map { case (v, out) => sum(col(v)).as(s"_tot_$out") }
+    val totals = localP.groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*).orderBy("_pid").collect()
+    val g = groupCols.size
+    // Per-group exclusive prefix, threaded through pid-ascending rows.
+    final class GState {
+      var rowOff = 0L
+      val sumOff = Array.fill[Any](sums.size)(null)
+    }
+    val state = scala.collection.mutable.Map.empty[Seq[Any], GState]
+    val offsetRows = totals.map { r =>
+      val key: Seq[Any] = (1 to g).map(i => r.get(i))
+      val st = state.getOrElseUpdate(key, new GState)
+      val vals = sums.indices.map { i =>
+        val cur = st.sumOff(i)
+        val tot = r.get(g + 2 + i)
+        st.sumOff(i) = (cur, tot) match {
+          case (null, t) => t
+          case (c, null) => c
+          case (c: Long, t: Long) => c + t
+          case (c: Double, t: Double) => c + t
+        }
+        cur
+      }
+      val out = org.apache.spark.sql.Row.fromSeq(
+        (r.getInt(0) +: key) ++ (st.rowOff +: vals))
+      st.rowOff += r.getLong(g + 1)
+      out
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      (org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(gc => org.apache.spark.sql.types.StructField(
+          s"_g_$gc", df.schema(gc).dataType))) ++
+      (org.apache.spark.sql.types.StructField("_idx_off", LongType) +:
+        sums.map { case (v, out) => org.apache.spark.sql.types.StructField(
+          s"_off_$out", df.schema(v).dataType) }))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    // Null-safe equi-join: a null group key is a legitimate group for
+    // groupBy, so the offsets must come back to it too.
+    val cond = groupCols.foldLeft(localP("_pid") === offsets("_pid")) {
+      (c, gc) => c && (localP(gc) <=> offsets(s"_g_$gc"))
+    }
+    val joined = localP.join(broadcast(offsets), cond)
+      .drop(offsets("_pid"))
+      .withColumn(idxCol, col("_lidx") + col("_idx_off"))
+    sums.foldLeft(joined) { case (acc, (v, out)) =>
+      // Same null semantics as the ungrouped path, per group.
+      val loc = col(s"_loc_$out"); val off = col(s"_off_$out")
+      val zero = lit(0).cast(df.schema(v).dataType)
+      acc.withColumn(out,
+        when(loc.isNull && off.isNull, loc)
+          .otherwise(coalesce(loc, zero) + coalesce(off, zero)))
+    }.drop(("_pid" +: "_lidx" +: "_idx_off" +: (groupCols.map(gc => s"_g_$gc") ++
+      sums.flatMap { case (_, out) => Seq(s"_loc_$out", s"_off_$out") })): _*)
   }
 
   /** Centered moving aggregate over a global row index — the scale-safe

@@ -336,4 +336,81 @@ object TextDedup {
     val ga = grams(a); val gb = grams(b)
     size(array_intersect(ga, gb)).cast("double") / size(array_union(ga, gb))
   }
+
+  /** Materialized (id, k-token span strings) relation shared by the
+    * span-dedup passes. Persisted as compact per-document ARRAYS (one
+    * row per document, the [[shingleDF]] pattern) — the EXPLODED span
+    * relation is deliberately never cached: it is a k× row blow-up
+    * larger than re-deriving from these arrays. Spans exist only where
+    * the document has ≥ k tokens (short documents contribute nothing —
+    * unlike [[shingleHashes]]' clamped short-doc shingle, a "span" below
+    * k tokens is not a span).
+    */
+  private def spanDF(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    OpCaches.track(
+      TextAnalysis.widened(df)
+        .select(col(idCol), split(lower(col(textCol)), "\\s+").as("_w"))
+        .select(col(idCol), Corpus.gramStrings(col("_w"), k).as("_spans"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Cross-document repeated spans — the exact-substring dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022) at word-shingle granularity: every k-token
+    * window that appears in at least `minDocs` DISTINCT documents, with
+    * its document count and total occurrence count. These are the
+    * boilerplate strings (licenses, navigation chrome, templated
+    * paragraphs) an exact-hash doc-level pass can never see, because the
+    * surrounding document differs.
+    *
+    * Shape: explode → one partial-aggregated count shuffle keyed on the
+    * span. `countDistinct` is Spark's standard two-phase expand — no
+    * per-span state grows with occurrence count, so a boilerplate span
+    * in millions of documents is just a hot-but-mergeable key (AQE skew
+    * handling applies); the exchange carries (span, partial counts),
+    * never documents.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    spanDF(df, idCol, textCol, k)
+      .select(col(idCol), explode(col("_spans")).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document span-sharing profile: of the document's DISTINCT
+    * k-token spans, how many also occur in ≥ `minDocs` documents
+    * (itself included) — `n_spans`, `n_shared`, and their ratio. The
+    * per-document `shared_frac` is the removal criterion real pipelines
+    * threshold on (a document that is mostly shared spans is boilerplate
+    * even if no single whole-document duplicate exists). Documents
+    * shorter than k tokens have no spans and are absent.
+    *
+    * Shape: two span-keyed shuffles off the one persisted array
+    * relation — the shared-span set derives from the same distinct
+    * relation it joins back to, so Spark reuses the exchange; the join
+    * is span-keyed equi (AQE may broadcast a small shared set). The
+    * ratio is elementwise double math on two exact longs — deterministic
+    * in any engine — rounded to 6 dp on both sides.
+    */
+  def spanShareStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val docSpan = spanDF(df, idCol, textCol, k)
+      .select(col(idCol), explode(array_distinct(col("_spans"))).as("span"))
+    val shared = docSpan.groupBy("span")
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("span"), lit(1L).as("_shared"))
+    docSpan.join(shared, Seq("span"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"), count(col("_shared")).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_spans"), 6))
+  }
 }

@@ -168,6 +168,57 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleToMixture: per-group caps, window-form equality, excluded groups") {
+    import spark.implicits._
+    // 3 groups of docs with varied token counts; group "xx" has no
+    // weight and must vanish entirely.
+    val docs = (1 to 90).map { i =>
+      val g = if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"
+      (i.toLong, Seq.fill(1 + i % 9)("w").mkString(" "), g)
+    }.toDF("doc_id", "text", "grp")
+    val weights = Seq("en" -> 0.6, "de" -> 0.4)
+    val budget = 60L // caps: en 36, de 24
+    val got = Corpus.sampleToMixture(docs, "doc_id", "text", "grp", weights, budget)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.forall(_._2 != "xx"))
+    // Exact equality with the textbook PARTITION BY window formulation,
+    // same draw expression — the scale-safe plan changes nothing.
+    val caps = Map("en" -> 36L, "de" -> 24L)
+    val toks = docs.filter(col("grp").isin("en", "de"))
+      .select(col("doc_id"), col("grp"),
+        substring(md5(concat(col("doc_id").cast("string"), lit("|mix"))), 1, 8).as("draw"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("grp").orderBy("draw", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = toks.withColumn("cum", sum("n_tokens").over(w))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+      .filter { case (_, g, _, cum) => cum <= caps(g) }
+    assert(rows.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    // Greedy maximality: per group, the kept token mass plus the FIRST
+    // dropped document (in draw order) overflows the cap.
+    val keptIds = rows.map(_._1).toSet
+    val dropped = toks.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .filterNot(t => keptIds(t._1))
+    for ((g, cap) <- caps) {
+      val keptToks = rows.filter(_._2 == g).map(_._3).sum
+      dropped.filter(_._2 == g).sortBy(t => (t._3, t._1)).headOption.foreach {
+        case (_, _, _, n) => assert(keptToks + n > cap,
+          s"group $g kept $keptToks of $cap but first dropped doc ($n toks) would fit")
+      }
+    }
+    // Validation: bad weights rejected.
+    intercept[IllegalArgumentException] {
+      Corpus.sampleToMixture(docs, "doc_id", "text", "grp", Nil, 10L) }
+    intercept[IllegalArgumentException] {
+      Corpus.sampleToMixture(docs, "doc_id", "text", "grp", Seq("en" -> 0.0), 10L) }
+    intercept[IllegalArgumentException] {
+      Corpus.sampleToMixture(docs, "doc_id", "text", "grp",
+        Seq("en" -> 0.5, "en" -> 0.5), 10L) }
+  }
+
   test("decontaminate: optimized plan splits each text exactly once") {
     import spark.implicits._
     // The gram lambda is interpreted (HOFs skip codegen and subexpression

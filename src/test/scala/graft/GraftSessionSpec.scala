@@ -59,6 +59,17 @@ class GraftSessionSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(split.keySet == Set("train", "val", "test")
       && split.values.sum == 500)
+    // late-r10 conveniences: mixture re-balance honors per-group caps;
+    // span sharing returns a profile row per eligible doc.
+    val mix = gs.mixtureSample(Seq("en" -> 0.5, "de" -> 0.5), budget = 2000L)
+      .groupBy("lang").agg(org.apache.spark.sql.functions.max("cum_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix.keySet == Set("en", "de") && mix.values.forall(_ <= 1000L))
+    assert(gs.repeatedSpans().columns.toSeq == Seq("span", "n_docs", "n_occ"))
+    val shares = gs.spanShareStats()
+    assert(shares.columns.toSeq ==
+      Seq("doc_id", "n_spans", "n_shared", "shared_frac"))
+    assert(shares.count() > 0)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }

@@ -261,6 +261,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition exchange in the running-sum plan:\n$plan")
   }
 
+  test("q_mixture_sample: grouped prefix windows carry _pid, caps broadcast, no single-partition stage") {
+    // The grouped prefix sum must never fall back to a PARTITION BY lang
+    // window (one task per language) — every WindowExec partitions by
+    // (_pid, lang) and the per-group cap table joins as a broadcast.
+    Tables.registerAll(spark, dir)
+    val df = Queries.queryMap("q_mixture_sample")(spark, dir)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    val windowLines = plan.linesIterator
+      .filter(l => l.contains("Window [") && l.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty, s"expected grouped per-partition windows in:\n$plan")
+    windowLines.foreach { l =>
+      assert(l.contains("_pid"),
+        s"per-language window without _pid (single task per domain):\n$l")
+    }
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the mixture plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"cap table did not broadcast:\n$plan")
+  }
+
   test("top-k order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
     val plan = planOf("q_orderby_limit")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")

@@ -134,4 +134,88 @@ class PrefixSpec extends AnyFunSuite {
     val empty = Seq.empty[(Int, Long)].toDF("k", "v")
     assert(Prefix.withRunningSums(empty, "k", Seq("v" -> "rv")).collect().isEmpty)
   }
+
+  // ---- grouped form ----
+
+  private def groupedSample = {
+    import spark.implicits._
+    // 3 uneven groups (one dominates, so it MUST span several range
+    // partitions), unordered keys, long + double values.
+    (1 to 600).map { i =>
+      val g = if (i % 10 < 7) "en" else if (i % 10 < 9) "de" else "zh"
+      (g, (i * 131) % 601, i.toLong % 7, (i % 13) * 0.5)
+    }.toDF("g", "k", "cnt", "price")
+  }
+
+  test("grouped running sums equal the PARTITION BY window form (long + double)") {
+    val df = groupedSample
+    val got = Prefix.withRunningSums(df, "k",
+        Seq("cnt" -> "rc", "price" -> "rp"),
+        numPartitions = 8, groupCols = Seq("g"))
+      .select("g", "k", "_idx", "rc", "rp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val w = Window.partitionBy("g").orderBy("k")
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("_idx", row_number().over(w).cast("long"))
+      .withColumn("rc", sum("cnt").over(wr))
+      .withColumn("rp", sum("price").over(wr))
+      .select("g", "k", "_idx", "rc", "rp").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == 600)
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ==
+      expected.map(t => (t._1, t._2, t._3, t._4)).toSeq)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 1e-9, s"rp at (${g._1},${g._2}): ${g._5} vs ${e._5}")
+    }
+  }
+
+  test("grouped offset path is live: the hot group spans multiple range partitions") {
+    val nPids = groupedSample.filter(col("g") === "en")
+      .repartitionByRange(8, col("g"), col("k"))
+      .withColumn("_pid", spark_partition_id())
+      .select("_pid").distinct().count()
+    assert(nPids >= 2, s"hot group collapsed to $nPids partitions — group offsets untested")
+  }
+
+  test("grouped: _idx restarts at 1 in every group") {
+    val firsts = Prefix.withRunningSums(groupedSample, "k", Nil,
+        numPartitions = 8, groupCols = Seq("g"))
+      .groupBy("g").agg(min("_idx").as("lo"), max("_idx").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(firsts.keySet == Set("en", "de", "zh"))
+    assert(firsts.values.forall(_._1 == 1L), s"every group must restart at 1: $firsts")
+    assert(firsts.values.map(_._2).sum == 600L, s"group sizes must partition the input: $firsts")
+  }
+
+  test("grouped: leading nulls stay NULL per group; a NULL group key is a real group") {
+    import spark.implicits._
+    // Group "a": first 80 of 200 rows null-valued (spanning partitions);
+    // group null: all rows valued.
+    val df = (1 to 200).map { i =>
+      val g = if (i % 2 == 0) Some("a") else None
+      val v = if (g.isDefined && i <= 160) None else Some((i % 5).toLong)
+      (g, i, v)
+    }.toDF("g", "k", "v")
+    val got = Prefix.withRunningSums(df, "k", Seq("v" -> "rv"),
+        numPartitions = 6, groupCols = Seq("g"))
+      .select("g", "k", "rv").collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(t => (t._1.getOrElse(""), t._2))
+    val expected = df
+      .withColumn("rv", sum("v").over(Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("g", "k", "rv").collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(t => (t._1.getOrElse(""), t._2))
+    assert(got.length == 200, "the NULL-keyed group must not be dropped by the offset join")
+    assert(got.toSeq == expected.toSeq)
+    // Liveness of the per-group NULL propagation: group "a" rows k<=160
+    // must be NULL even though group null has summed values all along.
+    assert(got.filter(t => t._1.contains("a") && t._2 <= 160).forall(_._3.isEmpty))
+  }
 }

@@ -355,4 +355,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out((3L, 1L)) == (("z", 3 * log2_15)))
     assert(out((3L, 2L)) == (("w", log2_3)))
   }
+
+  test("repeatedSpans: planted cross-doc span, occurrence counts, short docs absent") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one TWO three four five six"),          // span x1 (case-folded)
+      (2L, "one two three four five x"),            // span x1
+      (3L, "one two three four five one two three four five"), // span x2
+      (4L, "r r r r r r"),   // intra-doc repeat only: 1 distinct doc
+      (5L, "too short")      // < 5 tokens: no spans at all
+    ).toDF("doc_id", "text")
+    val got = TextDedup.repeatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // Only the planted span crosses documents; doc 4's self-repeat and
+    // every other window stay below minDocs.
+    assert(got.toSeq == Seq(("one two three four five", 3L, 4L)))
+    assert(TextDedup.repeatedSpans(docs, "doc_id", "text", k = 5, minDocs = 4)
+      .collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      TextDedup.repeatedSpans(docs, "doc_id", "text", k = 1) }
+  }
+
+  test("spanShareStats: hand-computed sharing profile; distinct within doc") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),  // spans: planted + 1 unique
+      (2L, "one two three four five x"),    // spans: planted + 1 unique
+      (3L, "zz yy xx ww vv"),               // 1 span, unshared
+      (4L, "r r r r r r"),                  // 2 occurrences, 1 DISTINCT span
+      (5L, "tiny")                          // no spans: absent
+    ).toDF("doc_id", "text")
+    val got = TextDedup.spanShareStats(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    // doc 4: its only DISTINCT span lives in one document → unshared.
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
 }
