@@ -1034,6 +1034,35 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id")
     },
+
+    // Sub-document exact dedup with reconstruction — the REMOVAL step:
+    // 8-token chunks, first global occurrence (min (doc, idx)) wins,
+    // documents rebuilt from survivors. DuckDB replays the whole thing —
+    // chunking, keeper election, survivor filter, ordered re-concat —
+    // and must reproduce every rebuilt text byte-for-byte. At sf0.01
+    // this genuinely fires: 175 chunk occurrences drop across 53 docs,
+    // 3 documents dedup away entirely.
+    dfq("q_chunk_dedup",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+        "  FROM documents), " +
+        "ch AS (SELECT doc_id, i AS chunk_idx, " +
+        "    array_to_string(t[CAST(i*8+1 AS INT):CAST((i+1)*8 AS INT)], ' ') AS chunk " +
+        "  FROM toks, unnest(range(0, CAST(ceil(len(t)/8.0) AS INT))) AS r(i)), " +
+        "k1 AS (SELECT chunk, min(doc_id) AS kd FROM ch GROUP BY chunk), " +
+        "k2 AS (SELECT c.chunk, c.doc_id, min(c.chunk_idx) AS ki FROM ch c " +
+        "  JOIN k1 ON c.chunk = k1.chunk AND c.doc_id = k1.kd GROUP BY c.chunk, c.doc_id), " +
+        "kept AS (SELECT c.doc_id, c.chunk_idx, c.chunk FROM ch c " +
+        "  JOIN k2 ON c.doc_id = k2.doc_id AND c.chunk_idx = k2.ki), " +
+        "stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id), " +
+        "ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "    string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text FROM kept GROUP BY doc_id) " +
+        "SELECT s.doc_id, s.n_chunks, coalesce(ka.n_kept, 0) AS n_kept, " +
+        "  coalesce(ka.kept_text, '') AS kept_text " +
+        "FROM stats s LEFT JOIN ka ON s.doc_id = ka.doc_id ORDER BY s.doc_id") { (s, dir) =>
+      TextDedup.dedupChunksExact(
+          Tables.load(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
+        .orderBy("doc_id")
+    },
   )
 
   private val multimodal: Seq[Entry] = Seq(

@@ -219,6 +219,12 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def spanShareStats(k: Int = 5, minDocs: Int = 2): DataFrame =
     TextDedup.spanShareStats(table("documents"), "doc_id", "text", k, minDocs)
 
+  /** Chunk-level exact dedup + reconstruction over `documents` — see
+    * [[graft.operators.TextDedup.dedupChunksExact]].
+    */
+  def dedupChunks(chunkTokens: Int = 8): DataFrame =
+    TextDedup.dedupChunksExact(table("documents"), "doc_id", "text", chunkTokens)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

@@ -382,6 +382,55 @@ object TextDedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Sub-document exact dedup with reconstruction — the REMOVAL step
+    * that [[repeatedSpans]] only detects: split every document into
+    * non-overlapping `chunkTokens`-token chunks, keep each distinct
+    * chunk's globally FIRST occurrence (min (doc_id, chunk_idx) — so the
+    * kept set is reproducible in any engine), drop every later
+    * occurrence (including intra-document repeats), and rebuild each
+    * document from its surviving chunks in order. Returns
+    * (id, n_chunks, n_kept, kept_text); a document that is entirely
+    * boilerplate keeps nothing and comes back with an empty string.
+    *
+    * Shape: chunking is a map-side explode at 1/chunkTokens of token
+    * granularity; the keeper election is ONE partial-aggregated
+    * `min(struct(doc, idx))` shuffle keyed on the chunk (a boilerplate
+    * chunk in millions of documents is a hot-but-mergeable key — the
+    * min-struct carries 16 bytes per partial, no grow-with-key state);
+    * the survivor filter is a (doc, idx)-keyed LEFT SEMI join — chunk
+    * text never rides the join; reconstruction aggregates each
+    * document's OWN chunks (state bounded by the document itself, the
+    * same bound as the input row).
+    */
+  def dedupChunksExact(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 8): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val c = chunkTokens
+    val toks = TextAnalysis.widened(df)
+      .select(col(idCol), split(lower(col(textCol)), "\\s+").as("_w"))
+    val chunkArr = transform(
+      sequence(lit(0), ceil(size(col("_w")) / lit(c.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(col("_w"), i * c + 1, lit(c))))
+    val chunks = OpCaches.track(
+      toks.select(col(idCol), posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val keep = chunks.groupBy("chunk")
+      .agg(min(struct(col(idCol).as("d"), col("chunk_idx").as("i"))).as("_k"))
+      .select(col("_k.d").as(idCol), col("_k.i").as("chunk_idx"))
+    val kept = chunks.join(keep, Seq(idCol, "chunk_idx"), "left_semi")
+    val stats = chunks.groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          s => s.getField("chunk"))).as("kept_text"))
+    stats.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Per-document span-sharing profile: of the document's DISTINCT
     * k-token spans, how many also occur in ≥ `minDocs` documents
     * (itself included) — `n_spans`, `n_shared`, and their ratio. The

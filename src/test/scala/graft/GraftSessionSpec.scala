@@ -70,6 +70,9 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(shares.columns.toSeq ==
       Seq("doc_id", "n_spans", "n_shared", "shared_frac"))
     assert(shares.count() > 0)
+    val cd = gs.dedupChunks()
+    assert(cd.columns.toSeq == Seq("doc_id", "n_chunks", "n_kept", "kept_text"))
+    assert(cd.count() == 500)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }

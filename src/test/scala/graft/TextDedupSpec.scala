@@ -397,4 +397,29 @@ class TextDedupSpec extends AnyFunSuite {
     // doc 4: its only DISTINCT span lives in one document → unshared.
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
+
+  test("dedupChunksExact: first occurrence wins, docs rebuilt, full dups vanish") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // chunkTokens = 2. doc 1 owns both chunks; doc 2 repeats doc 1's
+    // first chunk then adds its own; doc 3 is entirely doc 1 (case-
+    // folded) → fully dropped; doc 4 repeats a chunk WITHIN itself.
+    val docs = Seq(
+      (1L, "a b c d"),        // chunks: "a b", "c d"
+      (2L, "a b x y"),        // "a b" dropped, "x y" kept
+      (3L, "A B C D"),        // both chunks seen at doc 1 → empty
+      (4L, "p q p q p"),      // "p q", "p q", "p" → intra-doc repeat drops
+      (5L, "c d")             // doc 1 already owns "c d" → empty
+    ).toDF("doc_id", "text")
+    val got = TextDedup.dedupChunksExact(docs, "doc_id", "text", chunkTokens = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "a b c d")))
+    assert(got(2L) == ((2L, 1L, "x y")))
+    assert(got(3L) == ((2L, 0L, "")))
+    assert(got(4L) == ((3L, 2L, "p q p")))
+    assert(got(5L) == ((1L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      TextDedup.dedupChunksExact(docs, "doc_id", "text", chunkTokens = 0) }
+  }
 }
