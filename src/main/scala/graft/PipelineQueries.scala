@@ -1063,6 +1063,41 @@ object PipelineQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
         .orderBy("doc_id")
     },
+
+    // Corpus-quantile quality gate: drop the bottom quartile BY RANK
+    // (order statistic, not interpolated percentile — integer semantics
+    // that cannot flip on a float boundary between engines). The global
+    // rank comes from the distributed prefix index, never a
+    // partition-less row_number window; DuckDB re-ranks with exactly
+    // that window and re-derives the quality formula from first
+    // principles.
+    dfq("q_quality_gate",
+      "WITH toks AS (SELECT doc_id, lang, text, " +
+        "    string_split_regex(lower(text), '\\s+') AS t FROM documents), " +
+        "qual AS (SELECT doc_id, lang, round(" +
+        "    (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\\p{N}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * least(CAST(len(list_intersect(list_distinct(t), ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / greatest(len(t), 1) * 5 + 0.5, 1.0)" +
+        "    * least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0), 6) AS quality " +
+        "  FROM toks), " +
+        "r AS (SELECT doc_id, lang, quality, " +
+        "    row_number() OVER (ORDER BY quality, doc_id) AS rn, " +
+        "    count(*) OVER () AS n FROM qual) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, min(quality) AS min_q " +
+        "FROM r WHERE rn > floor(0.25 * n) GROUP BY lang ORDER BY lang") { (s, dir) =>
+      val qual = TextAnalysis.withQualityScore(
+          Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang"), col("quality"))
+      val ranked = graft.operators.Prefix.withRunningSums(
+        qual, "quality", Nil, tieCols = Seq("doc_id"))
+      val n = ranked.agg(max("_idx").as("_n"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("_idx") > floor(lit(0.25) * col("_n")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("quality").as("min_q"))
+        .orderBy("lang")
+    },
   )
 
   private val multimodal: Seq[Entry] = Seq(

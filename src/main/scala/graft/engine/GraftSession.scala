@@ -225,6 +225,13 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def dedupChunks(chunkTokens: Int = 8): DataFrame =
     TextDedup.dedupChunksExact(table("documents"), "doc_id", "text", chunkTokens)
 
+  /** Streaming chunk-survivor stream — see
+    * [[graft.streaming.EventStream.dedupChunkStream]].
+    */
+  def dedupChunkStream(docs: DataFrame, chunkTokens: Int = 8): DataFrame =
+    graft.streaming.EventStream.dedupChunkStream(docs, "doc_id", "text",
+      chunkTokens = chunkTokens)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

@@ -402,15 +402,23 @@ object TextDedup {
     * document's OWN chunks (state bounded by the document itself, the
     * same bound as the input row).
     */
+  /** Non-overlapping `c`-token chunk strings of a projected token-array
+    * column (last chunk may be shorter — ceil split, so every token
+    * belongs to exactly one chunk). Shared by the batch dedup and its
+    * streaming face so the two cannot drift.
+    */
+  private[graft] def chunkStrings(w: Column, c: Int): Column =
+    transform(
+      sequence(lit(0), ceil(size(w) / lit(c.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(w, i * c + 1, lit(c))))
+
   def dedupChunksExact(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int = 8): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     val c = chunkTokens
     val toks = TextAnalysis.widened(df)
       .select(col(idCol), split(lower(col(textCol)), "\\s+").as("_w"))
-    val chunkArr = transform(
-      sequence(lit(0), ceil(size(col("_w")) / lit(c.toDouble)).cast("int") - 1),
-      i => concat_ws(" ", slice(col("_w"), i * c + 1, lit(c))))
+    val chunkArr = chunkStrings(col("_w"), c)
     val chunks = OpCaches.track(
       toks.select(col(idCol), posexplode(chunkArr).as(Seq("chunk_idx", "chunk")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))

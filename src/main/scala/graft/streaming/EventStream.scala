@@ -104,6 +104,40 @@ object EventStream {
         col("_text").as(textCol))
   }
 
+  /** Streaming face of the chunk-level removal step
+    * ([[graft.operators.TextDedup.dedupChunksExact]]): explode each
+    * arriving document into non-overlapping `chunkTokens`-token chunks
+    * (the SAME shared chunk expression as batch — they cannot drift) and
+    * let every chunk claim its 64-bit digest through
+    * `dropDuplicatesWithinWatermark`. Output: the CHUNK SURVIVOR stream
+    * (ts, id, chunk_idx, chunk) — first occurrence of each chunk inside
+    * the watermark flows through, every re-occurrence (later document,
+    * or later position in the same document) is dropped. Downstream
+    * writers append survivors; batch reconstruction over the compacted
+    * output is `concat_ws` per document, exactly the batch operator's
+    * rebuild stage.
+    *
+    * State is one entry per DISTINCT chunk digest inside the watermark —
+    * 8-byte keys, never chunk text (the 2^-64 digest-collision false
+    * drop is the standard streaming-dedup trade; run the batch operator
+    * over compacted data when exactness matters).
+    */
+  def dedupChunkStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", chunkTokens: Int = 8,
+      watermark: String = "2 hours"): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol),
+        split(lower(col(textCol)), "\\s+").as("_w"))
+      .select(col(tsCol), col(idCol),
+        posexplode(graft.operators.TextDedup.chunkStrings(col("_w"), chunkTokens))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("_digest", xxhash64(col("chunk")))
+      .dropDuplicatesWithinWatermark("_digest")
+      .select(col(tsCol), col(idCol), col("chunk_idx"), col("chunk"))
+  }
+
   /** Stateless streaming curation gate: PII-scrub then quality-score the
     * incoming document stream and keep rows at or above `minQuality` —
     * pure projections (no state, no shuffle, no watermark needed), so

@@ -108,6 +108,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming chunk dedup: repeated chunks drop across batches, survivors keep positions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStream.dedupChunkStream(docs, "doc_id", "text", chunkTokens = 2)
+      .writeStream.format("memory").queryName("chunkdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1, 5), "a b c d")) // chunks: "a b", "c d"
+      query.processAllAvailable()
+      // Batch 2: doc 2 repeats doc 1's first chunk (cross-batch drop)
+      // and adds a fresh one; doc 3 repeats a chunk within itself.
+      input.addData((2L, ts(1, 10), "a b x y"), (3L, ts(1, 15), "p q p q"))
+      query.processAllAvailable()
+      val out = spark.table("chunkdedup_out")
+        .collect().map(r => (r.getLong(1), r.getInt(2), r.getString(3))).toSet
+      assert(out == Set((1L, 0, "a b"), (1L, 1, "c d"),
+        (2L, 1, "x y"), (3L, 0, "p q")),
+        s"survivor stream mismatch: $out")
+    } finally query.stop()
+  }
+
   test("streaming curation gate: PII scrubbed, junk dropped, batch-identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
