@@ -87,6 +87,31 @@ object PipelineQueries {
         .orderBy("batch_id", "corpus_id")
     },
 
+    // The SAME batch-vs-corpus check through the PERSISTED index: built
+    // from doc_id < 300, appended 300-399, queried with the >= 400 batch
+    // — must land on the identical pair set as q_dedup_incremental's
+    // recompute path, against the identical brute-force-all-Jaccards
+    // DuckDB oracle. Green proves the on-disk artifact (build AND
+    // append) is equivalent to shingling the corpus fresh.
+    dfq("q_dedup_indexed",
+      "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks), " +
+        "oc AS (SELECT * FROM sh WHERE doc_id < 400), " +
+        "nb AS (SELECT * FROM sh WHERE doc_id >= 400) " +
+        "SELECT nb.doc_id AS batch_id, oc.doc_id AS corpus_id, " +
+        "  round(CAST(len(list_intersect(nb.g, oc.g)) AS DOUBLE) / len(list_distinct(nb.g || oc.g)), 6) AS jaccard " +
+        "FROM nb JOIN oc ON CAST(len(list_intersect(nb.g, oc.g)) AS DOUBLE) " +
+        "  / len(list_distinct(nb.g || oc.g)) >= 0.8 " +
+        "ORDER BY batch_id, corpus_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val path = dedupIndexFor(s, dir, docs)
+      TextDedup.nearDupsAgainstIndex(
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", path,
+          threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    },
+
     // Per-document 64-bit SimHash signatures. Partial-soundness oracle:
     // no SQL engine ships xxhash64, so the TOKEN HASHES are emitted
     // alongside the signature (their correctness is pinned by the
@@ -289,6 +314,32 @@ object PipelineQueries {
     perDir.getOrElseUpdate(dir, {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 16)
+      path
+    })
+  }
+
+  private val dedupIndexDirs =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  /** Memoized persisted dedup index over the "existing corpus" half
+    * (doc_id < 400) of `documents`: BUILT from doc_id < 300 and then
+    * APPENDED with 300–399, so the entry's differential check covers the
+    * append leg too, not just the build.
+    */
+  private def dedupIndexFor(s: org.apache.spark.sql.SparkSession, dir: String,
+      docs: org.apache.spark.sql.DataFrame): String = synchronized {
+    val perDir = Option(dedupIndexDirs.get(s)).getOrElse {
+      val m = scala.collection.mutable.Map.empty[String, String]
+      dedupIndexDirs.put(s, m); m
+    }
+    perDir.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+      TextDedup.buildDedupIndex(docs.filter(col("doc_id") < 300),
+        "doc_id", "text", path)
+      TextDedup.appendDedupIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "text", path)
       path
     })
   }

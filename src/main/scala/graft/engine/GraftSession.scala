@@ -225,6 +225,21 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def dedupChunks(chunkTokens: Int = 8): DataFrame =
     TextDedup.dedupChunksExact(table("documents"), "doc_id", "text", chunkTokens)
 
+  /** Persisted dedup-index lifecycle over `documents` — see
+    * [[graft.operators.TextDedup.buildDedupIndex]] /
+    * [[graft.operators.TextDedup.appendDedupIndex]] /
+    * [[graft.operators.TextDedup.nearDupsAgainstIndex]].
+    */
+  def buildDedupIndex(path: String): Unit =
+    TextDedup.buildDedupIndex(table("documents"), "doc_id", "text", path)
+
+  def appendDedupIndex(newDocs: DataFrame, path: String): Unit =
+    TextDedup.appendDedupIndex(newDocs, "doc_id", "text", path)
+
+  def dedupAgainstIndex(batch: DataFrame, path: String,
+      threshold: Double = 0.8): DataFrame =
+    TextDedup.nearDupsAgainstIndex(batch, "doc_id", "text", path, threshold)
+
   /** Streaming chunk-survivor stream — see
     * [[graft.streaming.EventStream.dedupChunkStream]].
     */

@@ -244,6 +244,108 @@ object TextDedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The (shingles, bands) relations a persisted dedup index stores —
+    * canonical column names so the on-disk schema is independent of the
+    * caller's id column.
+    */
+  private def indexRelations(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleK: Int): (DataFrame, DataFrame) = {
+    val sh = shingleDF(docs, idCol, textCol, shingleK)
+    val dig = docs.select(col(idCol).as("id"),
+      xxhash64(lower(trim(col(textCol)))).as("digest"))
+    val shOut = sh.select(col(idCol).as("id"), col("sh")).join(dig, "id")
+    val bandsOut = bandsOf(sh, idCol, numHashes, bands)
+      .select(col(idCol).as("id"), col("band"), col("band_hash"))
+    (shOut, bandsOut)
+  }
+
+  /** Build a PERSISTED dedup index — the materialized corpus-side
+    * artifact the daily-ingest path needs (at 100 TB the corpus is
+    * shingled ONCE and appended per ingest, never re-derived per day;
+    * same lifecycle contract as the IVF index,
+    * [[Similarity.buildIvfIndex]]). Layout at `path`:
+    *
+    *   - `shingles/` (id, sh array<long>, digest long) — exact-Jaccard
+    *     verification + the exact-digest candidate pass;
+    *   - `bands/` (id, band int, band_hash long) — LSH candidate
+    *     generation;
+    *   - `meta/` (num_hashes, bands, shingle_k) — parameters pinned at
+    *     build so append/query cannot drift from the built relations.
+    */
+  def buildDedupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, numHashes: Int = 64, bands: Int = 16,
+      shingleK: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val (shOut, bandsOut) =
+      indexRelations(corpus, idCol, textCol, numHashes, bands, shingleK)
+    shOut.write.mode("overwrite").parquet(s"$path/shingles")
+    bandsOut.write.mode("overwrite").parquet(s"$path/bands")
+    import spark.implicits._
+    Seq((numHashes, bands, shingleK)).toDF("num_hashes", "bands", "shingle_k")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append newly-ingested documents to a [[buildDedupIndex]] index:
+    * shingle/band ONLY the new rows under the meta-pinned parameters and
+    * append — per-ingest cost scales with the batch, the existing corpus
+    * relations are untouched.
+    */
+  def appendDedupIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (shOut, bandsOut) = indexRelations(newDocs, idCol, textCol,
+      m.getInt(0), m.getInt(1), m.getInt(2))
+    shOut.write.mode("append").parquet(s"$path/shingles")
+    bandsOut.write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Dedup an incoming batch against a [[buildDedupIndex]] index —
+    * identical semantics to [[minhashNearDupsAgainst]] (banded LSH +
+    * exact-digest candidates + exact-Jaccard verify, corpus-side skew
+    * guard), with every corpus-side relation read from the persisted
+    * artifact instead of re-derived from text. The oversized-bucket set
+    * is recomputed from the stored bands (a metadata-sized aggregate —
+    * it must see appended rows, so it cannot be frozen at build time).
+    */
+  def nearDupsAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    val spark = batch.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (numHashes, bands, shingleK) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val shC = spark.read.parquet(s"$path/shingles")
+    val bandedC = spark.read.parquet(s"$path/bands")
+    val shB = shingleDF(batch, idCol, textCol, shingleK)
+    val bandedB = bandsOf(shB, idCol, numHashes, bands)
+    val oversized = bandedC.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select("band", "band_hash")
+    val lshCandidates = bandedC
+      .join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
+      .select(col("band"), col("band_hash"), col("id").as("corpus_id"))
+      .join(bandedB.select(col("band"), col("band_hash"),
+        col(idCol).as("batch_id")), Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id")
+    val exactCandidates = batch
+      .select(col(idCol).as("batch_id"),
+        xxhash64(lower(trim(col(textCol)))).as("digest"))
+      .join(shC.select(col("id").as("corpus_id"), col("digest")), "digest")
+      .select("batch_id", "corpus_id")
+    val candidates = lshCandidates.union(exactCandidates).distinct()
+    candidates
+      .join(shB.withColumnsRenamed(Map(idCol -> "batch_id", "sh" -> "sh_b")),
+        "batch_id")
+      .join(shC.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over whitespace terms: bit j of the signature is the
     * sign of Σ_terms (±1 depending on bit j of xxhash64(term)). Compiled
     * kernel ([[graft.functions.TextHashKernel.simhash]]); bit-identical to
