@@ -1115,6 +1115,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Token-bounded training-shard writer: documents assigned to the
+    // shard containing their first token (document-atomic), one
+    // partition directory per shard, manifest out. The entry returns the
+    // manifest; DuckDB re-derives every (shard, n_docs, n_tokens) row
+    // from the same running-sum / floor-division rule. Start offsets
+    // ride the distributed prefix sum.
+    dfq("q_write_shards",
+      "WITH toks AS (SELECT doc_id, " +
+        "    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n " +
+        "  FROM documents), " +
+        "cum AS (SELECT doc_id, n, sum(n) OVER " +
+        "    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c " +
+        "  FROM toks) " +
+        "SELECT CAST(floor((c - n) / 1000.0) AS BIGINT) AS shard, " +
+        "  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens " +
+        "FROM cum GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_shards").toString
+      graft.operators.Corpus.writeShards(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          path, tokensPerShard = 1000L)
+        .orderBy("shard")
+    },
+
+    // The corpus report card — the first query any pipeline runs on new
+    // data: per-language documents, whitespace tokens, duplicate-text
+    // mass (docs whose normalized text occurs more than once CORPUS-
+    // wide), and mean quality. The mean routes through DECIMAL(18,6)
+    // (exact, partition-order-free, cross-engine identical); the final
+    // divide is one double op rounded to 6 dp.
+    dfq("q_corpus_profile",
+      "WITH toks AS (SELECT doc_id, lang, text, " +
+        "    string_split_regex(lower(text), '\\s+') AS t FROM documents), " +
+        "qual AS (SELECT doc_id, lang, len(t) AS n_toks, " +
+        "    CAST(round(" +
+        "    (CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * (1.0 - least(CAST(length(text) - length(regexp_replace(text, '\\p{N}', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 3, 1.0))" +
+        "    * least(CAST(len(list_intersect(list_distinct(t), ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / greatest(len(t), 1) * 5 + 0.5, 1.0)" +
+        "    * least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0), 6) AS DECIMAL(18,6)) AS quality, " +
+        "    lower(trim(text)) AS norm FROM toks), " +
+        "dups AS (SELECT norm FROM qual GROUP BY norm HAVING count(*) > 1) " +
+        "SELECT q.lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "  CAST(sum(q.n_toks) AS BIGINT) AS n_tokens, " +
+        "  CAST(count(d.norm) AS BIGINT) AS n_dup_docs, " +
+        "  round(CAST(sum(q.quality) AS DOUBLE) / count(*), 6) AS avg_quality " +
+        "FROM qual q LEFT JOIN dups d ON q.norm = d.norm " +
+        "GROUP BY q.lang ORDER BY q.lang") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val qual = TextAnalysis.withQualityScore(docs, "text")
+        .select(col("doc_id"), col("lang"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_toks"),
+          col("quality").cast("decimal(18,6)").as("quality"),
+          lower(trim(col("text"))).as("norm"))
+      val dups = qual.groupBy("norm").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1).select(col("norm"), lit(1L).as("_dup"))
+      qual.join(dups, Seq("norm"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          count(col("_dup")).as("n_dup_docs"),
+          round(sum("quality").cast("double") / count(lit(1)), 6).as("avg_quality"))
+        .orderBy("lang")
+    },
+
     // Corpus-quantile quality gate: drop the bottom quartile BY RANK
     // (order statistic, not interpolated percentile — integer semantics
     // that cannot flip on a float boundary between engines). The global

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{Components, HeavyHitters, Sampling, Similarity, Temporal, TextAnalysis, TextDedup}
 import graft.planner.{CompassSession, SketchTemplateCache}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The user-facing session — what a reference user switches to.
   *
@@ -224,6 +225,33 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     */
   def dedupChunks(chunkTokens: Int = 8): DataFrame =
     TextDedup.dedupChunksExact(table("documents"), "doc_id", "text", chunkTokens)
+
+  /** Write `documents` as token-bounded training shards + manifest —
+    * see [[graft.operators.Corpus.writeShards]].
+    */
+  def writeShards(path: String, tokensPerShard: Long): DataFrame =
+    graft.operators.Corpus.writeShards(table("documents"), "doc_id", "text",
+      path, tokensPerShard)
+
+  /** Per-language corpus report card (docs, tokens, duplicate mass,
+    * mean quality) — the `q_corpus_profile` composition.
+    */
+  def corpusProfile(): DataFrame = {
+    val qual = graft.operators.TextAnalysis
+      .withQualityScore(table("documents"), "text")
+      .select(col("doc_id"), col("lang"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_toks"),
+        col("quality").cast("decimal(18,6)").as("quality"),
+        lower(trim(col("text"))).as("norm"))
+    val dups = qual.groupBy("norm").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1).select(col("norm"), lit(1L).as("_dup"))
+    qual.join(dups, Seq("norm"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        count(col("_dup")).as("n_dup_docs"),
+        round(sum("quality").cast("double") / count(lit(1)), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
 
   /** Persisted dedup-index lifecycle over `documents` — see
     * [[graft.operators.TextDedup.buildDedupIndex]] /

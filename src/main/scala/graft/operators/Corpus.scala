@@ -264,6 +264,40 @@ object Corpus {
     df.filter(col(keyCol).isNotNull).withColumn("split", assigned)
   }
 
+  /** Write the corpus as token-bounded TRAINING SHARDS plus a manifest —
+    * the sink step after curation: documents (in `idCol` order) are
+    * assigned to the shard containing their FIRST token
+    * (floor(start_offset / tokensPerShard), document-atomic — a shard
+    * may overrun by one document's tail, the standard contract when
+    * documents are not split), written as one partition directory per
+    * shard, and the returned manifest carries per-shard document and
+    * token totals.
+    *
+    * Scale: the start offsets ride [[Prefix.withRunningSums]] (two
+    * balanced shuffles, no single-task stage); the write is a dynamic
+    * `partitionBy(shard)` append-shape — each task touches only the
+    * shard directories its rows land in; the manifest aggregate is one
+    * partial-aggregated shuffle on the shard id.
+    */
+  def writeShards(df: DataFrame, idCol: String, textCol: String,
+      path: String, tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be positive, got $tokensPerShard")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol),
+        size(words(textCol)).cast("long").as("n_tokens"))
+    val sharded = Prefix.withRunningSums(toks, idCol, Seq("n_tokens" -> "_cum"))
+      .withColumn("shard",
+        floor((col("_cum") - col("n_tokens")) / tokensPerShard).cast("long"))
+    sharded.select(col(idCol), col(textCol), col("n_tokens"), col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    val manifest = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("shard")
+    manifest.write.mode("overwrite").parquet(s"$path/manifest")
+    manifest
+  }
+
   /** Domain-mixture sampling — "re-balance the corpus to the target
     * per-domain token weights": for each group g (language, source
     * domain) with weight w_g, keep the greedy prefix of g's documents —

@@ -219,6 +219,27 @@ class CorpusSpec extends AnyFunSuite {
         Seq("en" -> 0.5, "en" -> 0.5), 10L) }
   }
 
+  test("writeShards: document-atomic assignment, readable shards, manifest totals") {
+    import spark.implicits._
+    // 6 docs × 4 tokens, cap 10: cum 4,8,12,16,20,24 → start offsets
+    // 0,4,8,12,16,20 → shards 0,0,0,1,1,2.
+    val docs = (1 to 6).map(i => (i.toLong, "w x y z")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_shards_spec").toString
+    val manifest = Corpus.writeShards(docs, "doc_id", "text", path, tokensPerShard = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.toSeq == Seq((0L, 3L, 12L), (1L, 2L, 8L), (2L, 1L, 4L)))
+    // The written data round-trips with the shard partition column and
+    // covers every document exactly once.
+    val back = spark.read.parquet(s"$path/data")
+    assert(back.columns.toSet == Set("doc_id", "text", "n_tokens", "shard"))
+    assert(back.count() == 6)
+    assert(back.filter(col("shard") === 0).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$path/manifest").count() == 3)
+    intercept[IllegalArgumentException] {
+      Corpus.writeShards(docs, "doc_id", "text", path, tokensPerShard = 0L) }
+  }
+
   test("decontaminate: optimized plan splits each text exactly once") {
     import spark.implicits._
     // The gram lambda is interpreted (HOFs skip codegen and subexpression

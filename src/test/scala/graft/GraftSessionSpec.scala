@@ -73,6 +73,8 @@ class GraftSessionSpec extends AnyFunSuite {
     val cd = gs.dedupChunks()
     assert(cd.columns.toSeq == Seq("doc_id", "n_chunks", "n_kept", "kept_text"))
     assert(cd.count() == 500)
+    val prof = gs.corpusProfile().collect()
+    assert(prof.map(_.getLong(1)).sum == 500, "profile must cover every doc")
     graft.operators.OpCaches.releaseAll(spark)
   }
 }
