@@ -261,6 +261,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"single-partition exchange in the running-sum plan:\n$plan")
   }
 
+  test("every prefix-riding entry keeps _pid windows and no single-partition stage") {
+    // All entries built on Prefix.withRunningSums (token budget, packing,
+    // quality gate) inherit the same scale contract as q_window_running:
+    // windows partition by _pid, no Exchange SinglePartition anywhere.
+    Tables.registerAll(spark, dir)
+    for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate")) {
+      val df = Queries.queryMap(name)(spark, dir)
+      df.collect()
+      val plan = finalPlan(df.queryExecution.executedPlan.toString)
+      val windowLines = plan.linesIterator
+        .filter(l => l.contains("Window [") && l.contains("windowspecdefinition")).toSeq
+      assert(windowLines.nonEmpty, s"$name: expected prefix windows in:\n$plan")
+      windowLines.foreach { l =>
+        assert(l.contains("_pid"), s"$name: partition-less window:\n$l")
+      }
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"$name: single-partition exchange:\n$plan")
+      graft.operators.OpCaches.releaseAll(spark)
+    }
+  }
+
   test("q_mixture_sample: grouped prefix windows carry _pid, caps broadcast, no single-partition stage") {
     // The grouped prefix sum must never fall back to a PARTITION BY lang
     // window (one task per language) — every WindowExec partitions by
