@@ -87,6 +87,46 @@ object PipelineQueries {
         .orderBy("batch_id", "corpus_id")
     },
 
+    // The whole MinHash-LSH dedup in PURE SQL — no DataFrame code at
+    // all: the registered kernel functions (shingle_hashes, minhash_sig)
+    // plus built-ins express shingling, banding, the candidate self-join
+    // and the exact-Jaccard verify as one SQL text, the way a reference
+    // user would type it. Checked against the same brute-force all-pairs
+    // oracle as the DataFrame operator.
+    dfq("q_dedup_sql",
+      "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
+        "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
+        "  FOR i IN range(1, greatest(len(t)-2, 1)+1)]) AS g FROM toks) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)), 6) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) / len(list_distinct(a.g || b.g)) >= 0.8 " +
+        "ORDER BY id_a, id_b") { (s, dir) =>
+      graft.functions.GraftExtensions.register(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH sh AS (SELECT doc_id, shingle_hashes(text, 3) AS sh FROM documents),
+          |sig AS (SELECT doc_id, sh, minhash_sig(sh, 64) AS sig FROM sh),
+          |bands AS (
+          |  SELECT doc_id, sh, band, bh
+          |  FROM sig
+          |  LATERAL VIEW posexplode(transform(sequence(0, 15),
+          |    b -> xxhash64(concat_ws(',', slice(sig, b * 4 + 1, 4))))) t AS band, bh),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+          |verified AS (
+          |  SELECT c.id_a, c.id_b,
+          |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          |      / size(array_union(sa.sh, sb.sh)) AS j
+          |  FROM cand c
+          |  JOIN sh sa ON sa.doc_id = c.id_a
+          |  JOIN sh sb ON sb.doc_id = c.id_b)
+          |SELECT id_a, id_b, round(j, 6) AS jaccard
+          |FROM verified WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin)
+    },
+
     // The SAME batch-vs-corpus check through the PERSISTED index: built
     // from doc_id < 300, appended 300-399, queried with the >= 400 batch
     // — must land on the identical pair set as q_dedup_incremental's
@@ -1113,6 +1153,39 @@ object PipelineQueries {
       TextDedup.dedupChunksExact(
           Tables.load(s, dir, "documents"), "doc_id", "text", chunkTokens = 8)
         .orderBy("doc_id")
+    },
+
+    // Ordered event funnel (view → click → purchase), greedy-earliest
+    // chain per user, conversion iff the chain completes within 300k
+    // seconds (≈ the median chain length, so the flag genuinely splits
+    // the population). DuckDB re-derives every stage timestamp with the
+    // same chained min-joins; second-granularity epochs are emitted AFTER
+    // the full-precision chaining on both sides.
+    dfq("q_event_funnel",
+      "WITH e AS (SELECT user_id, event_type, ts FROM events), " +
+        "s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type='view' GROUP BY user_id), " +
+        "s2 AS (SELECT s1.user_id AS u2, s1.t1, min(e.ts) AS t2 FROM s1 " +
+        "  JOIN e ON e.user_id=s1.user_id AND e.event_type='click' AND e.ts > s1.t1 " +
+        "  GROUP BY s1.user_id, s1.t1), " +
+        "s3 AS (SELECT s2.u2 AS u3, s2.t2, min(e.ts) AS t3 FROM s2 " +
+        "  JOIN e ON e.user_id=s2.u2 AND e.event_type='purchase' AND e.ts > s2.t2 " +
+        "  GROUP BY s2.u2, s2.t2) " +
+        "SELECT s1.user_id, CAST(floor(epoch(s1.t1)) AS BIGINT) AS e1, " +
+        "  CAST(floor(epoch(s2.t2)) AS BIGINT) AS e2, " +
+        "  CAST(floor(epoch(s3.t3)) AS BIGINT) AS e3, " +
+        "  s3.t3 IS NOT NULL AND CAST(floor(epoch(s3.t3)) AS BIGINT) " +
+        "    - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 300000 AS converted " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id=s2.u2 LEFT JOIN s3 ON s2.u2=s3.u3 " +
+        "ORDER BY user_id") { (s, dir) =>
+      graft.operators.Temporal.funnel(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSec = 300000L)
+        .select(col("user_id"),
+          unix_timestamp(col("t_1")).as("e1"),
+          unix_timestamp(col("t_2")).as("e2"),
+          unix_timestamp(col("t_3")).as("e3"),
+          col("converted"))
+        .orderBy("user_id")
     },
 
     // Token-bounded training-shard writer: documents assigned to the

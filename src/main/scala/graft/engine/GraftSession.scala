@@ -226,6 +226,13 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def dedupChunks(chunkTokens: Int = 8): DataFrame =
     TextDedup.dedupChunksExact(table("documents"), "doc_id", "text", chunkTokens)
 
+  /** Ordered event funnel over `events` — see
+    * [[graft.operators.Temporal.funnel]].
+    */
+  def funnel(steps: Seq[String], withinSec: Long): DataFrame =
+    Temporal.funnel(table("events"), "user_id", "ts", "event_type",
+      steps, withinSec)
+
   /** Write `documents` as token-bounded training shards + manifest —
     * see [[graft.operators.Corpus.writeShards]].
     */

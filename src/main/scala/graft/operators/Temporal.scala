@@ -163,4 +163,52 @@ object Temporal {
         col("_rj_ts") > col(tsCol) - expr(s"INTERVAL '$lookbackSec' SECOND"))
       .select((leftCols ++ carry).map(col): _*)
   }
+
+  /** Ordered event funnel with GREEDY-EARLIEST semantics: per key, step
+    * 1's match is the earliest step-1 event, step i's match is the
+    * earliest step-i event strictly after step i−1's match, and the key
+    * CONVERTS iff the last match lands within `withinSec` of the first.
+    * Greedy-earliest is deterministic and engine-replayable (the same
+    * chain falls out of any SQL re-derivation); it can under-count
+    * against an optimal-window matcher when a later step-1 event starts
+    * a tighter chain — the standard funnel-analytics trade, documented
+    * here rather than hidden.
+    *
+    * Returns one row per key that reached step 1:
+    * (key, t_1 … t_n, converted). Shape: n−1 per-key min-aggregates,
+    * each one partial-aggregated shuffle on the key followed by a
+    * key-equi join — no windows, no per-key sort, state per key is one
+    * timestamp per stage regardless of event volume.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], withinSec: Long): DataFrame = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(withinSec > 0, s"withinSec must be positive, got $withinSec")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(keyCol).agg(min(col(tsCol)).as("t_1"))
+    // One relation per reached stage; each left-joins back so DROP-OFF
+    // keys (reached stage i, never stage i+1) survive with null tails.
+    val stageRels = scala.collection.mutable.ArrayBuffer(first)
+    steps.zipWithIndex.tail.foreach { case (step, i) =>
+      val prev = s"t_$i"; val cur = s"t_${i + 1}"
+      stageRels += stageRels.last
+        .join(events.filter(col(typeCol) === step)
+          .select(col(keyCol), col(tsCol).as("_ft")), keyCol)
+        .filter(col("_ft") > col(prev))
+        .groupBy((keyCol +: (1 to i).map(j => s"t_$j")).map(col): _*)
+        .agg(min(col("_ft")).as(cur))
+    }
+    // Stage i+1 carries stage i's full column set with identical values
+    // (same deterministic chain), so the using-columns left join attaches
+    // each deeper stage exactly to its own prefix.
+    val full = stageRels.tail.foldLeft(first) { (res, st) =>
+      res.join(st, res.columns.toSeq, "left")
+    }
+    full.withColumn("converted",
+      col(s"t_${steps.size}").isNotNull &&
+        col(s"t_${steps.size}").cast("long") - col("t_1").cast("long")
+          <= withinSec)
+  }
 }

@@ -183,4 +183,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"as-of should shuffle exactly once (the key window), got $exchanges:\n$plan")
   }
+
+  test("funnel: greedy-earliest chain, window flag, drop-offs, order matters") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: view@1 → click@3 → purchase@5 — converts (within 10 min).
+      (1L, ts(1), "view"), (1L, ts(3), "click"), (1L, ts(5), "purchase"),
+      // user 2: completes but outside the window (purchase @ 55).
+      (2L, ts(1), "view"), (2L, ts(2), "click"), (2L, ts(55), "purchase"),
+      // user 3: drop-off after click — no purchase.
+      (3L, ts(1), "view"), (3L, ts(4), "click"),
+      // user 4: purchase BEFORE any click — order matters, not presence.
+      (4L, ts(1), "view"), (4L, ts(2), "purchase"), (4L, ts(6), "click"),
+      // user 5: GREEDY — first view@1 chains to click@3/purchase@50
+      //  (outside window) even though view@45→... would be tighter.
+      (5L, ts(1), "view"), (5L, ts(3), "click"), (5L, ts(45), "view"),
+      (5L, ts(50), "purchase"),
+      // user 6: never views — absent entirely.
+      (6L, ts(1), "click"), (6L, ts(2), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSec = 600L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3)), r.getBoolean(4))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L) == ((Some(ts(1)), Some(ts(3)), Some(ts(5)), true)))
+    assert(got(2L) == ((Some(ts(1)), Some(ts(2)), Some(ts(55)), false)))
+    assert(got(3L) == ((Some(ts(1)), Some(ts(4)), None, false)))
+    assert(got(4L) == ((Some(ts(1)), Some(ts(6)), None, false)),
+      "a purchase before the click must not count")
+    assert(got(5L) == ((Some(ts(1)), Some(ts(3)), Some(ts(50)), false)),
+      "greedy-earliest: the first view anchors the chain")
+    intercept[IllegalArgumentException] {
+      Temporal.funnel(events, "user_id", "ts", "event_type", Seq("view"), 10L) }
+    intercept[IllegalArgumentException] {
+      Temporal.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "view"), 10L) }
+  }
 }
