@@ -92,7 +92,10 @@ object PipelineQueries {
     // plus built-ins express shingling, banding, the candidate self-join
     // and the exact-Jaccard verify as one SQL text, the way a reference
     // user would type it. Checked against the same brute-force all-pairs
-    // oracle as the DataFrame operator.
+    // oracle as the DataFrame operator. SQL-parity demo: it omits the
+    // oversized-bucket skew guard the production operator carries
+    // (TextDedup.minhashNearDups maxBucket) — boilerplate-heavy corpora
+    // should use the operator, not this text.
     dfq("q_dedup_sql",
       "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
