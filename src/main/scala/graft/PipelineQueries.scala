@@ -1158,6 +1158,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Weekly retention cohorts anchored on each user's first signup —
+    // epoch-week buckets, pure integer arithmetic, DuckDB re-derives
+    // every (cohort, offset, n_users) cell.
+    dfq("q_event_retention",
+      "WITH a AS (SELECT user_id, min(ts) AS t0 FROM events " +
+        "  WHERE event_type = 'signup' GROUP BY user_id), " +
+        "act AS (SELECT DISTINCT e.user_id, " +
+        "    CAST(floor(floor(epoch(a.t0)) / 604800) AS BIGINT) AS cohort_week, " +
+        "    CAST(floor((floor(epoch(e.ts)) - floor(epoch(a.t0))) / 604800) AS BIGINT) AS week_offset " +
+        "  FROM events e JOIN a ON e.user_id = a.user_id WHERE e.ts >= a.t0) " +
+        "SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM act GROUP BY 1, 2 ORDER BY 1, 2") { (s, dir) =>
+      graft.operators.Temporal.retention(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          anchorType = "signup")
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Ordered event funnel (view → click → purchase), greedy-earliest
     // chain per user, conversion iff the chain completes within 300k
     // seconds (≈ the median chain length, so the flag genuinely splits

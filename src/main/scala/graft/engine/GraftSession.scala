@@ -233,6 +233,13 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     Temporal.funnel(table("events"), "user_id", "ts", "event_type",
       steps, withinSec)
 
+  /** Weekly retention cohorts over `events` — see
+    * [[graft.operators.Temporal.retention]].
+    */
+  def retention(anchorType: String = "signup"): DataFrame =
+    Temporal.retention(table("events"), "user_id", "ts", "event_type",
+      anchorType)
+
   /** Write `documents` as token-bounded training shards + manifest —
     * see [[graft.operators.Corpus.writeShards]].
     */

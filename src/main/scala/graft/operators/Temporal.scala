@@ -164,6 +164,35 @@ object Temporal {
       .select((leftCols ++ carry).map(col): _*)
   }
 
+  /** Weekly retention cohorts: each key's cohort is the epoch-week of
+    * its first `anchorType` event; for every (cohort_week, week_offset)
+    * cell, the number of DISTINCT keys with ANY activity in that offset
+    * week at or after their anchor. Pure integer epoch arithmetic —
+    * engine-portable with no timezone or calendar dependence (cohorts
+    * are epoch-week buckets, not calendar weeks).
+    *
+    * Shape: one per-key min-aggregate for anchors, one key-equi join to
+    * tag activity, a (key, cohort, offset) distinct, and one final
+    * partial-aggregated count — every shuffle keyed on the key or the
+    * small (cohort, offset) pair.
+    */
+  def retention(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, anchorType: String,
+      bucketSec: Long = 604800L): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    val anchors = events.filter(col(typeCol) === anchorType)
+      .groupBy(keyCol).agg(min(col(tsCol)).as("_t0"))
+    events.join(anchors, keyCol)
+      .filter(col(tsCol) >= col("_t0"))
+      .select(col(keyCol),
+        floor(col("_t0").cast("long") / bucketSec).cast("long").as("cohort_week"),
+        floor((col(tsCol).cast("long") - col("_t0").cast("long")) / bucketSec)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Ordered event funnel with GREEDY-EARLIEST semantics: per key, step
     * 1's match is the earliest step-1 event, step i's match is the
     * earliest step-i event strictly after step i−1's match, and the key

@@ -184,6 +184,30 @@ class TemporalSpec extends AnyFunSuite {
       s"as-of should shuffle exactly once (the key window), got $exchanges:\n$plan")
   }
 
+  test("retention: cohort by first anchor, distinct per cell, pre-anchor excluded") {
+    import spark.implicits._
+    def tsd(d: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = Seq(
+      // user 1 signs up day 1; active day 1 (x2 -> distinct once), day 9.
+      (1L, tsd(1), "signup"), (1L, tsd(1, 5), "click"), (1L, tsd(1, 6), "view"),
+      (1L, tsd(9), "click"),
+      // user 2 signs up day 2 (same epoch cohort-week as day 1), active day 2 only;
+      // a pre-signup event on day 1 must NOT count.
+      (2L, tsd(1), "view"), (2L, tsd(2), "signup"), (2L, tsd(2, 3), "click"),
+      // user 3 never signs up: absent.
+      (3L, tsd(1), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Temporal.retention(events, "user_id", "ts", "event_type", "signup")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = tsd(1).getTime / 1000 / 604800
+    // Offsets are anchored per user: both users are offset-0 actives in
+    // their signup week; user 1 returns in offset week 1.
+    assert(got == Map((w1, 0L) -> 2L, (w1, 1L) -> 1L), s"got $got")
+    intercept[IllegalArgumentException] {
+      Temporal.retention(events, "user_id", "ts", "event_type", "signup",
+        bucketSec = 0L) }
+  }
+
   test("funnel: greedy-earliest chain, window flag, drop-offs, order matters") {
     import spark.implicits._
     val events = Seq(
