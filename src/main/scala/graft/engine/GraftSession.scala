@@ -233,6 +233,14 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     Temporal.funnel(table("events"), "user_id", "ts", "event_type",
       steps, withinSec)
 
+  /** Streaming funnel conversions — see
+    * [[graft.streaming.EventStream.funnelStream]].
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[
+      graft.streaming.EventStream.FunnelEvent],
+      steps: Seq[String], withinSec: Long): DataFrame =
+    graft.streaming.EventStream.funnelStream(events, steps, withinSec).toDF()
+
   /** Weekly retention cohorts over `events` — see
     * [[graft.operators.Temporal.retention]].
     */

@@ -171,6 +171,81 @@ object EventStream {
       user_id: Long, session_start: java.sql.Timestamp,
       n_events: Int, total_value: Double, duration_sec: Long)
 
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+  final case class FunnelChain(hits: Seq[Long], done: Boolean)
+  final case class FunnelConversion(user_id: Long,
+    t_first: java.sql.Timestamp, t_last: java.sql.Timestamp,
+    duration_sec: Long)
+
+  /** Streaming face of [[graft.operators.Temporal.funnel]], emitting
+    * ONLY in-window conversions: per user, the greedy-earliest chain
+    * (step i's match is the first step-i event after step i−1's match,
+    * within each micro-batch processed in event-time order) emits
+    * exactly one row when it completes with last − first ≤ `withinSec`.
+    *
+    * The conversion window doubles as the state bound: a chain anchored
+    * at t₁ can only convert before t₁ + withinSec, so the event-time
+    * timeout collects the state right there — per-user state is ≤
+    * `steps.size` timestamps, held for at most the conversion window.
+    * Users who never produce a step-1 event hold NO state. Consistent
+    * with the batch operator's greedy anchoring: a chain the batch would
+    * report with converted = false simply never emits here. Cross-batch
+    * LATE events (arriving after a later-stage match was committed)
+    * cannot rewind the chain — the standard streaming approximation;
+    * run the batch operator for exact funnels over compacted history.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      steps: Seq[String], withinSec: Long,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[FunnelConversion] = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    require(withinSec > 0, s"withinSec must be positive, got $withinSec")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelChain, FunnelConversion](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelChain]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var chain = state.getOption.getOrElse(FunnelChain(Nil, done = false))
+            var out = List.empty[FunnelConversion]
+            sorted.foreach { e =>
+              if (!chain.done && chain.hits.size < steps.size &&
+                  e.event_type == steps(chain.hits.size) &&
+                  (chain.hits.isEmpty || e.ts.getTime > chain.hits.last)) {
+                val hits = chain.hits :+ e.ts.getTime
+                // Same second-granularity window rule as the batch
+                // operator: floor to epoch seconds, then compare.
+                val durSec = Math.floorDiv(hits.last, 1000L) -
+                  Math.floorDiv(hits.head, 1000L)
+                if (hits.size == steps.size) {
+                  if (durSec <= withinSec)
+                    out ::= FunnelConversion(user,
+                      new java.sql.Timestamp(hits.head),
+                      new java.sql.Timestamp(hits.last), durSec)
+                  chain = FunnelChain(hits, done = true)
+                } else chain = FunnelChain(hits, done = false)
+              }
+            }
+            if (chain.hits.nonEmpty) {
+              state.update(chain)
+              // GC at anchor + window: past it, no in-window completion
+              // can exist; done chains just wait here for collection.
+              state.setTimeoutTimestamp(chain.hits.head + withinSec * 1000L)
+            }
+            out.reverse.iterator
+          }
+      }
+  }
+
   /** Per-user sessionization via flatMapGroupsWithState: a session closes
     * after `gapSec` of inactivity (event-time timeout tied to the
     * watermark). State per key is one fixed-size record — bounded

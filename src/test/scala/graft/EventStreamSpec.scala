@@ -131,6 +131,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming funnel: cross-batch chain converts once; order and window enforced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.FunnelEvent]
+    val query = EventStream.funnelStream(input.toDS(),
+        Seq("view", "click", "purchase"), withinSec = 600L)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1 views+clicks; user 2 purchases FIRST (no anchor
+      // progress beyond its view); user 3 views.
+      input.addData(
+        EventStream.FunnelEvent(1L, ts(1, 0), "view"),
+        EventStream.FunnelEvent(1L, ts(1, 2), "click"),
+        EventStream.FunnelEvent(2L, ts(1, 0), "purchase"),
+        EventStream.FunnelEvent(2L, ts(1, 1), "view"),
+        EventStream.FunnelEvent(3L, ts(1, 0), "view"))
+      query.processAllAvailable()
+      // Batch 2: user 1 completes IN window; user 3 completes OUT of
+      // window (view@0 -> purchase@55 > 600 s); user 2 clicks (still no
+      // purchase AFTER the click).
+      input.addData(
+        EventStream.FunnelEvent(1L, ts(1, 5), "purchase"),
+        EventStream.FunnelEvent(3L, ts(1, 20), "click"),
+        EventStream.FunnelEvent(3L, ts(1, 55), "purchase"),
+        EventStream.FunnelEvent(2L, ts(1, 30), "click"))
+      query.processAllAvailable()
+      val out = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getLong(3)))
+      assert(out.toSeq == Seq((1L, 300L)),
+        s"only user 1 converts (user 3 outside window, user 2 incomplete): ${out.toSeq}")
+      // A second purchase must NOT re-emit (done chains stay done).
+      input.addData(EventStream.FunnelEvent(1L, ts(1, 7), "purchase"))
+      query.processAllAvailable()
+      assert(spark.table("funnel_out").count() == 1)
+    } finally query.stop()
+  }
+
   test("streaming curation gate: PII scrubbed, junk dropped, batch-identical") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -303,6 +303,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cap table did not broadcast:\n$plan")
   }
 
+  test("shard output prunes partitions: a shard-filtered read scans one directory") {
+    // The training-shard writer's partitionBy(shard) layout must pay off
+    // on the read side: filtering one shard shows a partition filter and
+    // touches a single partition directory, not the whole dataset.
+    val path = java.nio.file.Files.createTempDirectory("graft_shard_prune").toString
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, "w x y z")).toDF("doc_id", "text")
+    graft.operators.Corpus.writeShards(docs, "doc_id", "text", path, tokensPerShard = 40L)
+    val rd = spark.read.parquet(s"$path/data")
+      .filter(org.apache.spark.sql.functions.col("shard") === 1L)
+    assert(rd.count() == 10)
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected a shard partition filter in:\n$plan")
+    def filesScanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val all = spark.read.parquet(s"$path/data")
+    assert(filesScanned(rd) < filesScanned(all),
+      "the pruned read must touch fewer files than the full read")
+    val allDirs = new java.io.File(s"$path/data").listFiles()
+      .count(f => f.getName.startsWith("shard="))
+    assert(allDirs == 4, s"expected 4 shard dirs, got $allDirs")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("top-k order-by-limit compiles to TakeOrderedAndProject (no full sort)") {
     val plan = planOf("q_orderby_limit")
     assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-k:\n$plan")
