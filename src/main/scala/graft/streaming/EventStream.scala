@@ -239,7 +239,13 @@ object EventStream {
               state.update(chain)
               // GC at anchor + window: past it, no in-window completion
               // can exist; done chains just wait here for collection.
-              state.setTimeoutTimestamp(chain.hits.head + withinSec * 1000L)
+              // Clamped above the current watermark — Spark rejects a
+              // timeout at/behind it, and an old anchor whose window
+              // already passed (late events for a dead chain) must be
+              // collected at the next opportunity, not crash the query.
+              state.setTimeoutTimestamp(
+                math.max(chain.hits.head + withinSec * 1000L,
+                  state.getCurrentWatermarkMs() + 1000L))
             }
             out.reverse.iterator
           }
