@@ -533,6 +533,41 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // SemDeDup-style cluster-scoped semantic dedup: coarse k-means
+    // partitions the corpus, min-id keeper election within each cluster
+    // at rounded-cosine >= 0.45 (the cut that produces real drops on
+    // this synthetic corpus — see q_ann_neardup). Oracle = the partial-
+    // soundness pattern of the ANN entries, but here the dedup DECISION
+    // is fully differential GIVEN the recorded partition: DuckDB reads
+    // the dump's (vec_id, centroid_id) assignment (seeded k-means — not
+    // SQL-re-derivable, recall spec-bounded in SimilaritySpec), forms
+    // every same-cluster pair itself, recomputes each cosine from the
+    // embeddings parquet in double precision, and re-derives every
+    // kept/dropped flag — a wrong cosine, a missed cluster-mate, or a
+    // keeper that should have dropped all flip a row.
+    dfq("q_semdedup",
+      "WITH res AS (SELECT vec_id, centroid_id, kept FROM " +
+        s"read_parquet('${Queries.VerifyOutToken}/q_semdedup/*.parquet')), " +
+        "cand AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM res a JOIN res b " +
+        "  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id), " +
+        "pairs AS (SELECT c.ia, c.ib, ea.embedding AS va, eb.embedding AS vb " +
+        "  FROM cand c JOIN embeddings ea ON ea.vec_id = c.ia " +
+        "  JOIN embeddings eb ON eb.vec_id = c.ib), " +
+        "dots AS (SELECT ia, ib, sum(xa * xb) AS dotp, " +
+        "  sqrt(sum(xa * xa)) AS na, sqrt(sum(xb * xb)) AS nb " +
+        "  FROM (SELECT ia, ib, unnest(va)::DOUBLE AS xa, " +
+        "        unnest(vb)::DOUBLE AS xb FROM pairs) u GROUP BY ia, ib), " +
+        "dropped AS (SELECT DISTINCT ib FROM dots " +
+        "  WHERE round(dotp / (na * nb), 6) >= 0.45) " +
+        "SELECT r.vec_id, r.centroid_id, " +
+        "  r.vec_id NOT IN (SELECT ib FROM dropped) AS kept " +
+        "FROM res r ORDER BY r.vec_id") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding",
+          threshold = 0.45, nCentroids = 16)
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-duplicate pairs (LSH-bucketed self-join).
     // Threshold 0.45 with wide recall params (bits=6 → 64 buckets/table,
     // 8 tables): the synthetic embeddings plant no near-dups (max
@@ -1207,6 +1242,23 @@ object PipelineQueries {
           unix_timestamp(col("t_3")).as("e3"),
           col("converted"))
         .orderBy("user_id")
+    },
+
+    // Deterministic epoch shuffle: seeded md5 draw -> dense global
+    // shuffle position via the distributed prefix index (never a
+    // partition-less row_number window). DuckDB re-derives the entire
+    // permutation with exactly that window over the same draw rule, so
+    // the scale-safe plan is differentially pinned against the textbook
+    // formulation — every (doc_id, shuffle_pos) pair must match.
+    dfq("q_corpus_shuffle",
+      "SELECT doc_id, CAST(row_number() OVER (" +
+        "  ORDER BY md5(CAST(doc_id AS VARCHAR) || '|ep1'), doc_id) AS BIGINT) " +
+        "  AS shuffle_pos " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      graft.operators.Corpus.shuffleOrder(
+          Tables.load(s, dir, "documents").select("doc_id"), "doc_id", "ep1")
+        .select(col("doc_id"), col("shuffle_pos").cast("long"))
+        .orderBy("doc_id")
     },
 
     // Token-bounded training-shard writer: documents assigned to the

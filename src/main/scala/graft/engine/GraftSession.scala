@@ -248,6 +248,19 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     Temporal.retention(table("events"), "user_id", "ts", "event_type",
       anchorType)
 
+  /** SemDeDup-style cluster-scoped semantic dedup over `embeddings` —
+    * see [[Similarity.semDedup]].
+    */
+  def semDedup(threshold: Double = 0.95, nCentroids: Int = 16): DataFrame =
+    Similarity.semDedup(table("embeddings"), "vec_id", "embedding",
+      threshold, nCentroids)
+
+  /** Deterministic epoch-shuffle positions for `documents` — see
+    * [[graft.operators.Corpus.shuffleOrder]].
+    */
+  def shuffleOrder(seed: String): DataFrame =
+    graft.operators.Corpus.shuffleOrder(table("documents"), "doc_id", seed)
+
   /** Write `documents` as token-bounded training shards + manifest —
     * see [[graft.operators.Corpus.writeShards]].
     */

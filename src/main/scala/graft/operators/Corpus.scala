@@ -264,6 +264,31 @@ object Corpus {
     df.filter(col(keyCol).isNotNull).withColumn("split", assigned)
   }
 
+  /** Deterministic epoch shuffle: a seeded md5 draw per row defines a
+    * reproducible pseudo-random TOTAL order (the training-epoch shuffle
+    * every loader needs), and the distributed prefix index densifies it
+    * into a 1-based `shuffle_pos`. Same engine-portable draw rule as
+    * [[Sampling.deterministicSample]] (md5 of key + salt — identical hex
+    * on any engine), but over the FULL 32-hex digest so the permutation
+    * is uniform; md5 ties (astronomically rare) break on `idCol`. A new
+    * `seed` is a fresh independent permutation (one per epoch); the same
+    * seed reproduces the same order at any parallelism on any cluster.
+    *
+    * Scale: the global position rides [[Prefix.withRunningSums]] — two
+    * balanced shuffles and an O(#partitions) driver prefix, never the
+    * partition-less `row_number()` window that funnels the corpus into
+    * one task. Downstream writes that need the physical layout to match
+    * the logical order sort by `shuffle_pos` range-partitioned, which
+    * Spark plans as one more balanced range exchange.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val drawn = df.withColumn("_draw",
+      md5(concat(col(idCol).cast("string"), lit("|"), lit(seed))))
+    Prefix.withRunningSums(drawn, "_draw", Nil,
+        idxCol = "shuffle_pos", tieCols = Seq(idCol))
+      .drop("_draw")
+  }
+
   /** Write the corpus as token-bounded TRAINING SHARDS plus a manifest —
     * the sink step after curation: documents (in `idCol` order) are
     * assigned to the shard containing their FIRST token

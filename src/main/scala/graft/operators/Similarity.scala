@@ -388,6 +388,51 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (the published cluster-scoped
+    * recipe: Abbas et al., "SemDeDup", arXiv:2303.09540): coarse k-means
+    * partitions the corpus, and WITHIN each cluster any vector with a
+    * smaller-id near-duplicate (6-dp-rounded cosine ≥ `threshold`) is
+    * dropped, keeping the min-id representative — the same keeper rule
+    * as the MinHash text dedup.
+    *
+    * Scale shape: this is the embedding-dedup plan that survives 100× —
+    * the corpus-wide all-pairs comparison [[cosineNearDups]] bounds with
+    * LSH buckets is here bounded by CLUSTER membership instead: centroid
+    * assignment is one shuffle-free projection (centroids ride as
+    * broadcast literals, [[assignToCentroids]]), and the only shuffle is
+    * the hash exchange on `centroid_id` for the per-cluster self-join,
+    * whose cost is Σ|cluster|² — `nCentroids` is the knob that keeps
+    * clusters bounded (the paper runs ~50k clusters on LAION; size it so
+    * |corpus|/nCentroids pairs fit a task). Near-dups that straddle a
+    * cluster boundary are missed BY DESIGN — that is SemDeDup's
+    * recall/cost trade, spec-bounded in SimilaritySpec on planted
+    * clustered duplicates.
+    *
+    * Returns one row per input: (idCol, centroid_id, kept) — kept=false
+    * iff a smaller-id cluster-mate clears the threshold. Thresholding on
+    * the ROUNDED cosine for the same cross-engine determinism contract
+    * as [[cosineNearDups]] (residual ulp-boundary odds accepted there).
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCentroids: Int = 16): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, nCentroids)
+    val assigned = assignToCentroids(df, idCol, vecCol, cents, 1)
+    val a = assigned.select(col("centroid_id"),
+      col(idCol).as("_id_a"), col(vecCol).as("_va"))
+    val b = assigned.select(col("centroid_id"),
+      col(idCol).as("_id_b"), col(vecCol).as("_vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("_id_a") < col("_id_b"))
+      .filter(round(cosine(col("_va"), col("_vb")), 6) >= threshold)
+      .select(col("_id_b").as(idCol))
+      .distinct()
+      .withColumn("_dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        not(coalesce(col("_dropped"), lit(false))).as("kept"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step
     * before an embedding corpus is indexed at scale (4× smaller than
     * float32; distance kernels read int8 directly). scale = max|v|/127,

@@ -91,6 +91,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4L, 4L), (3L, 3L, 7L)))
   }
 
+  test("shuffleOrder: dense permutation, seed-reproducible, window-form equal") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(7)
+    val out = Corpus.shuffleOrder(docs, "doc_id", "ep1")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_pos")))
+    // A permutation: positions are exactly 1..n, every doc present once.
+    assert(out.map(_._2).sorted.toSeq == (1L to 500L))
+    assert(out.map(_._1).toSet.size == 500)
+    // Equals the textbook single-window formulation (what the oracle runs).
+    val window = docs.withColumn("_d",
+        md5(concat($"doc_id".cast("string"), lit("|ep1"))))
+      .withColumn("want", row_number().over(
+        Window.orderBy(col("_d"), col("doc_id"))).cast("long"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("want"))).toMap
+    out.foreach { case (id, pos) =>
+      assert(pos == window(id), s"doc $id: prefix pos $pos != window ${window(id)}")
+    }
+    // Same seed reproduces at a different parallelism; a new seed is a
+    // genuinely different permutation.
+    val again = Corpus.shuffleOrder(docs.repartition(3), "doc_id", "ep1")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_pos"))).toSet
+    assert(again == out.toSet)
+    val ep2 = Corpus.shuffleOrder(docs, "doc_id", "ep2")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shuffle_pos"))).toSet
+    assert(ep2 != out.toSet, "different seeds must permute differently")
+  }
+
   test("splitAssign: disjoint total cover, null policy, validation") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")

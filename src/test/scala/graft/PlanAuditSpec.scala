@@ -266,7 +266,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // quality gate) inherit the same scale contract as q_window_running:
     // windows partition by _pid, no Exchange SinglePartition anywhere.
     Tables.registerAll(spark, dir)
-    for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate")) {
+    for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate",
+        "q_corpus_shuffle")) {
       val df = Queries.queryMap(name)(spark, dir)
       df.collect()
       val plan = finalPlan(df.queryExecution.executedPlan.toString)
@@ -280,6 +281,21 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name: single-partition exchange:\n$plan")
       graft.operators.OpCaches.releaseAll(spark)
     }
+  }
+
+  test("semDedup pairs only within clusters: equi-join on centroid_id, never a cross product") {
+    // The whole point of cluster-scoped dedup is that the pair space is
+    // keyed — a plan that degrades to CartesianProduct/NestedLoop has
+    // silently become corpus-wide all-pairs and cannot survive 100x.
+    Tables.registerAll(spark, dir)
+    val df = Queries.queryMap("q_semdedup")(spark, dir)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_semdedup: unkeyed pair join:\n$plan")
+    assert(plan.contains("centroid_id"), s"q_semdedup: centroid key missing:\n$plan")
+    graft.operators.OpCaches.releaseAll(spark)
   }
 
   test("q_mixture_sample: grouped prefix windows carry _pid, caps broadcast, no single-partition stage") {

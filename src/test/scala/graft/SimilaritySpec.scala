@@ -126,6 +126,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1000L, 1001L)), s"missed planted dup: $pairs")
   }
 
+  test("semDedup: planted in-cluster duplicates drop to the min-id keeper") {
+    import spark.implicits._
+    // Clustered corpus (the regime SemDeDup serves) with planted exact
+    // duplicates inside one cluster: the duplicates co-assign by
+    // construction (identical vectors share a nearest centroid), so the
+    // keeper rule must fire regardless of which centroid that is.
+    val corpus = clusteredCorpus()
+    val dup = corpus.filter($"vec_id" === 7L).collect()
+      .head.getSeq[Float](1)
+    val planted = Seq((9001L, dup), (9002L, dup)).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(corpus.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99999, nCentroids = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // One row per input, exact duplicates co-clustered with the original.
+    assert(out.size == 8 * 50 + 2)
+    assert(out(9001L)._1 == out(7L)._1 && out(9002L)._1 == out(7L)._1,
+      s"identical vectors split across clusters: ${out(7L)} ${out(9001L)} ${out(9002L)}")
+    // Min-id keeper election: 7 keeps, both planted copies drop.
+    assert(out(7L)._2, "keeper was dropped")
+    assert(!out(9001L)._2 && !out(9002L)._2, s"planted dups kept: $out")
+    // At threshold 0.99999 the noisy cluster-mates (pairwise cosine
+    // ~0.9984 at noise 0.2 on norm-20 centers) stay far below the cut.
+    val dropped = out.count(!_._2._2)
+    assert(dropped == 2, s"expected exactly the 2 planted dups dropped, got $dropped")
+  }
+
+  test("semDedup: deterministic across partitionings, singletons kept") {
+    import spark.implicits._
+    val corpus = clusteredCorpus()
+    def run(parts: Int) = Similarity.semDedup(corpus.repartition(parts),
+        "vec_id", "embedding", threshold = 0.99999, nCentroids = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    // Seeded centroids + rounded-cosine cut: the full (id, cluster, kept)
+    // relation is partition-count invariant.
+    assert(run(3) == run(11))
+    // No near-dups planted → everything is its own keeper.
+    assert(run(3).forall(_._3), "spurious drop without planted duplicates")
+  }
+
   test("multimodal: media table schema + partition-batched decode shape") {
     val docs = Tables.load(spark, dir, "documents").limit(50)
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
