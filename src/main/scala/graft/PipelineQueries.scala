@@ -533,6 +533,54 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Two-stage quantized retrieval: int8-code scan -> 50-candidate
+    // shortlist by quantized cosine -> exact re-rank of the shortlist.
+    // FULLY differential (no dump reading, no seeded parts): per-vector
+    // scales cancel out of the quantized cosine and every integer in it
+    // is exact in a double, so DuckDB re-derives the ENTIRE operator
+    // from first principles — quantization (the q_embed_quantize rule),
+    // integer dots, the shortlist cut, and the exact re-rank.
+    dfq("q_ann_quantized",
+      "WITH sc AS (SELECT vec_id, embedding, " +
+        "    greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]), 1e-30) / 127 AS s " +
+        "  FROM embeddings), " +
+        "n2 AS (SELECT vec_id, embedding, qv, list_sum([x * x FOR x IN qv]) AS nn FROM " +
+        "  (SELECT vec_id, embedding, " +
+        "    [CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT) FOR x IN embedding] AS qv " +
+        "   FROM sc) c), " +
+        "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "    q.qv AS qa, c.qv AS qb, q.nn AS na2, c.nn AS nb2 " +
+        "  FROM n2 q, n2 c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id " +
+        "    AND q.nn > 0 AND c.nn > 0), " +
+        "qdots AS (SELECT query_id, neighbor_id, sum(xa * xb) AS qdot, " +
+        "    min(na2) AS na2, min(nb2) AS nb2 " +
+        "  FROM (SELECT query_id, neighbor_id, na2, nb2, " +
+        "        unnest(qa) AS xa, unnest(qb) AS xb FROM pairs) u " +
+        "  GROUP BY query_id, neighbor_id), " +
+        "short AS (SELECT query_id, neighbor_id FROM " +
+        "  (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id " +
+        "     ORDER BY round(CAST(qdot AS DOUBLE) / sqrt(CAST(na2 * nb2 AS DOUBLE)), 6) DESC, " +
+        "       neighbor_id) AS srank FROM qdots) t WHERE srank <= 50), " +
+        "ex AS (SELECT s.query_id, s.neighbor_id, eq.embedding AS vq, ec.embedding AS vc " +
+        "  FROM short s JOIN embeddings eq ON eq.vec_id = s.query_id " +
+        "  JOIN embeddings ec ON ec.vec_id = s.neighbor_id), " +
+        "dots AS (SELECT query_id, neighbor_id, sum(xa * xb) AS dotp, " +
+        "    sqrt(sum(xa * xa)) AS na, sqrt(sum(xb * xb)) AS nb " +
+        "  FROM (SELECT query_id, neighbor_id, unnest(vq)::DOUBLE AS xa, " +
+        "        unnest(vc)::DOUBLE AS xb FROM ex) u GROUP BY query_id, neighbor_id) " +
+        "SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, cos FROM " +
+        "  (SELECT query_id, neighbor_id, round(dotp / (na * nb), 6) AS cos, " +
+        "     row_number() OVER (PARTITION BY query_id " +
+        "       ORDER BY round(dotp / (na * nb), 6) DESC, neighbor_id) AS rnk " +
+        "   FROM dots) r WHERE rnk <= 5 ORDER BY query_id, rank") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.quantizedTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, shortlist = 50)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // SemDeDup-style cluster-scoped semantic dedup: coarse k-means
     // partitions the corpus, min-id keeper election within each cluster
     // at rounded-cosine >= 0.45 (the cut that produces real drops on

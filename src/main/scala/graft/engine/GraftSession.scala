@@ -248,6 +248,17 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     Temporal.retention(table("events"), "user_id", "ts", "event_type",
       anchorType)
 
+  /** Two-stage quantized retrieval over `embeddings` (int8 shortlist →
+    * exact re-rank) — see [[Similarity.quantizedTopK]].
+    */
+  def quantizedTopK(queryIds: Seq[Long], k: Int = 5,
+      shortlist: Int = 50): DataFrame = {
+    val emb = table("embeddings")
+    Similarity.quantizedTopK(emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(queryIds: _*)),
+      "vec_id", "embedding", k, shortlist)
+  }
+
   /** SemDeDup-style cluster-scoped semantic dedup over `embeddings` —
     * see [[Similarity.semDedup]].
     */

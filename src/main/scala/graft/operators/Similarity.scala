@@ -388,6 +388,72 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Two-stage quantized retrieval: scan int8 CODES ([[quantizeInt8]])
+    * to shortlist `shortlist` candidates per query by quantized cosine,
+    * then re-rank only the shortlist with exact double cosine on the
+    * original vectors — the memory-bandwidth pattern production vector
+    * search runs (codes are 4× smaller than float32, so the exhaustive
+    * stage streams 4× less data; the exact stage touches `shortlist`
+    * vectors per query, not the corpus).
+    *
+    * Determinism is STRONGER than the float ANN paths: per-vector
+    * scales cancel out of the quantized cosine
+    * (qdot/√(Σqa²·Σqb²) — the scale factors divide out), and every
+    * integer there is exact in a double (|code| ≤ 127, dims bounded),
+    * so both stages' scores are bit-identical on any engine at any
+    * partitioning — which is what lets a SQL oracle re-derive the WHOLE
+    * operator (quantization → integer dots → shortlist cut → exact
+    * re-rank) from first principles, with no seeded parts at all.
+    *
+    * Scale shape: queries broadcast (bounded query batch), the code
+    * scan is one corpus pass, the per-query shortlist cut is a window
+    * partitioned by query_id (parallel across queries), and the exact
+    * re-rank joins `shortlist`·|queries| rows back to the corpus on the
+    * id — at 100 TB the codes table is the persisted artifact (written
+    * once beside the IVF index) and this stage composes inside each
+    * probed inverted list.
+    */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, shortlist: Int = 50): DataFrame = {
+    def codes(df: DataFrame, idOut: String) =
+      quantizeInt8(df, vecCol).select(
+        col(idCol).as(idOut),
+        col("q_vec").as(s"_qv_$idOut"),
+        aggregate(col("q_vec"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long"))
+          .as(s"_n2_$idOut"))
+    val cq = codes(queries, "query_id")
+    val cc = codes(corpus, "neighbor_id")
+    val qdot = aggregate(
+      zip_with(col("_qv_query_id"), col("_qv_neighbor_id"),
+        (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val qcos = round(
+      qdot.cast("double") /
+        sqrt((col("_n2_query_id") * col("_n2_neighbor_id")).cast("double")), 6)
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("qcos").desc, col("neighbor_id"))
+    val short = cc.crossJoin(broadcast(cq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(col("_n2_query_id") > 0 && col("_n2_neighbor_id") > 0)
+      .withColumn("qcos", qcos)
+      .withColumn("_srank", row_number().over(wShort))
+      .filter(col("_srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // Exact re-rank on the original vectors, same contract as
+    // bruteForceTopK's rounded ranking (ties by neighbor id).
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vc"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("cos", round(cosine(col("_vq"), col("_vc")), 6))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** SemDeDup-style semantic deduplication (the published cluster-scoped
     * recipe: Abbas et al., "SemDeDup", arXiv:2303.09540): coarse k-means
     * partitions the corpus, and WITHIN each cluster any vector with a

@@ -126,6 +126,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1000L, 1001L)), s"missed planted dup: $pairs")
   }
 
+  test("quantizedTopK: near-exact recall, deterministic, self-excluded") {
+    import spark.implicits._
+    val corpus = clusteredCorpus()
+    val queries = corpus.filter($"vec_id" % 50 < 2)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, rankRounded = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // int8 at shortlist 50 on 400 rows: the exact top-5 should survive
+    // essentially intact (quantization error ~scale/2 per element).
+    val recall = (exact & quant.map(t => (t._1, t._2))).size.toDouble / exact.size
+    assert(recall >= 0.95, s"quantized recall $recall < 0.95")
+    // No self-pairs; exactly k per query; deterministic rerun.
+    assert(quant.forall(t => t._1 != t._2))
+    assert(quant.groupBy(_._1).forall(_._2.size == 5))
+    val again = Similarity.quantizedTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(quant == again)
+  }
+
+  test("quantizedTopK: zero vector cannot be a query or neighbor") {
+    import spark.implicits._
+    val rows = Seq((0L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) ++
+      (1L to 20L).map { i =>
+        i -> Seq(i.toFloat, (i % 3).toFloat, 1.0f, (i % 7).toFloat)
+      }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val out = Similarity.quantizedTopK(df, df.filter($"vec_id" <= 1),
+        "vec_id", "embedding", k = 3, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // Cosine is undefined against the zero vector: id 0 yields no
+    // results as a query and never appears as a neighbor.
+    assert(out.nonEmpty && out.forall(p => p._1 == 1L && p._2 != 0L), out.toSeq)
+  }
+
   test("semDedup: planted in-cluster duplicates drop to the min-id keeper") {
     import spark.implicits._
     // Clustered corpus (the regime SemDeDup serves) with planted exact
