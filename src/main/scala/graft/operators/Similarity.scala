@@ -442,12 +442,16 @@ object Similarity {
       .filter(col("_srank") <= shortlist)
       .select("query_id", "neighbor_id")
     // Exact re-rank on the original vectors, same contract as
-    // bruteForceTopK's rounded ranking (ties by neighbor id).
+    // bruteForceTopK's rounded ranking (ties by neighbor id). The
+    // shortlist (with its query vectors) is contractually tiny —
+    // shortlist·|queries| rows — so it BROADCASTS against the corpus:
+    // the exact stage is one more corpus scan filtered map-side, never
+    // a corpus-wide shuffle for a 500-row probe side.
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("_vq"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_vc"))
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    short.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+    cv.join(broadcast(short.join(broadcast(qv), "query_id")), "neighbor_id")
       .withColumn("cos", round(cosine(col("_vq"), col("_vc")), 6))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)

@@ -298,6 +298,21 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.operators.OpCaches.releaseAll(spark)
   }
 
+  test("quantized retrieval re-ranks via a broadcast shortlist, never a corpus shuffle") {
+    // The exact stage probes shortlist·|queries| rows against the
+    // corpus — a SortMergeJoin there would shuffle the full corpus for
+    // a ~500-row probe side and cannot survive 100x.
+    Tables.registerAll(spark, dir)
+    val df = Queries.queryMap("q_ann_quantized")(spark, dir)
+    df.collect()
+    val plan = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_ann_quantized: no broadcast on the re-rank join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q_ann_quantized: corpus-wide shuffle join:\n$plan")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("q_mixture_sample: grouped prefix windows carry _pid, caps broadcast, no single-partition stage") {
     // The grouped prefix sum must never fall back to a PARTITION BY lang
     // window (one task per language) — every WindowExec partitions by
