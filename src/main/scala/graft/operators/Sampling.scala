@@ -58,6 +58,44 @@ object Sampling {
     }
   }
 
+  /** Exactly-n-per-group sample (fixed-size, not fixed-rate — "20 docs
+    * per language for the eval set"): within each group, keep the n
+    * rows with the SMALLEST seeded md5 draws (full 32-hex digest, ties
+    * by key), which is a uniform without-replacement draw that is
+    * deterministic across engines, partitionings and reruns — the
+    * reservoir-sampling contract without reservoir state. Emits
+    * `sample_rank` (1..n in draw order) so nested prefixes nest: the
+    * rank ≤ 5 rows ARE the n=5 sample of the same salt.
+    *
+    * Scale: the rank rides the same two-phase salted top-k as
+    * [[Skew.topKPerKeySalted]] (inverted to ascending) — a hot group
+    * first ranks within `salts` value-hashed sub-keys (each ~1/salts of
+    * the group), then exactly over the surviving salts×n candidates, so
+    * one giant language never funnels its row mass through one reducer.
+    */
+  def samplePerGroup(
+      df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      salts: Int = 16, salt: String = ""): DataFrame = {
+    require(n > 0, s"samplePerGroup: n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = df.filter(col(keyCol).isNotNull)
+      .withColumn("_draw",
+        md5(concat(col(keyCol).cast("string"), lit("|"), lit(salt))))
+    val wSalt = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("_draw"), col(keyCol))
+    val candidates = tagged
+      .withColumn("_salt", pmod(xxhash64(col(keyCol)), lit(salts)).cast("int"))
+      .withColumn("_rs", row_number().over(wSalt))
+      .filter(col("_rs") <= n)
+      .drop("_salt", "_rs")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_draw"), col(keyCol))
+    candidates
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .drop("_draw")
+  }
+
   /** Stratified sample: an independent per-stratum fraction (strata
     * missing from the map keep `defaultFraction`). Same hash rule, so the
     * kept set is the union of per-stratum deterministic samples — still
