@@ -16,9 +16,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(run(spark, sfDir, args.toSet))
+    spark.stop()
+  }
+
+  /** Session-injected body returning the compact JSON line, so a spec can
+    * drive the bench (e.g. against a corrupted table dir) without
+    * stopping the shared test session or printing to stdout.
+    */
+  def run(spark: SparkSession, sfDir: String, only: Set[String],
+          fullOut: java.nio.file.Path = java.nio.file.Paths.get("BENCH_FULL.json")): String = {
     // One-time setup (parquet footer reads for all views) — not attributable
-    // to whichever query happens to run first.
-    Tables.registerAll(spark, sfDir)
+    // to whichever query happens to run first. Guarded: one poisoned table
+    // must cost only the entries that read it (each already has a per-entry
+    // error path below), not zero the whole benchmark — r10's BENCH was
+    // rc=1 with no numbers because this line was the single point of
+    // failure.
+    try Tables.registerAll(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] registerAll failed: ${e.getMessage}")
+    }
     // Full materialization, not count(): under a count() action Catalyst
     // prunes every column, so projection-heavy entries would time a
     // row-count scan rather than the declared surface. toRdd evaluates the
@@ -44,7 +61,6 @@ object Bench {
     // Optional name filter (local iteration: `runMain graft.Bench q_a q_b`);
     // the driver passes no args and gets the full run. Unknown names fail
     // loudly — a typo must not masquerade as a fast (empty) run.
-    val only = args.toSet
     val unknown = only -- Queries.all.map(_.name).toSet
     require(unknown.isEmpty, s"unknown bench entries: ${unknown.mkString(", ")}")
     val selected =
@@ -196,8 +212,8 @@ object Bench {
       .mkString(s"""{$jobPlanningTotals,"per_query_sketch_enum_exec_ms":{""", ",", "}}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"errors":$nErr,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(fullOut,
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq
       .sortBy(-_._2).take(5)
     val compact = (headline.flatMap(k => timings.get(k).map(k -> _)) ++
@@ -213,7 +229,6 @@ object Bench {
       .map { case (k, (mn, md, mx)) =>
         s""""${esc(k)}":[${f2(mn)},${f2(md)},${f2(mx)}]"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":{$jobPlanningTotals},"errors":$nErr,"n_queries":${timings.size},"full":"BENCH_FULL.json","sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":{$jobPlanningTotals},"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
   }
 }

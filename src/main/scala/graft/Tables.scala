@@ -24,14 +24,23 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read the raw int64 nanos and convert to µs-precision
-    // TimestampType (Spark's native precision — same values DuckDB sees
-    // after its own µs cast).
+    // events.ts has shipped in two on-disk layouts across test-data
+    // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+    // rejects — read as raw int64 nanos and convert) and a true
+    // TIMESTAMP(MICROS) (read natively, surfaced as NTZ under Spark's
+    // default inferTimestampNTZ). Branch on the LOADED schema so either
+    // layout normalizes to µs-precision TimestampType — the same values
+    // DuckDB sees, under the UTC session timezone every entrypoint sets.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant
+          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     else df
   }
 
@@ -52,6 +61,11 @@ object Tables {
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
     if (currentDir.get(spark) != sfDir) {
+      // Invalidate BEFORE re-registering: if a load below throws (corrupt
+      // or drifted table file), some views now point at the new dir while
+      // currentDir still claims the old one — the next call must rebuild
+      // from scratch rather than skip as "already registered".
+      currentDir.remove(spark)
       all.foreach { t => load(spark, sfDir, t).createOrReplaceTempView(t) }
       // The engine's SQL surface includes its functions and optimizer
       // rules — any session that gets the catalog gets the full engine.

@@ -18,6 +18,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, subset)
+    spark.stop()
+  }
+
+  /** Session-injected body so a spec can drive the harness (e.g. against
+    * a deliberately corrupted table dir) without stopping the shared
+    * test session.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          subset: Set[String] = Set.empty): Unit = {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
@@ -26,6 +36,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Surface the failure in the round record: r10 showed that an
+        // entry that writes nothing is indistinguishable from one never
+        // declared (111 entries silently vanished). A sibling marker file
+        // makes every broken entry a visible err row downstream.
+        try Files.writeString(Paths.get(s"$outDir/${name}._error.txt"),
+          Option(e.getMessage).getOrElse(e.getClass.getName))
+        catch { case _: Throwable => () }
       }
       // Bound memory across the run: operator-internal persists are only
       // useful within one query's action.
@@ -52,7 +69,6 @@ object Verify {
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace(Queries.VerifyOutToken, absOut))}"
       }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json): Unit
   }
 }

@@ -101,6 +101,51 @@ final class CompassSession(
     */
   @volatile var lastPlan: Option[CompassPlan] = None
 
+  /** Session-lifetime memo for FILTERED-instance sketches, keyed by
+    * (resolved data identity, canonicalized filtered plan, join columns,
+    * seed classes, dims). A workload run (e.g. one query per JOB family)
+    * filters the same table with the same predicate set many times —
+    * `cn.country_code = '[us]'`, `it.info = 'top 250 rank'` recur across
+    * families — and each repeat paid a full sketch job. Same data + same
+    * filter semantics + same seeds ⇒ byte-identical sketch, so sharing is
+    * lossless. Unlike the template cache this is memory-only (filter
+    * survivors are workload-specific; persisting them would grow without
+    * the cardinality bound tables have) and in-flight-deduplicated: 16
+    * concurrent optimize() threads hitting one key build once, the rest
+    * await the same future. A failed build is REMOVED so later queries
+    * retry rather than inherit the failure.
+    *
+    * Invalidation rides on the templateId component: it snapshots data
+    * location + mtime, so a rewritten table changes every key.
+    */
+  private val filteredMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[graft.sketch.SketchGroup]]()
+  private val filteredHitCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val filteredMissCount = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Test hooks: memo effectiveness across a workload run. */
+  private[graft] def filteredHits: Long = filteredHitCount.get()
+  private[graft] def filteredMisses: Long = filteredMissCount.get()
+
+  private def memoizedFiltered(key: String)(build: => SketchGroup): SketchGroup = {
+    // Bound driver memory for long-lived sessions over many distinct
+    // filters (each group is O(rows·buckets·cols) ints): coarse full-clear
+    // at the cap — waiters on evicted in-flight futures still complete
+    // (they hold their own reference); subsequent queries just rebuild.
+    if (filteredMemo.size >= 512) filteredMemo.clear()
+    val mine = new java.util.concurrent.CompletableFuture[SketchGroup]()
+    val existing = filteredMemo.putIfAbsent(key, mine)
+    if (existing != null) { filteredHitCount.incrementAndGet(); existing.get() }
+    else {
+      filteredMissCount.incrementAndGet()
+      try { val g = build; mine.complete(g); g }
+      catch { case e: Throwable =>
+        filteredMemo.remove(key, mine)
+        mine.completeExceptionally(e)
+        throw e
+      }
+    }
+  }
+
   /** `\fpd`-style toggle (reference: mapd-core/SQLFrontend/mapdql.cpp:1313). */
   @volatile var fpdEnabled: Boolean = true
 
@@ -164,7 +209,7 @@ final class CompassSession(
   def releaseCaches(): Unit =
     scopes.synchronized(scopes.toSeq).foreach(_.release())
 
-  def close(): Unit = releaseCaches()
+  def close(): Unit = { releaseCaches(); filteredMemo.clear() }
 
   /** Test hook: push-down caches currently pinned by any scope. */
   private[graft] def pinnedCaches: Seq[DataFrame] =
@@ -363,10 +408,12 @@ final class CompassSession(
       // mtime snapshot), never the instance alias: two different relations
       // aliased identically must not share a cache slot, and the same
       // table name over different directories/scale factors must not serve
-      // a stale sketch. Derived/local relations get no template.
+      // a stale sketch. Derived/local relations get no template (and no
+      // filtered-memo entry — dataId is the data-identity component of
+      // both keys).
+      val dataId: Option[String] = JoinGraphExtractor.templateId(inst.plan)
       val templateKey: Option[String] =
-        if (templateCache.isDefined) JoinGraphExtractor.templateId(inst.plan)
-        else None
+        if (templateCache.isDefined) dataId else None
 
       // Tiny-table shortcut: if the template cache already knows this
       // table (template count == table cardinality) and it is below
@@ -392,6 +439,16 @@ final class CompassSession(
         val sketch = tinyTemplate.getOrElse((templateCache, hasFilter) match {
           case (Some(cache), false) if templateKey.isDefined =>
             cache.getOrBuild(templateKey.get, colNames, seedClassKeys, sketchRows, sketchBuckets)(build())
+          case (_, true) if dataId.isDefined =>
+            // Canonicalized filtered plan: exprIds normalize to output
+            // ordinals, so the same predicate set over the same relation
+            // keys identically from any query; a conservative mismatch
+            // just rebuilds (never serves a wrong sketch).
+            val key = Seq(dataId.get,
+              CompassSession.filteredPlan(g, inst.idx).canonicalized.toString,
+              colNames.mkString(","), seedClassKeys.mkString(","),
+              sketchRows.toString, sketchBuckets.toString).mkString("|")
+            memoizedFiltered(key)(build())
           case _ => build()
         })
         // Materialized push-down, decided AFTER the survivor count is

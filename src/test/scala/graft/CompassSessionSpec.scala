@@ -128,6 +128,22 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(cache.hits >= 4)
   }
 
+  test("filtered-sketch memo: repeated (table, filter-set) builds once per session") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark)
+    cs.sql(fiveWay).collect()
+    val missesAfterFirst = cs.filteredMisses
+    assert(missesAfterFirst >= 1, "the filtered region instance must be a memo miss")
+    assert(cs.filteredHits == 0)
+    val optimized = cs.sql(fiveWay).collect().map(_.toSeq)
+    assert(cs.filteredMisses == missesAfterFirst,
+      "identical (table, filter-set) must be served from the memo, not rebuilt")
+    assert(cs.filteredHits >= 1)
+    // Memo-served sketches still yield a correct (vanilla-identical) result.
+    val vanilla = spark.sql(fiveWay).collect().map(_.toSeq)
+    assert(optimized.toSeq == vanilla.toSeq)
+  }
+
   test("PRE_PROCESSING warm-up: first compass query after warm() builds nothing") {
     Tables.registerAll(spark, dir)
     val cache = new SketchTemplateCache(
