@@ -491,6 +491,32 @@ object PipelineQueries {
         .orderBy("grp", "pos")
     },
 
+    // L2 normalization of the embedding corpus — the prep step every
+    // cosine-based retrieval/dedup stage wants done once upstream.
+    // Shuffle-free elementwise map; the full normalized vector is
+    // compared as integer-scaled CSV (floor(v·1e6 + 0.5) — double→string
+    // rendering differs between engines, integers don't), plus the
+    // 6-dp-rounded norm. Both engines fold the squared sum left-to-right
+    // in double, so the bits agree before rounding.
+    dfq("q_embed_normalize",
+      "WITH n AS (SELECT vec_id, embedding, " +
+        "    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])) AS nrm " +
+        "  FROM embeddings) " +
+        "SELECT vec_id, round(nrm, 6) AS norm_r, " +
+        "  array_to_string([CAST(CAST(floor(CAST(x AS DOUBLE) / greatest(nrm, 1e-30) * 1000000 + 0.5) AS BIGINT) AS VARCHAR) " +
+        "    FOR x IN embedding], ',') AS unit_csv " +
+        "FROM n ORDER BY vec_id") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val withNorm = emb.withColumn("nrm",
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      withNorm.select(col("vec_id"), round(col("nrm"), 6).as("norm_r"),
+          concat_ws(",", transform(col("embedding"),
+            x => floor(x.cast("double") / greatest(col("nrm"), lit(1e-30)) * 1000000 + 0.5)
+              .cast("long").cast("string"))).as("unit_csv"))
+        .orderBy("vec_id")
+    },
+
     // Symmetric int8 quantization of the embedding corpus (scale =
     // max|v|/127, round-half-up) — every quantized element, the scale,
     // and the max reconstruction error re-derived elementwise by DuckDB

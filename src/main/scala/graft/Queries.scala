@@ -60,7 +60,7 @@ object Queries {
     * repeated Verify/Bench runs must not accumulate lineitem-sized dumps
     * in /tmp.
     */
-  private def tempDir(prefix: String): String = {
+  private[graft] def tempDir(prefix: String): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.io.File): Unit = {
@@ -692,6 +692,58 @@ object Queries {
       "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
 
+    // HOPPING (sliding) windows — Spark's native slide support
+    // (window(ts, '1 hour', '15 minutes')): each event lands in exactly
+    // four epoch-aligned windows. DuckDB re-derives membership from first
+    // principles: window starts are floor(t/900)·900 − 900k for k=0..3
+    // (k≤3 ⟺ start+3600 > t, always true for k in range, never for k≥4).
+    dfq("q_events_hopping",
+      "WITH e AS (SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS base, " +
+        "    event_type, value FROM events), " +
+        "w AS (SELECT base - 900 * k.k AS h, event_type, value " +
+        "  FROM e CROSS JOIN (SELECT unnest(range(4)) AS k) k) " +
+        "SELECT h, event_type, count(*) AS n, round(sum(value), 2) AS sv " +
+        "FROM w GROUP BY 1, 2 ORDER BY 1, 2") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("window.start").cast("long").as("h"), col("event_type"),
+          col("n"), col("sv"))
+        .orderBy("h", "event_type")
+    },
+
+    // Robust outlier gate (Tukey fences on EXACT interpolated quartiles —
+    // the data-curation step that drops metric rows with corrupted
+    // values). Per-group fences are tiny → broadcast to the fact scan;
+    // at 100 TB the exact percentile is the only shuffle-bound piece and
+    // it reduces per-group. Fences are 6-dp-rounded on BOTH engines
+    // before comparing, so the inequality is cross-engine stable (same
+    // residual-ulp caveat as the cosine entries).
+    dfq("q_outlier_iqr",
+      "WITH q AS (SELECT event_type, quantile_cont(value, 0.25) AS q1, " +
+        "    quantile_cont(value, 0.75) AS q3 FROM events GROUP BY 1), " +
+        "f AS (SELECT event_type, q1, q3, round(q1 - 1.5 * (q3 - q1), 6) AS lo, " +
+        "    round(q3 + 1.5 * (q3 - q1), 6) AS hi FROM q) " +
+        "SELECT e.event_type, count(*) AS n, " +
+        "  CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, " +
+        "  round(any_value(f.q1), 6) AS q1_r, round(any_value(f.q3), 6) AS q3_r " +
+        "FROM events e JOIN f USING (event_type) GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val fences = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .select(col("event_type"), col("q1"), col("q3"),
+          round(col("q1") - lit(1.5) * (col("q3") - col("q1")), 6).as("lo"),
+          round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 6).as("hi"))
+      ev.join(broadcast(fences), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          round(first("q1"), 6).as("q1_r"), round(first("q3"), 6).as("q3_r"))
+        .orderBy("event_type")
+    },
+
     // Batch sessionization via windows (gap > 1800 s closes a session) —
     // the SQL twin of streaming/EventStream.sessionize, differentially
     // checked. Epoch seconds + event_id tie-break keep both engines'
@@ -994,7 +1046,7 @@ object Queries {
 
   def all: Seq[Entry] =
     relational ++ CompassQueries.entries ++ PipelineQueries.entries ++
-      JobEntries.entries
+      JobEntries.entries ++ StreamQueries.entries
 
   def queryMap: Map[String, QueryFn] = all.map(e => e.name -> e.run).toMap
   def oracleMap: Map[String, String] =

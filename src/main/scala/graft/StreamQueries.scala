@@ -1,0 +1,129 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Queries.{Entry, dfq}
+
+/** Differential entries for the Structured Streaming surface: each runs a
+  * REAL streaming query (file source over the driver's parquet →
+  * [[EventStream]] transform → sink, drained with processAllAvailable)
+  * and returns a result whose semantics equal a batch computation DuckDB
+  * can re-derive — the streaming analogue of the reference's
+  * engine-vs-oracle comparison (mapd-core/Tests/ExecuteTest.cpp:132-168;
+  * its streaming surface is Kafka ingest into ordinary tables,
+  * Import/Importer.h:568-620, so "stream in → same answers as batch" IS
+  * the reference contract).
+  *
+  * Sink choice is deliberate per entry: the stateless gate writes a real
+  * parquet FILE sink with a checkpoint (the production append path,
+  * executor-side, any scale); the aggregation/dedup entries use the
+  * memory sink as the CHECK surface — their outputs are
+  * contractually small-to-moderate here, while production would point
+  * the same lambdas at a file/kafka sink. Bounded state throughout:
+  * complete-mode windows are O(types × hours-of-data) and the dedup
+  * state is watermark-evicted.
+  */
+object StreamQueries {
+
+  /** Streaming file source over one driver table, with the SAME schema
+    * normalization as the batch loader. The on-disk schema comes from one
+    * batch footer read (file sources require a user-supplied schema).
+    */
+  private def fileStream(s: SparkSession, dir: String, table: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$table.parquet"
+    val schema = s.read.parquet(path).schema
+    // The file SOURCE requires a directory. Driver tables are single
+    // FILES, so stream the parent dir with a glob pinned to the one
+    // file; a table that is a real directory streams directly.
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isDirectory) s.readStream.schema(schema).parquet(path)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", f.getName).parquet(f.getParent)
+    if (table == "events") Tables.normalizeEvents(raw) else raw
+  }
+
+  /** Run `df` into a memory sink to completion, return the sink's rows.
+    * Fixed query names are safe across repeated entry runs — active-query
+    * name uniqueness only applies to RUNNING queries, and the sink view
+    * is re-registered per start.
+    */
+  private def drainToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+
+  val entries: Seq[Entry] = Seq(
+    // Watermarked tumbling-window stats over the event stream — the
+    // windowedStats transform end-to-end. Complete output mode so every
+    // window is emitted at drain time (append mode holds windows the
+    // final watermark never closes); the result then equals the batch
+    // hourly aggregation, which is exactly q_events_window's relation —
+    // proving stream and batch agree on the same input.
+    dfq("q_stream_windowed",
+      "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2") {
+      (s, dir) =>
+        val agg = EventStream.windowedStats(fileStream(s, dir, "events"))
+        drainToMemory(agg, "graft_stream_windowed", "complete")
+          .select(col("window_start").cast("long").as("h"), col("event_type"),
+            col("n"), col("sv"))
+          .orderBy("h", "event_type")
+    },
+
+    // Streaming exact dedup under redelivery: the same events file read
+    // by TWO independent sources unioned (every row delivered twice —
+    // the at-least-once transport shape), deduped by event_id within the
+    // watermark. Output must be exactly the original table, which DuckDB
+    // asserts directly.
+    dfq("q_stream_dedup",
+      // value passes through untouched on BOTH sides: same parquet bits,
+      // no arithmetic, so no cross-engine rounding hazard.
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id") {
+      (s, dir) =>
+        val doubled = fileStream(s, dir, "events")
+          .union(fileStream(s, dir, "events"))
+        val deduped = EventStream.dedupStream(doubled, "event_id", "30 days")
+        drainToMemory(deduped, "graft_stream_dedup", "append")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy("event_id")
+    },
+
+    // Stateless curation gate on the document stream — PII-scrub then
+    // quality-score then threshold, through a REAL parquet file sink +
+    // checkpoint (the production append path; state zero, any scale).
+    // DuckDB re-derives redaction and the full quality formula from the
+    // raw table and must select the same documents with the same scores.
+    dfq("q_stream_curate",
+      "WITH red AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, " +
+        "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "    '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'), " +
+        "    '\\+\\d{1,3}[- ]\\d{3}-\\d{4}', '<PHONE>', 'g') AS rt FROM documents), " +
+        "toks AS (SELECT doc_id, rt, string_split_regex(lower(rt), '\\s+') AS t FROM red), " +
+        "qual AS (SELECT doc_id, round(" +
+        "    (CASE WHEN length(rt) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.3 END)" +
+        "    * (1.0 - least(CAST(length(rt) - length(regexp_replace(rt, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(rt), 1) * 3, 1.0))" +
+        "    * (1.0 - least(CAST(length(rt) - length(regexp_replace(rt, '\\p{N}', '', 'g')) AS DOUBLE) / greatest(length(rt), 1) * 3, 1.0))" +
+        "    * least(CAST(len(list_intersect(list_distinct(t), ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) / greatest(len(t), 1) * 5 + 0.5, 1.0)" +
+        "    * least(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) * 2, 1.0), 6) AS quality " +
+        "  FROM toks) " +
+        "SELECT doc_id, quality FROM qual WHERE quality >= 0.3 ORDER BY doc_id") {
+      (s, dir) =>
+        val out = Queries.tempDir("graft-stream-curate")
+        val gated = EventStream.curateStream(
+          fileStream(s, dir, "documents"), "text")
+        val q = gated
+          .select(col("doc_id"), col("quality"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/chk")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$out/data").orderBy("doc_id")
+    },
+  )
+}

@@ -33,16 +33,22 @@ object Tables {
     // DuckDB sees, under the UTC session timezone every entrypoint sets.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        case org.apache.spark.sql.types.TimestampType => df
-        case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant
-          df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      }
-    else df
+    if (name == "events") normalizeEvents(df) else df
   }
+
+  /** Normalize whatever on-disk `ts` layout this events frame carries to
+    * µs-precision TimestampType. Shared by the batch loader and the
+    * streaming file source ([[StreamQueries]]) so the two paths cannot
+    * drift.
+    */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ: reinterpret as UTC instant
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 
   // One registration per session while the dir is unchanged: repeated
   // per-query registerAll calls would re-read every parquet footer

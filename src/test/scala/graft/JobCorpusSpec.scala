@@ -99,7 +99,12 @@ class JobCorpusSpec extends AnyFunSuite {
       templateCache = Some(SketchTemplateCache.default()))
     try {
       val byName = JobCorpus.queries.toMap
-      Seq("1a", "6a", "17e", "20a").foreach { q =>
+      // Eight families spanning the workload's shapes: 1a/3b small joins,
+      // 6a/8a mid-size with string dims, 10a char_name 7-way, 11a
+      // link-typed 8-way, 17e keyword-heavy, 20a complete_cast 10-way.
+      // (Families whose predicates select ZERO synthetic rows — e.g.
+      // 25a — carry no live telemetry and are excluded.)
+      Seq("1a", "3b", "6a", "8a", "10a", "11a", "17e", "20a").foreach { q =>
         val pts = graft.planner.OptimizerQuality.estimateTelemetry(spark, cs, q, byName(q))
         info(s"$q: " + pts.map(p =>
           f"|${p.prefixSize}|: est=${p.estimate}%.1f true=${p.trueRows} r=${p.ratio}%.3f").mkString(" "))
