@@ -93,6 +93,79 @@ object StreamQueries {
           .orderBy("event_id")
     },
 
+    // Streaming sessionization (flatMapGroupsWithState, event-time
+    // timeout) — the EMISSION RULE is part of the contract and the oracle
+    // re-derives it: a session is emitted iff (a) a later event of the
+    // same user closed it (any non-final session), or (b) the event-time
+    // timeout collected it — final sessions whose lastSeen + gap fell
+    // strictly behind the end-of-stream watermark (max event-time ms,
+    // µs-truncated, minus the 2 h delay; Spark fires timeouts on
+    // timeoutTimestamp < watermark). Gap arithmetic is at MILLISECOND
+    // granularity on both sides (java.sql.Timestamp.getTime ↔ epoch_ms).
+    dfq("q_stream_sessionize",
+      "WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t, value FROM events), " +
+        "marked AS (SELECT user_id, event_id, t, value, " +
+        "  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s " +
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "sess AS (SELECT user_id, t, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked), " +
+        "agg AS (SELECT user_id, sid, min(t) AS t0, max(t) AS t1, " +
+        "    count(*) AS n_events, round(sum(value), 2) AS total_value FROM sess GROUP BY 1, 2), " +
+        "wm AS (SELECT max(t) - 7200000 AS w FROM e) " +
+        "SELECT user_id, t0 // 1000 AS start_s, CAST(n_events AS BIGINT) AS n_events, " +
+        "  total_value, (t1 - t0) // 1000 AS duration_sec " +
+        "FROM agg, wm " +
+        "WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id) " +
+        "   OR t1 + 1800000 < wm.w " +
+        "ORDER BY user_id, start_s") { (s, dir) =>
+      import s.implicits._
+      val ev = fileStream(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[EventStream.SessionEvent]
+      val sessions = EventStream.sessionize(ev, gapSec = 1800)
+      drainToMemory(sessions.toDF(), "graft_stream_sessionize", "append")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          col("n_events").cast("long").as("n_events"),
+          round(col("total_value"), 2).as("total_value"),
+          col("duration_sec"))
+        .orderBy("user_id", "start_s")
+    },
+
+    // Streaming funnel conversions (flatMapGroupsWithState): the greedy
+    // view→click→purchase chain per user, emitting ONLY completed
+    // in-window conversions — emission happens on the completing EVENT
+    // (never a timeout), so end-of-stream holds nothing back. The oracle
+    // is the batch funnel's chained min-joins (exactly q_event_funnel's
+    // relation) filtered to converted chains.
+    dfq("q_stream_funnel",
+      "WITH e AS (SELECT user_id, event_type, ts FROM events), " +
+        "s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type='view' GROUP BY user_id), " +
+        "s2 AS (SELECT s1.user_id AS u2, s1.t1, min(e.ts) AS t2 FROM s1 " +
+        "  JOIN e ON e.user_id=s1.user_id AND e.event_type='click' AND e.ts > s1.t1 " +
+        "  GROUP BY s1.user_id, s1.t1), " +
+        "s3 AS (SELECT s2.u2 AS u3, s2.t1, min(e.ts) AS t3 FROM s2 " +
+        "  JOIN e ON e.user_id=s2.u2 AND e.event_type='purchase' AND e.ts > s2.t2 " +
+        "  GROUP BY s2.u2, s2.t1) " +
+        "SELECT u3 AS user_id, CAST(floor(epoch(t1)) AS BIGINT) AS first_s, " +
+        "  CAST(floor(epoch(t3)) AS BIGINT) AS last_s, " +
+        "  CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) AS duration_sec " +
+        "FROM s3 WHERE CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) <= 300000 " +
+        "ORDER BY user_id") { (s, dir) =>
+      import s.implicits._
+      val ev = fileStream(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStream.FunnelEvent]
+      val conv = EventStream.funnelStream(
+        ev, Seq("view", "click", "purchase"), withinSec = 300000L)
+      drainToMemory(conv.toDF(), "graft_stream_funnel", "append")
+        .select(col("user_id"),
+          unix_timestamp(col("t_first")).as("first_s"),
+          unix_timestamp(col("t_last")).as("last_s"),
+          col("duration_sec"))
+        .orderBy("user_id")
+    },
+
     // Stateless curation gate on the document stream — PII-scrub then
     // quality-score then threshold, through a REAL parquet file sink +
     // checkpoint (the production append path; state zero, any scale).
