@@ -166,6 +166,25 @@ object StreamQueries {
         .orderBy("user_id")
     },
 
+    // Stream-static enrichment: the event stream joins the STATIC
+    // customer dimension (broadcast — the 100 TB shape: the dim is read
+    // once per micro-batch, never shuffled) and aggregates per segment.
+    // Complete mode: segment cardinality is tiny and fixed, so the state
+    // is O(segments) forever. DuckDB runs the same join relationally.
+    dfq("q_stream_enrich",
+      "SELECT c.c_mktsegment, count(*) AS n, round(sum(e.value), 2) AS sv " +
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey " +
+        "GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val enriched = fileStream(s, dir, "events")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+      drainToMemory(enriched, "graft_stream_enrich", "complete")
+        .orderBy("c_mktsegment")
+    },
+
     // Stateless curation gate on the document stream — PII-scrub then
     // quality-score then threshold, through a REAL parquet file sink +
     // checkpoint (the production append path; state zero, any scale).

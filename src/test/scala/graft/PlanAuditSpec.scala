@@ -415,6 +415,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keys == expectedKeys)
   }
 
+  test("outlier fences broadcast to the fact scan (never a fact shuffle for 5 rows)") {
+    val plan = planOf("q_outlier_iqr")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group fences must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"joining 5 fence rows must not shuffle the fact table:\n$plan")
+  }
+
+  test("hopping windows aggregate partial+final (map-side combine before the exchange)") {
+    val plan = planOf("q_events_hopping")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final HashAggregate pair:\n$plan")
+  }
+
+  test("embedding normalization is a shuffle-free map (only the output sort exchanges)") {
+    val plan = planOf("q_embed_normalize")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"elementwise normalization must not hash-shuffle:\n$plan")
+  }
+
   test("pii redaction and int8 quantization are shuffle-free scan-fused maps") {
     val docs = Tables.load(spark, dir, "documents")
     val pii = graft.operators.TextAnalysis.withPiiRedacted(docs, "text")
