@@ -166,6 +166,42 @@ object StreamQueries {
         .orderBy("user_id")
     },
 
+    // Streaming chunk-level dedup: every chunk of the document stream
+    // claims its digest; exactly the FIRST claimant survives. WHICH
+    // occurrence survives is partition-timing-dependent (not part of the
+    // contract), so the entry compares the SET semantics, which are
+    // exact: outer-joining the batch-derived corpus chunk set against
+    // the survivor counts yields (chunk, 1) for every distinct corpus
+    // chunk — a missed chunk shows 0, a double emission shows 2, either
+    // hash-mismatches. DuckDB re-derives the corpus chunk set from
+    // first principles (the q_chunk_dedup chunking twin).
+    dfq("q_stream_chunk_dedup",
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
+        "  FROM documents), " +
+        "ch AS (SELECT doc_id, i AS chunk_idx, " +
+        "    array_to_string(t[CAST(i*8+1 AS INT):CAST((i+1)*8 AS INT)], ' ') AS chunk " +
+        "  FROM toks, unnest(range(0, CAST(ceil(len(t)/8.0) AS INT))) AS r(i)) " +
+        "SELECT chunk, CAST(1 AS BIGINT) AS n_emitted " +
+        "FROM (SELECT DISTINCT chunk FROM ch) ORDER BY chunk") { (s, dir) =>
+      val stream = fileStream(s, dir, "documents")
+        // Synthetic event time (the driver's documents table is not
+        // timestamped): deterministic per doc. Offset well past epoch 0 —
+        // doc 0 at exactly epoch 0 ties the INITIAL watermark and its
+        // rows are dropped as late (reproduced: its 4 chunks vanished).
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(1000000000L)))
+      val survivors = EventStream.dedupChunkStream(
+        stream, "doc_id", "text", "ts", chunkTokens = 8)
+      val emitted = drainToMemory(survivors, "graft_stream_chunk_dedup", "append")
+        .groupBy("chunk").agg(count(lit(1)).as("n"))
+      val corpus = Tables.load(s, dir, "documents")
+        .select(explode(graft.operators.TextDedup.chunkStrings(
+          split(lower(col("text")), "\\s+"), 8)).as("chunk"))
+        .distinct()
+      corpus.join(emitted, Seq("chunk"), "left")
+        .select(col("chunk"), coalesce(col("n"), lit(0L)).as("n_emitted"))
+        .orderBy("chunk")
+    },
+
     // Stream-static enrichment: the event stream joins the STATIC
     // customer dimension (broadcast — the 100 TB shape: the dim is read
     // once per micro-batch, never shuffled) and aggregates per segment.
