@@ -221,6 +221,33 @@ object StreamQueries {
         .orderBy("c_mktsegment")
     },
 
+    // STREAM-STREAM attribution join: view events (impressions) from one
+    // file source, purchase events (clicks) from another, joined on user
+    // within the 1 h attribution window — Spark's watermark-bounded
+    // stream-stream inner join end-to-end (impressions held
+    // attributionSec past their watermark, clicks not at all). DuckDB
+    // runs the same inequality join relationally; bounds are inclusive
+    // on both engines at µs precision.
+    dfq("q_stream_attribution",
+      "SELECT i.event_id AS imp_id, c.event_id AS click_id " +
+        "FROM events i JOIN events c ON i.event_type = 'view' " +
+        "  AND c.event_type = 'purchase' AND i.user_id = c.user_id " +
+        "  AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR " +
+        "ORDER BY imp_id, click_id") { (s, dir) =>
+      val impressions = fileStream(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"), col("event_id").as("imp_id"))
+      val clicks = fileStream(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val pairs = EventStream.attributionJoin(
+        impressions, clicks, attributionSec = 3600L)
+      drainToMemory(pairs.select(col("imp_id"), col("click_id")),
+          "graft_stream_attribution", "append")
+        .orderBy("imp_id", "click_id")
+    },
+
     // Stateless curation gate on the document stream — PII-scrub then
     // quality-score then threshold, through a REAL parquet file sink +
     // checkpoint (the production append path; state zero, any scale).
