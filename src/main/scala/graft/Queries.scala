@@ -744,6 +744,32 @@ object Queries {
         .orderBy("event_type")
     },
 
+    // Spark's NATIVE session windows (session_window(ts, gap) — dynamic
+    // merging aggregation, distinct from the SQL gaps-and-islands twin
+    // below). Semantics are half-open: an event at exactly previous-end
+    // (gap boundary) starts a NEW session, so the DuckDB twin marks a
+    // new session at diff >= gap, in µs to match Spark's precision.
+    dfq("q_session_window",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events), " +
+        "marked AS (SELECT user_id, event_id, t, value, " +
+        "  CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s " +
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), " +
+        "sess AS (SELECT user_id, t, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) " +
+        "SELECT user_id, min(t) // 1000000 AS start_s, " +
+        "  max(t) // 1000000 + 1800 AS end_s, count(*) AS n, " +
+        "  round(sum(value), 2) AS sv " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, start_s") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("start_s"),
+          col("session_window.end").cast("long").as("end_s"),
+          col("n"), col("sv"))
+        .orderBy("user_id", "start_s")
+    },
+
     // Batch sessionization via windows (gap > 1800 s closes a session) —
     // the SQL twin of streaming/EventStream.sessionize, differentially
     // checked. Epoch seconds + event_id tie-break keep both engines'
