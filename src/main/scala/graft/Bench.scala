@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark main: runs every query entry at SPARK_GRAFT_SF_DIR and prints
   * ONE JSON line for the driver. A query that throws is recorded with
@@ -32,8 +33,11 @@ object Bench {
     // error path below), not zero the whole benchmark — r10's BENCH was
     // rc=1 with no numbers because this line was the single point of
     // failure.
+    // NonFatal, not Throwable: an OutOfMemoryError/LinkageError here means
+    // the JVM is broken — misreporting it as 184 per-entry errors would be
+    // worse than dying loudly (r11 advice).
     try Tables.registerAll(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case NonFatal(e) =>
       System.err.println(s"[bench] registerAll failed: ${e.getMessage}")
     }
     // Full materialization, not count(): under a count() action Catalyst
@@ -55,7 +59,7 @@ object Bench {
     require((warmup -- Queries.all.map(_.name).toSet).isEmpty,
       s"warm-up names not in the entry set: ${warmup -- Queries.all.map(_.name).toSet}")
     Queries.all.filter(e => warmup(e.name)).foreach { e =>
-      try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
+      try materialize(e.run(spark, sfDir)) catch { case NonFatal(_) => () }
       graft.operators.OpCaches.releaseAll(spark)
     }
     // Optional name filter (local iteration: `runMain graft.Bench q_a q_b`);
@@ -71,7 +75,7 @@ object Bench {
     // when a compass entry is actually selected — filtered iteration on
     // other entries must not pay the full-table sketch scans.
     if (selected.exists(_.name.startsWith("q_compass")))
-      try CompassQueries.warm(spark, sfDir) catch { case _: Throwable => () }
+      try CompassQueries.warm(spark, sfDir) catch { case NonFatal(_) => () }
     // Same treatment for the persisted IVF index: the BUILD is an
     // amortized offline cost by the operator's own design ("write once,
     // reuse"), so it happens here untimed (one full run primes the
@@ -79,7 +83,7 @@ object Bench {
     // partition-pruned QUERY path the index exists to showcase.
     if (selected.exists(_.name == "q_ann_ivf_indexed"))
       Queries.all.filter(_.name == "q_ann_ivf_indexed").foreach { e =>
-        try materialize(e.run(spark, sfDir)) catch { case _: Throwable => () }
+        try materialize(e.run(spark, sfDir)) catch { case NonFatal(_) => () }
         graft.operators.OpCaches.releaseAll(spark)
       }
     // Synthetic-IMDb build for the JOB corpus entries is likewise a
@@ -94,9 +98,9 @@ object Bench {
         // The corpus entry reads the sf-scaled IMDb at bench scale —
         // build it here, untimed, like the base dataset.
         graft.job.JobCorpus.ensureData(spark, graft.job.JobCorpus.scaleFor(sfDir))
-      } catch { case _: Throwable => () }
+      } catch { case NonFatal(_) => () }
     if (selected.exists(e => e.name == "q_job_compass" || e.name == "q_job_quality"))
-      try JobEntries.warmJob(spark) catch { case _: Throwable => () }
+      try JobEntries.warmJob(spark) catch { case NonFatal(_) => () }
     // Headline subset: stable keys for round-over-round comparison; these
     // also get the median-of-3 warm treatment below.
     val headline = Vector(
@@ -120,19 +124,40 @@ object Bench {
     // laps and report the median as the comparable number plus the
     // spread so a real regression is distinguishable from noise.
     val warmSpread = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
+    // Per-ENTRY (sketch, enumerate, exec) triples for the COMPASS-path JOB
+    // entries, snapshotted right after each entry's timed COLD run. The
+    // r11 bench read JobCorpus.lastCompassRuns ONCE after all laps of all
+    // entries, so the recorded triples belonged to whichever compass run
+    // happened last (a warm lap) — mislabeled telemetry.
+    val jobPlanning = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[graft.job.JobCorpus.CompassRun]]
+    val jobQuality = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[graft.planner.OptimizerQuality.Report]]
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens
       // to interrupt (r3 showed ~1.5x uniform drift on join entries).
       System.gc()
+      if (e.name.startsWith("q_job")) {
+        graft.job.JobCorpus.lastCompassRuns = Nil
+        JobEntries.lastQualityReports = Nil
+      }
       val t0 = System.nanoTime()
       try {
         val n = materialize(e.run(spark, sfDir))
         require(n >= 0)
         timings(e.name) = Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case ex: Throwable =>
+        case NonFatal(ex) =>
           timings(e.name) = Left(Option(ex.getMessage).getOrElse(ex.getClass.getName).take(120))
+      }
+      // Snapshot BEFORE the warm laps re-run the entry: the triple must
+      // describe the cold run whose wall time the primary metric records.
+      if (e.name.startsWith("q_job")) {
+        val runs = graft.job.JobCorpus.lastCompassRuns
+        if (runs.nonEmpty) jobPlanning(e.name) = runs
+        val reports = JobEntries.lastQualityReports
+        if (reports.nonEmpty) jobQuality(e.name) = reports
       }
       // Operator-internal persists only serve their own query's action;
       // release them so the 70+-query run doesn't accumulate cache.
@@ -167,7 +192,7 @@ object Bench {
           try {
             materialize(e.run(spark, sfDir))
             laps += (System.nanoTime() - t1) / 1e9
-          } catch { case _: Throwable => lap = nLaps }
+          } catch { case NonFatal(_) => lap = nLaps }
           graft.operators.OpCaches.releaseAll(spark)
           lap += 1
         }
@@ -202,16 +227,26 @@ object Bench {
     }.mkString("{", ",", "}")
     // Planning-overhead split for the COMPASS-path JOB subset — the
     // per-query (sketch, enumerate, exec) ms the reference prints per
-    // query. Totals go on the compact stdout line; the per-query triples
-    // only fit the file.
-    val jobRuns = graft.job.JobCorpus.lastCompassRuns
-    val jobPlanningTotals =
-      s""""sketch_ms":${jobRuns.map(_.sketchMs).sum},"enumerate_ms":${jobRuns.map(_.enumerateMs).sum},"exec_ms":${jobRuns.map(_.execMs).sum}"""
-    val jobPlanningFull = jobRuns.map(r =>
-        s""""${esc(r.name)}":[${r.sketchMs},${r.enumerateMs},${r.execMs}]""")
-      .mkString(s"""{$jobPlanningTotals,"per_query_sketch_enum_exec_ms":{""", ",", "}}")
+    // query, keyed by the ENTRY whose timed cold run produced them.
+    // Totals go on the compact stdout line; per-query triples only fit
+    // the file.
+    def planningTotals(runs: Seq[graft.job.JobCorpus.CompassRun]): String =
+      s""""sketch_ms":${runs.map(_.sketchMs).sum},"enumerate_ms":${runs.map(_.enumerateMs).sum},"exec_ms":${runs.map(_.execMs).sum}"""
+    val jobPlanningFull = jobPlanning.map { case (entry, runs) =>
+      s""""${esc(entry)}":""" + runs.map(r =>
+          s""""${esc(r.name)}":[${r.sketchMs},${r.enumerateMs},${r.execMs}]""")
+        .mkString(s"""{${planningTotals(runs)},"per_query_sketch_enum_exec_ms":{""", ",", "}}")
+    }.mkString("{", ",", "}")
+    // Per-family (plan, compass-spine, naive-spine) ms decomposition of
+    // the quality battery's wall time — the r11 warm-lap anomaly was
+    // undiagnosable because the entry's 77 s was one opaque number.
+    val jobQualityFull = jobQuality.map { case (entry, reports) =>
+      s""""${esc(entry)}":""" + reports.map(r =>
+          s""""${esc(r.family)}":[${r.planMs},${r.compassExecMs},${r.naiveExecMs}]""")
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"errors":$nErr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(fullOut,
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq
@@ -229,6 +264,9 @@ object Bench {
       .map { case (k, (mn, md, mx)) =>
         s""""${esc(k)}":[${f2(mn)},${f2(md)},${f2(mx)}]"""
       }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":{$jobPlanningTotals},"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
+    val jobPlanningCompact = jobPlanning.map { case (entry, runs) =>
+      s""""${esc(entry)}":{${planningTotals(runs)}}"""
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":$jobPlanningCompact,"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
   }
 }

@@ -41,6 +41,14 @@ object JobEntries {
     */
   def warmJob(s: SparkSession): Int = JobCorpus.warmCompass(s, compassFor(s))
 
+  /** Most recent q_job_quality battery — per-family (planMs,
+    * compassExecMs, naiveExecMs) splits. Bench snapshots this right
+    * after the entry's timed run, so the quality entry's wall time is
+    * decomposable (the r11 warm-lap anomaly was undiagnosable without
+    * this split).
+    */
+  @volatile var lastQualityReports: Seq[graft.planner.OptimizerQuality.Report] = Nil
+
   val entries: Seq[Entry] = Seq(
     // The reference's own 113-query workload, end to end. The synthetic
     // IMDb scales with the sf dir (sf0.1 → 10x cardinalities at a
@@ -82,6 +90,7 @@ object JobEntries {
       val reports = JobCorpus.qualitySubset.map { name =>
         graft.planner.OptimizerQuality.compare(s, cs, name, byName(name))
       }
+      lastQualityReports = reports
       import s.implicits._
       val perQuery = reports.map(r => (r.family,
         if (r.compassSum <= 2L * r.naiveSum + 100) 1L else 0L,

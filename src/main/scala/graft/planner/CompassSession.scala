@@ -127,23 +127,34 @@ final class CompassSession(
   private[graft] def filteredMisses: Long = filteredMissCount.get()
 
   private def memoizedFiltered(key: String)(build: => SketchGroup): SketchGroup = {
-    // Bound driver memory for long-lived sessions over many distinct
-    // filters (each group is O(rows·buckets·cols) ints): coarse full-clear
-    // at the cap — waiters on evicted in-flight futures still complete
-    // (they hold their own reference); subsequent queries just rebuild.
-    if (filteredMemo.size >= 512) filteredMemo.clear()
-    val mine = new java.util.concurrent.CompletableFuture[SketchGroup]()
-    val existing = filteredMemo.putIfAbsent(key, mine)
-    if (existing != null) { filteredHitCount.incrementAndGet(); existing.get() }
-    else {
-      filteredMissCount.incrementAndGet()
-      try { val g = build; mine.complete(g); g }
-      catch { case e: Throwable =>
-        filteredMemo.remove(key, mine)
-        mine.completeExceptionally(e)
-        throw e
+    while (true) {
+      // Bound driver memory for long-lived sessions over many distinct
+      // filters (each group is O(rows·buckets·cols) ints): coarse full-clear
+      // at the cap — waiters on evicted in-flight futures still complete
+      // (they hold their own reference); subsequent queries just rebuild.
+      if (filteredMemo.size >= 512) filteredMemo.clear()
+      val mine = new java.util.concurrent.CompletableFuture[SketchGroup]()
+      val existing = filteredMemo.putIfAbsent(key, mine)
+      if (existing == null) {
+        filteredMissCount.incrementAndGet()
+        try { val g = build; mine.complete(g); return g }
+        catch { case e: Throwable =>
+          filteredMemo.remove(key, mine)
+          mine.completeExceptionally(e)
+          throw e
+        }
+      } else {
+        // A waiter whose builder fails must not inherit that unrelated
+        // query's exception: the owner removed the failed entry, so loop
+        // and build (or await the next builder) fresh — the documented
+        // retry-on-failure guarantee, now held for concurrent waiters too.
+        try { val g = existing.get(); filteredHitCount.incrementAndGet(); return g }
+        catch { case _: java.util.concurrent.ExecutionException =>
+          filteredMemo.remove(key, existing): Unit
+        }
       }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** `\fpd`-style toggle (reference: mapd-core/SQLFrontend/mapdql.cpp:1313). */
@@ -411,8 +422,11 @@ final class CompassSession(
       // a stale sketch. Derived/local relations get no template (and no
       // filtered-memo entry — dataId is the data-identity component of
       // both keys).
-      val dataId: Option[String] = JoinGraphExtractor.templateId(inst.plan)
-      val templateKey: Option[String] =
+      // lazy: templateId stats the data location (files + mtime); the
+      // unfiltered/no-template-cache path never consumes it and must not
+      // pay the filesystem round-trip per instance.
+      lazy val dataId: Option[String] = JoinGraphExtractor.templateId(inst.plan)
+      lazy val templateKey: Option[String] =
         if (templateCache.isDefined) dataId else None
 
       // Tiny-table shortcut: if the template cache already knows this

@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object OptimizerQuality {
 
-  final case class Report(family: String, compassSum: Long, naiveSum: Long) {
+  final case class Report(family: String, compassSum: Long, naiveSum: Long,
+      planMs: Long = 0, compassExecMs: Long = 0, naiveExecMs: Long = 0) {
     def compassLeNaive: Boolean = compassSum <= naiveSum
   }
 
@@ -127,7 +128,9 @@ object OptimizerQuality {
     val g = JoinGraphExtractor.extract(df.queryExecution.analyzed)
       .getOrElse(sys.error(s"$family: not an optimizable join region"))._1
     cs.lastPlan = None
+    val tPlan = System.nanoTime()
     cs.optimize(df)
+    val planMs = (System.nanoTime() - tPlan) / 1000000
     val plan = cs.lastPlan
       .getOrElse(sys.error(s"$family: query did not take the COMPASS path"))
     val nameToIdx = g.instances.map(i => i.name -> i.idx).toMap
@@ -147,7 +150,13 @@ object OptimizerQuality {
     val counts: Map[Int, Long] = g.instances.indices
       .map(i => i -> plan.sketchCounts(g.instances(i).name)).toMap
     val naive = naiveOrder(g, counts)
-    Report(family, prefixSum(spark, g, compassOrder), prefixSum(spark, g, naive))
+    val tC = System.nanoTime()
+    val compassSum = prefixSum(spark, g, compassOrder)
+    val tN = System.nanoTime()
+    val naiveSum = prefixSum(spark, g, naive)
+    val tEnd = System.nanoTime()
+    Report(family, compassSum, naiveSum,
+      planMs, (tN - tC) / 1000000, (tEnd - tN) / 1000000)
   }
 
   /** Σ true intermediate cardinalities of an order's prefixes (sizes

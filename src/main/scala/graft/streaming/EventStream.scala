@@ -214,7 +214,9 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // Secondary key makes same-millisecond tie order deterministic
+            // (partition iteration order is not).
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
             var chain = state.getOption.getOrElse(FunnelChain(Nil, done = false))
             var out = List.empty[FunnelConversion]
             sorted.foreach { e =>
@@ -275,7 +277,11 @@ object EventStream {
             state.remove()
             out
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // Secondary key: double summation is order-sensitive, and the
+            // DuckDB oracle sums in a deterministic order — arbitrary
+            // same-millisecond tie order is a latent .005-boundary
+            // rounding flake (r11 advice).
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
             var closed = List.empty[UserSession]
             var cur = state.getOption
             sorted.foreach { e =>

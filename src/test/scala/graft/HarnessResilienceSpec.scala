@@ -19,7 +19,10 @@ class HarnessResilienceSpec extends AnyFunSuite {
     * support varies by filesystem).
     */
   private lazy val corruptDir: String = {
-    val dir = Files.createTempDirectory("graft-corrupt")
+    // Queries.tempDir, not a raw createTempDirectory: its shutdown hook
+    // deletes the copied tables — nine real parquet files per test run
+    // would otherwise accumulate in /tmp (r11 advice).
+    val dir = Paths.get(Queries.tempDir("graft-corrupt"))
     Tables.all.filterNot(_ == "events").foreach { t =>
       Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
         dir.resolve(s"$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -29,7 +32,7 @@ class HarnessResilienceSpec extends AnyFunSuite {
   }
 
   test("Bench survives a poisoned table: JSON line emitted, errors counted") {
-    val fullOut = Files.createTempFile("bench-full", ".json")
+    val fullOut = Paths.get(Queries.tempDir("bench-full")).resolve("full.json")
     val line = Bench.run(spark, corruptDir, only = Set("q1_agg"), fullOut = fullOut)
     assert(line.startsWith("{") && line.endsWith("}"), s"not a JSON line: $line")
     assert(line.contains("\"errors\":1"), s"poisoned entry not recorded as error: $line")
@@ -38,7 +41,7 @@ class HarnessResilienceSpec extends AnyFunSuite {
   }
 
   test("Verify surfaces a dead entry as an error marker, not silence") {
-    val out = Files.createTempDirectory("verify-corrupt")
+    val out = Paths.get(Queries.tempDir("verify-corrupt"))
     Verify.run(spark, corruptDir, out.toString, subset = Set("q1_agg"))
     val marker = out.resolve("q1_agg._error.txt")
     assert(Files.exists(marker),
