@@ -158,6 +158,8 @@ object Bench {
         if (runs.nonEmpty) jobPlanning(e.name) = runs
         val reports = JobEntries.lastQualityReports
         if (reports.nonEmpty) jobQuality(e.name) = reports
+        graft.job.JobCorpus.lastCompassRuns = Nil
+        JobEntries.lastQualityReports = Nil
       }
       // Operator-internal persists only serve their own query's action;
       // release them so the 70+-query run doesn't accumulate cache.
@@ -201,6 +203,16 @@ object Bench {
           warmTimings(e.name) = sortedLaps(sortedLaps.size / 2)
           warmSpread(e.name) = (sortedLaps.head,
             sortedLaps(sortedLaps.size / 2), sortedLaps.last)
+        }
+        // Warm-lap telemetry under its own key: the r11 record conflated
+        // a warm lap's triples with the round's planning record; keeping
+        // BOTH labeled makes a warm>cold anomaly decomposable from the
+        // bench file alone.
+        if (e.name.startsWith("q_job")) {
+          val runs = graft.job.JobCorpus.lastCompassRuns
+          if (runs.nonEmpty) jobPlanning(e.name + "#warm_last") = runs
+          val reports = JobEntries.lastQualityReports
+          if (reports.nonEmpty) jobQuality(e.name + "#warm_last") = reports
         }
       }
     }

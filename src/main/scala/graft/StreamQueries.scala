@@ -248,6 +248,72 @@ object StreamQueries {
         .orderBy("imp_id", "click_id")
     },
 
+    // Streaming NEAR-duplicate dedup (dedupNearStream): every document's
+    // 16 LSH band hashes claim their buckets through
+    // dropDuplicatesWithinWatermark; a document survives iff it claimed
+    // all 16. WHICH of two colliding documents survives is
+    // partition-timing-dependent (not part of the contract), so — like
+    // q_stream_chunk_dedup — the entry checks the DETERMINISTIC
+    // invariants, which fully classify every document:
+    //   dropped  ⇒ it shares ≥1 (band, hash) bucket with another corpus
+    //              document (no false drops — an isolated document MUST
+    //              survive), and
+    //   survived ⇒ no OTHER survivor shares any of its buckets (claim
+    //              exclusivity: two colliding docs can never both win).
+    // The collision relation comes from the SAME public banding kernels
+    // run in batch (bandHashes — bit-identical arithmetic); DuckDB
+    // contributes the document universe, so a document the stream
+    // swallowed entirely still surfaces via the outer join. The 30-day
+    // watermark makes claim state corpus-global (no eviction inside the
+    // test span — eviction would re-open buckets and void exclusivity);
+    // a far-future sentinel doc advances the final watermark so every
+    // real window actually emits (append-mode windows never close
+    // otherwise), and is excluded from the checked universe.
+    dfq("q_stream_neardup",
+      "SELECT doc_id, CAST(1 AS BIGINT) AS ok FROM documents ORDER BY doc_id") {
+      (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val sentinelOut = Queries.tempDir("graft-neardup-sentinel")
+        docs.limit(1)
+          .withColumn("doc_id", lit(-1L))
+          .withColumn("text", lit("graft stream neardup watermark sentinel xqzv"))
+          .write.mode("overwrite").parquet(s"$sentinelOut/documents.parquet")
+        val stream = fileStream(s, dir, "documents")
+          .union(fileStream(s, sentinelOut, "documents"))
+          .withColumn("ts", timestamp_seconds(
+            when(col("doc_id") === -1L, lit(1020000000L))
+              .otherwise(col("doc_id") + lit(1000000000L))))
+        val survivors = EventStream.dedupNearStream(
+          stream, "doc_id", "text", "ts",
+          numHashes = 64, bands = 16, shingleK = 3,
+          windowLen = "1 hour", watermark = "30 days")
+        val out = drainToMemory(survivors, "graft_stream_neardup", "append")
+          .select(col("doc_id")).withColumn("survived", lit(1L))
+        val banded = docs.select(col("doc_id"),
+            posexplode(graft.operators.TextDedup.bandHashes(col("text"), 64, 16, 3)))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+        def bucketPeers(rel: DataFrame): DataFrame = rel.as("a")
+          .join(rel.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id")).distinct()
+        val colliders = bucketPeers(banded).withColumn("has_coll", lit(1L))
+        val survCollide = bucketPeers(banded.join(out, "doc_id")
+            .select("doc_id", "band", "bh"))
+          .withColumn("surv_coll", lit(1L))
+        docs.select("doc_id")
+          .join(out, Seq("doc_id"), "left")
+          .join(colliders, Seq("doc_id"), "left")
+          .join(survCollide, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("survived").isNotNull,
+              when(col("surv_coll").isNull, lit(1L)).otherwise(lit(0L)))
+            .otherwise(
+              when(col("has_coll").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("ok"))
+          .orderBy("doc_id")
+    },
+
     // Stateless curation gate on the document stream — PII-scrub then
     // quality-score then threshold, through a REAL parquet file sink +
     // checkpoint (the production append path; state zero, any scale).
