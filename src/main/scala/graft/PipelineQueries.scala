@@ -1318,6 +1318,39 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Tight-window funnel variant: withinSec = 1 day rejects ~90% of
+    // completed chains on this dataset (14/150 convert at sf0.01), so
+    // the window-REJECTION branch — converted = false despite all three
+    // steps firing — is differentially exercised. The wide entry above
+    // (300000 s) keeps roughly half its chains in-window; neither alone
+    // pins both sides of the boundary.
+    dfq("q_event_funnel_tight",
+      "WITH e AS (SELECT user_id, event_type, ts FROM events), " +
+        "s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type='view' GROUP BY user_id), " +
+        "s2 AS (SELECT s1.user_id AS u2, s1.t1, min(e.ts) AS t2 FROM s1 " +
+        "  JOIN e ON e.user_id=s1.user_id AND e.event_type='click' AND e.ts > s1.t1 " +
+        "  GROUP BY s1.user_id, s1.t1), " +
+        "s3 AS (SELECT s2.u2 AS u3, s2.t2, min(e.ts) AS t3 FROM s2 " +
+        "  JOIN e ON e.user_id=s2.u2 AND e.event_type='purchase' AND e.ts > s2.t2 " +
+        "  GROUP BY s2.u2, s2.t2) " +
+        "SELECT s1.user_id, CAST(floor(epoch(s1.t1)) AS BIGINT) AS e1, " +
+        "  CAST(floor(epoch(s2.t2)) AS BIGINT) AS e2, " +
+        "  CAST(floor(epoch(s3.t3)) AS BIGINT) AS e3, " +
+        "  s3.t3 IS NOT NULL AND CAST(floor(epoch(s3.t3)) AS BIGINT) " +
+        "    - CAST(floor(epoch(s1.t1)) AS BIGINT) <= 86400 AS converted " +
+        "FROM s1 LEFT JOIN s2 ON s1.user_id=s2.u2 LEFT JOIN s3 ON s2.u2=s3.u3 " +
+        "ORDER BY user_id") { (s, dir) =>
+      graft.operators.Temporal.funnel(
+          Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSec = 86400L)
+        .select(col("user_id"),
+          unix_timestamp(col("t_1")).as("e1"),
+          unix_timestamp(col("t_2")).as("e2"),
+          unix_timestamp(col("t_3")).as("e3"),
+          col("converted"))
+        .orderBy("user_id")
+    },
+
     // Deterministic epoch shuffle: seeded md5 draw -> dense global
     // shuffle position via the distributed prefix index (never a
     // partition-less row_number window). DuckDB re-derives the entire

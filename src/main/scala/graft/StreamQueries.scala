@@ -166,6 +166,40 @@ object StreamQueries {
         .orderBy("user_id")
     },
 
+    // Tight-window streaming funnel: withinSec = 1 day means most
+    // completed chains fail the window (14 of 150 convert at sf0.01) —
+    // the emission rule's REJECTION branch (durSec > withinSec on the
+    // completing event ⇒ no row) is exercised against the oracle, which
+    // the wide entry above cannot do alone. Same single-micro-batch
+    // file-source arrival, so greedy anchoring matches the batch oracle.
+    dfq("q_stream_funnel_tight",
+      "WITH e AS (SELECT user_id, event_type, ts FROM events), " +
+        "s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type='view' GROUP BY user_id), " +
+        "s2 AS (SELECT s1.user_id AS u2, s1.t1, min(e.ts) AS t2 FROM s1 " +
+        "  JOIN e ON e.user_id=s1.user_id AND e.event_type='click' AND e.ts > s1.t1 " +
+        "  GROUP BY s1.user_id, s1.t1), " +
+        "s3 AS (SELECT s2.u2 AS u3, s2.t1, min(e.ts) AS t3 FROM s2 " +
+        "  JOIN e ON e.user_id=s2.u2 AND e.event_type='purchase' AND e.ts > s2.t2 " +
+        "  GROUP BY s2.u2, s2.t1) " +
+        "SELECT u3 AS user_id, CAST(floor(epoch(t1)) AS BIGINT) AS first_s, " +
+        "  CAST(floor(epoch(t3)) AS BIGINT) AS last_s, " +
+        "  CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) AS duration_sec " +
+        "FROM s3 WHERE CAST(floor(epoch(t3)) AS BIGINT) - CAST(floor(epoch(t1)) AS BIGINT) <= 86400 " +
+        "ORDER BY user_id") { (s, dir) =>
+      import s.implicits._
+      val ev = fileStream(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .as[EventStream.FunnelEvent]
+      val conv = EventStream.funnelStream(
+        ev, Seq("view", "click", "purchase"), withinSec = 86400L)
+      drainToMemory(conv.toDF(), "graft_stream_funnel_tight", "append")
+        .select(col("user_id"),
+          unix_timestamp(col("t_first")).as("first_s"),
+          unix_timestamp(col("t_last")).as("last_s"),
+          col("duration_sec"))
+        .orderBy("user_id")
+    },
+
     // Streaming chunk-level dedup: every chunk of the document stream
     // claims its digest; exactly the FIRST claimant survives. WHICH
     // occurrence survives is partition-timing-dependent (not part of the
