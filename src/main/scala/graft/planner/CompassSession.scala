@@ -95,6 +95,21 @@ final class CompassSession(
     broadcastRowLimit: Long = 100000,
     templateCache: Option[SketchTemplateCache] = None) {
 
+  // Config contract: Catalyst must not re-reorder the spliced spine.
+  // Two logical rules could override the enumerator's choice —
+  // CostBasedJoinReorder (spark.sql.cbo.joinReorder.enabled) and the
+  // star-schema heuristic inside ReorderJoin
+  // (spark.sql.optimizer.starSchemaDetection). Both default to false;
+  // pinning them here makes the contract hold even on a session where a
+  // user enabled them. Plain ReorderJoin preserves a spine whose every
+  // join carries a condition (it only pulls conditioned joins ahead of
+  // condition-less ones), and AQE's re-optimizer rule list contains no
+  // join reordering — both facts are executed-plan-asserted by
+  // CompassOrderGuardSpec, including the deliberate-Cross disconnected
+  // shape.
+  spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+  spark.conf.set("spark.sql.optimizer.starSchemaDetection", "false")
+
   /** Last-completed optimize() wins — introspection only (explain traces,
     * quality harness); concurrent scopes wanting their own trace read it
     * immediately after their optimize() returns or synchronize externally.

@@ -38,6 +38,30 @@ object Bridge {
     case other => other.children.flatMap(joinOutputRows)
   }
 
+  /** Leaf data-source output attribute sets of an EXECUTED physical plan
+    * in left-to-right traversal order, descending through AQE wrappers,
+    * query stages, and exchange reuse. On a left-deep join spine this
+    * sequence IS the executed join order's leaf sequence — the guard
+    * CompassOrderGuardSpec compares against the enumerator's choice.
+    * Lives here with [[joinOutputRows]] for the same `private[sql]`
+    * accessor reason.
+    */
+  def leafOutputs(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.catalyst.expressions.AttributeSet] = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      leafOutputs(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      leafOutputs(q.plan)
+    // A reused exchange replaces a whole subtree; its `output` carries
+    // the exprIds expected at THIS position, which is exactly the
+    // identity the order comparison needs.
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeSet(r.output))
+    case l if l.children.isEmpty =>
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeSet(l.output))
+    case other => other.children.flatMap(leafOutputs)
+  }
+
   /** The pre-CBO rule list an extensions instance would install — lets
     * specs assert WHERE a rule was injected without building a whole
     * session around the extensions class (`buildPreCBORules` is
