@@ -101,6 +101,29 @@ object Bench {
       } catch { case NonFatal(_) => () }
     if (selected.exists(e => e.name == "q_job_compass" || e.name == "q_job_quality"))
       try JobEntries.warmJob(spark) catch { case NonFatal(_) => () }
+    // First-streaming-query machinery init — StreamExecution, state-store
+    // provider, offset/commit logs, streaming source+sink classes — is a
+    // per-JVM one-time cost a long-lived cluster pays once, like JIT
+    // (r11 measured it as most of q_stream_windowed's 42.2 s cold vs
+    // 8.6 s warm: whichever streaming entry ran first absorbed it). One
+    // untimed micro-stream (2 rows, watermark + windowed agg + memory
+    // sink) loads that machinery so the timed streaming entries measure
+    // steady state and stay round-comparable.
+    if (selected.exists(_.name.startsWith("q_stream")))
+      try {
+        import org.apache.spark.sql.functions.{col, window}
+        val d = Queries.tempDir("graft-stream-warm")
+        spark.range(2).selectExpr("timestamp_seconds(id) AS ts", "id AS v")
+          .write.mode("overwrite").parquet(s"$d/in")
+        val schema = spark.read.parquet(s"$d/in").schema
+        val q = spark.readStream.schema(schema).parquet(s"$d/in")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .count()
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("graft_stream_warmup").start()
+        try q.processAllAvailable() finally q.stop()
+      } catch { case NonFatal(_) => () }
     // Headline subset: stable keys for round-over-round comparison; these
     // also get the median-of-3 warm treatment below.
     val headline = Vector(

@@ -770,6 +770,43 @@ object Queries {
         .orderBy("user_id", "start_s")
     },
 
+    // session_window with a DYNAMIC (column-valued) gap: views time out
+    // after 30 minutes, everything else after 60 — per-event-type
+    // engagement decay, a real sessionization ask. Semantics shift from
+    // lag-gaps to INTERVAL MERGING: each event spans [t, t+gap) and
+    // overlapping spans coalesce, so the DuckDB twin marks a new session
+    // where t >= the running max of all previous span ends (half-open,
+    // like the fixed-gap entry), and a session's end is the max merged
+    // span end — not last-event + constant.
+    dfq("q_session_window_dynamic",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, " +
+        "  epoch_us(ts) + CASE WHEN event_type = 'view' THEN 1800000000 ELSE 3600000000 END AS span_end, " +
+        "  value FROM events), " +
+        "marked AS (SELECT user_id, event_id, t, span_end, value, " +
+        "  CASE WHEN max(span_end) OVER w IS NULL OR t >= max(span_end) OVER w THEN 1 ELSE 0 END AS new_s " +
+        "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "sess AS (SELECT user_id, t, span_end, value, sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM marked) " +
+        "SELECT user_id, min(t) // 1000000 AS start_s, " +
+        "  max(span_end) // 1000000 AS end_s, count(*) AS n, " +
+        "  round(sum(value), 2) AS sv " +
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, start_s") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(session_window(col("ts"),
+          // string literals, not INTERVAL exprs: the session_window
+          // analyzer wants CalendarIntervalType and ANSI interval
+          // literals parse as DayTimeIntervalType
+          when(col("event_type") === "view", lit("30 minutes"))
+            .otherwise(lit("60 minutes"))), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("start_s"),
+          col("session_window.end").cast("long").as("end_s"),
+          col("n"), col("sv"))
+        .orderBy("user_id", "start_s")
+    },
+
     // Batch sessionization via windows (gap > 1800 s closes a session) —
     // the SQL twin of streaming/EventStream.sessionize, differentially
     // checked. Epoch seconds + event_id tie-break keep both engines'

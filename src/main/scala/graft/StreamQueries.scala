@@ -282,6 +282,42 @@ object StreamQueries {
         .orderBy("imp_id", "click_id")
     },
 
+    // LEFT-OUTER stream-stream attribution: same join, plus one null-click
+    // row per UNATTRIBUTED impression — emitted when the watermark passes
+    // imp_ts + window (state eviction; no future click can match). The
+    // emission rule is part of the oracle, sessionize-style: a null row
+    // appears iff no in-window click exists AND the impression's window
+    // closed strictly before the end-of-stream watermark (min of both
+    // sides' max event time, ms-truncated, minus the 2 h delay); nulls
+    // ride as -1 so the compare never leans on engine null encodings.
+    dfq("q_stream_attribution_outer",
+      "WITH i AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'), " +
+        "c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'), " +
+        "wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM i), " +
+        "                    (SELECT max(epoch_ms(ts)) FROM c)) - 7200000 AS w), " +
+        "pairs AS (SELECT i.event_id AS imp_id, c.event_id AS click_id FROM i " +
+        "  JOIN c ON i.user_id = c.user_id AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR), " +
+        "unmatched AS (SELECT i.event_id AS imp_id, CAST(-1 AS BIGINT) AS click_id FROM i, wm " +
+        "  WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = i.user_id " +
+        "    AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR) " +
+        "  AND epoch_ms(i.ts) + 3600000 < wm.w) " +
+        "SELECT imp_id, click_id FROM pairs UNION ALL SELECT imp_id, click_id FROM unmatched " +
+        "ORDER BY imp_id, click_id") { (s, dir) =>
+      val impressions = fileStream(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"), col("event_id").as("imp_id"))
+      val clicks = fileStream(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val pairs = EventStream.attributionJoin(
+        impressions, clicks, attributionSec = 3600L, joinType = "left_outer")
+      drainToMemory(pairs.select(col("imp_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id")),
+          "graft_stream_attribution_outer", "append")
+        .orderBy("imp_id", "click_id")
+    },
+
     // Streaming NEAR-duplicate dedup (dedupNearStream): every document's
     // 16 LSH band hashes claim their buckets through
     // dropDuplicatesWithinWatermark; a document survives iff it claimed

@@ -327,11 +327,19 @@ object EventStream {
     * `impressions`: (user_id, imp_ts, imp_id); `clicks`: (user_id,
     * click_ts, click_id) — output is one row per (impression, click)
     * attribution pair.
+    *
+    * `joinType = "left_outer"` additionally emits each UNATTRIBUTED
+    * impression once, with null click columns, when the watermark passes
+    * `imp_ts + attributionSec` (no future click can match past that
+    * point) — the unmonetized-inventory report a feed also needs. State
+    * bounds are unchanged; emission of the null rows just rides the same
+    * eviction boundary.
     */
   def attributionJoin(
       impressions: DataFrame, clicks: DataFrame,
       attributionSec: Long = 3600,
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val imp = impressions.withWatermark("imp_ts", watermark).alias("imp")
     val clk = clicks.withWatermark("click_ts", watermark).alias("clk")
     imp.join(clk,
@@ -339,6 +347,7 @@ object EventStream {
         imp.user_id = clk.user_id AND
         click_ts >= imp_ts AND
         click_ts <= imp_ts + INTERVAL $attributionSec SECONDS
-      """.stripMargin))
+      """.stripMargin),
+      joinType)
   }
 }
