@@ -473,6 +473,39 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     },
 
+    // Distributed Lloyd's k-means over the full embedding corpus: 4
+    // explicit spread seeds, two assignment passes with one mean update
+    // between them. The ENTIRE fit is re-derived relationally by DuckDB —
+    // same rounded-cosine argmax with centroid-id tie-break, same
+    // floor(x*1e6+0.5)/1e6 centroid rounding, same empty-cluster
+    // keep-old rule — so every one of the 500 final assignments must
+    // match, not just aggregate shapes. (Embeddings are 64-dim; the
+    // oracle's range(1,65) mirrors that, like the other vector twins.)
+    dfq("q_kmeans",
+      "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v " +
+        "  FROM embeddings), " +
+        "seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v " +
+        "  FROM emb WHERE vec_id IN (0, 125, 250, 375)), " +
+        "a1 AS (SELECT e.vec_id, (SELECT s.cid FROM seeds s " +
+        "  ORDER BY round(list_inner_product(e.v, s.v) / (sqrt(list_inner_product(e.v, e.v)) " +
+        "    * greatest(sqrt(list_inner_product(s.v, s.v)), 1e-12)), 6) DESC, s.cid LIMIT 1) AS cid " +
+        "  FROM emb e), " +
+        "m1 AS (SELECT a1.cid, r.i, floor(avg(e.v[CAST(r.i AS INT)]) * 1000000 + 0.5) / 1000000 AS mx " +
+        "  FROM a1 JOIN emb e USING (vec_id), range(1, 65) r(i) GROUP BY a1.cid, r.i), " +
+        "c1 AS (SELECT s.cid, CASE WHEN count(m1.i) = 0 THEN s.v " +
+        "    ELSE list(m1.mx ORDER BY m1.i) END AS v " +
+        "  FROM seeds s LEFT JOIN m1 ON s.cid = m1.cid GROUP BY s.cid, s.v), " +
+        "a2 AS (SELECT e.vec_id, (SELECT c.cid FROM c1 c " +
+        "  ORDER BY round(list_inner_product(e.v, c.v) / (sqrt(list_inner_product(e.v, e.v)) " +
+        "    * greatest(sqrt(list_inner_product(c.v, c.v)), 1e-12)), 6) DESC, c.cid LIMIT 1) AS cid " +
+        "  FROM emb e) " +
+        "SELECT vec_id, cid AS cluster FROM a2 ORDER BY vec_id") { (s, dir) =>
+      Similarity.kmeansAssignments(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          seedIds = Seq(0L, 125L, 250L, 375L), iters = 2)
+        .orderBy("vec_id")
+    },
+
     // Mean pooling: chunk embeddings → one vector per group via the
     // vec_avg aggregate (one pass, map-side partials carrying a single
     // sums[dim] array — never the posexplode'd n×dim shuffle). DuckDB

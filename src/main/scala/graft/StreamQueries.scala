@@ -282,6 +282,20 @@ object StreamQueries {
         .orderBy("imp_id", "click_id")
     },
 
+    // Running per-user totals (userTotals) — the update-mode keyed-sink
+    // ingest shape. Complete mode serves as the CHECK surface (state is
+    // O(users), the same bound production's update-mode sink carries);
+    // at drain the running aggregate must equal the batch group-by,
+    // which DuckDB re-derives directly. Closes the last EventStream
+    // transform without its own oracle entry.
+    dfq("q_stream_user_totals",
+      "SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value " +
+        "FROM events GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val totals = EventStream.userTotals(fileStream(s, dir, "events"))
+      drainToMemory(totals, "graft_stream_user_totals", "complete")
+        .orderBy("user_id")
+    },
+
     // LEFT-OUTER stream-stream attribution: same join, plus one null-click
     // row per UNATTRIBUTED impression — emitted when the watermark passes
     // imp_ts + window (state eviction; no future click can match). The

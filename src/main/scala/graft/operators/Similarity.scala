@@ -233,24 +233,85 @@ object Similarity {
     */
   private[graft] def assignToCentroids(
       df: DataFrame, id: String, vec: String,
-      cents: Array[Array[Double]], n: Int): DataFrame = {
+      cents: Array[Array[Double]], n: Int,
+      roundScores: Int = -1): DataFrame = {
     val kEff = cents.length
     val cArr = typedlit(cents.map(_.toSeq).toSeq) // 1-indexed via element_at
     val cNorm = typedlit(cents.map(c =>
       math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)).toSeq)
     val top = element_at(
       transform(array(l2norm(col(vec))), vn => {
-        val scored = transform(sequence(lit(1), lit(kEff)), i =>
+        val scored = transform(sequence(lit(1), lit(kEff)), i => {
+          val raw = dot(col(vec), element_at(cArr, i)) /
+            (vn * element_at(cNorm, i))
           struct(
-            (dot(col(vec), element_at(cArr, i)) /
-              (vn * element_at(cNorm, i))).as("s"),
-            (-i).as("negc")))
+            // roundScores >= 0: rank on the ROUNDED score so another
+            // engine computing the same cosines at slightly different
+            // float precision assigns identically (the kmeans oracle) —
+            // same contract as bruteForceTopK's rankRounded.
+            (if (roundScores >= 0) round(raw, roundScores) else raw).as("s"),
+            (-i).as("negc"))
+        })
         slice(reverse(array_sort(scored)), 1, math.min(n, kEff))
       }), 1)
     TextAnalysis.widened(df)
       .select(col(id), col(vec), explode(top).as("c"))
       .select(col(id), col(vec),
         (-col("c.negc") - 1).cast("int").as("centroid_id"))
+  }
+
+  /** DISTRIBUTED Lloyd's k-means over the FULL corpus — the clustering
+    * primitive a curation pipeline trains at corpus scale (SemDeDup
+    * cluster building, IVF quantizers fitted on everything rather than
+    * [[kmeansCentroids]]'s driver-side sample, topic-bucketed mixture
+    * construction). Per iteration: assignment is the shuffle-free
+    * broadcast-literal projection of [[assignToCentroids]] (centroids
+    * ride in the plan, one scan, no crossJoin); the update is ONE
+    * map-side-combined [[graft.functions.VecAvgAgg]] aggregate whose
+    * shuffle carries k partial (sum, count) buffers — at 100 TB each
+    * iteration costs one scan plus a k-row shuffle, and the driver holds
+    * only k×dim doubles.
+    *
+    * Reproducibility contract (the differential oracle re-derives the
+    * whole fit relationally): seeds are EXPLICIT ids taken in ascending
+    * id order; assignment ranks 6-dp-ROUNDED cosines with ascending
+    * centroid-id tie-break; updated centroids round half-up to 6 dp
+    * (`floor(x·10⁶ + 0.5)/10⁶` — the repo's per-row decimal convention);
+    * an empty cluster keeps its previous centroid. `iters` counts
+    * assignment passes: iters=2 ⇒ assign → update → assign.
+    *
+    * Returns (id, cluster) for every corpus row with a non-null vector.
+    */
+  def kmeansAssignments(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      seedIds: Seq[Long], iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seedIds.nonEmpty, "kmeansAssignments: no seed ids")
+    val rows = corpus
+      .filter(col(idCol).isin(seedIds: _*)).orderBy(idCol)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.length == seedIds.size,
+      s"seed ids resolved ${rows.length}/${seedIds.size} vectors")
+    val clean = corpus.filter(col(vecCol).isNotNull)
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var cents = rows
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      assigned = assignToCentroids(
+        clean.withColumnsRenamed(Map(idCol -> "_kid", vecCol -> "_kv")),
+        "_kid", "_kv", cents, n = 1, roundScores = 6)
+      if (it < iters) {
+        // k rows to the driver — contractually tiny at any corpus size.
+        val means = assigned.groupBy("centroid_id")
+          .agg(graft.functions.VecAvgAgg.vec_avg(col("_kv")).as("mv"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          means.get(c).map(_.map(r6)).getOrElse(old)
+        }
+      }
+    }
+    assigned.select(col("_kid").as(idCol), col("centroid_id").as("cluster"))
   }
 
   def ivfTopK(

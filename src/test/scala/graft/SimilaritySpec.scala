@@ -111,6 +111,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9")
   }
 
+  test("distributed k-means: recovers planted clusters, deterministic, empty-cluster-safe") {
+    import spark.implicits._
+    val corpus = clusteredCorpus(perCluster = 30)
+    // One seed inside each of four different planted clusters.
+    val seeds = Seq(0L, 30L, 60L, 90L)
+    val out = Similarity.kmeansAssignments(corpus, "vec_id", "embedding",
+      seeds, iters = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 240)
+    // Every member of a seeded planted cluster lands with its seed.
+    seeds.zipWithIndex.foreach { case (s, c) =>
+      (s until s + 30).foreach { id =>
+        assert(out(id) == c, s"vec $id: cluster ${out(id)} != seed cluster $c")
+      }
+    }
+    // Deterministic across partitionings (the cross-engine contract).
+    val again = Similarity.kmeansAssignments(corpus.repartition(3),
+      "vec_id", "embedding", seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+    // A seed that attracts nothing (its whole planted cluster sits closer
+    // to another seed is impossible here, so force it: duplicate seed
+    // vector) must keep its centroid rather than divide by zero — seeds
+    // 0 and a clone of it compete; the loser's cluster may be empty and
+    // the fit must still complete with every row assigned.
+    val withClone = corpus.union(Seq((9999L,
+      corpus.filter($"vec_id" === 0L).head().getSeq[Float](1)))
+      .toDF("vec_id", "embedding"))
+    val cloned = Similarity.kmeansAssignments(withClone, "vec_id", "embedding",
+      Seq(0L, 9999L, 30L, 60L), iters = 3).collect()
+    assert(cloned.length == 241)
+  }
+
   test("cosine near-dup detector finds a planted duplicate pair") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
