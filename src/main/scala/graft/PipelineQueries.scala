@@ -270,6 +270,28 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-Res on
+    // public coins): 200 lineitems drawn with probability ∝ l_quantity.
+    // DuckDB re-runs the identical draw — same md5 u32, same
+    // round(ln(u)/w, 9) rank key, same tie-break — and must select the
+    // SAME 200 rows, so the selection rule itself is differential, not
+    // just its aggregate shape.
+    dfq("q_sample_weighted",
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS w FROM ( " +
+        "SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "  round(ln((('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) || '|ws1'), 1, 8))::UBIGINT + 1) " +
+        "    / 4294967296.0) / l_quantity, 9) AS wk " +
+        "FROM lineitem WHERE l_quantity > 0 " +
+        "ORDER BY wk DESC, l_orderkey * 10 + l_linenumber LIMIT 200) " +
+        "ORDER BY l_orderkey, l_linenumber") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("_sk", expr("l_orderkey * 10 + l_linenumber"))
+      Sampling.weightedSample(li, "_sk", "l_quantity", k = 200, salt = "ws1")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("w"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Stratified variant: independent per-stratum rates (N 20%, R 5%,
     // default 10%) from the same hash rule — still one map-side filter,
     // no per-stratum shuffle, skew-immune.

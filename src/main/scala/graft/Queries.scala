@@ -517,6 +517,22 @@ object Queries {
       "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, " +
         "round(quantile_cont(l_quantity, 0.95), 6) AS p95 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+
+    // Equi-width histogram via width_bucket over an exact integer (cent)
+    // domain — bucket edges at 5000-dollar multiples, so edge assignment
+    // is integer arithmetic and cannot drift between engines (DuckDB has
+    // no width_bucket; its twin re-derives the bucket function with
+    // floor division plus the two overflow buckets 0 and n+1). One
+    // partial+final hash aggregate — the 100 TB histogram shape.
+    sql2("q_histogram",
+      "SELECT width_bucket(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), 0, 11000000, 22) AS bucket, " +
+        "count(*) AS n, round(sum(l_extendedprice), 2) AS total " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1",
+      "WITH b AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c, l_extendedprice AS p FROM lineitem) " +
+        "SELECT CASE WHEN c < 0 THEN 0 WHEN c >= 11000000 THEN 23 " +
+        "  ELSE CAST(c // 500000 AS BIGINT) + 1 END AS bucket, " +
+        "count(*) AS n, round(sum(p), 2) AS total " +
+        "FROM b GROUP BY 1 ORDER BY 1"),
   )
 
   // ===========================================================================

@@ -58,6 +58,40 @@ object Sampling {
     }
   }
 
+  /** WEIGHTED sample without replacement, fixed size k — the
+    * Efraimidis–Spirakis A-Res scheme (Inf. Process. Lett. 97(5), 2006)
+    * on public coins: each row draws u ∈ (0,1] from the md5 of
+    * (key, salt) — the same engine-portable construction as
+    * [[deterministicSample]], here widened to 8 hex digits so the ln
+    * below has resolution — and the k rows with the LARGEST u^(1/w)
+    * win, which selects each row with probability proportional to its
+    * weight among same-draw competitors. Ranking uses the equivalent
+    * monotone key ln(u)/w (u ≤ 1 ⇒ ln u ≤ 0; dividing by a bigger w
+    * pulls the key toward 0 = better), ROUNDED to 9 dp with the row key
+    * as tie-break so another engine computing ln at slightly different
+    * float precision selects the identical set.
+    *
+    * Scale: pure map-side scoring + one global top-k —
+    * TakeOrderedAndProject keeps a k-row heap per partition, so a
+    * 100 TB corpus never sorts; weights need no normalization pass.
+    * Null keys or non-positive weights are excluded (a weight of 0
+    * can never win and ln(u)/0 is undefined).
+    */
+  def weightedSample(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val u32 = conv(substring(
+        md5(concat(col(keyCol).cast("string"), lit("|"), lit(salt))), 1, 8),
+      16, 10).cast("double")
+    val rankKey = round(log((u32 + 1.0d) / 4294967296.0d) / col(weightCol), 9)
+    df.filter(col(keyCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wkey", rankKey)
+      .orderBy(col("_wkey").desc, col(keyCol))
+      .limit(k)
+      .drop("_wkey")
+  }
+
   /** Exactly-n-per-group sample (fixed-size, not fixed-rate — "20 docs
     * per language for the eval set"): within each group, keep the n
     * rows with the SMALLEST seeded md5 draws (full 32-hex digest, ties

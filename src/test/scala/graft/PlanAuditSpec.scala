@@ -450,6 +450,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quantization must not shuffle:\n$qzPlan")
   }
 
+  test("k-means assignment is joinless and shuffles nothing but the output sort") {
+    // Centroids ride as broadcast literals in the projection
+    // (assignToCentroids): the per-row argmax must plan with NO join
+    // operator and NO hash exchange — at 100 TB the assignment pass is
+    // exactly one scan. (The mean update's k-row agg shuffle lives in
+    // the iteration loop, not this final pass.)
+    val plan = planOf("q_kmeans")
+    assert(!plan.contains("Join"), s"assignment must be joinless:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment must not hash-shuffle:\n$plan")
+  }
+
+  test("dynamic-gap session windows: one session shuffle, no cartesian") {
+    val plan = planOf("q_session_window_dynamic")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"session merge must never cross-join:\n$plan")
+    // AdaptiveSparkPlan.toString prints Final AND Initial — count only
+    // the final plan or the one real shuffle doubles.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"expected at most one session-key shuffle:\n$finalPlan")
+  }
+
+  test("streaming near-dup's batch collision relation: equi-joins on buckets, never all-pairs") {
+    // The q_stream_neardup invariant harness self-joins the banded
+    // relation on (band, hash) — the same never-cartesian contract as
+    // the LSH operators themselves.
+    val docs = Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val banded = docs.select(col("doc_id"),
+        posexplode(graft.operators.TextDedup.bandHashes(col("text"), 64, 16, 3)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bh"))
+    val pairs = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket self-join must stay an equi-join:\n$plan")
+  }
+
   test("bounded-vocab surprisal broadcasts the vocab (the 100 TB join shape)") {
     val docs = Tables.load(spark, dir, "documents")
     val scored = graft.operators.TextAnalysis.withUnigramSurprisal(

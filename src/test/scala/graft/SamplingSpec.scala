@@ -81,6 +81,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out("z") / 10000.0 - 0.5) < 0.02, s"z: ${out("z")}")
   }
 
+  test("weighted sample: weight-proportional, partition-invariant, weight guards") {
+    import spark.implicits._
+    // 100 rows at weight 10, 900 at weight 1 — A-Res puts roughly half
+    // the 100 slots on the heavy tenth (exactly-proportional would be
+    // ~52 of 100); uniform sampling would give ~10. Wide bands: the
+    // assertion is "weights matter and u isn't degenerate", not a
+    // tolerance on the exact expectation.
+    val df = (0L until 1000L).map(i => (i, if (i < 100) 10.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", "w", 100, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size == 100)
+    val heavy = s1.count(_ < 100)
+    assert(heavy > 30 && heavy < 95,
+      s"heavy-weight representation $heavy/100 outside (30, 95)")
+    // Public coins: identical selection at any parallelism.
+    val s2 = Sampling.weightedSample(df.repartition(7), "id", "w", 100, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == s1)
+    // Zero/negative weights can never win and must be excluded, not NaN.
+    val s3 = Sampling.weightedSample(
+      Seq((1L, 0.0), (2L, -1.0), (3L, 5.0)).toDF("id", "w"), "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(s3 == Seq(3L))
+  }
+
   test("sampling plans as a pure filter: no shuffle, no extra stage") {
     val df = Sampling.deterministicSample(
       Tables.load(spark, "/root/testdata/sf0.001", "lineitem"), "l_orderkey", 0.25)
