@@ -361,6 +361,38 @@ object PipelineQueries {
       graft.operators.HeavyHitters.topK(
         Tables.load(s, dir, "orders"), "o_custkey", k = 10)
     },
+
+    // Count-Min sketch point-frequency queries — the second sketch family
+    // beside FAGMS (CMS: per-key frequency within ε·N at confidence δ;
+    // FAGMS: join sizes). Spark's native count_min_sketch aggregate
+    // builds it in one mergeable pass; the custom cms_estimate expression
+    // probes it IN the plan (sketch re-enters as a broadcast literal —
+    // the k-means-centroid pattern, no driver probe loop). Differential
+    // contract: true_n is fully re-derived by DuckDB, and the CMS bound
+    // check (never under-estimates; over-estimate ≤ ⌈ε·N⌉) rides as an
+    // ok flag the oracle expects all-1 — a broken sketch or estimator
+    // flips rows. ε=0.001 ⇒ slack 61 at sf0.01's 60175 lineitems, with
+    // per-key counts ~600, so the bound is doing real work.
+    dfq("q_cms_counts",
+      "SELECT CAST(l_suppkey AS BIGINT) AS k, count(*) AS true_n, " +
+        "CAST(1 AS BIGINT) AS ok FROM lineitem GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val agg = li.agg(expr(
+        "count_min_sketch(l_suppkey, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"),
+        count(lit(1)))
+      val row = agg.head()
+      val bytes = row.getAs[Array[Byte]](0)
+      val total = row.getLong(1)
+      val slack = math.ceil(0.001 * total).toLong
+      li.groupBy(col("l_suppkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("_est",
+          graft.functions.CmsOps.cms_estimate(lit(bytes), col("k")))
+        .select(col("k"), col("true_n"),
+          (col("_est") >= col("true_n") &&
+            col("_est") <= col("true_n") + lit(slack)).cast("long").as("ok"))
+        .orderBy("k")
+    },
   )
 
   // One persisted IVF index per (session, data dir). Values are plain
