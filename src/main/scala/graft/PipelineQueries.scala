@@ -784,6 +784,30 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // Tolerance-bounded as-of (pandas merge_asof `tolerance`): the
+    // latest prior purchase counts only if it happened within 1 day of
+    // the view — staleness-bounded feature lookup. A match exists but
+    // is out of tolerance ⇒ null, exactly like no match; DuckDB's ASOF
+    // lacks the bound, so its twin re-applies it on the matched ts.
+    dfq("q_asof_tolerance",
+      "SELECT v.event_id, CASE WHEN epoch(v.ts) - epoch(p.ts) <= 86400 " +
+        "  THEN round(p.value, 2) END AS last_purchase " +
+        "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events " +
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) p " +
+        "ON v.user_id = p.user_id AND p.ts <= v.ts " +
+        "ORDER BY v.event_id") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(views, purchases, "user_id", "ts",
+          Seq("value"), toleranceSec = Some(86400L))
+        .select(col("event_id"), round(col("value"), 2).as("last_purchase"))
+        .orderBy("event_id")
+    },
+
     // Range join (sliding 1-hour lookback): views per user in the hour
     // before each purchase. Spark composes it as an interval-bucketed
     // equi-join (Temporal.rangeJoin); DuckDB checks the plain inequality

@@ -46,7 +46,8 @@ object Temporal {
   def asofJoin(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, carry: Seq[String],
-      saltSpanSec: Option[Long] = None): DataFrame = {
+      saltSpanSec: Option[Long] = None,
+      toleranceSec: Option[Long] = None): DataFrame = {
     require(carry.nonEmpty, "asofJoin: nothing to carry")
     require(carry.forall(c => !left.columns.contains(c)),
       s"asofJoin: carry columns ${carry.mkString(",")} collide with the left side")
@@ -54,11 +55,31 @@ object Temporal {
       !left.columns.contains(c) && !right.columns.contains(c)),
       s"asofJoin: inputs must not use reserved columns ${asofInternal.mkString(",")}")
     require(saltSpanSec.forall(_ > 0), "asofJoin: saltSpanSec must be positive")
+    require(toleranceSec.forall(_ >= 0), "asofJoin: toleranceSec must be >= 0")
     val leftCols = left.columns.toSeq
+    // Tolerance (pandas merge_asof's `tolerance`): the matched right ts
+    // rides INSIDE the carry struct (as its first field) so the bound
+    // `left.ts - matched.ts <= tol` can be applied AFTER resolution —
+    // a match found but out of tolerance yields nulls, exactly like no
+    // match. The extra field cannot disturb tie resolution: structs
+    // only compare on equal (ts, tag), where the embedded ts is equal
+    // too, so ordering falls through to the carry fields as before.
+    val carryStruct =
+      if (toleranceSec.isDefined)
+        struct(col(tsCol).as("_asof_mts") +: carry.map(col): _*)
+      else struct(carry.map(col): _*)
+    def carryOut(resolved: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      toleranceSec match {
+        case Some(tol) =>
+          val inTol = col(tsCol).cast("double") -
+            resolved.getField("_asof_mts").cast("double") <= tol.toDouble
+          carry.map(c =>
+            when(inTol, resolved.getField(c)).otherwise(lit(null)).as(c))
+        case None => carry.map(c => resolved.getField(c).as(c))
+      }
     val r = right
       .filter(col(tsCol).isNotNull) // NULL ts never matches
-      .select(col(keyCol), col(tsCol),
-        struct(carry.map(col): _*).as("_asof_v"))
+      .select(col(keyCol), col(tsCol), carryStruct.as("_asof_v"))
       .withColumn("_asof_tag", lit(0))
     val l = left.withColumn("_asof_tag", lit(1))
     val u = l.unionByName(r, allowMissingColumns = true)
@@ -70,8 +91,7 @@ object Temporal {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         u.withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
           .filter(col("_asof_tag") === 1)
-          .select(leftCols.map(col) ++
-            carry.map(c => col("_asof_c").getField(c).as(c)): _*)
+          .select(leftCols.map(col) ++ carryOut(col("_asof_c")): _*)
 
       case Some(span) =>
         // Contiguous time-range salt; NULL left timestamps form their own
@@ -120,8 +140,8 @@ object Temporal {
             "left")
           // Struct-level coalesce: a chosen in-range row whose carry FIELD
           // is null must yield null, not an earlier range's value.
-          .select(leftCols.map(col) ++ carry.map(c =>
-            coalesce(col("_asof_c"), col("_asof_in")).getField(c).as(c)): _*)
+          .select(leftCols.map(col) ++
+            carryOut(coalesce(col("_asof_c"), col("_asof_in"))): _*)
     }
   }
 

@@ -31,6 +31,33 @@ class TemporalSpec extends AnyFunSuite {
       4L -> None, 5L -> None))
   }
 
+  test("as-of join: tolerance nulls stale matches, keeps fresh ones, salted path agrees") {
+    import spark.implicits._
+    val quotes = Seq( // ts() is MINUTES; tolerance below is 600 s = 10 min
+      ("a", ts(0), 1.0), ("a", ts(40), 2.0), ("b", ts(5), 10.0))
+      .toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("a", ts(5), 1L),  // 5 min stale → within the 10 min tolerance
+      ("a", ts(30), 2L), // 30 min stale → OUT of tolerance → null
+      ("a", ts(40), 3L), // exact-ts match, 0 stale
+      ("b", ts(20), 4L), // 15 min stale → null
+      ("c", ts(9), 5L))  // no match at all → null
+      .toDF("sym", "ts", "id").repartition(3)
+    val expect = Map(
+      1L -> Some(1.0), 2L -> None, 3L -> Some(2.0), 4L -> None, 5L -> None)
+    val out = Temporal.asofJoin(trades, quotes, "sym", "ts", Seq("px"),
+        toleranceSec = Some(600L))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out == expect)
+    // The salted plan must apply the identical bound — 20-min ranges put
+    // trade 2's only match in an EARLIER range, so the stale match
+    // arrives via the cross-range carry-in and must still be nulled.
+    val salted = Temporal.asofJoin(trades, quotes, "sym", "ts", Seq("px"),
+        saltSpanSec = Some(1200L), toleranceSec = Some(600L))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(salted == expect)
+  }
+
   test("as-of join: duplicate right timestamps resolve deterministically (max)") {
     import spark.implicits._
     val right = Seq(("a", ts(0), 5.0), ("a", ts(0), 7.0)).toDF("k", "ts", "v")
