@@ -808,6 +808,28 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // FORWARD as-of (merge_asof direction='forward'): the EARLIEST
+    // following-or-equal purchase per view — time-to-next-event lookup.
+    // Same single-window plan traversed in descending ts; DuckDB's ASOF
+    // accepts the >= inequality directly.
+    dfq("q_asof_forward",
+      "SELECT v.event_id, round(p.value, 2) AS next_purchase " +
+        "FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v " +
+        "ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events " +
+        "  WHERE event_type = 'purchase' GROUP BY user_id, ts) p " +
+        "ON v.user_id = p.user_id AND p.ts >= v.ts " +
+        "ORDER BY v.event_id") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.Temporal.asofJoin(views, purchases, "user_id", "ts",
+          Seq("value"), direction = "forward")
+        .select(col("event_id"), round(col("value"), 2).as("next_purchase"))
+        .orderBy("event_id")
+    },
+
     // Range join (sliding 1-hour lookback): views per user in the hour
     // before each purchase. Spark composes it as an interval-bucketed
     // equi-join (Temporal.rangeJoin); DuckDB checks the plain inequality

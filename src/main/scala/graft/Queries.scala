@@ -1040,6 +1040,31 @@ object Queries {
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) " +
         "ORDER BY o_custkey, o_orderkey"),
 
+    // NTILE — equi-depth quartiles per group (the percentile-bucket
+    // assignment of feature binning). Fully-qualified tie-break makes
+    // both engines' tile boundaries identical; the per-(flag, tile)
+    // aggregate pins boundary placement, not just tile sizes. Window
+    // partitions on l_returnflag — distributed, never single-task.
+    sql("q_window_ntile",
+      "SELECT l_returnflag, tile, count(*) AS n, round(sum(l_quantity), 2) AS sq " +
+        "FROM (SELECT l_returnflag, l_quantity, " +
+        "  ntile(4) OVER (PARTITION BY l_returnflag " +
+        "    ORDER BY l_quantity, l_orderkey, l_linenumber) AS tile " +
+        "  FROM lineitem) t " +
+        "GROUP BY l_returnflag, tile ORDER BY l_returnflag, tile"),
+
+    // Markov transition counts — which event type follows which, per
+    // user session stream (the path-analysis primitive). lead() over the
+    // per-user event-time order, then a plain count aggregate; the
+    // window shuffles once on user_id at any scale.
+    sql("q_event_transitions",
+      "SELECT event_type, next_type, count(*) AS n " +
+        "FROM (SELECT event_type, lead(event_type) OVER (" +
+        "    PARTITION BY user_id ORDER BY ts, event_id) AS next_type " +
+        "  FROM events) t " +
+        "WHERE next_type IS NOT NULL " +
+        "GROUP BY event_type, next_type ORDER BY event_type, next_type"),
+
     // Edit distance (beyond-reference) — the fuzzy-matching primitive a
     // dedup pipeline uses for short fields (names, titles); identical
     // Levenshtein semantics in both engines.

@@ -47,7 +47,8 @@ object Temporal {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, carry: Seq[String],
       saltSpanSec: Option[Long] = None,
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(carry.nonEmpty, "asofJoin: nothing to carry")
     require(carry.forall(c => !left.columns.contains(c)),
       s"asofJoin: carry columns ${carry.mkString(",")} collide with the left side")
@@ -56,6 +57,19 @@ object Temporal {
       s"asofJoin: inputs must not use reserved columns ${asofInternal.mkString(",")}")
     require(saltSpanSec.forall(_ > 0), "asofJoin: saltSpanSec must be positive")
     require(toleranceSec.forall(_ >= 0), "asofJoin: toleranceSec must be >= 0")
+    // direction = "forward": EARLIEST following-or-equal right row
+    // (merge_asof's direction='forward') — the same single-window plan
+    // traversed in descending ts. Only the traversal flips: right rows
+    // still sort before left on ts ties (>= includes equal), duplicate
+    // right timestamps still resolve to the max carry struct, and the
+    // tolerance bound becomes matched.ts − left.ts. The salted summary's
+    // carry-in would need a following-ranges formulation — not built yet,
+    // so forward requires the unsalted plan.
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
+    require(direction == "backward" || saltSpanSec.isEmpty,
+      "asofJoin: forward direction does not support saltSpanSec")
+    val forward = direction == "forward"
     val leftCols = left.columns.toSeq
     // Tolerance (pandas merge_asof's `tolerance`): the matched right ts
     // rides INSIDE the carry struct (as its first field) so the bound
@@ -71,10 +85,14 @@ object Temporal {
     def carryOut(resolved: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
       toleranceSec match {
         case Some(tol) =>
-          val inTol = col(tsCol).cast("double") -
-            resolved.getField("_asof_mts").cast("double") <= tol.toDouble
+          val staleness =
+            if (forward)
+              resolved.getField("_asof_mts").cast("double") - col(tsCol).cast("double")
+            else
+              col(tsCol).cast("double") - resolved.getField("_asof_mts").cast("double")
           carry.map(c =>
-            when(inTol, resolved.getField(c)).otherwise(lit(null)).as(c))
+            when(staleness <= tol.toDouble, resolved.getField(c))
+              .otherwise(lit(null)).as(c))
         case None => carry.map(c => resolved.getField(c).as(c))
       }
     val r = right
@@ -86,8 +104,9 @@ object Temporal {
 
     saltSpanSec match {
       case None =>
+        val tsOrd = if (forward) col(tsCol).desc else col(tsCol).asc
         val w = Window.partitionBy(keyCol)
-          .orderBy(col(tsCol), col("_asof_tag"), col("_asof_v"))
+          .orderBy(tsOrd, col("_asof_tag"), col("_asof_v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         u.withColumn("_asof_c", last(col("_asof_v"), ignoreNulls = true).over(w))
           .filter(col("_asof_tag") === 1)

@@ -58,6 +58,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(salted == expect)
   }
 
+  test("as-of join: forward direction picks the earliest following-or-equal row") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("a", ts(10), 1.0), ("a", ts(20), 2.0), ("b", ts(5), 10.0))
+      .toDF("sym", "ts", "px")
+    val trades = Seq(
+      ("a", ts(5), 1L),  // next quote at 10 → 1.0
+      ("a", ts(10), 2L), // equal ts included → 1.0
+      ("a", ts(15), 3L), // next at 20 → 2.0
+      ("a", ts(25), 4L), // nothing follows → null
+      ("b", ts(9), 5L))  // b's only quote is BEHIND → null
+      .toDF("sym", "ts", "id").repartition(3)
+    val out = Temporal.asofJoin(trades, quotes, "sym", "ts", Seq("px"),
+        direction = "forward")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out == Map(
+      1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(2.0),
+      4L -> None, 5L -> None))
+    // Forward + tolerance: staleness is matched.ts − left.ts.
+    val tight = Temporal.asofJoin(trades, quotes, "sym", "ts", Seq("px"),
+        toleranceSec = Some(120L), direction = "forward")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(tight == Map(
+      1L -> None, 2L -> Some(1.0), 3L -> None, 4L -> None, 5L -> None))
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(trades, quotes, "sym", "ts", Seq("px"),
+        saltSpanSec = Some(60L), direction = "forward")
+    }
+  }
+
   test("as-of join: duplicate right timestamps resolve deterministically (max)") {
     import spark.implicits._
     val right = Seq(("a", ts(0), 5.0), ("a", ts(0), 7.0)).toDF("k", "ts", "v")
