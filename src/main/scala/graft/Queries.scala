@@ -488,6 +488,18 @@ object Queries {
         "round(covar_samp(l_quantity, l_discount), 6) AS cv " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
+    // Group-wise z-score normalization — the feature-standardization
+    // primitive (per-group mean/stddev via one window pass, then the
+    // per-row transform; the window shuffles once on the group key).
+    // Both engines compute stddev_samp over the same large groups and
+    // round at 6 dp; the orderkey cut keeps the per-row output compact.
+    sql("q_zscore",
+      "SELECT l_orderkey, l_linenumber, round((l_quantity - m) / s, 6) AS z " +
+        "FROM (SELECT l_orderkey, l_linenumber, l_quantity, " +
+        "    avg(l_quantity) OVER w AS m, stddev_samp(l_quantity) OVER w AS s " +
+        "  FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)) t " +
+        "WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber"),
+
     // Approximate percentile — implementations differ by design (Spark
     // KLL-ish vs DuckDB t-digest), so no value hash-match; the oracle
     // re-derives the EXACT discrete median per group and passes the
@@ -699,6 +711,33 @@ object Queries {
         "FROM events WHERE event_type = 'purchase'",
       "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS s, count(*) AS n " +
         "FROM events WHERE event_type = 'purchase'"),
+
+    // MAP type surface (beyond ref): per order, a linenumber→quantity
+    // map built by aggregation, then key lookup / cardinality /
+    // value-sum. The inner GROUP BY makes map keys unique FIRST — the
+    // synthetic lineitem does not keep (orderkey, linenumber) unique and
+    // Spark's map_from_entries rejects duplicate keys. Quantities are
+    // integral doubles, so sums are exact in any entry order and the
+    // collect_list's nondeterministic order cannot leak into any output
+    // column. DuckDB's map subscript returns a LIST (empty when absent),
+    // hence the [1] unwrap in the twin.
+    sql2("q_map_fns",
+      "SELECT l_orderkey, CAST(cardinality(m) AS BIGINT) AS n_lines, " +
+        "round(element_at(m, 1), 2) AS q1, " +
+        "round(aggregate(map_values(m), CAST(0.0 AS DOUBLE), (a, x) -> a + x), 2) AS qsum " +
+        "FROM (SELECT l_orderkey, map_from_entries(collect_list(struct(l_linenumber, q))) AS m " +
+        "  FROM (SELECT l_orderkey, l_linenumber, sum(l_quantity) AS q " +
+        "    FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey, l_linenumber) g " +
+        "  GROUP BY l_orderkey) t " +
+        "ORDER BY l_orderkey",
+      "SELECT l_orderkey, CAST(cardinality(m) AS BIGINT) AS n_lines, " +
+        "round(m[1][1], 2) AS q1, " +
+        "round(list_aggregate(map_values(m), 'sum'), 2) AS qsum " +
+        "FROM (SELECT l_orderkey, map_from_entries(list(struct_pack(k := l_linenumber, v := q))) AS m " +
+        "  FROM (SELECT l_orderkey, l_linenumber, sum(l_quantity) AS q " +
+        "    FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey, l_linenumber) g " +
+        "  GROUP BY l_orderkey) t " +
+        "ORDER BY l_orderkey"),
 
     // Time-bucketed event aggregation (epoch seconds keep the compare
     // engine-neutral: parquet ns timestamps truncate to µs in Spark).
