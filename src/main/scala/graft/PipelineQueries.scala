@@ -228,6 +228,37 @@ object PipelineQueries {
     // transitive closure. Green means the LSH candidate generation missed
     // no qualifying pair AND the distributed component labels equal the
     // exact closure.
+    // PageRank over the supplier co-occurrence graph (suppliers sharing
+    // an order, both directions — symmetric, so the src set is the node
+    // set and no dangling mass exists on THIS graph; the operator's
+    // dangling redistribution is spec-pinned on a directed fixture).
+    // Three fixed power iterations; the oracle re-derives every
+    // iteration relationally — per-node mass sums, the (1−d)/N prior,
+    // identical IEEE arithmetic — and all ranks compare at 8 dp.
+    dfq("q_pagerank", {
+      def iter(i: Int): String =
+        s"r$i AS (SELECT nodes.id, (1 - 0.85) / nn.n + 0.85 * coalesce(m.s, 0) AS r " +
+          s"FROM nodes CROSS JOIN nn LEFT JOIN (SELECT e.dst AS id, sum(p.r / deg.deg) AS s " +
+          s"FROM e JOIN r${i - 1} p ON e.src = p.id JOIN deg ON e.src = deg.src " +
+          s"GROUP BY e.dst) m ON nodes.id = m.id)"
+      "WITH e AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst FROM lineitem a " +
+        "  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey), " +
+        "nodes AS (SELECT DISTINCT src AS id FROM e), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src), " +
+        "r0 AS (SELECT nodes.id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn), " +
+        iter(1) + ", " + iter(2) + ", " + iter(3) + " " +
+        "SELECT CAST(id AS BIGINT) AS supplier, round(r, 8) AS rank FROM r3 ORDER BY supplier"
+    }) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val a = li.withColumnsRenamed(Map("l_suppkey" -> "src"))
+      val b = li.withColumnsRenamed(Map("l_suppkey" -> "dst"))
+      val edges = a.join(b, Seq("l_orderkey")).filter(col("src") =!= col("dst"))
+      graft.operators.Components.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("id").as("supplier"), round(col("rank"), 8).as("rank"))
+        .orderBy("supplier")
+    },
+
     dfq("q_dedup_components",
       "WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +

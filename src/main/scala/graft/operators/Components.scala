@@ -112,6 +112,63 @@ object Components {
     labels
   }
 
+  /** PageRank over a directed edge relation — fixed `iters` power
+    * iterations at damping `d`, the standard uniform redistribution of
+    * dangling mass (nodes with no out-edges). Returns (id, rank).
+    *
+    * Scale shape: per iteration, ONE join of ranks onto edges (shuffle
+    * on src) and ONE dst aggregate — both key-partitioned; the dangling
+    * term is a scalar aggregate (one driver double per iteration, like
+    * the components loop's convergence sum) and node count N is a single
+    * scalar up front. Ranks checkpoint per iteration exactly like the
+    * components labels — the plan stays constant-size however many
+    * iterations, and superseded rounds' blocks are reclaimed. Iteration
+    * count is FIXED (not convergence-tested): the differential oracle
+    * re-derives the same unrolled iterations relationally, which a
+    * data-dependent stopping rule would break.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"pageRank: damping must be in (0,1), got $damping")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = ckpt(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct())
+    val nodes = ckpt(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count().toDouble // one scalar, any graph size
+    require(n > 0, "pageRank: empty graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    var ranks = ckpt(nodes.withColumn("rank", lit(1.0 / n)))
+    for (_ <- 1 to iters) {
+      // Mass a node RECEIVES: Σ over in-edges of rank(src)/outdeg(src).
+      val inMass = e
+        .join(ranks.withColumnsRenamed(Map("id" -> "src_id", "rank" -> "r")),
+          col("src") === col("src_id"))
+        .join(outdeg, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("r") / col("deg")).as("in_mass"))
+      // Mass dangling nodes LOSE, redistributed uniformly (a scalar).
+      val dangling = ranks
+        .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      ranks = ckpt(nodes
+        .join(inMass, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+              lit(dangling / n))).as("rank")))
+    }
+    ranks
+  }
+
   /** Dedup-group summary from near-dup pairs over a corpus: every
     * document mapped to its component representative (`keep_id` = min id
     * in the component; singletons map to themselves) — the final

@@ -64,6 +64,31 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: hand-computed one-iteration values incl. dangling redistribution") {
+    // 1→2, 2→1, 1→3; node 3 is DANGLING. After one iteration at d=0.85:
+    //   in(1)=r(2)/1=1/3, in(2)=in(3)=r(1)/2=1/6, dangling mass r(3)=1/3
+    //   r'(v) = 0.05 + 0.85·(in(v) + (1/3)/3)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val out = Components.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def expect(in: Double) = 0.05 + 0.85 * (in + 1.0 / 9.0)
+    assert(math.abs(out(1L) - expect(1.0 / 3.0)) < 1e-12)
+    assert(math.abs(out(2L) - expect(1.0 / 6.0)) < 1e-12)
+    assert(math.abs(out(3L) - expect(1.0 / 6.0)) < 1e-12)
+    // Total mass is conserved exactly because dangling mass is
+    // redistributed, not dropped.
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // More iterations keep conserving mass and stay deterministic
+    // across partitionings.
+    val r3a = Components.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val r3b = Components.pageRank(edges.repartition(5), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r3a.values.sum - 1.0) < 1e-9)
+    assert(r3a.keys == r3b.keys &&
+      r3a.forall { case (k, v) => math.abs(r3b(k) - v) < 1e-12 })
+  }
+
   test("dedupGroups maps singletons to themselves and members to the min id") {
     val corpus = (1L to 8L).toDF("doc_id")
     val pairs = Seq((2L, 5L), (5L, 7L)).toDF("id_a", "id_b")
