@@ -530,6 +530,32 @@ object Queries {
         "round(quantile_cont(l_quantity, 0.95), 6) AS p95 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
 
+    // Datasketches HLL — the EXPORTABLE/mergeable face of approximate
+    // distinct counting (approx_count_distinct answers one query;
+    // hll_sketch_agg produces a sketch another job can hll_union_agg —
+    // the pre-aggregated-rollup shape at 100 TB). Differential contract:
+    // per-group exact distincts are fully re-derived by DuckDB, and the
+    // HLL estimate (lgK=14 ⇒ well under 5% error at these
+    // cardinalities) gates an all-1 ok flag, both per group and for the
+    // UNION of the per-group sketches against the global exact count —
+    // merging must not degrade the estimate.
+    sql2("q_hll_union",
+      "WITH s AS (SELECT l_returnflag AS flag, hll_sketch_agg(l_orderkey, 14) AS sk, " +
+        "  count(DISTINCT l_orderkey) AS exact FROM lineitem GROUP BY l_returnflag), " +
+        "g AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem) " +
+        "SELECT flag, exact, CAST(CASE WHEN abs(hll_sketch_estimate(sk) - exact) <= 0.05 * exact " +
+        "  THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s " +
+        "UNION ALL " +
+        "SELECT 'zz_union', g.exact, CAST(CASE WHEN " +
+        "  abs(hll_sketch_estimate((SELECT hll_union_agg(sk) FROM s)) - g.exact) <= 0.05 * g.exact " +
+        "  THEN 1 ELSE 0 END AS BIGINT) FROM g " +
+        "ORDER BY flag",
+      "SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS exact, " +
+        "  CAST(1 AS BIGINT) AS ok FROM lineitem GROUP BY l_returnflag " +
+        "UNION ALL " +
+        "SELECT 'zz_union', count(DISTINCT l_orderkey), 1 FROM lineitem " +
+        "ORDER BY flag"),
+
     // Equi-width histogram via width_bucket over an exact integer (cent)
     // domain — bucket edges at 5000-dollar multiples, so edge assignment
     // is integer arithmetic and cannot drift between engines (DuckDB has
@@ -1179,6 +1205,37 @@ object Queries {
         "round(sum(greatest(l_discount, l_tax)), 2) AS s_max, " +
         "round(sum(least(l_discount, l_tax)), 2) AS s_min " +
         "FROM lineitem"),
+
+    // Error-safe (TRY) functions — ANSI-mode-proof arithmetic and casts:
+    // Spark's try_divide/try_cast return NULL where strict evaluation
+    // would raise; the DuckDB twin re-derives the same nulls with
+    // nullif-protected division and its own TRY_CAST. The nullif(...,1)
+    // makes the zero-divisor branch LIVE on every linenumber=1 row.
+    sql2("q_try_fns",
+      "SELECT count(*) AS n, " +
+        "CAST(count(try_divide(l_quantity, l_linenumber - 1)) AS BIGINT) AS n_div, " +
+        "round(sum(coalesce(try_divide(l_quantity, l_linenumber - 1), 0)), 2) AS s_div, " +
+        "CAST(count(try_cast(l_returnflag AS INT)) AS BIGINT) AS n_cast, " +
+        "CAST(count(try_cast(CAST(l_linenumber AS STRING) AS INT)) AS BIGINT) AS n_cast_ok " +
+        "FROM lineitem",
+      "SELECT count(*) AS n, " +
+        "CAST(count(l_quantity / nullif(l_linenumber - 1, 0)) AS BIGINT) AS n_div, " +
+        "round(sum(coalesce(l_quantity / nullif(l_linenumber - 1, 0), 0)), 2) AS s_div, " +
+        "CAST(count(TRY_CAST(l_returnflag AS INT)) AS BIGINT) AS n_cast, " +
+        "CAST(count(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT)) AS BIGINT) AS n_cast_ok " +
+        "FROM lineitem"),
+
+    // Timestamp formatting round-trip — date_format/strftime with
+    // explicit locale-free patterns, plus to_timestamp parsing back;
+    // grouped on the formatted string so both engines must produce
+    // byte-identical text AND identical parse-back.
+    sql2("q_date_format",
+      "SELECT date_format(ts, 'yyyy-MM-dd HH') AS h, count(*) AS n, " +
+        "  CAST(min(unix_timestamp(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss')))) AS BIGINT) AS first_s " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY h LIMIT 50",
+      "SELECT strftime(ts, '%Y-%m-%d %H') AS h, count(*) AS n, " +
+        "  CAST(min(epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS first_s " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY h LIMIT 50"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

@@ -450,6 +450,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"quantization must not shuffle:\n$qzPlan")
   }
 
+  test("weighted sample compiles to TakeOrderedAndProject (per-partition heaps, no sort)") {
+    val plan = planOf("q_sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-Res top-k must be a heap, not a global sort:\n$plan")
+  }
+
   test("k-means assignment is joinless and shuffles nothing but the output sort") {
     // Centroids ride as broadcast literals in the projection
     // (assignToCentroids): the per-row argmax must plan with NO join
