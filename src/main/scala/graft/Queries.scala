@@ -1238,11 +1238,217 @@ object Queries {
         "FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY h LIMIT 50"),
   )
 
+  // ===========================================================================
+  // Advanced analytics (beyond-ref; the time-series / graph / IR surface a
+  // warehouse replacing the reference would be asked for next). Every entry
+  // follows the drift-proof playbook: exact integer/decimal arithmetic up to
+  // the last step, doubles only where both engines start from identical bits.
+  // ===========================================================================
+  private val advanced: Seq[Entry] = Seq(
+    // Time-weighted average per user — each event's value holds until the
+    // next event (µs-exact durations via unix_micros; last event carries no
+    // weight). The weighted sum rides DECIMAL(12,6)×BIGINT → exact decimal;
+    // only the final divide is floating. One window shuffle + one group-by
+    // on the SAME key (user_id) → Catalyst reuses the partitioning; at
+    // 100 TB this is a single exchange.
+    sql2("q_time_weighted_avg",
+      "WITH w AS (SELECT user_id, CAST(round(value, 6) AS DECIMAL(12,6)) AS v, " +
+        "  lead(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - unix_micros(ts) AS dur " +
+        "FROM events) " +
+        "SELECT user_id, CAST(sum(dur) AS BIGINT) AS total_us, " +
+        "  round(CAST(sum(v * dur) AS DOUBLE) / sum(dur), 6) AS twa " +
+        "FROM w WHERE dur IS NOT NULL GROUP BY user_id ORDER BY user_id",
+      "WITH w AS (SELECT user_id, CAST(round(value, 6) AS DECIMAL(12,6)) AS v, " +
+        "  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dur " +
+        "FROM events) " +
+        "SELECT user_id, CAST(sum(dur) AS BIGINT) AS total_us, " +
+        "  round(CAST(sum(v * dur) AS DOUBLE) / sum(dur), 6) AS twa " +
+        "FROM w WHERE dur IS NOT NULL GROUP BY user_id ORDER BY user_id"),
+
+    // Trailing-24h rolling z-score anomaly gate. The classic formulation
+    // ((v-mean)/stddev over a sliding frame) is engine-UNSTABLE: sliding
+    // double aggregates use subtract-on-evict / segment trees and drift.
+    // Here the frame sums ride integer milli-units (BIGINT in Spark,
+    // HUGEINT in DuckDB — both exact), and z = (n·v − s1)/√(n·s2 − s1²)
+    // touches floating point only on integer differences small enough to
+    // be double-exact (< 2^53) — so the >2σ cut is bit-deterministic.
+    sql2("q_rolling_zscore",
+      "WITH base AS (SELECT user_id, event_id, unix_micros(ts) DIV 1000000 AS es, " +
+        "  CAST(round(value * 1000) AS BIGINT) AS m FROM events), " +
+        "w AS (SELECT user_id, event_id, m, " +
+        "  sum(m) OVER (PARTITION BY user_id ORDER BY es RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS s1, " +
+        "  sum(m * m) OVER (PARTITION BY user_id ORDER BY es RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS s2, " +
+        "  count(*) OVER (PARTITION BY user_id ORDER BY es RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n " +
+        "FROM base) " +
+        "SELECT user_id, event_id, " +
+        "  round(CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) AS z " +
+        "FROM w WHERE n >= 5 AND n * s2 - s1 * s1 > 0 " +
+        "  AND CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) > 2.0 " +
+        "ORDER BY user_id, event_id",
+      "WITH base AS (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS es, " +
+        "  CAST(round(value * 1000) AS BIGINT) AS m FROM events), " +
+        "w AS (SELECT user_id, event_id, m, " +
+        "  sum(m) OVER win AS s1, sum(m * m) OVER win AS s2, count(*) OVER win AS n " +
+        "FROM base WINDOW win AS (PARTITION BY user_id ORDER BY es " +
+        "  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, event_id, " +
+        "  round(CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6) AS z " +
+        "FROM w WHERE n >= 5 AND n * s2 - s1 * s1 > 0 " +
+        "  AND CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) > 2.0 " +
+        "ORDER BY user_id, event_id",
+    ),
+
+    // Rolling 7-day distinct users per day. COUNT(DISTINCT) cannot ride a
+    // window frame, so the scale shape is: pre-distinct (day, user) —
+    // bounded at days×users, tiny next to the event log — then a band
+    // join against the day spine. The spine is O(days) → Spark
+    // broadcasts it; the distinct count is one hash aggregate.
+    sql2("q_rolling_distinct",
+      "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du) " +
+        "SELECT days.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS u7 " +
+        "FROM days JOIN du ON du.d BETWEEN date_sub(days.d, 6) AND days.d " +
+        "GROUP BY days.d ORDER BY days.d",
+      "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du) " +
+        "SELECT days.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS u7 " +
+        "FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d " +
+        "GROUP BY days.d ORDER BY days.d"),
+
+    // Per-user daily gap-fill: a generated date spine (sequence/
+    // generate_series) left-joined to sparse daily totals, missing days
+    // filled by last-observation-carried-forward (IGNORE NULLS last_value).
+    // Purchase events only → real gaps at sf0.01. Cent-exact BIGINT sums;
+    // the spine explode is per-user-bounded (≤ span days), never a
+    // cross join against a global calendar.
+    sql2("q_gap_fill_locf",
+      "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1), " +
+        "spine AS (SELECT user_id, explode(sequence(d0, d1, interval 1 day)) AS day FROM b), " +
+        "j AS (SELECT s.user_id, s.day, d.cents FROM spine s " +
+        "  LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day) " +
+        "SELECT user_id, day, CAST(coalesce(cents, 0) AS BIGINT) AS cents, " +
+        "  CAST(last_value(cents, true) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS filled " +
+        "FROM j ORDER BY user_id, day",
+      "WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1), " +
+        "spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b), " +
+        "j AS (SELECT CAST(s.user_id AS BIGINT) AS user_id, CAST(s.day AS DATE) AS day, d.cents FROM spine s " +
+        "  LEFT JOIN d ON d.user_id = s.user_id AND CAST(s.day AS DATE) = d.day) " +
+        "SELECT user_id, day, CAST(coalesce(cents, 0) AS BIGINT) AS cents, " +
+        "  CAST(last_value(cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS filled " +
+        "FROM j ORDER BY user_id, day"),
+
+    // Shannon entropy of each user's event-type mix — the mixture-skew
+    // signal a curation pipeline gates on. Counts are exact; the ≤5-term
+    // -Σ p·log2(p) fold is rounded at 6 dp (term count is O(types), so
+    // partial-aggregation order drift is last-ulp only).
+    sql("q_entropy",
+      "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1) " +
+        "SELECT c.user_id, CAST(max(tot) AS BIGINT) AS n_events, " +
+        "  round(-sum((n / CAST(tot AS DOUBLE)) * log2(n / CAST(tot AS DOUBLE))), 6) AS entropy_bits " +
+        "FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id ORDER BY c.user_id"),
+
+    // Deterministic MODE per group — most-frequent quantity with an
+    // explicit (count DESC, value) tie-break, because bare mode() is
+    // nondeterministic in BOTH engines. One partial+final count aggregate
+    // + a per-group top-1 window over the (tiny) distinct-value relation.
+    sql("q_mode_group",
+      "WITH c AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q, count(*) AS n " +
+        "  FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT flag, q, n, row_number() OVER (PARTITION BY flag ORDER BY n DESC, q) AS rn FROM c) " +
+        "SELECT flag, q AS mode_q, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1 ORDER BY flag"),
+
+    // Linear-regression aggregates (regr_slope/regr_intercept/corr) of
+    // value vs time-in-days per event type — the drift-detection probe.
+    // Slope at 4 dp / intercept at 2 dp: double co-moment accumulation
+    // order differs between engines, but relative drift is ~1e-10 so
+    // these roundings are orders of magnitude safe.
+    sql2("q_regr",
+      "SELECT event_type, count(*) AS n, " +
+        "  round(regr_slope(value, unix_micros(ts) / 86400000000.0), 4) AS slope_per_day, " +
+        "  round(regr_intercept(value, unix_micros(ts) / 86400000000.0), 2) AS icpt, " +
+        "  round(corr(value, unix_micros(ts) / 86400000000.0), 4) AS r " +
+        "FROM events GROUP BY event_type ORDER BY event_type",
+      "SELECT event_type, count(*) AS n, " +
+        "  round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4) AS slope_per_day, " +
+        "  round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 2) AS icpt, " +
+        "  round(corr(value, epoch_us(ts) / 86400000000.0), 4) AS r " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+
+    // Winsorization: clip extended price to per-group exact p05/p95
+    // (Spark percentile ≙ DuckDB quantile_cont, both linear-interpolated).
+    // The clip uses the 4-dp-ROUNDED fences so a last-ulp interpolation
+    // difference cannot flip a boundary row; the clipped total rides
+    // cent-exact integers. Fences are per-group scalars → broadcast back
+    // to the fact scan, one extra exchange total.
+    sql2("q_winsorize",
+      "WITH f AS (SELECT l_returnflag AS flag, " +
+        "  round(percentile(l_extendedprice, 0.05), 4) AS lo, " +
+        "  round(percentile(l_extendedprice, 0.95), 4) AS hi " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT f.flag, f.lo, f.hi, count(*) AS n, " +
+        "  CAST(sum(CAST(round(least(greatest(l_extendedprice, f.lo), f.hi) * 100) AS BIGINT)) AS BIGINT) AS clipped_cents " +
+        "FROM lineitem l JOIN f ON l.l_returnflag = f.flag " +
+        "GROUP BY f.flag, f.lo, f.hi ORDER BY f.flag",
+      "WITH f AS (SELECT l_returnflag AS flag, " +
+        "  round(quantile_cont(l_extendedprice, 0.05), 4) AS lo, " +
+        "  round(quantile_cont(l_extendedprice, 0.95), 4) AS hi " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT f.flag, f.lo, f.hi, count(*) AS n, " +
+        "  CAST(sum(CAST(round(least(greatest(l_extendedprice, f.lo), f.hi) * 100) AS BIGINT)) AS BIGINT) AS clipped_cents " +
+        "FROM lineitem l JOIN f ON l.l_returnflag = f.flag " +
+        "GROUP BY f.flag, f.lo, f.hi ORDER BY f.flag"),
+
+    // Triangle counting over the co-purchase graph (parts sharing an
+    // order). Edges are canonicalized u<v once (DISTINCT bounds the
+    // relation at distinct pairs, not line items); the triangle join is
+    // two hash equi-joins — no cross product, partial-aggregated counts.
+    // Total plus the 10 busiest anchor nodes, deterministically ordered.
+    sql("q_triangles",
+      "WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "tri AS (SELECT e1.u AS a, e1.v AS b, e3.v AS c FROM pairs e1 " +
+        "  JOIN pairs e2 ON e2.u = e1.v JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) " +
+        "SELECT CAST(-1 AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS tri FROM tri " +
+        "UNION ALL " +
+        "SELECT * FROM (SELECT a AS node, CAST(count(*) AS BIGINT) AS tri FROM tri " +
+        "  GROUP BY a ORDER BY count(*) DESC, a LIMIT 10) top " +
+        "ORDER BY tri DESC, node"),
+
+    // Inverted-index posting lists: term → document frequency + the first
+    // 15 doc ids, sorted — the retrieval-side artifact a text corpus ships
+    // with. Tokenization is the shared split-on-space rule (identical in
+    // both engines, punctuation riding tokens and all). collect_set keeps
+    // the per-term state bounded by distinct docs; the 15-element slice
+    // bounds the output row, not the aggregation.
+    sql2("q_inverted_index",
+      "WITH toks AS (SELECT doc_id, tok FROM " +
+        "  (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents) e " +
+        "  WHERE length(tok) >= 4) " +
+        "SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, " +
+        "  array_join(slice(sort_array(collect_set(doc_id)), 1, 15), ',') AS postings " +
+        "FROM toks GROUP BY tok HAVING count(DISTINCT doc_id) >= 50 " +
+        "ORDER BY df DESC, term LIMIT 100",
+      "WITH toks AS (SELECT doc_id, tok FROM " +
+        "  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) e " +
+        "  WHERE length(tok) >= 4) " +
+        "SELECT tok AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, " +
+        "  array_to_string(list_sort(list(DISTINCT doc_id))[1:15], ',') AS postings " +
+        "FROM toks GROUP BY tok HAVING count(DISTINCT doc_id) >= 50 " +
+        "ORDER BY df DESC, term LIMIT 100"),
+  )
+
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
     * [[CompassQueries]] and [[PipelineQueries]] and are appended in [[all]].
     */
   val relational: Seq[Entry] =
-    sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars
+    sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars ++ advanced
 
   def all: Seq[Entry] =
     relational ++ CompassQueries.entries ++ PipelineQueries.entries ++
