@@ -430,5 +430,25 @@ object StreamQueries {
         try q.processAllAvailable() finally q.stop()
         s.read.parquet(s"$out/data").orderBy("doc_id")
     },
+
+    // Deterministic sampling ON the stream: the md5-gate selection rule is
+    // a pure stateless projection, so the identical operator runs on a
+    // live stream and must select EXACTLY the rows the batch rule selects
+    // — the property that keeps a training-corpus sample reproducible
+    // when the corpus arrives incrementally (a seeded per-partition RNG
+    // sample would drift with micro-batch boundaries). Zero state, any
+    // scale; DuckDB replays the gate relationally.
+    dfq("q_stream_sample",
+      "SELECT event_id, user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM events " +
+        "WHERE substr(md5(CAST(event_id AS VARCHAR) || '|s12'), 1, 4) < '0ccc' " +
+        "ORDER BY event_id") { (s, dir) =>
+      val sampled = graft.operators.Sampling.deterministicSample(
+        fileStream(s, dir, "events"), "event_id", 0.05, "s12")
+      drainToMemory(
+        sampled.select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "graft_stream_sample", "append").orderBy("event_id")
+    },
   )
 }

@@ -510,4 +510,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"a sort-merge token join would shuffle the whole exploded corpus:\n$plan")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // At 100 TB a selective dim filter must reach the FACT scan even when
+    // the dim is too big to broadcast: Spark's runtime bloom filter builds
+    // a bloom from the filtered creation side and injects might_contain
+    // into the application side. Pin the mechanism ON for the shuffled
+    // dim-fact shape so a config/optimizer regression fails here, not at
+    // scale.
+    Tables.registerAll(spark, dir)
+    val conf = spark.conf
+    val prevBloom = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevScan = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // The production default only arms the filter when the fact scan
+    // exceeds 10GB — exactly the 100 TB case. Drop the threshold so the
+    // sf0.001 replica exercises the same code path.
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        "SELECT l.l_orderkey, l.l_quantity, o.o_totalprice " +
+          "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+          "WHERE o.o_orderpriority = '1-URGENT'")
+      df.collect()
+      val analyzed = df.queryExecution.optimizedPlan.toString
+      assert(analyzed.contains("might_contain") || analyzed.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected into the fact side:\n$analyzed")
+    } finally {
+      prevBloom.fold(conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled"))(
+        v => conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", v))
+      prevScan.fold(conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))(
+        v => conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }
