@@ -1421,6 +1421,138 @@ object Queries {
         "  GROUP BY a ORDER BY count(*) DESC, a LIMIT 10) top " +
         "ORDER BY tri DESC, node"),
 
+    // Incremental aggregation — the materialized-view maintenance shape:
+    // the engine side MERGES an old partial state (days < 15) with a
+    // delta partial (days ≥ 15) via full-outer join + coalesced sums; the
+    // oracle recomputes from scratch. Green = merging partials is exactly
+    // recomputation, the invariant an incremental 100 TB rollup rests on
+    // (cent-exact BIGINT sums so the merge is associative bit-for-bit).
+    sql2("q_incremental_agg",
+      "WITH old AS (SELECT event_type, count(*) AS n, " +
+        "    sum(CAST(round(value * 100) AS BIGINT)) AS cents " +
+        "  FROM events WHERE extract(day FROM ts) < 15 GROUP BY 1), " +
+        "delta AS (SELECT event_type, count(*) AS n, " +
+        "    sum(CAST(round(value * 100) AS BIGINT)) AS cents " +
+        "  FROM events WHERE extract(day FROM ts) >= 15 GROUP BY 1) " +
+        "SELECT coalesce(old.event_type, delta.event_type) AS event_type, " +
+        "  CAST(coalesce(old.n, 0) + coalesce(delta.n, 0) AS BIGINT) AS n, " +
+        "  CAST(coalesce(old.cents, 0) + coalesce(delta.cents, 0) AS BIGINT) AS cents " +
+        "FROM old FULL OUTER JOIN delta ON old.event_type = delta.event_type " +
+        "ORDER BY event_type",
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events GROUP BY 1 ORDER BY event_type"),
+
+    // SCD2 interval construction — collapse each user's event-type runs
+    // into [valid_from, valid_to] dimension rows (gaps-and-islands via
+    // the change-flag prefix sum). µs-exact interval bounds; the island
+    // window and the final group share the user_id partitioning.
+    sql2("q_scd2",
+      "WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+        "  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM events), " +
+        "g AS (SELECT user_id, ts, event_type, " +
+        "  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp FROM x) " +
+        "SELECT user_id, CAST(grp AS BIGINT) AS version, event_type, " +
+        "  CAST(min(unix_micros(ts)) AS BIGINT) AS valid_from, " +
+        "  CAST(max(unix_micros(ts)) AS BIGINT) AS valid_to, count(*) AS n " +
+        "FROM g GROUP BY user_id, grp, event_type ORDER BY user_id, version",
+      "WITH x AS (SELECT user_id, ts, event_id, event_type, " +
+        "  CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg FROM events), " +
+        "g AS (SELECT user_id, ts, event_type, " +
+        "  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp FROM x) " +
+        "SELECT user_id, CAST(grp AS BIGINT) AS version, event_type, " +
+        "  CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from, " +
+        "  CAST(max(epoch_us(ts)) AS BIGINT) AS valid_to, count(*) AS n " +
+        "FROM g GROUP BY user_id, grp, event_type ORDER BY user_id, version"),
+
+    // Daily latency-style percentile bands (exact p50/p90/p99 per day) —
+    // Spark percentile ≙ DuckDB quantile_cont, both linear-interpolated
+    // over the same doubles → identical bits, rounded at 4 dp.
+    sql2("q_daily_percentiles",
+      "SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "  round(percentile(value, 0.5), 4) AS p50, " +
+        "  round(percentile(value, 0.9), 4) AS p90, " +
+        "  round(percentile(value, 0.99), 4) AS p99 " +
+        "FROM events GROUP BY 1 ORDER BY day",
+      "SELECT CAST(ts AS DATE) AS day, count(*) AS n, " +
+        "  round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "  round(quantile_cont(value, 0.9), 4) AS p90, " +
+        "  round(quantile_cont(value, 0.99), 4) AS p99 " +
+        "FROM events GROUP BY 1 ORDER BY day"),
+
+    // Chi-square independence test of event_type × user cohort — the
+    // mixture-drift significance probe. All margins are exact integers;
+    // expected counts and the Σ(O−E)²/E fold are double only at the end
+    // (15 cells → 6-dp round absorbs order drift).
+    sql("q_chisq",
+      "WITH o AS (SELECT event_type, user_id % 3 AS cohort, count(*) AS obs " +
+        "  FROM events GROUP BY 1, 2), " +
+        "tot AS (SELECT sum(obs) AS n FROM o), " +
+        "r AS (SELECT event_type, sum(obs) AS rt FROM o GROUP BY 1), " +
+        "c AS (SELECT cohort, sum(obs) AS ct FROM o GROUP BY 1) " +
+        "SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS cells, " +
+        "  CAST((count(DISTINCT o.event_type) - 1) * (count(DISTINCT o.cohort) - 1) AS BIGINT) AS dof, " +
+        "  round(sum((obs - CAST(rt AS DOUBLE) * ct / n) * (obs - CAST(rt AS DOUBLE) * ct / n) " +
+        "    / (CAST(rt AS DOUBLE) * ct / n)), 6) AS chi2 " +
+        "FROM o JOIN r ON o.event_type = r.event_type JOIN c ON o.cohort = c.cohort, tot"),
+
+    // Jaccard overlap between event-type AUDIENCES (distinct-user sets)
+    // — cohort-overlap analysis on exact set cardinalities; the only
+    // double is the final ratio of exact integers.
+    sql("q_type_overlap",
+      "WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "sz AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1), " +
+        "ix AS (SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS inter " +
+        "  FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "  GROUP BY 1, 2) " +
+        "SELECT t1, t2, CAST(inter AS BIGINT) AS inter, " +
+        "  CAST(za.n + zb.n - inter AS BIGINT) AS uni, " +
+        "  round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard " +
+        "FROM ix JOIN sz za ON ix.t1 = za.event_type JOIN sz zb ON ix.t2 = zb.event_type " +
+        "ORDER BY t1, t2"),
+
+    // Median absolute deviation — the robust dispersion gate. Exact
+    // interpolated medians; the inner median is 4-dp-ROUNDED before the
+    // |x − m| pass (winsorize-style) so a last-ulp interpolation diff
+    // cannot reorder the deviation ranks. Two aggregate passes over the
+    // fact table with the per-group scalar broadcast back — no window.
+    sql2("q_mad",
+      "WITH med AS (SELECT l_returnflag AS flag, " +
+        "  round(percentile(l_extendedprice, 0.5), 4) AS m FROM lineitem GROUP BY 1) " +
+        "SELECT flag, m, count(*) AS n, " +
+        "  round(percentile(abs(l_extendedprice - m), 0.5), 4) AS mad " +
+        "FROM lineitem l JOIN med ON l.l_returnflag = med.flag " +
+        "GROUP BY flag, m ORDER BY flag",
+      "WITH med AS (SELECT l_returnflag AS flag, " +
+        "  round(quantile_cont(l_extendedprice, 0.5), 4) AS m FROM lineitem GROUP BY 1) " +
+        "SELECT flag, m, count(*) AS n, " +
+        "  round(quantile_cont(abs(l_extendedprice - m), 0.5), 4) AS mad " +
+        "FROM lineitem l JOIN med ON l.l_returnflag = med.flag " +
+        "GROUP BY flag, m ORDER BY flag"),
+
+    // Z-order (Morton) clustering key — the native `interleave_bits`
+    // Expression (codegen'd; ZOrderKernel's five mask-shift rounds) that
+    // keys 2-D data-skipping layouts: sort/range-partition a fact table
+    // by z and row-group min/max stats prune box predicates on BOTH
+    // dimensions. The oracle re-derives every code with the same spread
+    // arithmetic unrolled as bigint mask/shift CTEs — bit-exact.
+    sql2("q_zorder",
+      "SELECT l_orderkey * 10 + l_linenumber AS k, " +
+        "  interleave_bits(l_partkey, l_suppkey) AS z " +
+        "FROM lineitem WHERE l_orderkey < 2000 ORDER BY z, k",
+      "WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS k, " +
+        "  CAST(l_partkey AS BIGINT) & 4294967295 AS xv, " +
+        "  CAST(l_suppkey AS BIGINT) & 4294967295 AS yv " +
+        "  FROM lineitem WHERE l_orderkey < 2000), " +
+        "a1 AS (SELECT k, (xv | (xv << 16)) & 281470681808895 AS xv, (yv | (yv << 16)) & 281470681808895 AS yv FROM base), " +
+        "a2 AS (SELECT k, (xv | (xv << 8)) & 71777214294589695 AS xv, (yv | (yv << 8)) & 71777214294589695 AS yv FROM a1), " +
+        "a3 AS (SELECT k, (xv | (xv << 4)) & 1085102592571150095 AS xv, (yv | (yv << 4)) & 1085102592571150095 AS yv FROM a2), " +
+        "a4 AS (SELECT k, (xv | (xv << 2)) & 3689348814741910323 AS xv, (yv | (yv << 2)) & 3689348814741910323 AS yv FROM a3), " +
+        "a5 AS (SELECT k, (xv | (xv << 1)) & 6148914691236517205 AS xv, (yv | (yv << 1)) & 6148914691236517205 AS yv FROM a4) " +
+        "SELECT k, (xv | (yv << 1)) AS z FROM a5 ORDER BY z, k"),
+
     // Inverted-index posting lists: term → document frequency + the first
     // 15 doc ids, sorted — the retrieval-side artifact a text corpus ships
     // with. Tokenization is the shared split-on-space rule (identical in

@@ -132,6 +132,14 @@ object GraftExtensions {
     // bucket ids — the same deterministic hyperplanes the Similarity
     // operators use, so SQL-side bucketing joins against operator-side
     // bucketing.
+    // interleave_bits(x, y) → BIGINT Morton code (z-order clustering key;
+    // see ZOrderKernel — sort/range-partition by it for 2-D data skipping).
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2, "interleave_bits(x, y)")
+        InterleaveBits(c(0), c(1))
+      }),
     (FunctionIdentifier("lsh_sigs"),
       new ExpressionInfo(classOf[LshSigsExpr].getName, "lsh_sigs"),
       (c: Seq[Expression]) => {

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.ZOrderKernel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustering: kernel bit-exactness, codegen integration, and the
+  * locality property the layout exists for.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Naive bit-by-bit reference: input bit i of x → output bit 2i, of
+    * y → 2i+1.
+    */
+  private def naive(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 32) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("kernel matches the bit-by-bit reference incl. boundaries") {
+    val cases = Seq[(Long, Long)](
+      (0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
+      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (0xFFFFFFFFL, 0xFFFFFFFFL),
+      (Int.MaxValue.toLong, Int.MaxValue.toLong),
+      // high bits beyond 32 must be ignored
+      (0x1_0000_0003L, 0x7_0000_0005L))
+    cases.foreach { case (x, y) =>
+      assert(ZOrderKernel.interleave(x, y) === naive(x, y), s"($x, $y)")
+    }
+    // randomized sweep on a fixed seed
+    val rnd = new scala.util.Random(42)
+    (1 to 1000).foreach { _ =>
+      val x = rnd.nextLong() & 0xFFFFFFFFL
+      val y = rnd.nextLong() & 0xFFFFFFFFL
+      assert(ZOrderKernel.interleave(x, y) === naive(x, y))
+    }
+  }
+
+  test("interleave_bits runs inside WholeStageCodegen (no fallback)") {
+    graft.functions.GraftExtensions.register(spark)
+    // spark.range (not a local Seq): a LocalRelation would be folded at
+    // plan time and leave nothing to codegen.
+    val df = spark.range(64)
+      .selectExpr("id % 8 AS x", "id DIV 8 AS y")
+      .selectExpr("x", "y", "interleave_bits(x, y) AS z")
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === naive(r.getLong(0), r.getLong(1)))
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen stage:\n$plan")
+  }
+
+  test("z-sort clusters both dimensions (the data-skipping property)") {
+    // 64×64 grid, sorted by z, cut into blocks of 256 rows (≙ row
+    // groups): each block must span at most a 16×16 tile of the grid —
+    // the perfect-recursion property of the Z-curve on power-of-two
+    // grids. A single-column sort gives 64-wide spans in the other
+    // dimension; min/max stats on BOTH columns are only tight under z.
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val sorted = pts.sortBy { case (x, y) => ZOrderKernel.interleave(x, y) }
+    sorted.grouped(256).foreach { block =>
+      val xs = block.map(_._1)
+      val ys = block.map(_._2)
+      assert(xs.max - xs.min <= 15, s"x span ${xs.max - xs.min}")
+      assert(ys.max - ys.min <= 15, s"y span ${ys.max - ys.min}")
+    }
+  }
+}
