@@ -1532,6 +1532,70 @@ object Queries {
         "FROM lineitem l JOIN med ON l.l_returnflag = med.flag " +
         "GROUP BY flag, m ORDER BY flag"),
 
+    // Recursive CTE (Spark 4's UnionLoop) — hierarchy walk over the
+    // digit tree parent(k) = k/10: every customer key climbs to its
+    // root with per-step depth. Both engines iterate the same anchor +
+    // recursive-step SQL (integer division spelled DIV / //).
+    sql2("q_recursive_cte",
+      "WITH RECURSIVE walk(k, cur, depth) AS (" +
+        "  SELECT c_custkey, c_custkey, 0 FROM customer " +
+        "  UNION ALL SELECT k, cur DIV 10, depth + 1 FROM walk WHERE cur >= 10) " +
+        "SELECT k, CAST(max(depth) AS BIGINT) AS depth, CAST(min(cur) AS BIGINT) AS root " +
+        "FROM walk GROUP BY k ORDER BY k",
+      "WITH RECURSIVE walk(k, cur, depth) AS (" +
+        "  SELECT c_custkey, c_custkey, 0 FROM customer " +
+        "  UNION ALL SELECT k, cur // 10, depth + 1 FROM walk WHERE cur >= 10) " +
+        "SELECT k, CAST(max(depth) AS BIGINT) AS depth, CAST(min(cur) AS BIGINT) AS root " +
+        "FROM walk GROUP BY k ORDER BY k"),
+
+    // Bitmap aggregation — each user's purchase activity as a 30-bit
+    // day-of-month mask (bit_or of shifted ones) + popcount. The bitmap
+    // IS the aggregate state: fixed 8 bytes per user regardless of event
+    // count, mergeable across partials — the compact-index shape used
+    // for segment/audience membership at 100 TB.
+    sql2("q_bitmap_agg",
+      "SELECT user_id, " +
+        "  CAST(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(extract(day FROM ts) AS INT) - 1)) AS BIGINT) AS day_mask, " +
+        "  CAST(bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(extract(day FROM ts) AS INT) - 1))) AS BIGINT) AS active_days " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id",
+      "SELECT user_id, " +
+        "  CAST(bit_or(CAST(1 AS BIGINT) << (CAST(extract(day FROM ts) AS INT) - 1)) AS BIGINT) AS day_mask, " +
+        "  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << (CAST(extract(day FROM ts) AS INT) - 1))) AS BIGINT) AS active_days " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id"),
+
+    // Distributed sequence-gap detection WITHOUT a global window: the
+    // engine splits ids into 256-wide blocks — intra-block gaps ride a
+    // PARTITIONED lead, and cross-block gaps stitch per-block min/max
+    // over the n/256-bounded block relation (the only unpartitioned
+    // window, on a relation 256× smaller than the data). The oracle runs
+    // the textbook single global lead — green proves the decomposition
+    // loses no gap and invents none.
+    sql2("q_sequence_gaps",
+      "WITH s AS (SELECT event_id AS id, event_id DIV 256 AS b FROM events WHERE value > 50), " +
+        "w AS (SELECT id, b, lead(id) OVER (PARTITION BY b ORDER BY id) AS nxt FROM s), " +
+        "intra AS (SELECT id AS gap_after, nxt AS next_id FROM w WHERE nxt > id + 1), " +
+        "bnd AS (SELECT b, min(id) AS mn, max(id) AS mx FROM s GROUP BY b), " +
+        "bw AS (SELECT mx, lead(mn) OVER (ORDER BY b) AS nmn FROM bnd), " +
+        "inter AS (SELECT mx AS gap_after, nmn AS next_id FROM bw WHERE nmn > mx + 1) " +
+        "SELECT CAST(gap_after AS BIGINT) AS gap_after, CAST(next_id AS BIGINT) AS next_id " +
+        "FROM (SELECT * FROM intra UNION ALL SELECT * FROM inter) g ORDER BY gap_after",
+      "WITH s AS (SELECT event_id FROM events WHERE value > 50), " +
+        "x AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM s) " +
+        "SELECT CAST(event_id AS BIGINT) AS gap_after, CAST(nxt AS BIGINT) AS next_id " +
+        "FROM x WHERE nxt > event_id + 1 ORDER BY gap_after"),
+
+    // CDC compaction — keep the LATEST record per (user, type) key by
+    // event time (ties broken by event_id): the upsert-materialization
+    // every incremental snapshot pipeline runs. One window shuffle on
+    // the dedup key; cent-exact values.
+    sql("q_dedup_keep_latest",
+      "WITH r AS (SELECT user_id, event_type, event_id, " +
+        "  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "  row_number() OVER (PARTITION BY user_id, event_type " +
+        "    ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, event_type, event_id AS latest_event, cents " +
+        "FROM r WHERE rn = 1 ORDER BY user_id, event_type"),
+
     // Z-order (Morton) clustering key — the native `interleave_bits`
     // Expression (codegen'd; ZOrderKernel's five mask-shift rounds) that
     // keys 2-D data-skipping layouts: sort/range-partition a fact table
