@@ -1617,6 +1617,65 @@ object Queries {
         "a5 AS (SELECT k, (xv | (xv << 1)) & 6148914691236517205 AS xv, (yv | (yv << 1)) & 6148914691236517205 AS yv FROM a4) " +
         "SELECT k, (xv | (yv << 1)) AS z FROM a5 ORDER BY z, k"),
 
+    // Z-order LAYOUT lifecycle — shard by deterministic z-rank (ntile
+    // over the z curve), write a partitioned parquet layout, read it BACK
+    // and report each shard's (x, y) spans: the differential proof that
+    // the written layout clusters both dimensions (tight per-shard
+    // min/max = row groups a box predicate can skip). The ntile window
+    // rides a 2000-order SUBSET (bounded relation, comment-pinned) —
+    // production layouts shard by the distributed prefix rank
+    // (Corpus.writeShards) instead. DuckDB re-derives z arithmetically,
+    // re-runs the same ntile, and must land every row in the same shard.
+    dfq("q_zorder_layout",
+      "WITH base AS (SELECT l_orderkey * 10 + l_linenumber AS k, " +
+        "  l_partkey AS x, l_suppkey AS y, " +
+        "  CAST(l_partkey AS BIGINT) & 4294967295 AS xv, " +
+        "  CAST(l_suppkey AS BIGINT) & 4294967295 AS yv " +
+        "  FROM lineitem WHERE l_orderkey < 2000), " +
+        "a1 AS (SELECT k, x, y, (xv | (xv << 16)) & 281470681808895 AS xv, (yv | (yv << 16)) & 281470681808895 AS yv FROM base), " +
+        "a2 AS (SELECT k, x, y, (xv | (xv << 8)) & 71777214294589695 AS xv, (yv | (yv << 8)) & 71777214294589695 AS yv FROM a1), " +
+        "a3 AS (SELECT k, x, y, (xv | (xv << 4)) & 1085102592571150095 AS xv, (yv | (yv << 4)) & 1085102592571150095 AS yv FROM a2), " +
+        "a4 AS (SELECT k, x, y, (xv | (xv << 2)) & 3689348814741910323 AS xv, (yv | (yv << 2)) & 3689348814741910323 AS yv FROM a3), " +
+        "a5 AS (SELECT k, x, y, (xv | (xv << 1)) & 6148914691236517205 AS xv, (yv | (yv << 1)) & 6148914691236517205 AS yv FROM a4), " +
+        "z AS (SELECT k, x, y, (xv | (yv << 1)) AS z FROM a5), " +
+        "sh AS (SELECT k, x, y, ntile(16) OVER (ORDER BY z, k) AS shard FROM z) " +
+        "SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n, " +
+        "  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max, " +
+        "  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max " +
+        "FROM sh GROUP BY shard ORDER BY shard") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val out = tempDir("graft-zorder")
+      val sharded = s.sql(
+        "SELECT k, x, y, ntile(16) OVER (ORDER BY z, k) AS shard FROM (" +
+          "SELECT l_orderkey * 10 + l_linenumber AS k, l_partkey AS x, " +
+          "l_suppkey AS y, interleave_bits(l_partkey, l_suppkey) AS z " +
+          "FROM lineitem WHERE l_orderkey < 2000) t")
+      sharded.write.partitionBy("shard").mode("overwrite").parquet(s"$out/data")
+      val back = s.read.parquet(s"$out/data")
+      back.createOrReplaceTempView("graft_zlayout")
+      s.sql("SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n, " +
+        "CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max, " +
+        "CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max " +
+        "FROM graft_zlayout GROUP BY shard ORDER BY shard")
+    },
+
+    // ANSI inverse-distribution functions — PERCENTILE_CONT /
+    // PERCENTILE_DISC ... WITHIN GROUP (ORDER BY ...): cont interpolates
+    // (≙ DuckDB quantile_cont, identical bits, 4-dp round); disc picks
+    // the first data value whose cumulative fraction reaches p — an
+    // actual element, exact in both engines.
+    sql2("q_percentile_disc",
+      "SELECT l_returnflag AS flag, count(*) AS n, " +
+        "  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25c, " +
+        "  round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25d, " +
+        "  round(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75d " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY flag",
+      "SELECT l_returnflag AS flag, count(*) AS n, " +
+        "  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25c, " +
+        "  round(quantile_disc(l_extendedprice, 0.25), 4) AS p25d, " +
+        "  round(quantile_disc(l_extendedprice, 0.75), 4) AS p75d " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
+
     // Inverted-index posting lists: term → document frequency + the first
     // 15 doc ids, sorted — the retrieval-side artifact a text corpus ships
     // with. Tokenization is the shared split-on-space rule (identical in
