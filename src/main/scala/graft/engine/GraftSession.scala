@@ -279,6 +279,14 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     graft.operators.Corpus.writeShards(table("documents"), "doc_id", "text",
       path, tokensPerShard)
 
+  /** Write `df` z-order-clustered on two columns — tight parquet
+    * row-group min/max on both, so 2-D box predicates skip at scan time
+    * (see [[graft.operators.Layout.writeZOrdered]]).
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+                    path: String, numFiles: Int = 64): Unit =
+    graft.operators.Layout.writeZOrdered(df, xCol, yCol, path, numFiles)
+
   /** Per-language corpus report card (docs, tokens, duplicate mass,
     * mean quality) — the `q_corpus_profile` composition.
     */

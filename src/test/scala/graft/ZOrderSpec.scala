@@ -58,6 +58,45 @@ class ZOrderSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), s"expected codegen stage:\n$plan")
   }
 
+  test("writeZOrdered produces disjoint z-ranges with 2-D-clustered files") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_zwrite").toString
+    try {
+      val pts = (for (x <- 0 until 64; y <- 0 until 64)
+        yield (x.toLong, y.toLong)).toDF("x", "y")
+      graft.operators.Layout.writeZOrdered(pts, "x", "y", s"$path/d", numFiles = 16)
+      val back = spark.read.parquet(s"$path/d")
+        .withColumn("f", input_file_name())
+        .selectExpr("f", "x", "y", "interleave_bits(x, y) AS z")
+      val perFile = back.groupBy("f")
+        .agg(min("z").as("zmin"), max("z").as("zmax"),
+          (max("x") - min("x")).as("xspan"), (max("y") - min("y")).as("yspan"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(perFile.map(_.getAs[Long]("n")).sum === 4096L)
+      // z-ranges across files are disjoint (range partitioning guarantee)
+      val ranges = perFile.map(r =>
+        (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping z-ranges")
+        case _ =>
+      }
+      // 2-D clustering: the MEDIAN file spans far less than the 63-wide
+      // domain on BOTH axes (median, not max — the sampled range
+      // partitioner draws file boundaries that can straddle a tile).
+      def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
+      assert(median(perFile.toIndexedSeq.map(_.getAs[Long]("xspan"))) <= 31,
+        "files do not cluster x")
+      assert(median(perFile.toIndexedSeq.map(_.getAs[Long]("yspan"))) <= 31,
+        "files do not cluster y")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("z-sort clusters both dimensions (the data-skipping property)") {
     // 64×64 grid, sorted by z, cut into blocks of 256 rows (≙ row
     // groups): each block must span at most a 16×16 tile of the grid —
