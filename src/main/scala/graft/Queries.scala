@@ -1706,6 +1706,40 @@ object Queries {
         "  round(quantile_disc(l_extendedprice, 0.75), 4) AS p75d " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
+    // Exponential smoothing (EWMA, α = 1/2) via the recursive CTE —
+    // s_t = v_t/2 + s_{t-1}/2 is inherently sequential per key, the one
+    // shape plain windows cannot express; UnionLoop iterates one
+    // frontier join per depth (bounded by the longest per-user chain,
+    // 24 at sf0.01). α = 1/2 keeps every step a binary halving: both
+    // engines execute the identical op sequence → identical doubles.
+    sql("q_ewma_recursive",
+      "WITH RECURSIVE seq AS (" +
+        "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "  FROM events WHERE event_type = 'purchase'), " +
+        "e(user_id, rn, event_id, s) AS (" +
+        "  SELECT user_id, rn, event_id, CAST(cents AS DOUBLE) FROM seq WHERE rn = 1 " +
+        "  UNION ALL " +
+        "  SELECT seq.user_id, seq.rn, seq.event_id, 0.5 * seq.cents + 0.5 * e.s " +
+        "  FROM e JOIN seq ON seq.user_id = e.user_id AND seq.rn = e.rn + 1) " +
+        "SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, round(s, 6) AS ewma_cents " +
+        "FROM e ORDER BY user_id, rn"),
+
+    // Pairwise correlation matrix of the numeric lineitem measures — the
+    // feature-redundancy screen a training pipeline runs before model
+    // fitting. Six corr aggregates in ONE pass over the fact table
+    // (shared scan, partial+final co-moments); 6-dp round absorbs
+    // accumulation-order drift.
+    sql("q_corr_matrix",
+      "SELECT l_returnflag AS flag, count(*) AS n, " +
+        "  round(corr(l_quantity, l_extendedprice), 6) AS qty_price, " +
+        "  round(corr(l_quantity, l_discount), 6) AS qty_disc, " +
+        "  round(corr(l_quantity, l_tax), 6) AS qty_tax, " +
+        "  round(corr(l_extendedprice, l_discount), 6) AS price_disc, " +
+        "  round(corr(l_extendedprice, l_tax), 6) AS price_tax, " +
+        "  round(corr(l_discount, l_tax), 6) AS disc_tax " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
+
     // Inverted-index posting lists: term → document frequency + the first
     // 15 doc ids, sorted — the retrieval-side artifact a text corpus ships
     // with. Tokenization is the shared split-on-space rule (identical in
