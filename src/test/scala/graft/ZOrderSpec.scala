@@ -97,6 +97,60 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("property: deinterleave inverts interleave on random 32-bit pairs") {
+    // compress = inverse of ZOrderKernel.spread (mask-shift rounds reversed)
+    def compress(v: Long): Long = {
+      var x = v & 0x5555555555555555L
+      x = (x | (x >>> 1)) & 0x3333333333333333L
+      x = (x | (x >>> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >>> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >>> 8)) & 0x0000FFFF0000FFFFL
+      x = (x | (x >>> 16)) & 0x00000000FFFFFFFFL
+      x
+    }
+    val gen = for {
+      x <- org.scalacheck.Gen.chooseNum(0L, 0xFFFFFFFFL)
+      y <- org.scalacheck.Gen.chooseNum(0L, 0xFFFFFFFFL)
+    } yield (x, y)
+    (0 until 200).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(0x20DE + i)).foreach { case (x, y) =>
+        val z = ZOrderKernel.interleave(x, y)
+        assert(compress(z) === x, s"x roundtrip ($x, $y)")
+        assert(compress(z >>> 1) === y, s"y roundtrip ($x, $y)")
+      }
+    }
+  }
+
+  test("property: shared coordinate prefixes give shared z prefixes (tile theorem)") {
+    // If two points agree on all x-bits above position k AND all y-bits
+    // above k (i.e. they lie in the same 2^k × 2^k tile), their z codes
+    // agree above position 2k — the tile is ONE contiguous z range. This
+    // is exactly why per-tile min/max row-group stats stay tight.
+    val gen = for {
+      xhi <- org.scalacheck.Gen.chooseNum(0L, 0xFFFFFFL)
+      yhi <- org.scalacheck.Gen.chooseNum(0L, 0xFFFFFFL)
+      k <- org.scalacheck.Gen.chooseNum(1, 8)
+      dx1 <- org.scalacheck.Gen.chooseNum(0L, 255L)
+      dy1 <- org.scalacheck.Gen.chooseNum(0L, 255L)
+      dx2 <- org.scalacheck.Gen.chooseNum(0L, 255L)
+      dy2 <- org.scalacheck.Gen.chooseNum(0L, 255L)
+    } yield (xhi, yhi, k, dx1, dy1, dx2, dy2)
+    (0 until 200).foreach { i =>
+      gen.apply(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(0x711E + i)).foreach {
+        case (xhi, yhi, k, dx1, dy1, dx2, dy2) =>
+          val mask = (1L << k) - 1
+          val x1 = (xhi << k) | (dx1 & mask); val y1 = (yhi << k) | (dy1 & mask)
+          val x2 = (xhi << k) | (dx2 & mask); val y2 = (yhi << k) | (dy2 & mask)
+          val z1 = ZOrderKernel.interleave(x1, y1)
+          val z2 = ZOrderKernel.interleave(x2, y2)
+          assert((z1 >>> (2 * k)) === (z2 >>> (2 * k)),
+            s"tile prefix broken: k=$k ($x1,$y1) vs ($x2,$y2)")
+      }
+    }
+  }
+
   test("z-sort clusters both dimensions (the data-skipping property)") {
     // 64×64 grid, sorted by z, cut into blocks of 256 rows (≙ row
     // groups): each block must span at most a 16×16 tile of the grid —
