@@ -1740,6 +1740,32 @@ object Queries {
         "  round(corr(l_discount, l_tax), 6) AS disc_tax " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
+    // Weighted median (quantity-weighted price midpoint — the domain-
+    // mixing statistic). Exact: integer weights, cumulative sums on a
+    // RANGE-framed window (peers of (v, wt) aggregate together, so tie
+    // order cannot matter), first value where cum ≥ half the total.
+    sql("q_weighted_median",
+      "WITH w AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +
+        "  CAST(round(l_quantity) AS BIGINT) AS wt FROM lineitem), " +
+        "c AS (SELECT flag, v, wt, " +
+        "  sum(wt) OVER (PARTITION BY flag ORDER BY v, wt) AS cum, " +
+        "  sum(wt) OVER (PARTITION BY flag) AS tot FROM w) " +
+        "SELECT flag, round(min(v), 4) AS wmedian, CAST(max(tot) AS BIGINT) AS total_weight " +
+        "FROM c WHERE cum >= tot / 2.0 GROUP BY flag ORDER BY flag"),
+
+    // Equi-DEPTH histogram (deciles as bucket artifacts: count/lo/hi per
+    // bucket) — the complement of q_histogram's equi-width form; ntile
+    // over a fully-keyed order so bucket assignment is deterministic in
+    // both engines.
+    sql("q_histogram_equidepth",
+      "WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS v, " +
+        "  ntile(10) OVER (PARTITION BY l_returnflag " +
+        "    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket " +
+        "  FROM lineitem) " +
+        "SELECT flag, CAST(bucket AS BIGINT) AS bucket, count(*) AS n, " +
+        "  round(min(v), 2) AS lo, round(max(v), 2) AS hi " +
+        "FROM r GROUP BY flag, bucket ORDER BY flag, bucket"),
+
     // EXACT set-similarity join with PPJoin-style prefix filtering
     // (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08): documents as
     // 5-gram shingle SETS, candidates = pairs sharing a token among each
