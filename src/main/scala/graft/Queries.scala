@@ -1789,33 +1789,12 @@ object Queries {
         "  round(CAST(inter AS DOUBLE) / (za.s + zb.s - inter), 6) AS jaccard " +
         "FROM ix JOIN sz za ON ix.d1 = za.doc_id JOIN sz zb ON ix.d2 = zb.doc_id " +
         "WHERE CAST(inter AS DOUBLE) / (za.s + zb.s - inter) >= 0.5 ORDER BY d1, d2") { (s, dir) =>
-      Tables.registerAll(s, dir)
-      val sh = graft.operators.OpCaches.track(s.sql(
-        "SELECT DISTINCT doc_id, array_join(slice(w, i, 5), ' ') AS tok FROM " +
-          "(SELECT doc_id, split(lower(text), ' ') AS w FROM documents) words " +
-          "LATERAL VIEW explode(sequence(1, greatest(size(w) - 4, 1))) g AS i"))
-      sh.createOrReplaceTempView("graft_sj_sh")
-      val pref = graft.operators.OpCaches.track(s.sql(
-        "WITH df AS (SELECT tok, count(*) AS dfc FROM graft_sj_sh GROUP BY 1), " +
-          "sz AS (SELECT doc_id, count(*) AS s FROM graft_sj_sh GROUP BY 1), " +
-          "ranked AS (SELECT t.doc_id, t.tok, " +
-          "  row_number() OVER (PARTITION BY t.doc_id ORDER BY df.dfc, t.tok) AS rn " +
-          "  FROM graft_sj_sh t JOIN df ON t.tok = df.tok) " +
-          "SELECT r.doc_id, r.tok FROM ranked r JOIN sz ON r.doc_id = sz.doc_id " +
-          "WHERE r.rn <= sz.s - CAST(ceil(0.5 * sz.s) AS BIGINT) + 1"))
-      pref.createOrReplaceTempView("graft_sj_pref")
-      s.sql(
-        "WITH sz AS (SELECT doc_id, count(*) AS s FROM graft_sj_sh GROUP BY 1), " +
-          "cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 " +
-          "  FROM graft_sj_pref a JOIN graft_sj_pref b ON a.tok = b.tok AND a.doc_id < b.doc_id), " +
-          "ix AS (SELECT c.d1, c.d2, count(*) AS inter FROM cand c " +
-          "  JOIN graft_sj_sh a ON a.doc_id = c.d1 " +
-          "  JOIN graft_sj_sh b ON b.doc_id = c.d2 AND b.tok = a.tok GROUP BY c.d1, c.d2) " +
-          "SELECT d1, d2, CAST(inter AS BIGINT) AS inter, " +
-          "  CAST(za.s + zb.s - inter AS BIGINT) AS uni, " +
-          "  round(CAST(inter AS DOUBLE) / (za.s + zb.s - inter), 6) AS jaccard " +
-          "FROM ix JOIN sz za ON ix.d1 = za.doc_id JOIN sz zb ON ix.d2 = zb.doc_id " +
-          "WHERE CAST(inter AS DOUBLE) / (za.s + zb.s - inter) >= 0.5 ORDER BY d1, d2")
+      graft.operators.TextDedup.exactSimilarityJoin(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.5)
+        .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"), col("jaccard"))
+        .orderBy("d1", "d2")
     },
 
     // Inverted-index posting lists: term → document frequency + the first

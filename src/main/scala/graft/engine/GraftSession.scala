@@ -279,6 +279,15 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     graft.operators.Corpus.writeShards(table("documents"), "doc_id", "text",
       path, tokensPerShard)
 
+  /** Exact shingle-Jaccard similarity self-join over `documents` with
+    * sound PPJoin prefix filtering (no pair ≥ threshold can be missed —
+    * unlike the probabilistic MinHash path; see
+    * [[graft.operators.TextDedup.exactSimilarityJoin]]).
+    */
+  def similarityJoinExact(threshold: Double = 0.5, k: Int = 5): DataFrame =
+    graft.operators.TextDedup.exactSimilarityJoin(
+      table("documents"), "doc_id", "text", k, threshold)
+
   /** Write `df` z-order-clustered on two columns — tight parquet
     * row-group min/max on both, so 2-D box predicates skip at scan time
     * (see [[graft.operators.Layout.writeZOrdered]]).

@@ -572,4 +572,62 @@ object TextDedup {
       .withColumn("shared_frac",
         round(col("n_shared").cast("double") / col("n_spans"), 6))
   }
+
+  /** EXACT set-similarity self-join at word-k-gram-shingle Jaccard ≥
+    * `threshold`, with PPJoin-style prefix filtering (Chaudhuri et al.
+    * ICDE'06; Xiao et al. WWW'08). Unlike the MinHash path, pruning here
+    * is SOUND — no pair at or above the threshold can be missed:
+    * candidates are pairs sharing a shingle among each document's first
+    * |S| − ⌈t·|S|⌉ + 1 shingles in the global (df, shingle) order
+    * (the prefix-filter lemma: an overlap of ⌈t·|S|⌉ elements must
+    * touch that prefix), then every candidate is verified by exact
+    * intersection counting.
+    *
+    * Scale shape: the shuffles key on shingle strings (df join, prefix
+    * candidate join) and doc-id pairs (verification) — never an
+    * all-pairs product; rarest-first prefix ordering keeps candidate
+    * buckets small exactly where documents are distinctive. The shingle
+    * and prefix relations are persisted (tracked in [[OpCaches]]) since
+    * both feed multiple joins.
+    *
+    * Returns (d1, d2, inter, uni, jaccard) with d1 < d2.
+    */
+  def exactSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    require(k >= 1, s"shingle length k must be >= 1, got $k")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val words = docs.select(col(idCol).as("_id"),
+      split(lower(col(textCol)), " ").as("_w"))
+    val sh = OpCaches.track(words
+      .select(col("_id"), col("_w"), explode(
+        sequence(lit(1), greatest(size(col("_w")) - (k - 1), lit(1)))).as("_i"))
+      .select(col("_id"),
+        array_join(slice(col("_w"), col("_i"), lit(k)), " ").as("_tok"))
+      .distinct())
+    val sz = sh.groupBy("_id").agg(count(lit(1)).as("_s"))
+    val dfc = sh.groupBy("_tok").agg(count(lit(1)).as("_dfc"))
+    val ranked = sh.join(dfc, "_tok")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_id").orderBy(col("_dfc"), col("_tok"))))
+    val pref = OpCaches.track(ranked.join(sz, "_id")
+      .filter(col("_rn") <=
+        col("_s") - ceil(lit(threshold) * col("_s")).cast("long") + 1)
+      .select("_id", "_tok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a._tok") === col("b._tok") && col("a._id") < col("b._id"))
+      .select(col("a._id").as("d1"), col("b._id").as("d2")).distinct()
+    val inter = cand
+      .join(sh.select(col("_id").as("d1"), col("_tok")), "d1")
+      .join(sh.select(col("_id").as("d2"), col("_tok")), Seq("d2", "_tok"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("_id").as("d1"), col("_s").as("_sa")), "d1")
+      .join(sz.select(col("_id").as("d2"), col("_s").as("_sb")), "d2")
+      .withColumn("uni", col("_sa") + col("_sb") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
 }

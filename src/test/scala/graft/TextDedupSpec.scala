@@ -457,4 +457,33 @@ class TextDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextDedup.dedupChunksExact(docs, "doc_id", "text", chunkTokens = 0) }
   }
+
+  test("exact similarity join equals brute force (prefix filter loses nothing)") {
+    val docs = corpus(40)
+    val got = TextDedup
+      .exactSimilarityJoin(docs, "doc_id", "text", k = 3, threshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("uni")))
+      .toMap
+    // brute force over the same shingle sets, computed locally
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length <= 3) Set(w.mkString(" "))
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingles(t) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if uni > 0 && inter.toDouble / uni >= 0.4
+    } yield (a, b) -> (inter.toLong, uni.toLong)).toMap
+    assert(got === want, s"got=${got.keySet} want=${want.keySet}")
+    assert(want.contains((1L, 2L)) && want.contains((3L, 4L)),
+      "fixture must contain the planted pairs")
+    intercept[IllegalArgumentException] {
+      TextDedup.exactSimilarityJoin(docs, "doc_id", "text", threshold = 0.0) }
+  }
 }
