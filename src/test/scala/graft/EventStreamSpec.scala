@@ -486,4 +486,46 @@ class EventStreamSpec extends AnyFunSuite {
     // sum of per-user counts must equal total events (sanity of grouping)
     assert(batch.map(_(1).asInstanceOf[Long]).sum == events.count())
   }
+
+  test("restart from checkpoint is exactly-once (stop mid-stream, resume, no dup/loss)") {
+    import spark.implicits._
+    // The production failure drill: a stateful windowed aggregation with
+    // a file sink is STOPPED between micro-batches and a NEW query is
+    // started from the same checkpoint over the same file source. The
+    // sink must end up with exactly the batch answer over all input —
+    // no window duplicated (sink idempotence via the commit log), none
+    // lost (state recovered from the checkpoint, source offsets resume).
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val (in, sink, ckpt) = (s"$base/in", s"$base/sink", s"$base/ckpt")
+    def rows(ids: Range, h0: Int): Seq[(Long, Timestamp, Long, String, Double)] =
+      ids.map(i => (i.toLong, ts(h0 + (i % 3)), i.toLong % 5, "click", 1.0))
+    def writeIn(ids: Range, h0: Int): Unit =
+      rows(ids, h0).toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+    writeIn(0 until 30, 1)
+    val schema = spark.read.parquet(in).schema
+    def startQuery() = EventStream
+      .windowedStats(spark.readStream.schema(schema).parquet(in))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // second tranche, plus a far-future sentinel that pushes the
+    // watermark past every real window so append mode emits them all
+    writeIn(30 until 60, 4)
+    writeIn(9990 until 9991, 20)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(sink)
+      .filter(col("window_start") < ts(20))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val want = EventStream.windowedStatsBatch(
+        (rows(0 until 30, 1) ++ rows(30 until 60, 4))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq,
+      s"restart broke exactly-once: got=${got.toSeq} want=${want.toSeq}")
+  }
 }
