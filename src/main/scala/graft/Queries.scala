@@ -1740,6 +1740,37 @@ object Queries {
         "  round(corr(l_discount, l_tax), 6) AS disc_tax " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
+    // Cohort LTV curves — signup-week cohorts × week offsets, cumulative
+    // purchase revenue per cohort (the product-analytics table behind
+    // retention economics). Cent-exact integers end to end; the
+    // cumulative window rides the cohort×offset CELL relation (bounded
+    // at weeks², tiny), never the event log.
+    sql2("q_cohort_ltv",
+      "WITH anchor AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 " +
+        "  FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "rev AS (SELECT a.user_id, " +
+        "    CAST(datediff(a.d0, DATE '2024-01-01') AS BIGINT) DIV 7 AS cohort, " +
+        "    CAST(datediff(CAST(e.ts AS DATE), a.d0) AS BIGINT) DIV 7 AS wk, " +
+        "    CAST(round(e.value * 100) AS BIGINT) AS cents " +
+        "  FROM events e JOIN anchor a ON e.user_id = a.user_id " +
+        "  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= a.d0), " +
+        "cells AS (SELECT cohort, wk, sum(cents) AS cents, count(*) AS n FROM rev GROUP BY 1, 2) " +
+        "SELECT cohort, wk, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents, " +
+        "  CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY wk) AS BIGINT) AS ltv_cents " +
+        "FROM cells ORDER BY cohort, wk",
+      "WITH anchor AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0 " +
+        "  FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "rev AS (SELECT a.user_id, " +
+        "    CAST(CAST(a.d0 AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS cohort, " +
+        "    CAST(CAST(e.ts AS DATE) - a.d0 AS BIGINT) // 7 AS wk, " +
+        "    CAST(round(e.value * 100) AS BIGINT) AS cents " +
+        "  FROM events e JOIN anchor a ON e.user_id = a.user_id " +
+        "  WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= a.d0), " +
+        "cells AS (SELECT cohort, wk, sum(cents) AS cents, count(*) AS n FROM rev GROUP BY 1, 2) " +
+        "SELECT cohort, wk, CAST(n AS BIGINT) AS n, CAST(cents AS BIGINT) AS cents, " +
+        "  CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY wk) AS BIGINT) AS ltv_cents " +
+        "FROM cells ORDER BY cohort, wk"),
+
     // Weighted median (quantity-weighted price midpoint — the domain-
     // mixing statistic). Exact: integer weights, cumulative sums on a
     // RANGE-framed window (peers of (v, wt) aggregate together, so tie
