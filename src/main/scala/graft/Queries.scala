@@ -1740,6 +1740,31 @@ object Queries {
         "  round(corr(l_discount, l_tax), 6) AS disc_tax " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
+    // Sliding 7-day distinct users via HLL sketch UNION — the 100 TB
+    // face of q_rolling_distinct: build ONE mergeable sketch per day
+    // (state = days × 2^14 registers, never user sets), then each
+    // day's trailing window is a 7-sketch union — no event-log rescan.
+    // The exact count (pre-distinct band join, same as the exact entry)
+    // rides along, and the estimate must land within 5% of it — the
+    // all-1 ok column is the differential gate on the sketch path.
+    sql2("q_rolling_hll",
+      "WITH dusk AS (SELECT CAST(ts AS DATE) AS d, hll_sketch_agg(user_id, 14) AS sk FROM events GROUP BY 1), " +
+        "du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du), " +
+        "exact AS (SELECT days.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS u7 " +
+        "  FROM days JOIN du ON du.d BETWEEN date_sub(days.d, 6) AND days.d GROUP BY days.d), " +
+        "est AS (SELECT days.d AS day, hll_sketch_estimate(hll_union_agg(dusk.sk)) AS e " +
+        "  FROM days JOIN dusk ON dusk.d BETWEEN date_sub(days.d, 6) AND days.d GROUP BY days.d) " +
+        "SELECT exact.day, exact.u7, " +
+        "  CAST(CASE WHEN abs(est.e - exact.u7) <= 0.05 * exact.u7 THEN 1 ELSE 0 END AS BIGINT) AS ok " +
+        "FROM exact JOIN est ON exact.day = est.day ORDER BY exact.day",
+      "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du) " +
+        "SELECT days.d AS day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS u7, " +
+        "  CAST(1 AS BIGINT) AS ok " +
+        "FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d " +
+        "GROUP BY days.d ORDER BY days.d"),
+
     // Cohort LTV curves — signup-week cohorts × week offsets, cumulative
     // purchase revenue per cohort (the product-analytics table behind
     // retention economics). Cent-exact integers end to end; the
