@@ -1740,6 +1740,79 @@ object Queries {
         "  round(corr(l_discount, l_tax), 6) AS disc_tax " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
+    // Per-day session stats with bounce rate (30-min inactivity gap,
+    // gaps-and-islands session ids) — the web-analytics daily rollup.
+    // µs-exact gap comparisons; session ids from the change-flag prefix
+    // sum; a session's day is its first event's date.
+    sql2("q_session_stats",
+      "WITH x AS (SELECT user_id, ts, event_id, " +
+        "  CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) " +
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "  FROM events), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM x), " +
+        "s AS (SELECT user_id, sid, min(CAST(ts AS DATE)) AS day, count(*) AS n FROM g GROUP BY 1, 2) " +
+        "SELECT day, count(*) AS sessions, " +
+        "  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces, " +
+        "  CAST(max(n) AS BIGINT) AS longest " +
+        "FROM s GROUP BY day ORDER BY day",
+      "WITH x AS (SELECT user_id, ts, event_id, " +
+        "  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) " +
+        "    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 THEN 1 ELSE 0 END AS brk " +
+        "  FROM events), " +
+        "g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM x), " +
+        "s AS (SELECT user_id, sid, min(CAST(ts AS DATE)) AS day, count(*) AS n FROM g GROUP BY 1, 2) " +
+        "SELECT day, count(*) AS sessions, " +
+        "  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces, " +
+        "  CAST(max(n) AS BIGINT) AS longest " +
+        "FROM s GROUP BY day ORDER BY day"),
+
+    // PMI collocations (pointwise mutual information over adjacent word
+    // pairs) — the classic phrase detector. All counts exact; PMI's log
+    // is the only double (JVM Math.log vs libm can differ a last ulp →
+    // 5-dp round), and the result set is cut by exact SUPPORT (cxy ≥ 20),
+    // never by a float ranking — so the SET cannot flip on log ulps.
+    // Docs with a single token are excluded on both sides (Spark's
+    // sequence(1, 0) DESCENDS where generate_series is empty).
+    sql2("q_pmi_collocations",
+      "WITH words AS (SELECT doc_id, split(lower(text), ' ') AS w FROM documents WHERE size(split(lower(text), ' ')) >= 2), " +
+        "bg AS (SELECT element_at(w, i) AS w1, element_at(w, i + 1) AS w2 FROM words " +
+        "  LATERAL VIEW explode(sequence(1, size(w) - 1)) g AS i), " +
+        "uni AS (SELECT w, count(*) AS c FROM " +
+        "  (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) t GROUP BY 1), " +
+        "pc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2), " +
+        "n AS (SELECT count(*) AS tot FROM bg) " +
+        "SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, " +
+        "  round(log2(CAST(cxy AS DOUBLE) * 2 * tot / (a.c * b.c)), 5) AS pmi " +
+        "FROM pc JOIN uni a ON pc.w1 = a.w JOIN uni b ON pc.w2 = b.w CROSS JOIN n " +
+        "WHERE cxy >= 20 ORDER BY w1, w2",
+      "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), " +
+        "bg AS (SELECT w[i] AS w1, w[i + 1] AS w2 FROM words, " +
+        "  LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)), " +
+        "uni AS (SELECT w, count(*) AS c FROM " +
+        "  (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) t GROUP BY 1), " +
+        "pc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2), " +
+        "n AS (SELECT count(*) AS tot FROM bg) " +
+        "SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, " +
+        "  round(log2(CAST(cxy AS DOUBLE) * 2 * tot / (a.c * b.c)), 5) AS pmi " +
+        "FROM pc JOIN uni a ON pc.w1 = a.w JOIN uni b ON pc.w2 = b.w CROSS JOIN n " +
+        "WHERE cxy >= 20 ORDER BY w1, w2"),
+
+    // Order-to-ship latency SLA table per month (exact day diffs,
+    // interpolated p90) — the fulfillment-operations rollup.
+    sql2("q_ship_latency",
+      "SELECT date_format(o_orderdate, 'yyyy-MM') AS month, count(*) AS n, " +
+        "  CAST(min(datediff(l_shipdate, o_orderdate)) AS BIGINT) AS min_d, " +
+        "  round(avg(datediff(l_shipdate, o_orderdate)), 4) AS avg_d, " +
+        "  round(percentile(datediff(l_shipdate, o_orderdate), 0.9), 1) AS p90_d " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY month",
+      "SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n, " +
+        "  CAST(min(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)) AS BIGINT) AS min_d, " +
+        "  round(avg(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE)), 4) AS avg_d, " +
+        "  round(quantile_cont(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE), 0.9), 1) AS p90_d " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY month"),
+
     // Sliding 7-day distinct users via HLL sketch UNION — the 100 TB
     // face of q_rolling_distinct: build ONE mergeable sketch per day
     // (state = days × 2^14 registers, never user sets), then each
