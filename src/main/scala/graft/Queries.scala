@@ -1926,6 +1926,35 @@ object Queries {
         .orderBy("d1", "d2")
     },
 
+    // ASYMMETRIC exact similarity join — the daily-ingest face: batch
+    // (doc_id ≥ 400) against corpus (doc_id < 400) with corpus-df prefix
+    // ordering; the cross-prefix lemma keeps the pruning sound, the
+    // corpus never self-joins, and the brute-force oracle (all
+    // corpus×batch Jaccards from first principles) proves no cross pair
+    // missed — 8 genuine pairs at sf0.01.
+    dfq("q_simjoin_incremental",
+      "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS tok " +
+        "  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 1))) AS g(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), " +
+        "ix AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id, count(*) AS inter " +
+        "  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < 400 AND b.doc_id >= 400 GROUP BY 1, 2) " +
+        "SELECT corpus_id, batch_id, CAST(inter AS BIGINT) AS inter, " +
+        "  CAST(za.s + zb.s - inter AS BIGINT) AS uni, " +
+        "  round(CAST(inter AS DOUBLE) / (za.s + zb.s - inter), 6) AS jaccard " +
+        "FROM ix JOIN sz za ON ix.corpus_id = za.doc_id JOIN sz zb ON ix.batch_id = zb.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / (za.s + zb.s - inter) >= 0.5 " +
+        "ORDER BY corpus_id, batch_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TextDedup.exactSimilarityJoinAgainst(
+          docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", k = 5, threshold = 0.5)
+        .select(col("corpus_id"), col("batch_id"),
+          col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"),
+          col("jaccard"))
+        .orderBy("corpus_id", "batch_id")
+    },
+
     // Inverted-index posting lists: term → document frequency + the first
     // 15 doc ids, sorted — the retrieval-side artifact a text corpus ships
     // with. Tokenization is the shared split-on-space rule (identical in

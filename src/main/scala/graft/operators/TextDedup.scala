@@ -592,19 +592,25 @@ object TextDedup {
     *
     * Returns (d1, d2, inter, uni, jaccard) with d1 < d2.
     */
+  /** Distinct word-k-gram shingle STRINGS per document: (_id, _tok). */
+  private def shingleSet(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("_id"),
+      split(lower(col(textCol)), " ").as("_w"))
+    words
+      .select(col("_id"), col("_w"), explode(
+        sequence(lit(1), greatest(size(col("_w")) - (k - 1), lit(1)))).as("_i"))
+      .select(col("_id"),
+        array_join(slice(col("_w"), col("_i"), lit(k)), " ").as("_tok"))
+      .distinct()
+  }
+
   def exactSimilarityJoin(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 5, threshold: Double = 0.5): DataFrame = {
     require(k >= 1, s"shingle length k must be >= 1, got $k")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val words = docs.select(col(idCol).as("_id"),
-      split(lower(col(textCol)), " ").as("_w"))
-    val sh = OpCaches.track(words
-      .select(col("_id"), col("_w"), explode(
-        sequence(lit(1), greatest(size(col("_w")) - (k - 1), lit(1)))).as("_i"))
-      .select(col("_id"),
-        array_join(slice(col("_w"), col("_i"), lit(k)), " ").as("_tok"))
-      .distinct())
+    val sh = OpCaches.track(shingleSet(docs, idCol, textCol, k))
     val sz = sh.groupBy("_id").agg(count(lit(1)).as("_s"))
     val dfc = sh.groupBy("_tok").agg(count(lit(1)).as("_dfc"))
     val ranked = sh.join(dfc, "_tok")
@@ -628,6 +634,61 @@ object TextDedup {
       .withColumn("uni", col("_sa") + col("_sb") - col("inter"))
       .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+  }
+
+  /** ASYMMETRIC exact similarity join: every (corpus, batch) pair at
+    * shingle Jaccard ≥ `threshold` — the daily-ingest face of
+    * [[exactSimilarityJoin]] (≙ [[minhashNearDupsAgainst]] for the
+    * probabilistic path, but with the SOUND prefix-filter guarantee).
+    * The global shingle order comes from CORPUS document frequencies
+    * (batch-only shingles rank rarest at df 0 — any consistent order is
+    * sound; corpus df is the one known ahead of ingest). The cross-prefix
+    * lemma: the smallest-ranked common shingle of a qualifying pair lies
+    * in BOTH sides' prefixes, so the prefix⋈prefix equi-join misses
+    * nothing. The corpus never self-joins; per-ingest cost scales with
+    * the batch.
+    *
+    * Returns (corpus_id, batch_id, inter, uni, jaccard).
+    */
+  def exactSimilarityJoinAgainst(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, threshold: Double = 0.5): DataFrame = {
+    require(k >= 1, s"shingle length k must be >= 1, got $k")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val shC = OpCaches.track(shingleSet(corpus, idCol, textCol, k))
+    val shB = OpCaches.track(shingleSet(batch, idCol, textCol, k))
+    val dfc = shC.groupBy("_tok").agg(count(lit(1)).as("_dfc"))
+    def prefixOf(sh: DataFrame): DataFrame = {
+      val sz = sh.groupBy("_id").agg(count(lit(1)).as("_s"))
+      sh.join(dfc, Seq("_tok"), "left")
+        .withColumn("_d", coalesce(col("_dfc"), lit(0L)))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("_id").orderBy(col("_d"), col("_tok"))))
+        .join(sz, "_id")
+        .filter(col("_rn") <=
+          col("_s") - ceil(lit(threshold) * col("_s")).cast("long") + 1)
+        .select("_id", "_tok")
+    }
+    val cand = prefixOf(shC).as("a").join(prefixOf(shB).as("b"),
+        col("a._tok") === col("b._tok"))
+      .select(col("a._id").as("corpus_id"), col("b._id").as("batch_id"))
+      .distinct()
+    val inter = cand
+      .join(shC.select(col("_id").as("corpus_id"), col("_tok")), "corpus_id")
+      .join(shB.select(col("_id").as("batch_id"), col("_tok")),
+        Seq("batch_id", "_tok"))
+      .groupBy("corpus_id", "batch_id").agg(count(lit(1)).as("inter"))
+    val szC = shC.groupBy("_id").agg(count(lit(1)).as("_sa"))
+    val szB = shB.groupBy("_id").agg(count(lit(1)).as("_sb"))
+    inter
+      .join(szC.withColumnRenamed("_id", "corpus_id"), "corpus_id")
+      .join(szB.withColumnRenamed("_id", "batch_id"), "batch_id")
+      .withColumn("uni", col("_sa") + col("_sb") - col("inter"))
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
+      .select(col("corpus_id"), col("batch_id"), col("inter"), col("uni"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 }

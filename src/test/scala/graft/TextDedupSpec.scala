@@ -486,4 +486,35 @@ class TextDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextDedup.exactSimilarityJoin(docs, "doc_id", "text", threshold = 0.0) }
   }
+
+  test("asymmetric exact similarity join equals brute-force cross pairs") {
+    val docs = corpus(40)
+    // split so the planted pairs (1,2) and (3,4) STRADDLE corpus/batch
+    val corpusSide = docs.filter(col("doc_id") % 2 === 1) // 1, 3, 5...
+    val batchSide = docs.filter(col("doc_id") % 2 === 0)  // 2, 4, 6...
+    val got = TextDedup
+      .exactSimilarityJoinAgainst(corpusSide, batchSide, "doc_id", "text",
+        k = 3, threshold = 0.4)
+      .collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("batch_id")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("uni")))
+      .toMap
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length <= 3) Set(w.mkString(" "))
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingles(t) }.toMap
+    val want = (for {
+      a <- sets.keys if a % 2 == 1
+      b <- sets.keys if b % 2 == 0
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if uni > 0 && inter.toDouble / uni >= 0.4
+    } yield (a, b) -> (inter.toLong, uni.toLong)).toMap
+    assert(got === want, s"got=${got.keySet} want=${want.keySet}")
+    assert(want.contains((1L, 2L)) && want.contains((3L, 4L)),
+      "fixture must plant straddling pairs")
+  }
 }
