@@ -1740,6 +1740,63 @@ object Queries {
         "  round(corr(l_discount, l_tax), 6) AS disc_tax " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
+    // DAU/WAU stickiness per day — exact distinct counts (pre-distinct
+    // (day, user) relation shared by both sides), ratio of exact
+    // integers as the only double.
+    sql2("q_dau_stickiness",
+      "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du), " +
+        "dau AS (SELECT d AS day, count(*) AS dau FROM du GROUP BY 1), " +
+        "wau AS (SELECT days.d AS day, count(DISTINCT du.user_id) AS u7 " +
+        "  FROM days JOIN du ON du.d BETWEEN date_sub(days.d, 6) AND days.d GROUP BY 1) " +
+        "SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.u7 AS BIGINT) AS wau, " +
+        "  round(CAST(dau.dau AS DOUBLE) / wau.u7, 4) AS stickiness " +
+        "FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day",
+      "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du), " +
+        "dau AS (SELECT d AS day, count(*) AS dau FROM du GROUP BY 1), " +
+        "wau AS (SELECT days.d AS day, count(DISTINCT du.user_id) AS u7 " +
+        "  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d GROUP BY 1) " +
+        "SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.u7 AS BIGINT) AS wau, " +
+        "  round(CAST(dau.dau AS DOUBLE) / wau.u7, 4) AS stickiness " +
+        "FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day"),
+
+    // Week-over-week churn: active in week w with no activity in w+1
+    // (the last data week churns everyone by definition — the honest
+    // boundary; the anti-join is the scale shape, one shuffle on user).
+    sql2("q_weekly_churn",
+      "WITH uw AS (SELECT DISTINCT user_id, " +
+        "  CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) DIV 7 AS wk FROM events) " +
+        "SELECT a.wk, count(*) AS active, " +
+        "  CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned " +
+        "FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1 " +
+        "GROUP BY a.wk ORDER BY a.wk",
+      "WITH uw AS (SELECT DISTINCT user_id, " +
+        "  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) // 7 AS wk FROM events) " +
+        "SELECT a.wk, count(*) AS active, " +
+        "  CAST(sum(CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned " +
+        "FROM uw a LEFT JOIN uw b ON a.user_id = b.user_id AND b.wk = a.wk + 1 " +
+        "GROUP BY a.wk ORDER BY a.wk"),
+
+    // Signup→first-purchase conversion lag percentiles — µs-exact lags
+    // (first signup to earliest following purchase per user),
+    // interpolated p50/p90.
+    sql2("q_conversion_lag",
+      "WITH s AS (SELECT user_id, min(ts) AS ts0 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "p AS (SELECT s.user_id, min(unix_micros(e.ts) - unix_micros(s.ts0)) AS lag_us " +
+        "  FROM s JOIN events e ON e.user_id = s.user_id " +
+        "    AND e.event_type = 'purchase' AND e.ts >= s.ts0 GROUP BY 1) " +
+        "SELECT count(*) AS n, CAST(min(lag_us) AS BIGINT) AS min_us, " +
+        "  round(percentile(lag_us, 0.5), 1) AS p50_us, " +
+        "  round(percentile(lag_us, 0.9), 1) AS p90_us FROM p",
+      "WITH s AS (SELECT user_id, min(ts) AS ts0 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+        "p AS (SELECT s.user_id, min(epoch_us(e.ts) - epoch_us(s.ts0)) AS lag_us " +
+        "  FROM s JOIN events e ON e.user_id = s.user_id " +
+        "    AND e.event_type = 'purchase' AND e.ts >= s.ts0 GROUP BY 1) " +
+        "SELECT count(*) AS n, CAST(min(lag_us) AS BIGINT) AS min_us, " +
+        "  round(quantile_cont(lag_us, 0.5), 1) AS p50_us, " +
+        "  round(quantile_cont(lag_us, 0.9), 1) AS p90_us FROM p"),
+
     // Per-day session stats with bounce rate (30-min inactivity gap,
     // gaps-and-islands session ids) — the web-analytics daily rollup.
     // µs-exact gap comparisons; session ids from the change-flag prefix
