@@ -1983,6 +1983,42 @@ object Queries {
         .orderBy("d1", "d2")
     },
 
+    // CONTAINMENT join — directed (d1 ⊆ d2)-style pairs at ≥ 80%
+    // shingle containment: the quote/plagiarism detector where Jaccard
+    // fails (a short quote in a long doc has tiny Jaccard, full
+    // containment). Only the contained side carries a prefix; the
+    // containing side is probed inverted-index style. Oracle: brute
+    // force from first principles — 50 directed pairs at sf0.01.
+    dfq("q_containment",
+      "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS tok " +
+        "  FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 4, 1))) AS g(i)), " +
+        "sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY 1), " +
+        "ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter " +
+        "  FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT d1, d2, CAST(inter AS BIGINT) AS inter, CAST(za.s AS BIGINT) AS s1, " +
+        "  round(CAST(inter AS DOUBLE) / za.s, 6) AS containment " +
+        "FROM ix JOIN sz za ON ix.d1 = za.doc_id " +
+        "WHERE CAST(inter AS DOUBLE) / za.s >= 0.8 ORDER BY d1, d2") { (s, dir) =>
+      graft.operators.TextDedup.containmentJoin(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          k = 5, threshold = 0.8)
+        .select(col("d1"), col("d2"), col("inter").cast("long").as("inter"),
+          col("s1").cast("long").as("s1"), col("containment"))
+        .orderBy("d1", "d2")
+    },
+
+    // Degree distribution of the co-purchase graph — the graph-shape
+    // profile (how skewed is connectivity) beside triangles/PageRank/
+    // components; exact integers, same text both engines.
+    sql("q_degree_dist",
+      "WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT n, count(*) AS d FROM " +
+        "  (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) t GROUP BY n) " +
+        "SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d",
+    ),
+
     // ASYMMETRIC exact similarity join — the daily-ingest face: batch
     // (doc_id ≥ 400) against corpus (doc_id < 400) with corpus-df prefix
     // ordering; the cross-prefix lemma keeps the pruning sound, the

@@ -637,6 +637,49 @@ object TextDedup {
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
 
+  /** CONTAINMENT join: directed pairs (d1, d2) where at least `threshold`
+    * of d1's shingle set also appears in d2 — quote/plagiarism/subset
+    * detection, where Jaccard fails (a short quote inside a long document
+    * has tiny Jaccard but full containment). Only the CONTAINED side
+    * needs a prefix (overlap ≥ ⌈t·|S₁|⌉ must touch d1's
+    * |S₁| − ⌈t·|S₁|⌉ + 1 rarest shingles); the containing side is probed
+    * in full, inverted-index style — so the candidate join is
+    * prefix × postings, never all-pairs, and rarest-first ordering keeps
+    * the probed posting lists short.
+    *
+    * Returns (d1, d2, inter, s1, containment) with d1 ≠ d2, where
+    * containment = inter / |S₁|.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 5, threshold: Double = 0.8): DataFrame = {
+    require(k >= 1, s"shingle length k must be >= 1, got $k")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = OpCaches.track(shingleSet(docs, idCol, textCol, k))
+    val sz = sh.groupBy("_id").agg(count(lit(1)).as("_s"))
+    val dfc = sh.groupBy("_tok").agg(count(lit(1)).as("_dfc"))
+    val pref = sh.join(dfc, "_tok")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_id").orderBy(col("_dfc"), col("_tok"))))
+      .join(sz, "_id")
+      .filter(col("_rn") <=
+        col("_s") - ceil(lit(threshold) * col("_s")).cast("long") + 1)
+      .select("_id", "_tok")
+    val cand = pref.as("a").join(sh.as("b"),
+        col("a._tok") === col("b._tok") && col("a._id") =!= col("b._id"))
+      .select(col("a._id").as("d1"), col("b._id").as("d2")).distinct()
+    val inter = cand
+      .join(sh.select(col("_id").as("d1"), col("_tok")), "d1")
+      .join(sh.select(col("_id").as("d2"), col("_tok")), Seq("d2", "_tok"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("_id").as("d1"), col("_s").as("s1")), "d1")
+      .filter(col("inter").cast("double") / col("s1") >= threshold)
+      .select(col("d1"), col("d2"), col("inter"), col("s1"),
+        round(col("inter").cast("double") / col("s1"), 6).as("containment"))
+  }
+
   /** ASYMMETRIC exact similarity join: every (corpus, batch) pair at
     * shingle Jaccard ≥ `threshold` — the daily-ingest face of
     * [[exactSimilarityJoin]] (≙ [[minhashNearDupsAgainst]] for the

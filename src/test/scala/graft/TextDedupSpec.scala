@@ -517,4 +517,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(want.contains((1L, 2L)) && want.contains((3L, 4L)),
       "fixture must plant straddling pairs")
   }
+
+  test("containment join equals brute force; catches a quote Jaccard misses") {
+    import spark.implicits._
+    // doc 100 is a verbatim QUOTE of doc 1's first ten words inside
+    // unrelated text: high containment of 100 in 1 — and low Jaccard.
+    val base = corpus(30).collect().map(r => r.getLong(0) -> r.getString(1))
+    val quote = base.find(_._1 == 1L).get._2.split(" ").take(10).mkString(" ")
+    val docs = (base :+ (100L -> quote)).toSeq
+      .toDF("doc_id", "text").repartition(5)
+    val got = TextDedup.containmentJoin(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Long]("inter"))
+      .toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length <= 3) Set(w.mkString(" "))
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = (base :+ (100L -> quote)).map { case (id, t) => id -> shingles(t) }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      inter = (sets(a) & sets(b)).size
+      if inter.toDouble / sets(a).size >= 0.8
+    } yield (a, b) -> inter.toLong).toMap
+    assert(got === want, s"got=${got.keySet} want=${want.keySet}")
+    assert(want.contains((100L, 1L)), "the planted quote must be contained in doc 1")
+    assert(!want.contains((1L, 100L)), "containment is directed")
+  }
 }
