@@ -2071,11 +2071,196 @@ object Queries {
         "ORDER BY df DESC, term LIMIT 100"),
   )
 
+  // ===========================================================================
+  // Advanced analytics, continued (r12): retrieval ranking, association
+  // rules, customer segmentation, graph traversal.
+  // ===========================================================================
+  private val advanced2: Seq[Entry] = Seq(
+    // Market-basket association rules over co-purchased parts: pair
+    // support across orders, confidence P(v|u), and lift vs independence
+    // — the classic affinity-analysis surface. Same text both engines;
+    // the ranking key is the 6-dp-rounded lift with (u, v) tie-break so
+    // the LIMIT boundary is deterministic. Scale: the pair enumeration is
+    // the order-keyed self-join (bounded by Σ per-order basket², never a
+    // cross product), support/df relations are partial-aggregated, and
+    // the min-support HAVING prunes before the metric joins.
+    sql("q_market_basket",
+      "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "nn AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM po), " +
+        "ps AS (SELECT p, count(*) AS s FROM po GROUP BY p), " +
+        "pr AS (SELECT a.p AS u, b.p AS v, count(*) AS supp FROM po a " +
+        "  JOIN po b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 3) " +
+        "SELECT u, v, CAST(supp AS BIGINT) AS supp, " +
+        "  round(CAST(supp AS DOUBLE) / su.s, 6) AS conf, " +
+        "  round(nn.n * supp / (su.s * sv.s), 6) AS lift " +
+        "FROM pr JOIN ps su ON pr.u = su.p JOIN ps sv ON pr.v = sv.p CROSS JOIN nn " +
+        "ORDER BY lift DESC, u, v LIMIT 20"),
+
+    // RFM customer segmentation: per-customer recency (days from the
+    // corpus max order date), frequency, and cent-exact monetary, each
+    // quartiled under a TOTAL order (custkey tie-break — the determinism
+    // ntile needs), composed into the classic 3-digit segment code.
+    // Engine side: three distributed global ranks (Prefix.withRunningSums
+    // — a partition-less `ntile() OVER (ORDER BY …)` window funnels every
+    // customer into ONE task at 100 TB) + the explicit ntile remainder
+    // formula (first n%k buckets get the extra row); the oracle runs the
+    // REAL ntile, so the formula is differentially pinned against the SQL
+    // semantics it replaces. Output is segment populations.
+    dfq("q_rfm",
+      "WITH cust AS (SELECT o_custkey AS c, max(o_orderdate) AS last_o, count(*) AS f, " +
+        "    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m FROM orders GROUP BY o_custkey), " +
+        "mx AS (SELECT max(o_orderdate) AS mxd FROM orders), " +
+        "sc AS (SELECT c, date_diff('day', CAST(last_o AS DATE), CAST(mxd AS DATE)) AS rec, f, m " +
+        "  FROM cust CROSS JOIN mx), " +
+        "nt AS (SELECT c, ntile(4) OVER (ORDER BY rec ASC, c) AS r, " +
+        "    ntile(4) OVER (ORDER BY f DESC, c) AS fq, " +
+        "    ntile(4) OVER (ORDER BY m DESC, c) AS mo FROM sc) " +
+        "SELECT CAST(r * 100 + fq * 10 + mo AS INT) AS segment, count(*) AS n_cust " +
+        "FROM nt GROUP BY r * 100 + fq * 10 + mo ORDER BY segment") { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val cust = orders.groupBy(col("o_custkey").as("c"))
+        .agg(max(col("o_orderdate")).as("last_o"), count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      val sc = cust
+        .crossJoin(broadcast(orders.agg(max(col("o_orderdate")).as("mxd"))))
+        .select(col("c"),
+          datediff(col("mxd").cast("date"), col("last_o").cast("date"))
+            .cast("long").as("rec"),
+          col("f"), col("m"))
+      val n = sc.count() // one scalar: the ntile denominator
+      require(n >= 4, s"q_rfm: need at least 4 customers, got $n")
+      // ntile(k) from a 1-based global rank: the first n%k buckets take
+      // size+1 rows — exactly both engines' remainder rule.
+      def ntileOf(idx: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+        val size = n / k; val rem = n % k; val cut = rem * (size + 1)
+        // floor(): Column./ is true division; exact here (counts ≪ 2^52).
+        when(idx <= cut, floor((idx - 1) / (size + 1)) + 1)
+          .otherwise(lit(rem) + floor((idx - cut - 1) / size) + 1)
+      }
+      // Ascending rank keys: rec asc, f desc (as -f), m desc (as -m);
+      // custkey breaks every tie, so each rank is a total order.
+      def quart(keyExpr: org.apache.spark.sql.Column, out: String) =
+        graft.operators.Prefix.withRunningSums(
+            sc.withColumn("_k", keyExpr), "_k", Nil, idxCol = "_r",
+            tieCols = Seq("c"))
+          .select(col("c"), ntileOf(col("_r"), 4).as(out))
+      quart(col("rec"), "r")
+        .join(quart(-col("f"), "fq"), "c")
+        .join(quart(-col("m"), "mo"), "c")
+        .groupBy((col("r") * 100 + col("fq") * 10 + col("mo")).cast("int").as("segment"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("segment")
+    },
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query —
+    // the ranking function an inverted-index corpus actually serves.
+    // Shared tokenization rule with q_inverted_index (lower, split on
+    // space, len ≥ 4). Per-term scores are computed in double from
+    // identical integer inputs (tf, df, dl, Σdl) — bit-identical on both
+    // engines — then 6-dp-rounded into DECIMAL(18,6) so the PER-DOC SUM
+    // is exact and partition-order-free (the q_tfidf_topk idiom); the
+    // top-20 cut ranks on that exact decimal with doc_id tie-break.
+    // Scale: df/dl/tf are partial-aggregated token relations; the query
+    // IN-list prunes tf before any join; nothing is ever all-pairs.
+    sql2("q_bm25",
+      "WITH toks AS (SELECT doc_id, tok FROM " +
+        "  (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents) e " +
+        "  WHERE length(tok) >= 4), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "  WHERE tok IN ('vector', 'shuffle', 'partition') GROUP BY doc_id, tok), " +
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+        "scored AS (SELECT doc_id, CAST(round(" +
+        "    ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+        "    (tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.sum_dl / stats.n_docs))), 6) AS DECIMAL(18,6)) AS s " +
+        "  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) " +
+        "SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25 FROM scored " +
+        "GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 20",
+      "WITH toks AS (SELECT doc_id, tok FROM " +
+        "  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) e " +
+        "  WHERE length(tok) >= 4), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "  WHERE tok IN ('vector', 'shuffle', 'partition') GROUP BY doc_id, tok), " +
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+        "scored AS (SELECT doc_id, CAST(round(" +
+        "    ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+        "    (tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.sum_dl / stats.n_docs))), 6) AS DECIMAL(18,6)) AS s " +
+        "  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats) " +
+        "SELECT doc_id, CAST(sum(s) AS DOUBLE) AS bm25 FROM scored " +
+        "GROUP BY doc_id ORDER BY sum(s) DESC, doc_id LIMIT 20"),
+
+    // Capped multi-source BFS over the REPEAT-co-purchase graph (parts
+    // sharing ≥ 2 orders — the multiplicity floor keeps the graph sparse
+    // enough to have real hop structure: hops 0..12 plus unreachable at
+    // sf0.01). Engine: Components.bfsHops frontier rounds (join +
+    // distinct + anti-join per level, constant-size checkpointed plans);
+    // oracle: DuckDB recursive CTE re-deriving "min hops ≤ 12 else -1"
+    // from first principles. The cap is part of the semantics, mirrored
+    // on both sides.
+    dfq("q_bfs_hops",
+      "WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "nodes AS (SELECT DISTINCT u AS id FROM e), " +
+        "s AS (SELECT min(id) AS sid FROM nodes), " +
+        "reach(id, d) AS (SELECT sid, 0 FROM s " +
+        "  UNION SELECT e.v, reach.d + 1 FROM reach JOIN e ON e.u = reach.id WHERE reach.d < 12) " +
+        "SELECT n.id AS node, CAST(coalesce(min(reach.d), -1) AS INT) AS hops " +
+        "FROM nodes n LEFT JOIN reach ON reach.id = n.id GROUP BY n.id ORDER BY node") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val pr = s.sql(
+        "SELECT a.p AS u, b.p AS v FROM " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2")
+      // Single seed = the smallest node id (u < v ⇒ min u is min node):
+      // one scalar to the driver, like the components convergence sum.
+      val srcId = pr.agg(min(col("u"))).head().getLong(0)
+      graft.operators.Components.bfsHops(pr, "u", "v", Seq(srcId), maxHops = 12)
+        .select(col("id").as("node"), col("hops"))
+        .orderBy("node")
+    },
+
+    // Bloom-filter semi-join: build a bitset over the filtered dim's keys
+    // (mergeable map-side `bloom_agg` partials — one tiny final merge),
+    // re-enter it as a broadcast literal probe on the fact scan
+    // (`bloom_might_contain` — whole-stage-codegen'd, so the 100 TB scan
+    // keeps its fused pipeline), then exact-verify the surviving
+    // candidates with the real join. Green against the PLAIN semi-join
+    // oracle proves the no-false-negative contract end-to-end: one true
+    // key dropped by the bloom ⇒ missing rows ⇒ hash mismatch. False
+    // positives only cost verify work (BloomSpec pins the rate).
+    dfq("q_bloom_semijoin",
+      "SELECT l_returnflag, count(*) AS n, " +
+        "  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM lineitem WHERE l_suppkey IN " +
+        "  (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5) " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      import graft.functions.BloomOps._
+      val dim = Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5).select(col("s_suppkey"))
+      val bloomBytes = dim
+        .agg(bloom_agg(col("s_suppkey"), expectedItems = 100000L, fpp = 0.03))
+        .head().getAs[Array[Byte]](0) // one small bitset to the driver
+      Tables.load(s, dir, "lineitem")
+        .filter(bloom_might_contain(lit(bloomBytes), col("l_suppkey")))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
+        .orderBy("l_returnflag")
+    },
+  )
+
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
     * [[CompassQueries]] and [[PipelineQueries]] and are appended in [[all]].
     */
   val relational: Seq[Entry] =
-    sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars ++ advanced
+    sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars ++ advanced ++ advanced2
 
   def all: Seq[Entry] =
     relational ++ CompassQueries.entries ++ PipelineQueries.entries ++

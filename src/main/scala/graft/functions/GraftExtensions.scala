@@ -151,6 +151,23 @@ object GraftExtensions {
         val planes = graft.operators.Similarity
           .hyperplanes(dim, bits, tables, seed).flatten.flatten
         LshSigsExpr(c(0), planes.toIndexedSeq, tables, bits, dim)
+      }),
+    // bloom_agg(key, expectedItems[, fpp]) → binary bitset;
+    // bloom_might_contain(sketch, key) → boolean probe (see BloomOps —
+    // the semi-join pre-filter sketch family).
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "bloom_agg"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2 || c.size == 3, "bloom_agg(key, expectedItems[, fpp])")
+        val items = litLong(c(1), "bloom_agg: expectedItems")
+        val fpp = if (c.size == 3) litDouble(c(2), "bloom_agg: fpp") else 0.03
+        BloomFilterAgg(c(0), items, fpp).toAggregateExpression()
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (c: Seq[Expression]) => {
+        require(c.size == 2, "bloom_might_contain(sketch, key)")
+        BloomMightContain(c(0), c(1))
       }))
 
   private def litInt(e: Expression, what: String): Int = e match {
@@ -164,6 +181,14 @@ object GraftExtensions {
     case Literal(v: Long, LongType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _: DecimalType) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   /** Register into an already-built session (tests, notebooks). The

@@ -169,6 +169,65 @@ object Components {
     ranks
   }
 
+  /** Multi-source BFS hop counts over an undirected edge list — the
+    * "how far is everything from these seeds" profile (reachability
+    * tiers, influence radius) beside components/PageRank/triangles.
+    * Returns one row per node in the edge relation: (id, hops) with
+    * `hops` = minimum edge count from any source, or -1 when the node is
+    * not reachable within `maxHops`. The cap is part of the SEMANTICS
+    * (capped BFS), not an approximation: the differential oracle
+    * re-derives exactly "min hops ≤ maxHops else -1".
+    *
+    * Scale shape: one frontier round per hop level — frontier ⋈ edges
+    * (hash shuffle on the node key), distinct, anti-join against the
+    * settled set; all relations are (id) or (id, hops) pairs, never wider
+    * than the edge list. Rounds checkpoint like the components loop so
+    * the plan stays constant-size, and the loop exits early on an empty
+    * frontier (the per-round count is the same one-scalar action the
+    * components convergence check pays).
+    */
+  def bfsHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "bfsHops: at least one source node")
+    require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val directed = OpCaches.track(
+      edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sym = ckpt(
+      directed.union(directed.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+    directed.unpersist()
+    // Symmetric relation ⇒ the src side alone covers every node.
+    val nodes = ckpt(sym.select(col("a").as("id")).distinct())
+
+    var dist = ckpt(nodes.filter(col("id").isin(sources: _*))
+      .withColumn("hops", lit(0)))
+    var frontier = dist
+    var h = 0
+    var exhausted = frontier.isEmpty
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val nxt = ckpt(frontier
+        .join(sym, col("id") === col("a"))
+        .select(col("b").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h)))
+      if (nxt.isEmpty) exhausted = true
+      else {
+        dist = ckpt(dist.union(nxt))
+        frontier = nxt
+      }
+    }
+    nodes.join(dist, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hops"), lit(-1)).cast("int").as("hops"))
+  }
+
   /** Dedup-group summary from near-dup pairs over a corpus: every
     * document mapped to its component representative (`keep_id` = min id
     * in the component; singletons map to themselves) — the final

@@ -98,4 +98,57 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
       5L -> 2L, 6L -> 6L, 7L -> 2L, 8L -> 8L))
   }
+
+  private def bfsOf(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxHops: Int): Map[Long, Int] = {
+    val df = edges.toDF("src", "dst")
+    val out = Components.bfsHops(df, "src", "dst", sources, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    out
+  }
+
+  test("bfsHops: path + disconnected island, cap semantics, early exit") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    // Full reach: hop levels along the path, -1 on the island.
+    assert(bfsOf(path, Seq(1L), maxHops = 12) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4, 10L -> -1, 11L -> -1))
+    // The cap is semantic: everything past 2 hops reads -1.
+    assert(bfsOf(path, Seq(1L), maxHops = 2) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> -1, 5L -> -1, 10L -> -1, 11L -> -1))
+  }
+
+  test("bfsHops: multi-source takes the minimum over sources") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfsOf(path, Seq(1L, 5L), maxHops = 12) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("bfsHops: randomized graphs match exact BFS at any partitioning") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(60 + trial * 30)(
+        (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val nodes = adj.keySet
+      val src = nodes.min
+      // Reference BFS.
+      val distRef = scala.collection.mutable.Map(src -> 0)
+      var frontier = Set(src)
+      var h = 0
+      while (frontier.nonEmpty && h < 5) {
+        h += 1
+        frontier = frontier.flatMap(adj).diff(distRef.keySet)
+        frontier.foreach(n => distRef(n) = h)
+      }
+      val expect = nodes.map(n => n -> distRef.getOrElse(n, -1)).toMap
+      val df = edges.toDF("src", "dst").repartition(1 + trial * 3)
+      val got = Components.bfsHops(df, "src", "dst", Seq(src), maxHops = 5)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      graft.operators.OpCaches.releaseAll(spark)
+      assert(got == expect, s"trial $trial mismatch")
+    }
+  }
 }
