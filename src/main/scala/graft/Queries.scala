@@ -2254,6 +2254,101 @@ object Queries {
           sum(round(col("l_extendedprice") * 100).cast("long")).cast("long").as("cents"))
         .orderBy("l_returnflag")
     },
+
+    // Link prediction by neighbor-set Jaccard over the repeat-co-purchase
+    // graph: candidate pairs = nodes sharing ≥ 2 neighbors (the wedge
+    // join, bounded by Σ deg² of the SPARSE thresholded graph, never
+    // all-pairs), scored common/(dx+dy-common). Same text both engines;
+    // 6-dp-rounded score + (x,y) tie-break pins the top-20 cut.
+    sql("q_graph_jaccard",
+      "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "deg AS (SELECT u AS n, count(*) AS d FROM e GROUP BY u), " +
+        "cn AS (SELECT a.v AS x, b.v AS y, count(*) AS common " +
+        "  FROM e a JOIN e b ON a.u = b.u AND a.v < b.v GROUP BY a.v, b.v HAVING count(*) >= 2) " +
+        "SELECT x, y, CAST(common AS BIGINT) AS common, " +
+        "  round(CAST(common AS DOUBLE) / (dx.d + dy.d - common), 6) AS jac " +
+        "FROM cn JOIN deg dx ON cn.x = dx.n JOIN deg dy ON cn.y = dy.n " +
+        "ORDER BY jac DESC, x, y LIMIT 20"),
+
+    // Per-user interval union — total covered time of overlapping
+    // activity windows (each event opens a 5-minute interval): the
+    // gaps-and-islands merge with a running max-end, all windows
+    // PARTITIONed BY the user key (keyed windows scale — this is not the
+    // partition-less case), millisecond-integer arithmetic so every sum
+    // is exact. Island flag is tie-order-invariant: a duplicate (s,e)
+    // row always sees pmax ≥ its own e.
+    sql2("q_interval_union",
+      "WITH iv AS (SELECT user_id, unix_millis(ts) AS s, unix_millis(ts) + 300000 AS e FROM events), " +
+        "st AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), " +
+        "isl AS (SELECT user_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) " +
+        "  OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g FROM st), " +
+        "m AS (SELECT user_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY user_id, g) " +
+        "SELECT user_id, count(*) AS n_islands, CAST(sum(me - ms) AS BIGINT) AS covered_ms " +
+        "FROM m GROUP BY user_id ORDER BY user_id",
+      "WITH iv AS (SELECT user_id, epoch_ms(ts) AS s, epoch_ms(ts) + 300000 AS e FROM events), " +
+        "st AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv), " +
+        "isl AS (SELECT user_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END) " +
+        "  OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g FROM st), " +
+        "m AS (SELECT user_id, g, min(s) AS ms, max(e) AS me FROM isl GROUP BY user_id, g) " +
+        "SELECT user_id, count(*) AS n_islands, CAST(sum(me - ms) AS BIGINT) AS covered_ms " +
+        "FROM m GROUP BY user_id ORDER BY user_id"),
+
+    // Per-day peak concurrency — the sweep-line: every 5-minute activity
+    // interval contributes a +1/-1 boundary point, the GLOBAL running sum
+    // over (time, end-before-start) is live concurrency, per-day max is
+    // the capacity-planning number. Engine side rides the distributed
+    // prefix sum (Prefix.withRunningSums — a partition-less `sum() OVER
+    // (ORDER BY t)` window funnels the whole boundary stream into one
+    // task); the oracle runs exactly that window. Per-day MAX is
+    // tie-order-invariant because (t, dord) blocks are single-delta:
+    // within a block the running sum is monotone, so its max is the
+    // block edge regardless of internal order.
+    dfq("q_peak_concurrency",
+      "WITH pts AS (SELECT epoch_ms(ts) AS t, 1 AS dord, 1 AS delta FROM events " +
+        "UNION ALL SELECT epoch_ms(ts) + 300000 AS t, 0 AS dord, -1 AS delta FROM events), " +
+        "run AS (SELECT t, sum(delta) OVER (ORDER BY t, dord ROWS UNBOUNDED PRECEDING) AS conc FROM pts) " +
+        "SELECT CAST(t // 86400000 AS BIGINT) AS day, CAST(max(conc) AS BIGINT) AS peak " +
+        "FROM run GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val pts = ev.select(unix_millis(col("ts")).as("t"),
+          lit(1).as("dord"), lit(1L).as("delta"))
+        .unionAll(ev.select((unix_millis(col("ts")) + 300000).as("t"),
+          lit(0).as("dord"), lit(-1L).as("delta")))
+      graft.operators.Prefix.withRunningSums(
+          pts, "t", Seq(("delta", "conc")), tieCols = Seq("dord"))
+        .groupBy(floor(col("t") / 86400000).cast("long").as("day"))
+        .agg(max(col("conc")).cast("long").as("peak"))
+        .orderBy("day")
+    },
+
+    // Edit-distance-1 "typo join" over customer names (FastSS deletion
+    // neighborhoods — sound AND complete for distance ≤ 1, then exact
+    // levenshtein verify; see TextDedup.editDistanceOneJoin). The oracle
+    // brute-forces ALL vocab pairs' levenshtein, so green proves the
+    // neighborhood join missed no pair and admitted no false one. Output
+    // is the partner-count histogram (1500 names, partner counts
+    // 23/27/28 at sf0.01 — digit-substitution neighborhoods).
+    dfq("q_typo_join",
+      "WITH names AS (SELECT DISTINCT c_name AS w FROM customer), " +
+        "pr AS (SELECT a.w AS u, b.w AS v FROM names a JOIN names b ON a.w < b.w " +
+        "  WHERE levenshtein(a.w, b.w) = 1), " +
+        "per AS (SELECT w, count(*) AS partners FROM " +
+        "  (SELECT u AS w FROM pr UNION ALL SELECT v FROM pr) t GROUP BY w) " +
+        "SELECT CAST(partners AS INT) AS partners, count(*) AS n_names " +
+        "FROM per GROUP BY partners ORDER BY partners") { (s, dir) =>
+      graft.operators.TextDedup.editDistanceOneJoin(
+          Tables.load(s, dir, "customer"), "c_name")
+        .select(explode(array(col("u"), col("v"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("partners"))
+        .groupBy(col("partners").cast("int").as("partners"))
+        .agg(count(lit(1)).as("n_names"))
+        .orderBy("partners")
+    },
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

@@ -734,4 +734,34 @@ object TextDedup {
       .select(col("corpus_id"), col("batch_id"), col("inter"), col("uni"),
         round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
   }
+
+  /** EXACT edit-distance-1 string pair join (FastSS, k=1 — Bocek et al.,
+    * "Fast Similarity Search in Large Dictionaries"): each string's
+    * candidate neighborhood is itself plus its single-character
+    * deletions, and any two strings at distance ≤ 1 NECESSARILY share a
+    * neighborhood key (substitution at i ⇒ both i-deletions equal;
+    * insertion/deletion ⇒ one string IS the other's deletion) — so the
+    * bucketed join is sound AND complete, never all-pairs. Candidates
+    * are then verified with the real levenshtein, so there are no false
+    * positives either. Returns distinct (u, v) pairs with u < v and
+    * distance exactly 1.
+    *
+    * Scale shape: (len+1) keys per distinct string — the join is keyed
+    * on short deletion variants, the verify is per candidate pair; cost
+    * ∝ Σ bucket² over variant buckets (typo clusters), never |vocab|².
+    * All expressions are built-in HOFs + `levenshtein` — fully codegen'd.
+    */
+  def editDistanceOneJoin(strings: DataFrame, strCol: String): DataFrame = {
+    val w = strings.select(col(strCol).cast("string").as("w"))
+      .filter(col("w").isNotNull).distinct()
+    val keyed = w.select(col("w"),
+      explode(array_union(
+        expr("transform(sequence(1, length(w)), " +
+          "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"),
+        array(col("w")))).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("u"), col("b.w").as("v")).distinct()
+      .filter(levenshtein(col("u"), col("v")) === 1)
+  }
 }

@@ -85,6 +85,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(sig.contains("*("), s"minhash projection not codegen'd:\n$sig")
   }
 
+  test("bloom probe filter stays inside WholeStageCodegen (the 100 TB scan path)") {
+    // bloom_might_contain sits ON the fact scan; a CodegenFallback there
+    // would break the scan's fused pipeline. The filter must appear
+    // inside a "*(n)" codegen stage.
+    import graft.functions.BloomOps._
+    Tables.registerAll(spark, dir)
+    val dim = Tables.load(spark, dir, "supplier")
+      .filter(org.apache.spark.sql.functions.col("s_nationkey") < 5)
+    val bytes = dim.agg(bloom_agg(
+        org.apache.spark.sql.functions.col("s_suppkey"), 1000L, 0.03))
+      .head().getAs[Array[Byte]](0)
+    val df = Tables.load(spark, dir, "lineitem")
+      .filter(bloom_might_contain(
+        org.apache.spark.sql.functions.lit(bytes),
+        org.apache.spark.sql.functions.col("l_suppkey")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val filterLine = plan.linesIterator.find(_.contains("bloom_might_contain"))
+    assert(filterLine.isDefined, s"probe filter missing from plan:\n$plan")
+    assert(filterLine.get.contains("*("),
+      s"bloom probe fell out of codegen:\n$plan")
+  }
+
   test("COMPASS-rebuilt plan keeps broadcasts and pushdown") {
     Tables.registerAll(spark, dir)
     val cs = new CompassSession(spark)

@@ -547,4 +547,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(want.contains((100L, 1L)), "the planted quote must be contained in doc 1")
     assert(!want.contains((1L, 100L)), "containment is directed")
   }
+
+  test("editDistanceOneJoin: hand fixture covers sub/ins/del; none across") {
+    import spark.implicits._
+    val got = TextDedup.editDistanceOneJoin(
+        Seq("cat", "cut", "cats", "ca", "dog", "dog").toDF("w"), "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // cat~cut (substitution), cat~cats (insertion), ca~cat (deletion);
+    // ca~cut is distance 2, dog pairs with nothing, the duplicate "dog"
+    // collapses (distinct strings, not occurrences).
+    assert(got == Set(("cat", "cut"), ("cat", "cats"), ("ca", "cat")), got)
+  }
+
+  test("editDistanceOneJoin ≡ brute-force levenshtein on random strings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val vocab = Seq.fill(120)(
+      (0 until 3 + rng.nextInt(4)).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+    ).distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    val got = TextDedup.editDistanceOneJoin(vocab.toDF("w").repartition(5), "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want,
+      s"missed=${want -- got} spurious=${got -- want}")
+    assert(want.nonEmpty, "fixture must exercise real pairs")
+  }
 }
