@@ -2349,6 +2349,115 @@ object Queries {
         .agg(count(lit(1)).as("n_names"))
         .orderBy("partners")
     },
+
+    // Borda rank fusion of three curation signals (length, duplicate-word
+    // mass, distinct-vocabulary size) — the multi-signal document ranking
+    // a curation pipeline cuts on when no single score is trusted. Engine
+    // side: three distributed global ranks via Prefix.withRunningSums
+    // (corpus-sized lists — a partition-less row_number would funnel the
+    // corpus into one task); oracle runs the REAL windows, differentially
+    // pinning the prefix ranks. Integer ranks + integer Borda sums: no
+    // float anywhere, the cut cannot flip.
+    dfq("q_rank_fusion",
+      "WITH st AS (SELECT doc_id, n_chars, string_split(lower(text), ' ') AS w FROM documents), " +
+        "sig AS (SELECT doc_id, n_chars, len(w) - len(list_distinct(w)) AS n_dup, " +
+        "  len(list_distinct(w)) AS n_uniq FROM st), " +
+        "r1 AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r FROM sig), " +
+        "r2 AS (SELECT doc_id, row_number() OVER (ORDER BY n_dup ASC, doc_id) AS r FROM sig), " +
+        "r3 AS (SELECT doc_id, row_number() OVER (ORDER BY n_uniq DESC, doc_id) AS r FROM sig) " +
+        "SELECT s.doc_id AS doc_id, CAST(r1.r + r2.r + r3.r AS BIGINT) AS borda " +
+        "FROM sig s JOIN r1 ON s.doc_id = r1.doc_id JOIN r2 ON s.doc_id = r2.doc_id " +
+        "JOIN r3 ON s.doc_id = r3.doc_id " +
+        "ORDER BY borda ASC, doc_id LIMIT 20") { (s, dir) =>
+      val sig = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          array_distinct(split(lower(col("text")), " ")).as("uniq"),
+          size(split(lower(col("text")), " ")).as("n_words"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          (col("n_words") - size(col("uniq"))).cast("long").as("n_dup"),
+          size(col("uniq")).cast("long").as("n_uniq"))
+      def rankBy(key: org.apache.spark.sql.Column, out: String) =
+        graft.operators.Prefix.withRunningSums(
+            sig.withColumn("_k", key), "_k", Nil, idxCol = "_r",
+            tieCols = Seq("doc_id"))
+          .select(col("doc_id"), col("_r").as(out))
+      rankBy(-col("n_chars"), "r1")
+        .join(rankBy(col("n_dup"), "r2"), "doc_id")
+        .join(rankBy(-col("n_uniq"), "r3"), "doc_id")
+        .select(col("doc_id"),
+          (col("r1") + col("r2") + col("r3")).cast("long").as("borda"))
+        .orderBy(col("borda").asc, col("doc_id")).limit(20)
+    },
+
+    // Reciprocal-rank fusion of two retrieval lists — BM25 (lexical) and
+    // embedding cosine (semantic) for the same query — the standard
+    // hybrid-search merge (k=60). Both lists rank on EXACT keys (decimal
+    // BM25 sums; 6-dp-rounded cosine with id tie-break), each 1/(60+r)
+    // contribution is 6-dp-rounded into DECIMAL so the fused sum is
+    // exact, and docs in only one list contribute 0 from the other (full
+    // outer join). The top-100 cuts are global sort-limits
+    // (TakeOrdered); the rank windows then run over ≤ 100 rows —
+    // contractually tiny at any corpus scale.
+    sql2("q_rrf_fusion",
+      "WITH toks AS (SELECT doc_id, tok FROM " +
+        "  (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents) e " +
+        "  WHERE length(tok) >= 4), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "  WHERE tok IN ('vector', 'shuffle', 'partition') GROUP BY doc_id, tok), " +
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+        "scored AS (SELECT doc_id, CAST(round(" +
+        "    ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+        "    (tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.sum_dl / stats.n_docs))), 6) AS DECIMAL(18,6)) AS s " +
+        "  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), " +
+        "bm AS (SELECT doc_id, sum(s) AS bscore FROM scored GROUP BY doc_id), " +
+        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) AS r " +
+        "  FROM bm ORDER BY bscore DESC, doc_id LIMIT 100), " +
+        "pairs AS (SELECT c.vec_id AS doc_id, c.embedding AS cv, q.embedding AS qv " +
+        "  FROM embeddings c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "  WHERE c.vec_id <> 0), " +
+        "dots AS (SELECT doc_id, " +
+        "  aggregate(zip_with(cv, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "    CAST(0 AS DOUBLE), (a, v) -> a + v) AS dotp, " +
+        "  sqrt(aggregate(cv, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nc, " +
+        "  sqrt(aggregate(qv, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nq " +
+        "  FROM pairs), " +
+        "cosr AS (SELECT doc_id, row_number() OVER (ORDER BY round(dotp / (nc * nq), 6) DESC, doc_id) AS r " +
+        "  FROM dots ORDER BY round(dotp / (nc * nq), 6) DESC, doc_id LIMIT 100), " +
+        "fused AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, " +
+        "  coalesce(CAST(round(1.0 / (60 + b.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) + " +
+        "  coalesce(CAST(round(1.0 / (60 + c.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf " +
+        "  FROM bmr b FULL JOIN cosr c ON b.doc_id = c.doc_id) " +
+        "SELECT doc_id, CAST(rrf AS DOUBLE) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20",
+      "WITH toks AS (SELECT doc_id, tok FROM " +
+        "  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) e " +
+        "  WHERE length(tok) >= 4), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks " +
+        "  WHERE tok IN ('vector', 'shuffle', 'partition') GROUP BY doc_id, tok), " +
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+        "scored AS (SELECT doc_id, CAST(round(" +
+        "    ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+        "    (tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.sum_dl / stats.n_docs))), 6) AS DECIMAL(18,6)) AS s " +
+        "  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), " +
+        "bm AS (SELECT doc_id, sum(s) AS bscore FROM scored GROUP BY doc_id), " +
+        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) AS r " +
+        "  FROM bm ORDER BY bscore DESC, doc_id LIMIT 100), " +
+        "pairs AS (SELECT c.vec_id AS doc_id, c.embedding AS cv, q.embedding AS qv " +
+        "  FROM embeddings c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "  WHERE c.vec_id <> 0), " +
+        "dots AS (SELECT doc_id, sum(ca * qa) AS dotp, sqrt(sum(ca * ca)) AS nc, sqrt(sum(qa * qa)) AS nq " +
+        "  FROM (SELECT doc_id, unnest(cv)::DOUBLE AS ca, unnest(qv)::DOUBLE AS qa FROM pairs) u " +
+        "  GROUP BY doc_id), " +
+        "cosr AS (SELECT doc_id, row_number() OVER (ORDER BY round(dotp / (nc * nq), 6) DESC, doc_id) AS r " +
+        "  FROM dots ORDER BY round(dotp / (nc * nq), 6) DESC, doc_id LIMIT 100), " +
+        "fused AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, " +
+        "  coalesce(CAST(round(1.0 / (60 + b.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) + " +
+        "  coalesce(CAST(round(1.0 / (60 + c.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf " +
+        "  FROM bmr b FULL JOIN cosr c ON b.doc_id = c.doc_id) " +
+        "SELECT doc_id, CAST(rrf AS DOUBLE) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

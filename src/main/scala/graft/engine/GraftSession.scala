@@ -338,6 +338,37 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
     graft.streaming.EventStream.dedupChunkStream(docs, "doc_id", "text",
       chunkTokens = chunkTokens)
 
+  /** Bloom-filter semi-join: reduce `fact` to rows whose `factKey`
+    * matches a key in `dim` — bloom pre-filter on the scan (codegen'd,
+    * no false negatives) then exact verify, so the result EQUALS the
+    * plain semi-join at a fraction of the shuffled rows (see
+    * [[graft.functions.BloomOps]] and the `q_bloom_semijoin` proof).
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
+    import graft.functions.BloomOps._
+    val keys = dim.select(col(dimKey))
+    val bytes = keys.agg(bloom_agg(col(dimKey), expectedItems, fpp))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(bloom_might_contain(lit(bytes), col(factKey)))
+      .join(keys.distinct(), col(factKey) === col(dimKey), "left_semi")
+  }
+
+  /** Capped multi-source BFS hop counts over an undirected edge list —
+    * see [[graft.operators.Components.bfsHops]].
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: Seq[Long], maxHops: Int = 12): DataFrame =
+    graft.operators.Components.bfsHops(edges, srcCol, dstCol, sources, maxHops)
+
+  /** Exact edit-distance-1 pair join over a string column (FastSS
+    * deletion neighborhoods + levenshtein verify) — see
+    * [[graft.operators.TextDedup.editDistanceOneJoin]].
+    */
+  def typoJoin(strings: DataFrame, strCol: String): DataFrame =
+    TextDedup.editDistanceOneJoin(strings, strCol)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

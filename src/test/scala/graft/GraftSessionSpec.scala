@@ -75,6 +75,22 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(cd.count() == 500)
     val prof = gs.corpusProfile().collect()
     assert(prof.map(_.getLong(1)).sum == 500, "profile must cover every doc")
+    // bloomSemiJoin ≡ the plain semi-join (no-false-negative contract).
+    val dim = gs.table("supplier")
+      .filter(org.apache.spark.sql.functions.col("s_nationkey") < 5)
+      .select("s_suppkey")
+    val viaBloom = gs.bloomSemiJoin(
+      gs.table("lineitem"), "l_suppkey", dim, "s_suppkey").count()
+    val exact = gs.table("lineitem")
+      .join(dim, org.apache.spark.sql.functions.col("l_suppkey") ===
+        org.apache.spark.sql.functions.col("s_suppkey"), "left_semi").count()
+    assert(viaBloom == exact, s"bloom semi-join $viaBloom != exact $exact")
+    // bfsHops + typoJoin pass-throughs return the operator shapes.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val hops = gs.bfsHops(edges, "a", "b", Seq(1L), maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    assert(gs.typoJoin(Seq("abc", "abd").toDF("w"), "w").count() == 1)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }
