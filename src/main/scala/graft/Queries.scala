@@ -2458,6 +2458,69 @@ object Queries {
         "  coalesce(CAST(round(1.0 / (60 + c.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf " +
         "  FROM bmr b FULL JOIN cosr c ON b.doc_id = c.doc_id) " +
         "SELECT doc_id, CAST(rrf AS DOUBLE) AS rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"),
+
+    // Multi-touch linear attribution: every purchase credits ALL its
+    // view/click touches in the trailing day 1/n each — the
+    // position-agnostic sibling of the last-touch `q_stream_attribution`
+    // join. Per-touch credits are 6-dp decimals so per-channel sums are
+    // exact and partition-order-free; the touch join is user-keyed with
+    // a time-range predicate (the as-of/range family's shape — state
+    // bounded by the window, never user-cross-user). Same text both
+    // engines modulo epoch-ms extraction.
+    sql2("q_multitouch",
+      "WITH conv AS (SELECT event_id AS cid, user_id, unix_millis(ts) AS ct FROM events " +
+        "  WHERE event_type = 'purchase'), " +
+        "touch AS (SELECT event_id AS tid, user_id, event_type, unix_millis(ts) AS tt FROM events " +
+        "  WHERE event_type IN ('view', 'click')), " +
+        "m AS (SELECT c.cid, t.tid, t.event_type FROM conv c JOIN touch t " +
+        "  ON c.user_id = t.user_id AND t.tt <= c.ct AND t.tt > c.ct - 86400000), " +
+        "n AS (SELECT cid, count(*) AS n_touch FROM m GROUP BY cid), " +
+        "credit AS (SELECT m.event_type, CAST(round(1.0 / n.n_touch, 6) AS DECIMAL(18,6)) AS cr " +
+        "  FROM m JOIN n ON m.cid = n.cid) " +
+        "SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches, " +
+        "  CAST(sum(cr) AS DOUBLE) AS credit " +
+        "FROM credit GROUP BY event_type ORDER BY channel",
+      "WITH conv AS (SELECT event_id AS cid, user_id, epoch_ms(ts) AS ct FROM events " +
+        "  WHERE event_type = 'purchase'), " +
+        "touch AS (SELECT event_id AS tid, user_id, event_type, epoch_ms(ts) AS tt FROM events " +
+        "  WHERE event_type IN ('view', 'click')), " +
+        "m AS (SELECT c.cid, t.tid, t.event_type FROM conv c JOIN touch t " +
+        "  ON c.user_id = t.user_id AND t.tt <= c.ct AND t.tt > c.ct - 86400000), " +
+        "n AS (SELECT cid, count(*) AS n_touch FROM m GROUP BY cid), " +
+        "credit AS (SELECT m.event_type, CAST(round(1.0 / n.n_touch, 6) AS DECIMAL(18,6)) AS cr " +
+        "  FROM m JOIN n ON m.cid = n.cid) " +
+        "SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches, " +
+        "  CAST(sum(cr) AS DOUBLE) AS credit " +
+        "FROM credit GROUP BY event_type ORDER BY channel"),
+
+    // Quantile transform (percent-rank feature normalization): map a
+    // value column onto [0,1] by its global rank — the rank-gaussianize
+    // first stage of classic feature pipelines. Engine side derives
+    // pr = (idx-1)/(n-1) from the distributed prefix rank (never a
+    // partition-less percent_rank window); the oracle runs the REAL
+    // percent_rank over the same total order — identical double inputs,
+    // identical products, so the decile floor cannot diverge. Per-decile
+    // counts AND cent-exact min/max pin both the uniformity property and
+    // the boundary ordering.
+    dfq("q_quantile_transform",
+      "WITH r AS (SELECT l_extendedprice, percent_rank() OVER " +
+        "  (ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber) AS pr FROM lineitem) " +
+        "SELECT CAST(floor(least(pr, 0.999999) * 10) AS INT) AS decile, count(*) AS n, " +
+        "  CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS min_cents, " +
+        "  CAST(max(round(l_extendedprice * 100)) AS BIGINT) AS max_cents " +
+        "FROM r GROUP BY decile ORDER BY decile") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("_sk", expr("l_orderkey * 10 + l_linenumber"))
+      val n = li.count() // one scalar: the percent_rank denominator
+      graft.operators.Prefix.withRunningSums(
+          li, "l_extendedprice", Nil, idxCol = "_r", tieCols = Seq("_sk"))
+        .withColumn("pr", (col("_r") - 1) / (n - 1).toDouble)
+        .groupBy(floor(least(col("pr"), lit(0.999999)) * 10).cast("int").as("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(round(col("l_extendedprice") * 100)).cast("long").as("min_cents"),
+          max(round(col("l_extendedprice") * 100)).cast("long").as("max_cents"))
+        .orderBy("decile")
+    },
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
