@@ -2521,6 +2521,90 @@ object Queries {
           max(round(col("l_extendedprice") * 100)).cast("long").as("max_cents"))
         .orderBy("decile")
     },
+
+    // 3-core of the repeat-co-purchase graph by synchronous peeling
+    // (Components.kCore — drop degree<3 nodes, restrict, repeat; 10
+    // rounds to fixpoint at sf0.01, 1873 → 935 nodes). The oracle
+    // UNROLLS all 12 peel rounds as chained materialized CTEs and must
+    // land on the identical in-core degree histogram — one wrong
+    // intermediate round changes the final answer.
+    dfq("q_kcore", {
+      val sb = new StringBuilder(
+        "WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+          "pr AS MATERIALIZED (SELECT a.p AS u, b.p AS v FROM po a JOIN po b " +
+          "  ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2), " +
+          "e0 AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr)")
+      for (r <- 1 to 12) {
+        sb.append(
+          s", n$r AS MATERIALIZED (SELECT u AS id FROM e${r - 1} GROUP BY u HAVING count(*) >= 3)" +
+          s", e$r AS MATERIALIZED (SELECT e.u, e.v FROM e${r - 1} e " +
+          s"JOIN n$r a ON e.u = a.id JOIN n$r b ON e.v = b.id)")
+      }
+      sb.append(
+        " SELECT CAST(d AS INT) AS degree, count(*) AS n_nodes FROM " +
+          "(SELECT u, count(*) AS d FROM e12 GROUP BY u) t " +
+          "GROUP BY d ORDER BY degree")
+      sb.toString
+    }) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val pr = s.sql(
+        "SELECT a.p AS u, b.p AS v FROM " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2")
+      graft.operators.Components.kCore(pr, "u", "v", k = 3, rounds = 12)
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
+    // Incremental JOIN maintenance — the materialized-view shape for
+    // joins, beside q_incremental_agg's rollup merge: with both inputs
+    // split into (old, delta), the engine computes the four-quadrant
+    // delta decomposition old⋈old ∪ Δ⋈old ∪ old⋈Δ ∪ Δ⋈Δ (a daily
+    // increment at 100 TB touches the Δ quadrants only, old⋈old is the
+    // stored view) and the oracle recomputes the straight join from
+    // scratch — green proves the decomposition is exactly recomputation,
+    // cent-exact.
+    dfq("q_incremental_join",
+      "SELECT l_returnflag, count(*) AS n, " +
+        "  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        "WITH lo AS (SELECT l_orderkey, l_returnflag, l_extendedprice FROM lineitem WHERE day(l_shipdate) < 15), " +
+          "ld AS (SELECT l_orderkey, l_returnflag, l_extendedprice FROM lineitem WHERE day(l_shipdate) >= 15), " +
+          "oo AS (SELECT o_orderkey FROM orders WHERE day(o_orderdate) < 15), " +
+          "od AS (SELECT o_orderkey FROM orders WHERE day(o_orderdate) >= 15), " +
+          "j AS (SELECT l_returnflag, l_extendedprice FROM lo JOIN oo ON l_orderkey = o_orderkey " +
+          "  UNION ALL SELECT l_returnflag, l_extendedprice FROM ld JOIN oo ON l_orderkey = o_orderkey " +
+          "  UNION ALL SELECT l_returnflag, l_extendedprice FROM lo JOIN od ON l_orderkey = o_orderkey " +
+          "  UNION ALL SELECT l_returnflag, l_extendedprice FROM ld JOIN od ON l_orderkey = o_orderkey) " +
+          "SELECT l_returnflag, count(*) AS n, " +
+          "  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+          "FROM j GROUP BY l_returnflag ORDER BY l_returnflag")
+    },
+
+    // Data-quality audit report — the constraint checks a warehouse runs
+    // before trusting a load: key uniqueness, referential orphans (both
+    // foreign keys), null and range violations, plus volume facts so the
+    // report differentiates. One text, both engines; every check is an
+    // aggregate or anti-join the optimizer executes hash-partitioned.
+    sql("q_dq_audit",
+      "SELECT 'dup_order_keys' AS metric, CAST(count(*) AS BIGINT) AS v FROM " +
+        "  (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1) t " +
+        "UNION ALL SELECT 'lineitem_rows', count(*) FROM lineitem " +
+        "UNION ALL SELECT 'lineitems_per_order_max', max(c) FROM " +
+        "  (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey) t " +
+        "UNION ALL SELECT 'null_props', count(*) FROM lineitem WHERE l_returnflag IS NULL " +
+        "UNION ALL SELECT 'orders_rows', count(*) FROM orders " +
+        "UNION ALL SELECT 'orphan_customers', count(*) FROM orders " +
+        "  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) " +
+        "UNION ALL SELECT 'orphan_lineitems', count(*) FROM lineitem " +
+        "  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) " +
+        "UNION ALL SELECT 'price_out_of_range', count(*) FROM lineitem " +
+        "  WHERE l_extendedprice <= 0 OR l_extendedprice > 1000000 " +
+        "ORDER BY metric"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

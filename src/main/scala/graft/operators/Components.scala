@@ -228,6 +228,56 @@ object Components {
       .select(col("id"), coalesce(col("hops"), lit(-1)).cast("int").as("hops"))
   }
 
+  /** k-core decomposition by synchronous peeling: `rounds` rounds of
+    * "drop every node with degree < k, restrict edges to survivors".
+    * Peeling reaches the true k-core at fixpoint (the loop exits early
+    * there — further rounds are no-ops, so running with rounds ≥ the
+    * peel depth IS the k-core); a fixed `rounds` keeps the semantics
+    * deterministic and oracle-replayable even before convergence.
+    * Returns surviving (id, degree) — degree within the core.
+    *
+    * Scale shape: each round is one degree aggregate (partial+final,
+    * node-cardinality-bound exchange) and one two-sided semi-restriction
+    * join of the edge list; rounds eager-checkpoint like the components
+    * loop so the plan stays constant-size. Peel depth is bounded by the
+    * degeneracy ordering's span — single digits on power-law graphs.
+    */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val directed = OpCaches.track(
+      edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var e = ckpt(
+      directed.union(directed.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+    directed.unpersist()
+    var prevEdges = e.count() // one scalar per round, like the BFS frontier
+    var r = 0
+    var done = prevEdges == 0L
+    while (r < rounds && !done) {
+      val survivors = e.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("d")).filter(col("d") >= k).select("id")
+      val next = ckpt(e
+        .join(survivors.withColumnRenamed("id", "_ia"), col("a") === col("_ia"))
+        .join(survivors.withColumnRenamed("id", "_ib"), col("b") === col("_ib"))
+        .select(col("a"), col("b")))
+      val nextEdges = next.count()
+      if (nextEdges == prevEdges) done = true // fixpoint: the k-core
+      e = next
+      prevEdges = nextEdges
+      r += 1
+    }
+    e.groupBy(col("a").as("id")).agg(count(lit(1)).cast("int").as("degree"))
+  }
+
   /** Dedup-group summary from near-dup pairs over a corpus: every
     * document mapped to its component representative (`keep_id` = min id
     * in the component; singletons map to themselves) — the final

@@ -124,6 +124,50 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
   }
 
+  private def kCoreOf(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 12): Map[Long, Int] = {
+    val out = Components.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    out
+  }
+
+  test("kCore: triangle survives its 2-core, pendant tail peels, 3-core empty") {
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(kCoreOf(g, k = 2) == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    assert(kCoreOf(g, k = 3) == Map.empty[Long, Int])
+  }
+
+  test("kCore: a chain cascades to empty over multiple peel rounds") {
+    val chain = (1L until 6L).map(i => (i, i + 1))
+    // Each round removes the current endpoints; needs 3 rounds, which a
+    // single-round implementation would get wrong.
+    assert(kCoreOf(chain, k = 2) == Map.empty[Long, Int])
+    // With only 1 round allowed, the inner chain survives — pinning that
+    // rounds are synchronous peels, not a one-shot degree filter.
+    assert(kCoreOf(chain, k = 2, rounds = 1).keySet == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("kCore: randomized graphs match exact synchronous peeling") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(80 + trial * 40)(
+        (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+        .filter(e => e._1 != e._2)
+      val und = (edges ++ edges.map(_.swap)).distinct
+      var adj = und.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (n, nb) if nb.size < 2 => n }.toSet
+        changed = dead.nonEmpty
+        adj = adj.collect { case (n, nb) if !dead(n) => n -> (nb -- dead) }
+      }
+      val expect = adj.map { case (n, nb) => n -> nb.size }
+      val got = kCoreOf(edges, k = 2)
+      assert(got == expect, s"trial $trial: got=$got want=$expect")
+    }
+  }
+
   test("bfsHops: randomized graphs match exact BFS at any partitioning") {
     val rng = new scala.util.Random(13)
     for (trial <- 1 to 3) {
