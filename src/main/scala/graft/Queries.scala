@@ -2605,6 +2605,43 @@ object Queries {
         "UNION ALL SELECT 'price_out_of_range', count(*) FROM lineitem " +
         "  WHERE l_extendedprice <= 0 OR l_extendedprice > 1000000 " +
         "ORDER BY metric"),
+
+    // Per-(flag, status) 2-D skyline (Pareto front): line items
+    // minimizing BOTH price and ship day — kept iff no same-group row is
+    // ≤ on both dims with one strict. The staircase algorithm: per-price
+    // min day, then "day < min day over all STRICTLY cheaper prices" via
+    // the EXCLUSIVE distributed running min (Prefix.withRunningMinExclusive
+    // — the grouped per-price relation would otherwise need a
+    // per-group-single-task window); the oracle runs the REAL
+    // frame-to-1-preceding window. Cent/day integers — no float
+    // boundaries. 45 front points at sf0.01.
+    dfq("q_skyline",
+      "WITH pts AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+        "  CAST(round(l_extendedprice * 100) AS BIGINT) AS p, " +
+        "  CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS d FROM lineitem), " +
+        "perp AS (SELECT rf, ls, p, min(d) AS pd FROM pts GROUP BY 1, 2, 3), " +
+        "pm AS (SELECT rf, ls, p, pd, min(pd) OVER (PARTITION BY rf, ls ORDER BY p " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM perp) " +
+        "SELECT pm.rf AS flag, pm.ls AS status, pm.p AS price_cents, pm.pd AS ship_day, count(*) AS n " +
+        "FROM pts JOIN pm ON pts.rf = pm.rf AND pts.ls = pm.ls AND pts.p = pm.p " +
+        "WHERE pts.d = pm.pd AND (pm.prev IS NULL OR pm.pd < pm.prev) " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY flag, status, price_cents") { (s, dir) =>
+      val pts = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      val perp = pts.groupBy("rf", "ls", "p").agg(min(col("d")).as("pd"))
+      val front = graft.operators.Prefix.withRunningMinExclusive(
+          perp, "p", "pd", "prev", groupCols = Seq("rf", "ls"))
+        .filter(col("prev").isNull || col("pd") < col("prev"))
+        .select("rf", "ls", "p", "pd")
+      pts.join(front, Seq("rf", "ls", "p")).filter(col("d") === col("pd"))
+        .groupBy(col("rf").as("flag"), col("ls").as("status"),
+          col("p").as("price_cents"), col("pd").as("ship_day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("flag", "status", "price_cents")
+    },
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

@@ -227,6 +227,78 @@ object Prefix {
       sums.flatMap { case (_, out) => Seq(s"_loc_$out", s"_off_$out") })): _*)
   }
 
+  /** EXCLUSIVE running minimum — the scale-safe
+    * `min(v) OVER ([PARTITION BY g…] ORDER BY k ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND 1 PRECEDING)`: each row gets the minimum of `valueCol`
+    * over all rows STRICTLY before it in the (group, order, tie…) total
+    * order, NULL when none precede (within its group). The dominance /
+    * staircase primitive: Pareto fronts ("is any cheaper point also
+    * earlier?"), record-so-far flags, high-water marks.
+    *
+    * Same two-pass shape as [[withRunningSums]]: range partition on
+    * (group…, order, tie…), per-(partition, group) local exclusive
+    * window (real partition keys — parallel), one tiny per-partition
+    * totals collect, driver per-group exclusive prefix-min, broadcast
+    * offsets joined back null-safely. `least` merges local and carried
+    * minima (it skips NULLs, so a row with no local predecessor still
+    * sees earlier partitions' minimum).
+    */
+  def withRunningMinExclusive(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      numPartitions: Int = 0, tieCols: Seq[String] = Nil,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
+    val t = df.schema(valueCol).dataType
+    require(t == LongType || t == DoubleType,
+      s"withRunningMinExclusive: $valueCol must be LONG or DOUBLE, got $t")
+    val orderCols = col(orderCol) +: tieCols.map(col)
+    val wBase = Window.partitionBy(("_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    val wExcl = wBase.rowsBetween(Window.unboundedPreceding, -1)
+    val local = df
+      .repartitionByRange(n, (groupCols.map(col) ++ orderCols): _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lmin", min(col(valueCol)).over(wExcl))
+    val localP = OpCaches.track(local
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totals = localP.groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(min(col(valueCol)).as("_tot")).orderBy("_pid").collect()
+    val g = groupCols.size
+    // Per-group exclusive prefix-min threaded through pid-ascending rows
+    // (range contiguity ⇒ pid order = within-group order).
+    val state = scala.collection.mutable.Map.empty[Seq[Any], Any]
+    val offsetRows = totals.map { r =>
+      val key: Seq[Any] = (1 to g).map(i => r.get(i))
+      val cur = state.getOrElse(key, null)
+      val tot = r.get(g + 1)
+      state(key) = (cur, tot) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (a: Long, b: Long) => math.min(a, b)
+        case (a: Double, b: Double) => math.min(a, b)
+      }
+      org.apache.spark.sql.Row.fromSeq((r.getInt(0) +: key) :+ cur)
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      (org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType) +:
+        groupCols.map(gc => org.apache.spark.sql.types.StructField(
+          s"_g_$gc", df.schema(gc).dataType))) :+
+      org.apache.spark.sql.types.StructField("_off", t))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val cond = groupCols.foldLeft(localP("_pid") === offsets("_pid")) {
+      (c, gc) => c && (localP(gc) <=> offsets(s"_g_$gc"))
+    }
+    localP.join(broadcast(offsets), cond)
+      .drop(offsets("_pid"))
+      // least() skips NULLs: NULL out only when neither side has a value.
+      .withColumn(outCol, least(col("_lmin"), col("_off")))
+      .drop(("_pid" +: "_lmin" +: "_off" +:
+        groupCols.map(gc => s"_g_$gc")): _*)
+  }
+
   /** Centered moving aggregate over a global row index — the scale-safe
     * `avg(x) OVER (ORDER BY k ROWS BETWEEN b PRECEDING AND b FOLLOWING)`:
     * each row's value is exploded to the 2b+1 indices whose frame it

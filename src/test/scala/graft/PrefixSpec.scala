@@ -218,4 +218,38 @@ class PrefixSpec extends AnyFunSuite {
     // must be NULL even though group null has summed values all along.
     assert(got.filter(t => t._1.contains("a") && t._2 <= 160).forall(_._3.isEmpty))
   }
+
+  test("withRunningMinExclusive equals the 1-PRECEDING window (global + grouped)") {
+    import spark.implicits._
+    val df = (1 to 300)
+      .map(i => (if (i % 3 == 0) "a" else "b", (i * 173) % 311, (i % 17).toLong))
+      .toDF("g", "k", "v").repartition(11)
+    // Global (no groups).
+    val wantG = df.withColumn("m", min(col("v")).over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("k", "m").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val gotG = Prefix.withRunningMinExclusive(df, "k", "v", "m", numPartitions = 7)
+      .select("k", "m").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    assert(gotG == wantG)
+    assert(wantG.values.exists(_.isEmpty) && wantG.values.exists(_.isDefined))
+    // Grouped: each group's first row must be NULL regardless of the
+    // other group's earlier values.
+    val wantGr = df.withColumn("m", min(col("v")).over(
+        Window.partitionBy("g").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("g", "k", "m").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val gotGr = Prefix.withRunningMinExclusive(df, "k", "v", "m",
+        numPartitions = 7, groupCols = Seq("g"))
+      .select("g", "k", "m").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    assert(gotGr == wantGr)
+    assert(wantGr.count(_._2.isEmpty) == 2, "one NULL head per group")
+  }
 }
