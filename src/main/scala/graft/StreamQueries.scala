@@ -450,5 +450,39 @@ object StreamQueries {
           floor(col("value") * 100 + 0.5).cast("long").as("cents")),
         "graft_stream_sample", "append").orderBy("event_id")
     },
+
+    // Streaming CDC APPLY (foreachBatch upsert sink): the change stream
+    // maintains a per-user latest-state parquet table
+    // (EventStream.applyCdcStream — versioned dirs, associative
+    // latest-by-(ts, event_id) merge, so the final state is independent
+    // of micro-batch boundaries). The entry then runs a SECOND stream
+    // over the same input into the SAME state dir (fresh checkpoint):
+    // its batches take the merge-with-existing-state path, and because
+    // the merge rule is idempotent the state must be unchanged — both
+    // the cold-start and steady-state code paths feed the one oracle,
+    // DuckDB's keep-latest row per user. Cross-batch ordering (a stale
+    // change arriving in a later batch) is pinned by EventStreamSpec.
+    dfq("q_stream_cdc_upsert",
+      "SELECT user_id, event_id, event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "      FROM events) t " +
+        "WHERE rn = 1 ORDER BY user_id") { (s, dir) =>
+      val out = Queries.tempDir("graft-stream-cdc")
+      def applyOnce(chk: String): Unit = {
+        val q = EventStream.applyCdcStream(
+            fileStream(s, dir, "events"), "user_id", Seq("ts", "event_id"),
+            s"$out/state")
+          .option("checkpointLocation", s"$out/$chk")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      applyOnce("chk1") // cold start: no prior state
+      applyOnce("chk2") // steady state: merges with the committed version
+      EventStream.currentCdcState(s, s"$out/state")
+        .getOrElse(sys.error("no committed CDC state"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .orderBy("user_id")
+    },
   )
 }

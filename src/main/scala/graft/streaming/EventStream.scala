@@ -350,4 +350,76 @@ object EventStream {
       """.stripMargin),
       joinType)
   }
+
+  /** Streaming CDC APPLY: maintain a keyed latest-state parquet table
+    * from a change stream via `foreachBatch` — the upsert sink Spark's
+    * file sinks lack natively (the batch face is `q_dedup_keep_latest`;
+    * this is its end-to-end streaming face). Per micro-batch: reduce the
+    * batch to its per-key winner, merge with the current state under the
+    * SAME rule, write the merged state as version `v=<batchId>` and
+    * retire older versions. Because "latest by (orderCols…)" is an
+    * associative, commutative reduction under a TOTAL order (callers
+    * pass a unique tiebreaker, e.g. (ts, event_id)), the final state is
+    * independent of micro-batch boundaries — exactly the batch answer.
+    *
+    * Versioned directories make each batch's write atomic at the version
+    * granularity: every merge writes `v=(max committed + 1)` — never the
+    * version it reads, so the read plan's source is stable — and readers
+    * list the max dir carrying a `_SUCCESS` marker. A crash mid-write
+    * leaves an uncommitted dir readers ignore; foreachBatch re-runs the
+    * batch on restart and simply writes the next version — harmless,
+    * because the merge rule is idempotent.
+    *
+    * Scale shape: state rides parquet partitioned like any table; the
+    * per-batch merge is one key-partitioned reduction of
+    * (state ∪ batch) — cost ∝ state + batch, the standard compaction
+    * trade. State never lives on the driver.
+    */
+  def applyCdcStream(
+      changes: DataFrame, keyCol: String, orderCols: Seq[String],
+      stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(orderCols.nonEmpty, "applyCdcStream: at least one order column")
+    val payload = changes.columns.toSeq
+    def reduceLatest(df: DataFrame): DataFrame =
+      df.groupBy(col(keyCol))
+        .agg(max(struct((orderCols ++ payload.filterNot(orderCols.contains))
+          .map(col): _*)).as("_w"))
+        .select(col(keyCol) +: payload.filterNot(_ == keyCol)
+          .map(c => col(s"_w.$c").as(c)): _*)
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val committed = committedVersions(stateDir)
+        val next = if (committed.isEmpty) 0L else committed.max + 1L
+        val merged = committed.sorted.lastOption match {
+          case Some(v) =>
+            reduceLatest(spark.read.parquet(s"$stateDir/v=$v").unionByName(batch))
+          case None => reduceLatest(batch)
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v=$next")
+        // Retire superseded committed versions — readers already ignore
+        // them; this bounds disk.
+        committed.foreach { v =>
+          def rm(p: java.io.File): Unit = {
+            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+          }
+          rm(new java.io.File(s"$stateDir/v=$v"))
+        }
+    }
+  }
+
+  private def committedVersions(stateDir: String): Seq[Long] =
+    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
+      .filter(f => f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toLong)
+
+  /** Latest committed CDC state (max `v=` dir with a `_SUCCESS` marker),
+    * None before the first commit.
+    */
+  def currentCdcState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val versions = committedVersions(stateDir)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
+  }
 }

@@ -528,4 +528,39 @@ class EventStreamSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq,
       s"restart broke exactly-once: got=${got.toSeq} want=${want.toSeq}")
   }
+
+  test("applyCdcStream: stale later-batch changes never override newer state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Queries.tempDir("graft-cdc-spec")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val changes = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.applyCdcStream(
+        changes, "user_id", Seq("ts", "event_id"), s"$dir/state")
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    def state(): Map[Long, (Long, String)] =
+      EventStream.currentCdcState(spark, s"$dir/state").get
+        .select("user_id", "event_id", "event_type")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    try {
+      input.addData((1L, ts(10), 1L, "a", 1.0), (2L, ts(5), 2L, "b", 1.0))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> (1L, "a"), 2L -> (2L, "b")))
+      // Batch 2: a STALE change for user 1 (earlier ts — must NOT win),
+      // a newer change for user 2, a same-ts higher-id tie for user 1
+      // (the event_id tiebreaker must win), and a brand-new user 3.
+      input.addData(
+        (3L, ts(8), 1L, "stale", 1.0), (4L, ts(9), 2L, "newer", 1.0),
+        (5L, ts(10), 1L, "tie", 1.0), (6L, ts(1), 3L, "fresh", 1.0))
+      q.processAllAvailable()
+      assert(state() == Map(
+        1L -> (5L, "tie"), 2L -> (4L, "newer"), 3L -> (6L, "fresh")))
+    } finally q.stop()
+    // Exactly one committed version remains (superseded ones retired).
+    val versions = Option(new java.io.File(s"$dir/state").listFiles()).toSeq
+      .flatten.filter(_.getName.startsWith("v="))
+    assert(versions.size == 1, s"stale versions not retired: $versions")
+  }
 }
