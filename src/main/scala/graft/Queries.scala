@@ -2642,6 +2642,80 @@ object Queries {
         .agg(count(lit(1)).as("n"))
         .orderBy("flag", "status", "price_cents")
     },
+
+    // Top navigation paths: per-(user, day) ordered event-type 3-grams —
+    // the product-analytics "what do sessions look like" report. The
+    // lead windows partition on (user, day): real keys, parallel at any
+    // scale. Total order inside each window by (ts, event_id); the
+    // top-20 cut ranks on exact counts with the path string tie-break.
+    sql2("q_path_3grams",
+      "WITH ev AS (SELECT user_id, unix_millis(ts) div 86400000 AS day, event_type, ts, event_id FROM events), " +
+        "seq AS (SELECT user_id, day, event_type, " +
+        "  lead(event_type, 1) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS t2, " +
+        "  lead(event_type, 2) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS t3 FROM ev) " +
+        "SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n " +
+        "FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL " +
+        "GROUP BY event_type || '>' || t2 || '>' || t3 ORDER BY n DESC, path LIMIT 20",
+      "WITH ev AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, event_type, ts, event_id FROM events), " +
+        "seq AS (SELECT user_id, day, event_type, " +
+        "  lead(event_type, 1) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS t2, " +
+        "  lead(event_type, 2) OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS t3 FROM ev) " +
+        "SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n " +
+        "FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL " +
+        "GROUP BY 1 ORDER BY n DESC, path LIMIT 20"),
+
+    // Kaplan-Meier survival curve for time-to-first-high-value-purchase
+    // (value ≥ 90): per-user lifespans (event at first qualifying buy,
+    // CENSORED at corpus end — 127 events / 23 censored at sf0.01, both
+    // branches live), then S(t) = Π(1 − dᵢ/nᵢ) computed as an EXACT
+    // decimal sum of 6-dp-rounded log factors (identical double inputs
+    // both engines) with the dᵢ = nᵢ terminal collapse to 0 handled
+    // explicitly. The curve windows run over the distinct-lifespan
+    // relation — bounded by observation days, contractually tiny; the
+    // per-user reductions are ordinary keyed aggregates.
+    sql2("q_survival_km",
+      "WITH fe AS (SELECT user_id, min(unix_millis(ts)) AS first_ts FROM events GROUP BY user_id), " +
+        "fp AS (SELECT user_id, min(unix_millis(ts)) AS first_buy FROM events " +
+        "  WHERE event_type = 'purchase' AND value >= 90 GROUP BY user_id), " +
+        "fin AS (SELECT max(unix_millis(ts)) AS fin FROM events), " +
+        "obs AS (SELECT fe.user_id, " +
+        "    (coalesce(fp.first_buy, fin.fin) - fe.first_ts) div 86400000 AS life, " +
+        "    CASE WHEN fp.first_buy IS NOT NULL THEN 1 ELSE 0 END AS ev " +
+        "  FROM fe LEFT JOIN fp ON fe.user_id = fp.user_id CROSS JOIN fin), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs), " +
+        "tim AS (SELECT life, CAST(sum(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS leave FROM obs GROUP BY life), " +
+        "risk AS (SELECT life, d, tot.n - coalesce(sum(leave) OVER (ORDER BY life " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS atrisk " +
+        "  FROM tim CROSS JOIN tot), " +
+        "surv AS (SELECT life, d, atrisk, " +
+        "    sum(CASE WHEN d = atrisk THEN NULL " +
+        "        ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / atrisk), 6) AS DECIMAL(18,6)) END) " +
+        "      OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) AS ls " +
+        "  FROM risk WHERE d > 0) " +
+        "SELECT life AS day, CAST(d AS BIGINT) AS n_events, CAST(atrisk AS BIGINT) AS at_risk, " +
+        "  CASE WHEN d = atrisk THEN 0.0 ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival " +
+        "FROM surv ORDER BY day",
+      "WITH fe AS (SELECT user_id, min(epoch_ms(ts)) AS first_ts FROM events GROUP BY user_id), " +
+        "fp AS (SELECT user_id, min(epoch_ms(ts)) AS first_buy FROM events " +
+        "  WHERE event_type = 'purchase' AND value >= 90 GROUP BY user_id), " +
+        "fin AS (SELECT max(epoch_ms(ts)) AS fin FROM events), " +
+        "obs AS (SELECT fe.user_id, " +
+        "    (coalesce(fp.first_buy, fin.fin) - fe.first_ts) // 86400000 AS life, " +
+        "    CASE WHEN fp.first_buy IS NOT NULL THEN 1 ELSE 0 END AS ev " +
+        "  FROM fe LEFT JOIN fp ON fe.user_id = fp.user_id CROSS JOIN fin), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs), " +
+        "tim AS (SELECT life, CAST(sum(ev) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS leave FROM obs GROUP BY life), " +
+        "risk AS (SELECT life, d, tot.n - coalesce(sum(leave) OVER (ORDER BY life " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS atrisk " +
+        "  FROM tim CROSS JOIN tot), " +
+        "surv AS (SELECT life, d, atrisk, " +
+        "    sum(CASE WHEN d = atrisk THEN NULL " +
+        "        ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / atrisk), 6) AS DECIMAL(18,6)) END) " +
+        "      OVER (ORDER BY life ROWS UNBOUNDED PRECEDING) AS ls " +
+        "  FROM risk WHERE d > 0) " +
+        "SELECT life AS day, CAST(d AS BIGINT) AS n_events, CAST(atrisk AS BIGINT) AS at_risk, " +
+        "  CASE WHEN d = atrisk THEN 0.0 ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival " +
+        "FROM surv ORDER BY day"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

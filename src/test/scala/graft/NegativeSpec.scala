@@ -82,4 +82,25 @@ class NegativeSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_definitely_missing_table").collect()
     }
   }
+
+  test("bloom functions validate their arguments cleanly") {
+    graft.functions.GraftExtensions.register(spark)
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    // fpp outside (0,1) fails at construction, not mid-job.
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT bloom_agg(r_regionkey, 100, 1.5) FROM region").collect()
+    }
+    assert(e1.getMessage.contains("fpp"), e1.getMessage)
+    // Non-literal expectedItems is rejected (the sketch must be sized
+    // before data flows).
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bloom_agg(r_regionkey, r_regionkey) FROM region").collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+    // Probe over a non-integral key type fails type check.
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT bloom_might_contain(CAST(NULL AS BINARY), CAST(1.5 AS DOUBLE))").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("bloom_might_contain"), e3.getMessage)
+  }
 }
