@@ -2716,6 +2716,22 @@ object Queries {
         "SELECT life AS day, CAST(d AS BIGINT) AS n_events, CAST(atrisk AS BIGINT) AS at_risk, " +
         "  CASE WHEN d = atrisk THEN 0.0 ELSE round(exp(CAST(ls AS DOUBLE)), 6) END AS survival " +
         "FROM surv ORDER BY day"),
+
+    // Item-item collaborative filtering: cosine similarity over
+    // customer-purchase count vectors — the "customers who bought X also
+    // bought Y" recommender core. Sparse dot products via the
+    // customer-keyed wedge join (cost Σ per-customer basket², never an
+    // item×item cross); integer dots + 6-dp-rounded cosine with (p1,p2)
+    // tie-break pin the top-20 cut. Same text both engines.
+    sql("q_item_cf",
+      "WITH r AS (SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS w " +
+        "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
+        "nrm AS (SELECT p, sqrt(CAST(sum(w * w) AS DOUBLE)) AS n FROM r GROUP BY p), " +
+        "dot AS (SELECT a.p AS p1, b.p AS p2, CAST(sum(a.w * b.w) AS BIGINT) AS d, count(*) AS shared " +
+        "  FROM r a JOIN r b ON a.c = b.c AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2) " +
+        "SELECT p1, p2, CAST(shared AS BIGINT) AS shared, round(d / (na.n * nb.n), 6) AS cos " +
+        "FROM dot JOIN nrm na ON p1 = na.p JOIN nrm nb ON p2 = nb.p " +
+        "ORDER BY cos DESC, p1, p2 LIMIT 20"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

@@ -369,6 +369,24 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def typoJoin(strings: DataFrame, strCol: String): DataFrame =
     TextDedup.editDistanceOneJoin(strings, strCol)
 
+  /** k-core of an undirected edge list (synchronous peeling) — see
+    * [[graft.operators.Components.kCore]].
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 16): DataFrame =
+    graft.operators.Components.kCore(edges, srcCol, dstCol, k, rounds)
+
+  /** Streaming CDC apply into a versioned latest-state parquet table —
+    * see [[graft.streaming.EventStream.applyCdcStream]] /
+    * [[graft.streaming.EventStream.currentCdcState]].
+    */
+  def applyCdcStream(changes: DataFrame, keyCol: String,
+                     orderCols: Seq[String], stateDir: String) =
+    graft.streaming.EventStream.applyCdcStream(changes, keyCol, orderCols, stateDir)
+
+  def cdcState(stateDir: String): Option[DataFrame] =
+    graft.streaming.EventStream.currentCdcState(spark, stateDir)
+
   /** Release every cache this session pinned: COMPASS push-down caches and
     * pipeline-operator internals. Returned DataFrames stay correct — they
     * recompute if re-run.

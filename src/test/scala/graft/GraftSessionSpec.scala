@@ -91,6 +91,9 @@ class GraftSessionSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2))
     assert(gs.typoJoin(Seq("abc", "abd").toDF("w"), "w").count() == 1)
+    // kCore: a triangle is its own 2-core.
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(gs.kCore(tri, "a", "b", k = 2).count() == 3)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }
