@@ -595,6 +595,50 @@ object PipelineQueries {
     // vec_avg aggregate (one pass, map-side partials carrying a single
     // sums[dim] array — never the posexplode'd n×dim shuffle). DuckDB
     // re-derives every pooled element positionally.
+    // Product quantization (PQ) — the codes-only ANN path: per-subspace
+    // codebooks (16 explicit seed slices + one 6-dp-rounded mean update),
+    // m=8 small-int codes per vector, asymmetric-distance scoring via
+    // exact DECIMAL table sums. FULLY differential like q_kmeans: DuckDB
+    // re-derives the ENTIRE index — subvector slicing, the argmin
+    // assignment on 6-dp d2 = uu−2uv+cc, the mean update with empty-code
+    // keep-seed, the encode pass, the ADC tables, and every ranked sum.
+    dfq("q_ann_pq", {
+      val seedList = (0 until 16).mkString(", ")
+      "WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+        "sub AS (SELECT vec_id, CAST(r.s AS INT) AS s, v[CAST(r.s*8+1 AS INT):CAST(r.s*8+8 AS INT)] AS sv " +
+        "  FROM emb, range(0, 8) r(s)), " +
+        s"seeds AS (SELECT CAST(row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS cid, s, sv " +
+        s"  FROM sub WHERE vec_id IN ($seedList)), " +
+        "a1 AS (SELECT sub.vec_id, sub.s, sub.sv, (SELECT c.cid FROM seeds c WHERE c.s = sub.s " +
+        "    ORDER BY round(list_inner_product(sub.sv, sub.sv) - 2*list_inner_product(sub.sv, c.sv) " +
+        "      + list_inner_product(c.sv, c.sv), 6) ASC, c.cid LIMIT 1) AS cid FROM sub), " +
+        "m1 AS (SELECT a1.s, a1.cid, r.i, floor(avg(a1.sv[CAST(r.i AS INT)]) * 1000000 + 0.5) / 1000000 AS mx " +
+        "  FROM a1, range(1, 9) r(i) GROUP BY a1.s, a1.cid, r.i), " +
+        "c1 AS (SELECT se.s, se.cid, CASE WHEN count(m1.i) = 0 THEN se.sv ELSE list(m1.mx ORDER BY m1.i) END AS sv " +
+        "  FROM seeds se LEFT JOIN m1 ON se.s = m1.s AND se.cid = m1.cid GROUP BY se.s, se.cid, se.sv), " +
+        "codes AS (SELECT sub.vec_id, sub.s, (SELECT c.cid FROM c1 c WHERE c.s = sub.s " +
+        "    ORDER BY round(list_inner_product(sub.sv, sub.sv) - 2*list_inner_product(sub.sv, c.sv) " +
+        "      + list_inner_product(c.sv, c.sv), 6) ASC, c.cid LIMIT 1) AS cid FROM sub), " +
+        "qs AS (SELECT vec_id AS query_id, s, sv FROM sub WHERE vec_id < 5), " +
+        "tab AS (SELECT q.query_id, c.s, c.cid, " +
+        "    CAST(round(list_inner_product(q.sv, q.sv) - 2*list_inner_product(q.sv, c.sv) " +
+        "      + list_inner_product(c.sv, c.sv), 6) AS DECIMAL(18,6)) AS d2 " +
+        "  FROM qs q JOIN c1 c ON q.s = c.s), " +
+        "sc AS (SELECT t.query_id, k.vec_id AS neighbor_id, sum(t.d2) AS adc " +
+        "  FROM codes k JOIN tab t ON k.s = t.s AND k.cid = t.cid " +
+        "  WHERE k.vec_id <> t.query_id GROUP BY 1, 2), " +
+        "rk AS (SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc, " +
+        "    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank FROM sc) " +
+        "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc FROM rk WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"
+    }) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, m = 8, seedIds = (0L until 16L), trainUpdates = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     dfq("q_embed_pool",
       "SELECT vec_id % 10 AS grp, CAST(pos AS BIGINT) AS pos, round(avg(v), 6) AS v " +
         "FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v, " +

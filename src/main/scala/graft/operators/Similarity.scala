@@ -564,6 +564,129 @@ object Similarity {
         not(coalesce(col("_dropped"), lit(false))).as("kept"))
   }
 
+  /** Product-quantization (PQ) top-k — the codes-only ANN scan beside
+    * int8 ([[quantizeInt8]]/[[quantizedTopK]]) and IVF: vectors split
+    * into `m` subspaces, each encoded as its nearest per-subspace
+    * codebook entry (codes = m small ints per vector, the 16-32x storage
+    * win), queries scored by asymmetric distance — a per-(query,
+    * subspace, code) lookup table summed over the codes relation, never
+    * touching the original vectors.
+    *
+    * Reproducibility contract (the `q_ann_pq` oracle re-derives the
+    * ENTIRE index): explicit seed ids in ascending order slice into the
+    * initial per-subspace codebooks; `trainUpdates` rounds of assign
+    * (argmin of the 6-dp-rounded d2 = uu - 2uv + cc, code tie-break) +
+    * 6-dp half-up mean rounding with empty codes keeping their seed;
+    * ADC table entries are 6-dp DECIMALs so per-pair sums are exact.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, m: Int = 8, seedIds: Seq[Long] = (0L until 16L),
+      trainUpdates: Int = 1): DataFrame = {
+    require(m >= 1, s"pqTopK: m must be >= 1, got $m")
+    require(seedIds.nonEmpty, "pqTopK: no codebook seed ids")
+    val spark = corpus.sparkSession
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val seedVecs = corpus
+      .filter(col(idCol).isin(seedIds: _*)).orderBy(idCol)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == seedIds.size,
+      s"pqTopK: seed ids resolved ${seedVecs.length}/${seedIds.size}")
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedVecs.map(_.slice(s * dsub, (s + 1) * dsub)))
+
+    // Exploded (id, s, subvector) relation — m small rows per vector.
+    val subs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .select(col("_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("_v"))
+      .withColumn("sv", expr(s"slice(_v, s * $dsub + 1, $dsub)"))
+      .drop("_v")
+
+    // Shuffle-free per-row assignment: codebooks ride as broadcast
+    // literals indexed by the row's subspace; d2 via the inner-product
+    // identity (uu − 2uv + cc) so the oracle's list_inner_product form
+    // lands on the same 6-dp-rounded key. Ascending struct sort = argmin
+    // with centroid-id tie-break.
+    def assignSub(df: DataFrame, bks: Array[Array[Array[Double]]]): DataFrame = {
+      val kSub = bks.head.length
+      val bLit = typedlit(bks.map(_.map(_.toSeq).toSeq).toSeq)
+      val ccLit = typedlit(bks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+      val scored = transform(sequence(lit(1), lit(kSub)), i => {
+        val cent = element_at(element_at(bLit, col("s") + 1), i)
+        val d2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), cent) +
+          element_at(element_at(ccLit, col("s") + 1), i)
+        struct(round(d2, 6).as("d"), (i - 1).as("c"))
+      })
+      df.withColumn("cid",
+        element_at(array_sort(scored), 1).getField("c").cast("int"))
+    }
+
+    // Codebook refinement: per-(subspace, code) means via ONE
+    // map-side-combined vec_avg shuffle; m×k rows to the driver
+    // (contractually tiny), 6-dp half-up rounding, empty codes keep
+    // their seed — the kmeansAssignments reproducibility contract per
+    // subspace. (At 100 TB, train on a sample; encode runs over
+    // everything either way.)
+    for (_ <- 1 to trainUpdates) {
+      val means = assignSub(subs, books)
+        .groupBy("s", "cid")
+        .agg(graft.functions.VecAvgAgg.vec_avg(col("sv")).as("mv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(s => books(s).zipWithIndex.map { case (old, c) =>
+        means.get((s, c)).map(_.map(r6)).getOrElse(old)
+      })
+    }
+    val codes = assignSub(subs, books).select(col("_id"), col("s"), col("cid"))
+
+    // ADC lookup tables: per (query, subspace, code) distance — computed
+    // on the driver from the (small, by contract) query set and the
+    // final codebooks, broadcast back as DECIMAL(18,6) so the per-pair
+    // sum of m terms is exact and partition-order-free.
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tabRows = for {
+      (qid, qv) <- qRows.toSeq
+      s <- 0 until m
+      c <- books(s).indices
+    } yield {
+      val sv = qv.slice(s * dsub, (s + 1) * dsub)
+      val cent = books(s)(c)
+      val d2 = sv.map(x => x * x).sum -
+        2.0 * sv.zip(cent).map { case (a, b) => a * b }.sum +
+        cent.map(x => x * x).sum
+      org.apache.spark.sql.Row(qid, s, c,
+        java.math.BigDecimal.valueOf(d2).setScale(6, java.math.RoundingMode.HALF_UP))
+    }
+    val tabSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("d2", org.apache.spark.sql.types.DecimalType(18, 6))))
+    val tab = spark.createDataFrame(
+      spark.sparkContext.parallelize(tabRows, 1), tabSchema)
+
+    // Score = Σ_s table[s][code]: the scan touches CODES (m ints/vector,
+    // the PQ storage win), one partial-aggregated shuffle keyed on
+    // (query, neighbor). Exact decimal sums ⇒ rank keys cannot drift.
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adcDec").asc, col("neighbor_id"))
+    codes.join(broadcast(tab), Seq("s", "cid"))
+      .filter(col("_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adcDec"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("adcDec").cast("double").as("adc"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step
     * before an embedding corpus is indexed at scale (4× smaller than
     * float32; distance kernels read int8 directly). scale = max|v|/127,

@@ -55,6 +55,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (|exact|=${exact.size})")
   }
 
+  test("PQ ANN: same-cluster recall on clustered data; partition-invariant") {
+    import spark.implicits._
+    val corpus = clusteredCorpus(perCluster = 50, dim = 16)
+    val queries = corpus.filter($"vec_id" % 50 < 2)
+    // Two seeds per planted cluster → every cluster owns codebook mass.
+    val seeds = (0 until 8).flatMap(c => Seq(c * 50L, c * 50L + 1))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(c, queries, "vec_id", "embedding",
+          k = 5, m = 4, seedIds = seeds, trainUpdates = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val rows = run(corpus)
+    assert(rows.length == 16 * 5, s"expected 16 queries x 5, got ${rows.length}")
+    // ADC distortion must not break cluster structure: neighbors come
+    // from the query's own planted cluster.
+    val sameCluster = rows.count { case (q, n, _, _) => q / 50 == n / 50 }
+    assert(sameCluster.toDouble / rows.length >= 0.9,
+      s"PQ same-cluster recall ${sameCluster.toDouble / rows.length} < 0.9")
+    // Decimal ADC sums + rounded assignment keys ⇒ identical output at
+    // any partitioning.
+    val rows2 = run(corpus.repartition(3))
+    assert(rows.sortBy(t => (t._1, t._3)).toSeq == rows2.sortBy(t => (t._1, t._3)).toSeq,
+      "PQ result varies with partitioning")
+  }
+
   test("LSH signature kernel is bit-identical to the per-plane formulation") {
     import graft.operators.OpCaches
     // Real embeddings plus a wrong-dimension vector (both formulations
