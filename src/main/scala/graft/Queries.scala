@@ -2732,6 +2732,64 @@ object Queries {
         "SELECT p1, p2, CAST(shared AS BIGINT) AS shared, round(d / (na.n * nb.n), 6) AS cos " +
         "FROM dot JOIN nrm na ON p1 = na.p JOIN nrm nb ON p2 = nb.p " +
         "ORDER BY cos DESC, p1, p2 LIMIT 20"),
+
+    // Geospatial radius query: customers within 2500 km of a probe
+    // point (deterministic synthetic coordinates from integer key
+    // arithmetic — identical in any engine), nearest-20 by exact
+    // haversine. The ENGINE prunes with a bounding box FIRST (lat ±25°,
+    // lon ±28° — provably sound for 2500 km at these latitudes:
+    // 1° lat ≥ 111.19 km and 1° lon ≥ 111.19·cos(35°) km within the
+    // pruned band, so nothing inside the radius can fall outside the
+    // box) and the box predicates push to the scan; the ORACLE brute
+    // forces WITHOUT the box — green proves the prune lost nothing.
+    dfq("q_geo_radius",
+      "WITH pts AS (SELECT c_custkey AS id, " +
+        "  ((c_custkey * 37) % 17000) / 100.0 - 85.0 AS lat, " +
+        "  ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
+        "d AS (SELECT id, lat, lon, round(2 * 6371.0 * asin(sqrt( " +
+        "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
+        "    cos(radians(10.0)) * cos(radians(lat)) * " +
+        "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))), 3) AS km FROM pts) " +
+        "SELECT id, lat, lon, km FROM d WHERE km <= 2500 ORDER BY km, id LIMIT 20") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        "WITH pts AS (SELECT c_custkey AS id, " +
+          "  ((c_custkey * 37) % 17000) / 100.0 - 85.0 AS lat, " +
+          "  ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
+          "boxed AS (SELECT * FROM pts WHERE lat BETWEEN -15.0 AND 35.0 " +
+          "  AND lon BETWEEN -8.0 AND 48.0), " +
+          "d AS (SELECT id, lat, lon, round(2 * 6371.0 * asin(sqrt( " +
+          "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
+          "    cos(radians(10.0)) * cos(radians(lat)) * " +
+          "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))), 3) AS km FROM boxed) " +
+          "SELECT id, lat, lon, km FROM d WHERE km <= 2500 ORDER BY km, id LIMIT 20")
+    },
+
+    // Benford first-digit analysis of line-item amounts — the classic
+    // fraud/materiality screen: observed vs expected log10(1 + 1/d)
+    // frequency with per-digit z-statistics. The synthetic prices are
+    // uniform-ish, so the screen REJECTS hard (|z| up to 78) — the
+    // interesting, non-vacuous answer. Exact integer digit extraction
+    // (cent-scaled BIGINT → string), 6/2-dp rounded shares.
+    sql2("q_benford",
+      "WITH digits AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT) AS d " +
+        "  FROM lineitem WHERE l_extendedprice > 0), " +
+        "obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d), " +
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs) " +
+        "SELECT d AS digit, CAST(n AS BIGINT) AS n, round(n / tot.t, 6) AS observed, " +
+        "  round(log10(1.0 + 1.0 / d), 6) AS benford, " +
+        "  round((n / tot.t - log10(1.0 + 1.0 / d)) / " +
+        "    sqrt(log10(1.0 + 1.0 / d) * (1 - log10(1.0 + 1.0 / d)) / tot.t), 2) AS z " +
+        "FROM obs CROSS JOIN tot ORDER BY digit",
+      "WITH digits AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d " +
+        "  FROM lineitem WHERE l_extendedprice > 0), " +
+        "obs AS (SELECT d, count(*) AS n FROM digits GROUP BY d), " +
+        "tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs) " +
+        "SELECT d AS digit, CAST(n AS BIGINT) AS n, round(n / tot.t, 6) AS observed, " +
+        "  round(log10(1.0 + 1.0 / d), 6) AS benford, " +
+        "  round((n / tot.t - log10(1.0 + 1.0 / d)) / " +
+        "    sqrt(log10(1.0 + 1.0 / d) * (1 - log10(1.0 + 1.0 / d)) / tot.t), 2) AS z " +
+        "FROM obs CROSS JOIN tot ORDER BY digit"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
