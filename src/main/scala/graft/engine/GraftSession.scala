@@ -369,6 +369,17 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
   def typoJoin(strings: DataFrame, strCol: String): DataFrame =
     TextDedup.editDistanceOneJoin(strings, strCol)
 
+  /** PQ ANN over the embeddings table — see
+    * [[graft.operators.Similarity.pqTopK]].
+    */
+  def pqQuery(queryIds: Seq[Long], k: Int = 5, m: Int = 8,
+              seedIds: Seq[Long] = (0L until 16L)): DataFrame = {
+    val emb = table("embeddings")
+    graft.operators.Similarity.pqTopK(
+      emb, emb.filter(col("vec_id").isin(queryIds: _*)),
+      "vec_id", "embedding", k = k, m = m, seedIds = seedIds)
+  }
+
   /** k-core of an undirected edge list (synchronous peeling) — see
     * [[graft.operators.Components.kCore]].
     */

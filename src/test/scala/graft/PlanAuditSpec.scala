@@ -290,7 +290,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // windows partition by _pid, no Exchange SinglePartition anywhere.
     Tables.registerAll(spark, dir)
     for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate",
-        "q_corpus_shuffle")) {
+        "q_corpus_shuffle",
+        // r12 prefix riders: RFM ranks, quantile transform, sweep-line
+        // concurrency, Borda fusion, and the skyline's exclusive
+        // running-min all inherit the same contract.
+        "q_rfm", "q_quantile_transform", "q_peak_concurrency",
+        "q_rank_fusion", "q_skyline")) {
       val df = Queries.queryMap(name)(spark, dir)
       df.collect()
       val plan = finalPlan(df.queryExecution.executedPlan.toString)
@@ -300,8 +305,34 @@ class PlanAuditSpec extends AnyFunSuite {
       windowLines.foreach { l =>
         assert(l.contains("_pid"), s"$name: partition-less window:\n$l")
       }
-      assert(!plan.contains("Exchange SinglePartition"),
-        s"$name: single-partition exchange:\n$plan")
+      // q_rfm embeds one SCALAR aggregate (the corpus max order date):
+      // its final reduce is a legitimate Exchange SinglePartition
+      // carrying one partial row per partition — a bounded reduction,
+      // not a data funnel. Everything else must have none at all.
+      if (name != "q_rfm")
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"$name: single-partition exchange:\n$plan")
+      else
+        assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
+          s"q_rfm: more single-partition exchanges than its one scalar agg:\n$plan")
+      graft.operators.OpCaches.releaseAll(spark)
+    }
+  }
+
+  test("wedge joins plan as hash equi-joins, never a cartesian product") {
+    // Market basket, item CF, neighbor Jaccard, and the typo join all
+    // enumerate pairs through a shared-key equi-join (order / customer /
+    // neighbor / deletion-variant); a CartesianProduct in any of them
+    // would be the all-pairs blowup the designs exist to avoid. (The
+    // 1-row scalar CROSS JOINs plan as broadcast nested loops — benign.)
+    for (name <- Seq("q_market_basket", "q_item_cf", "q_graph_jaccard",
+        "q_typo_join")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"$name: expected hash/merge equi-joins in:\n$plan")
       graft.operators.OpCaches.releaseAll(spark)
     }
   }
