@@ -2790,6 +2790,58 @@ object Queries {
         "  round((n / tot.t - log10(1.0 + 1.0 / d)) / " +
         "    sqrt(log10(1.0 + 1.0 / d) * (1 - log10(1.0 + 1.0 / d)) / tot.t), 2) AS z " +
         "FROM obs CROSS JOIN tot ORDER BY digit"),
+
+    // GROUPED percent-rank quantile buckets — q_quantile_transform's
+    // per-group face: per-flag quartiles from the GROUPED distributed
+    // prefix rank (range partition on (group, order); a hot group spans
+    // many partitions, never one task). The oracle runs the real
+    // `percent_rank() OVER (PARTITION BY …)`; same (rank−1)/(n−1)
+    // doubles both sides, so quartile floors cannot diverge.
+    dfq("q_percentrank_grouped",
+      "WITH r AS (SELECT l_returnflag AS rf, l_extendedprice AS p, " +
+        "  percent_rank() OVER (PARTITION BY l_returnflag " +
+        "    ORDER BY l_extendedprice, l_orderkey * 10 + l_linenumber) AS pr FROM lineitem) " +
+        "SELECT rf AS flag, CAST(floor(least(pr, 0.999999) * 4) AS INT) AS quartile, count(*) AS n, " +
+        "  CAST(min(round(p * 100)) AS BIGINT) AS min_cents, " +
+        "  CAST(max(round(p * 100)) AS BIGINT) AS max_cents " +
+        "FROM r GROUP BY rf, CAST(floor(least(pr, 0.999999) * 4) AS INT) " +
+        "ORDER BY flag, quartile") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("_sk", expr("l_orderkey * 10 + l_linenumber"))
+      val ranked = graft.operators.Prefix.withRunningSums(
+        li, "l_extendedprice", Nil, idxCol = "_r",
+        tieCols = Seq("_sk"), groupCols = Seq("l_returnflag"))
+      val ng = li.groupBy("l_returnflag").agg(count(lit(1)).as("_ng"))
+      ranked.join(broadcast(ng), "l_returnflag")
+        .withColumn("pr", (col("_r") - 1) / (col("_ng") - 1))
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(least(col("pr"), lit(0.999999)) * 4).cast("int").as("quartile"))
+        .agg(count(lit(1)).as("n"),
+          min(round(col("l_extendedprice") * 100)).cast("long").as("min_cents"),
+          max(round(col("l_extendedprice") * 100)).cast("long").as("max_cents"))
+        .orderBy("flag", "quartile")
+    },
+
+    // Record lows — the high-water-mark primitive's GLOBAL face (the
+    // skyline exercised the grouped form): days whose per-day minimum
+    // price beats every earlier day's, via the exclusive distributed
+    // running min over the per-day aggregate. Oracle runs the real
+    // 1-PRECEDING frame window.
+    dfq("q_record_low",
+      "WITH px AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day, " +
+        "  min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS p FROM lineitem GROUP BY 1), " +
+        "rm AS (SELECT day, p, min(p) OVER (ORDER BY day " +
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev FROM px) " +
+        "SELECT day, p AS low_cents FROM rm WHERE prev IS NULL OR p < prev ORDER BY day") { (s, dir) =>
+      val px = Tables.load(s, dir, "lineitem")
+        .groupBy(datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("p"))
+      graft.operators.Prefix.withRunningMinExclusive(px, "day", "p", "prev")
+        .filter(col("prev").isNull || col("p") < col("prev"))
+        .select(col("day"), col("p").as("low_cents"))
+        .orderBy("day")
+    },
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
