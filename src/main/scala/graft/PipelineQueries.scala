@@ -595,6 +595,17 @@ object PipelineQueries {
     // vec_avg aggregate (one pass, map-side partials carrying a single
     // sums[dim] array — never the posexplode'd n×dim shuffle). DuckDB
     // re-derives every pooled element positionally.
+    // IVF-PQ with exact re-rank — the production composite index: coarse
+    // probe → ADC shortlist over codes → exact cosine on the shortlist's
+    // true vectors only. Shares the ANN soundness oracle: every returned
+    // cosine and rank re-derived by DuckDB from the embeddings.
+    dfq("q_ann_ivfpq", annSoundnessSql("q_ann_ivfpq")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nCentroids = 16, nProbe = 8, m = 8, shortlist = 50)
+        .orderBy("query_id", "rank")
+    },
+
     // Product quantization (PQ) — the codes-only ANN path: per-subspace
     // codebooks (16 explicit seed slices + one 6-dp-rounded mean update),
     // m=8 small-int codes per vector, asymmetric-distance scoring via

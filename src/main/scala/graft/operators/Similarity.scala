@@ -564,13 +564,126 @@ object Similarity {
         not(coalesce(col("_dropped"), lit(false))).as("kept"))
   }
 
+  /** Product-quantization model: `m` subspaces of `dsub` dims, each with
+    * its codebook — built by [[pqBuild]], consumed by [[pqTopK]] (pure
+    * ADC ranking) and [[ivfPqTopK]] (coarse-probe + ADC shortlist +
+    * exact re-rank, the production IVF-PQ shape).
+    */
+  private[graft] final case class PqModel(
+      m: Int, dsub: Int, books: Array[Array[Array[Double]]])
+
+  private def pqR6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Exploded (id, s, subvector) relation — m small rows per vector. */
+  private def pqSubs(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .select(col("_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("_v"))
+      .withColumn("sv", expr(s"slice(_v, s * $dsub + 1, $dsub)"))
+      .drop("_v")
+
+  /** Shuffle-free per-row code assignment: codebooks ride as broadcast
+    * literals indexed by the row's subspace; d2 via the inner-product
+    * identity (uu − 2uv + cc) so the oracle's list_inner_product form
+    * lands on the same 6-dp-rounded key. Ascending struct sort = argmin
+    * with centroid-id tie-break.
+    */
+  private def pqAssign(df: DataFrame, model: PqModel): DataFrame = {
+    val kSub = model.books.head.length
+    val bLit = typedlit(model.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val ccLit = typedlit(model.books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    val scored = transform(sequence(lit(1), lit(kSub)), i => {
+      val cent = element_at(element_at(bLit, col("s") + 1), i)
+      val d2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), cent) +
+        element_at(element_at(ccLit, col("s") + 1), i)
+      struct(round(d2, 6).as("d"), (i - 1).as("c"))
+    })
+    df.withColumn("cid",
+      element_at(array_sort(scored), 1).getField("c").cast("int"))
+  }
+
+  /** Train the per-subspace codebooks and encode the corpus: explicit
+    * seed ids slice into the initial codebooks; each update round is the
+    * per-(subspace, code) mean via ONE map-side-combined vec_avg shuffle
+    * (m×k rows to the driver — contractually tiny), 6-dp half-up
+    * rounding, empty codes keep their seed — the kmeansAssignments
+    * reproducibility contract per subspace. (At 100 TB, train on a
+    * sample; encode runs over everything either way.) Returns the model
+    * plus the (id, s, cid) CODES relation — m small ints per vector, the
+    * 16-32x storage win.
+    */
+  private[graft] def pqBuild(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, seedIds: Seq[Long], trainUpdates: Int): (PqModel, DataFrame) = {
+    require(m >= 1, s"pq: m must be >= 1, got $m")
+    require(seedIds.nonEmpty, "pq: no codebook seed ids")
+    val seedVecs = corpus
+      .filter(col(idCol).isin(seedIds: _*)).orderBy(idCol)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == seedIds.size,
+      s"pq: seed ids resolved ${seedVecs.length}/${seedIds.size}")
+    val dim = seedVecs.head.length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m $m")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seedVecs.map(_.slice(s * dsub, (s + 1) * dsub)))
+    val subs = pqSubs(corpus, idCol, vecCol, m, dsub)
+    for (_ <- 1 to trainUpdates) {
+      val means = pqAssign(subs, PqModel(m, dsub, books))
+        .groupBy("s", "cid")
+        .agg(graft.functions.VecAvgAgg.vec_avg(col("sv")).as("mv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(s => books(s).zipWithIndex.map { case (old, c) =>
+        means.get((s, c)).map(_.map(pqR6)).getOrElse(old)
+      })
+    }
+    val model = PqModel(m, dsub, books)
+    (model, pqAssign(subs, model).select(col("_id"), col("s"), col("cid")))
+  }
+
+  /** ADC lookup tables: per (query, subspace, code) distance — computed
+    * on the driver from the (small, by contract) query set and the final
+    * codebooks, broadcast back as DECIMAL(18,6) so per-pair sums of m
+    * terms are exact and partition-order-free.
+    */
+  private def pqTables(
+      queries: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val spark = queries.sparkSession
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val tabRows = for {
+      (qid, qv) <- qRows.toSeq
+      s <- 0 until model.m
+      c <- model.books(s).indices
+    } yield {
+      val sv = qv.slice(s * model.dsub, (s + 1) * model.dsub)
+      val cent = model.books(s)(c)
+      val d2 = sv.map(x => x * x).sum -
+        2.0 * sv.zip(cent).map { case (a, b) => a * b }.sum +
+        cent.map(x => x * x).sum
+      org.apache.spark.sql.Row(qid, s, c,
+        java.math.BigDecimal.valueOf(d2).setScale(6, java.math.RoundingMode.HALF_UP))
+    }
+    val tabSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("d2", org.apache.spark.sql.types.DecimalType(18, 6))))
+    spark.createDataFrame(spark.sparkContext.parallelize(tabRows, 1), tabSchema)
+  }
+
   /** Product-quantization (PQ) top-k — the codes-only ANN scan beside
     * int8 ([[quantizeInt8]]/[[quantizedTopK]]) and IVF: vectors split
     * into `m` subspaces, each encoded as its nearest per-subspace
-    * codebook entry (codes = m small ints per vector, the 16-32x storage
-    * win), queries scored by asymmetric distance — a per-(query,
-    * subspace, code) lookup table summed over the codes relation, never
-    * touching the original vectors.
+    * codebook entry, queries scored by asymmetric distance — a
+    * per-(query, subspace, code) lookup table summed over the codes
+    * relation, never touching the original vectors.
     *
     * Reproducibility contract (the `q_ann_pq` oracle re-derives the
     * ENTIRE index): explicit seed ids in ascending order slice into the
@@ -583,98 +696,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 5, m: Int = 8, seedIds: Seq[Long] = (0L until 16L),
       trainUpdates: Int = 1): DataFrame = {
-    require(m >= 1, s"pqTopK: m must be >= 1, got $m")
-    require(seedIds.nonEmpty, "pqTopK: no codebook seed ids")
-    val spark = corpus.sparkSession
-    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
-    val seedVecs = corpus
-      .filter(col(idCol).isin(seedIds: _*)).orderBy(idCol)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    require(seedVecs.length == seedIds.size,
-      s"pqTopK: seed ids resolved ${seedVecs.length}/${seedIds.size}")
-    val dim = seedVecs.head.length
-    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m $m")
-    val dsub = dim / m
-    var books: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(s => seedVecs.map(_.slice(s * dsub, (s + 1) * dsub)))
-
-    // Exploded (id, s, subvector) relation — m small rows per vector.
-    val subs = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("_id"), col(vecCol).cast("array<double>").as("_v"))
-      .select(col("_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("_v"))
-      .withColumn("sv", expr(s"slice(_v, s * $dsub + 1, $dsub)"))
-      .drop("_v")
-
-    // Shuffle-free per-row assignment: codebooks ride as broadcast
-    // literals indexed by the row's subspace; d2 via the inner-product
-    // identity (uu − 2uv + cc) so the oracle's list_inner_product form
-    // lands on the same 6-dp-rounded key. Ascending struct sort = argmin
-    // with centroid-id tie-break.
-    def assignSub(df: DataFrame, bks: Array[Array[Array[Double]]]): DataFrame = {
-      val kSub = bks.head.length
-      val bLit = typedlit(bks.map(_.map(_.toSeq).toSeq).toSeq)
-      val ccLit = typedlit(bks.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
-      val scored = transform(sequence(lit(1), lit(kSub)), i => {
-        val cent = element_at(element_at(bLit, col("s") + 1), i)
-        val d2 = dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), cent) +
-          element_at(element_at(ccLit, col("s") + 1), i)
-        struct(round(d2, 6).as("d"), (i - 1).as("c"))
-      })
-      df.withColumn("cid",
-        element_at(array_sort(scored), 1).getField("c").cast("int"))
-    }
-
-    // Codebook refinement: per-(subspace, code) means via ONE
-    // map-side-combined vec_avg shuffle; m×k rows to the driver
-    // (contractually tiny), 6-dp half-up rounding, empty codes keep
-    // their seed — the kmeansAssignments reproducibility contract per
-    // subspace. (At 100 TB, train on a sample; encode runs over
-    // everything either way.)
-    for (_ <- 1 to trainUpdates) {
-      val means = assignSub(subs, books)
-        .groupBy("s", "cid")
-        .agg(graft.functions.VecAvgAgg.vec_avg(col("sv")).as("mv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
-        .toMap
-      books = Array.tabulate(m)(s => books(s).zipWithIndex.map { case (old, c) =>
-        means.get((s, c)).map(_.map(r6)).getOrElse(old)
-      })
-    }
-    val codes = assignSub(subs, books).select(col("_id"), col("s"), col("cid"))
-
-    // ADC lookup tables: per (query, subspace, code) distance — computed
-    // on the driver from the (small, by contract) query set and the
-    // final codebooks, broadcast back as DECIMAL(18,6) so the per-pair
-    // sum of m terms is exact and partition-order-free.
-    val qRows = queries
-      .select(col(idCol).cast("long").as("qid"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val tabRows = for {
-      (qid, qv) <- qRows.toSeq
-      s <- 0 until m
-      c <- books(s).indices
-    } yield {
-      val sv = qv.slice(s * dsub, (s + 1) * dsub)
-      val cent = books(s)(c)
-      val d2 = sv.map(x => x * x).sum -
-        2.0 * sv.zip(cent).map { case (a, b) => a * b }.sum +
-        cent.map(x => x * x).sum
-      org.apache.spark.sql.Row(qid, s, c,
-        java.math.BigDecimal.valueOf(d2).setScale(6, java.math.RoundingMode.HALF_UP))
-    }
-    val tabSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("d2", org.apache.spark.sql.types.DecimalType(18, 6))))
-    val tab = spark.createDataFrame(
-      spark.sparkContext.parallelize(tabRows, 1), tabSchema)
-
-    // Score = Σ_s table[s][code]: the scan touches CODES (m ints/vector,
-    // the PQ storage win), one partial-aggregated shuffle keyed on
-    // (query, neighbor). Exact decimal sums ⇒ rank keys cannot drift.
+    val (model, codes) = pqBuild(corpus, idCol, vecCol, m, seedIds, trainUpdates)
+    val tab = pqTables(queries, idCol, vecCol, model)
+    // Score = sum_s table[s][code]: the scan touches CODES, one
+    // partial-aggregated shuffle keyed on (query, neighbor). Exact
+    // decimal sums => rank keys cannot drift.
     val w = Window.partitionBy("query_id")
       .orderBy(col("adcDec").asc, col("neighbor_id"))
     codes.join(broadcast(tab), Seq("s", "cid"))
@@ -685,6 +711,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("adcDec").cast("double").as("adc"))
+  }
+
+  /** IVF-PQ with exact re-rank — the production composite: the coarse
+    * IVF quantizer restricts each query to `nProbe` inverted lists, the
+    * PQ codes rank the candidates by asymmetric distance into a
+    * `shortlist`, and only the shortlist's TRUE vectors are read for the
+    * exact cosine re-rank (same output contract as the other ANN paths,
+    * so the shared soundness oracle re-derives every returned cosine and
+    * rank). Scale shape: candidates = probed fraction of the corpus,
+    * ADC touches codes only, the exact stage touches `shortlist` vectors
+    * per query — at no point does the full corpus shuffle or the
+    * original vectors ride the candidate join.
+    *
+    * Parameter guidance: size `shortlist` ≫ k and above the expected ADC
+    * tie mass — with coarse codebooks, near-identical candidates collapse
+    * to IDENTICAL codes and tie exactly in ADC, so a shortlist smaller
+    * than a tie class truncates it arbitrarily by id (SimilaritySpec
+    * demonstrates the cliff). PQ internally runs on L2-normalized
+    * vectors (unit-sphere L2 = 2 − 2·cos), so the shortlist ranks by the
+    * same angular metric the exact stage uses.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, seedIds: Seq[Long] = (0L until 16L),
+      trainUpdates: Int = 1, shortlist: Int = 50): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCentroids)
+    val lists = assignToCentroids(
+      corpus.withColumnsRenamed(Map(idCol -> "_id", vecCol -> "_cv")),
+      "_id", "_cv", cents, 1)
+    val probes = assignToCentroids(
+      queries.withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "_qv")),
+      "query_id", "_qv", cents, nProbe)
+    val cand = lists.select("centroid_id", "_id")
+      .join(broadcast(probes.select("centroid_id", "query_id")), "centroid_id")
+      .filter(col("_id") =!= col("query_id"))
+      .select("query_id", "_id").distinct()
+    // PQ runs on L2-NORMALIZED vectors: squared L2 on the unit sphere is
+    // 2 − 2·cos, so the ADC shortlist ranks by angle — the metric the
+    // exact cosine re-rank uses. Un-normalized ADC conflates norm with
+    // angle and leaks true neighbors out of the shortlist (measured:
+    // recall 0.86 → 1.0 on the clustered spec fixture).
+    def normalized(df: DataFrame): DataFrame = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_rv"))
+      .withColumn("_n", greatest(l2norm(col("_rv")), lit(1e-12)))
+      .select(col(idCol), transform(col("_rv"), x => x / col("_n")).as(vecCol))
+    val (model, codes) = pqBuild(normalized(corpus), idCol, vecCol, m, seedIds, trainUpdates)
+    val tab = pqTables(normalized(queries), idCol, vecCol, model)
+    val wSl = Window.partitionBy("query_id")
+      .orderBy(col("adcDec").asc, col("_id"))
+    val short = cand.join(codes, "_id")
+      .join(broadcast(tab), Seq("query_id", "s", "cid"))
+      .groupBy("query_id", "_id")
+      .agg(sum(col("d2")).as("adcDec"))
+      .withColumn("_slr", row_number().over(wSl))
+      .filter(col("_slr") <= shortlist)
+      .select("query_id", "_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(corpus.select(col(idCol).as("_id"), col(vecCol).as("cv")), "_id")
+      .join(qv, "query_id")
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumnRenamed("_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step

@@ -79,6 +79,27 @@ class SimilaritySpec extends AnyFunSuite {
       "PQ result varies with partitioning")
   }
 
+  test("IVF-PQ with exact re-rank: recall >= 0.9 on clustered data") {
+    import spark.implicits._
+    val corpus = clusteredCorpus(perCluster = 100, dim = 16)
+    val queries = corpus.filter($"vec_id" % 100 < 2)
+    val seeds = (0 until 8).flatMap(c => Seq(c * 100L, c * 100L + 1))
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shortlist > cluster size: coarse codebooks make same-cluster
+    // candidates TIE in ADC (identical codes), so a shortlist smaller
+    // than the tie class truncates arbitrarily by id — the parameter
+    // guidance the operator doc states (shortlist >> k, above the
+    // expected ADC tie mass).
+    val approx = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8, m = 4, seedIds = seeds, shortlist = 120)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall < 0.9 (|exact|=${exact.size})")
+  }
+
   test("LSH signature kernel is bit-identical to the per-plane formulation") {
     import graft.operators.OpCaches
     // Real embeddings plus a wrong-dimension vector (both formulations
