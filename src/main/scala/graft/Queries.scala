@@ -2842,6 +2842,83 @@ object Queries {
         .select(col("day"), col("p").as("low_cents"))
         .orderBy("day")
     },
+
+    // Revenue concentration (the 80/20 cut): smallest top-revenue
+    // customer prefix covering ≥ 80% of cent-exact revenue — cumulative
+    // sums via the distributed prefix sum ordered by (revenue desc,
+    // custkey); the oracle runs the REAL running-sum window. Integer
+    // cumulative comparisons (cr·5 ≥ t·4), so the cut index cannot
+    // float-flip.
+    dfq("q_pareto_cut",
+      "WITH rev AS (SELECT o_custkey AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r " +
+        "  FROM orders GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(r) AS BIGINT) AS t, count(*) AS n FROM rev), " +
+        "cum AS (SELECT c, r, sum(r) OVER (ORDER BY r DESC, c ROWS UNBOUNDED PRECEDING) AS cr, " +
+        "  row_number() OVER (ORDER BY r DESC, c) AS rk FROM rev), " +
+        "cut AS (SELECT min(rk) AS k FROM cum CROSS JOIN tot WHERE cr * 5 >= t * 4) " +
+        "SELECT CAST(cut.k AS BIGINT) AS top_customers, " +
+        "  round(CAST(cut.k AS DOUBLE) / tot.n, 6) AS cust_share, " +
+        "  round(CAST((SELECT cr FROM cum WHERE rk = cut.k) AS DOUBLE) / tot.t, 6) AS rev_share " +
+        "FROM cut CROSS JOIN tot") { (s, dir) =>
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+      val tot = rev.agg(sum(col("r")).as("t"), count(lit(1)).as("n"))
+      val cum = graft.operators.Prefix.withRunningSums(
+        rev.withColumn("_k", -col("r")), "_k", Seq(("r", "cr")),
+        idxCol = "rk", tieCols = Seq("c"))
+      val kDf = cum.crossJoin(broadcast(tot))
+        .filter(col("cr") * 5 >= col("t") * 4)
+        .agg(min(col("rk")).as("k"))
+      cum.join(broadcast(kDf), col("rk") === col("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").cast("long").as("top_customers"),
+          round(col("k") / col("n"), 6).as("cust_share"),
+          round(col("cr") / col("t"), 6).as("rev_share"))
+    },
+
+    // A/B experiment readout on DETERMINISTIC assignment: users split
+    // 50/50-ish by the md5 gate (reproducible on any engine at any
+    // parallelism — the experiment-assignment requirement), conversion =
+    // any high-value purchase (EXISTS ⇒ semi join), pooled two-proportion
+    // z. Real split at sf0.01: 33/78 vs 34/72 converted.
+    sql2("q_ab_test",
+      "WITH assign AS (SELECT user_id, CASE WHEN substr(md5(CAST(user_id AS STRING) || '|ab1'), 1, 1) < '8' " +
+        "    THEN 'A' ELSE 'B' END AS grp " +
+        "  FROM (SELECT DISTINCT user_id FROM events) u), " +
+        "conv AS (SELECT a.grp, count(*) AS n_users, " +
+        "    sum(CASE WHEN EXISTS (SELECT 1 FROM events e WHERE e.user_id = a.user_id " +
+        "      AND e.event_type = 'purchase' AND e.value >= 150) THEN 1 ELSE 0 END) AS n_conv " +
+        "  FROM assign a GROUP BY a.grp), " +
+        "w AS (SELECT max(CASE WHEN grp = 'A' THEN n_users END) AS na, " +
+        "    max(CASE WHEN grp = 'A' THEN n_conv END) AS ca, " +
+        "    max(CASE WHEN grp = 'B' THEN n_users END) AS nb, " +
+        "    max(CASE WHEN grp = 'B' THEN n_conv END) AS cb FROM conv) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a, " +
+        "  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b, " +
+        "  round(ca * 1.0 / na, 6) AS rate_a, round(cb * 1.0 / nb, 6) AS rate_b, " +
+        "  round((cb * 1.0 / nb - ca * 1.0 / na) / " +
+        "    sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb)) * " +
+        "      (1.0 / na + 1.0 / nb)), 3) AS z " +
+        "FROM w",
+      "WITH assign AS (SELECT user_id, CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|ab1'), 1, 1) < '8' " +
+        "    THEN 'A' ELSE 'B' END AS grp " +
+        "  FROM (SELECT DISTINCT user_id FROM events) u), " +
+        "conv AS (SELECT a.grp, count(*) AS n_users, " +
+        "    sum(CASE WHEN EXISTS (SELECT 1 FROM events e WHERE e.user_id = a.user_id " +
+        "      AND e.event_type = 'purchase' AND e.value >= 150) THEN 1 ELSE 0 END) AS n_conv " +
+        "  FROM assign a GROUP BY a.grp), " +
+        "w AS (SELECT max(CASE WHEN grp = 'A' THEN n_users END) AS na, " +
+        "    max(CASE WHEN grp = 'A' THEN n_conv END) AS ca, " +
+        "    max(CASE WHEN grp = 'B' THEN n_users END) AS nb, " +
+        "    max(CASE WHEN grp = 'B' THEN n_conv END) AS cb FROM conv) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a, " +
+        "  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b, " +
+        "  round(ca * 1.0 / na, 6) AS rate_a, round(cb * 1.0 / nb, 6) AS rate_b, " +
+        "  round((cb * 1.0 / nb - ca * 1.0 / na) / " +
+        "    sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb)) * " +
+        "      (1.0 / na + 1.0 / nb)), 3) AS z " +
+        "FROM w"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

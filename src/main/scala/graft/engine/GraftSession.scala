@@ -380,6 +380,17 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
       "vec_id", "embedding", k = k, m = m, seedIds = seedIds)
   }
 
+  /** IVF-PQ composite query over the embeddings table — see
+    * [[graft.operators.Similarity.ivfPqTopK]].
+    */
+  def ivfPqQuery(queryIds: Seq[Long], k: Int = 5, nProbe: Int = 8,
+                 shortlist: Int = 50): DataFrame = {
+    val emb = table("embeddings")
+    graft.operators.Similarity.ivfPqTopK(
+      emb, emb.filter(col("vec_id").isin(queryIds: _*)),
+      "vec_id", "embedding", k = k, nProbe = nProbe, shortlist = shortlist)
+  }
+
   /** k-core of an undirected edge list (synchronous peeling) — see
     * [[graft.operators.Components.kCore]].
     */

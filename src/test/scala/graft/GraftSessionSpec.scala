@@ -94,8 +94,9 @@ class GraftSessionSpec extends AnyFunSuite {
     // kCore: a triangle is its own 2-core.
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
     assert(gs.kCore(tri, "a", "b", k = 2).count() == 3)
-    // pqQuery: k neighbors per query through the PQ index.
+    // pqQuery / ivfPqQuery: k neighbors per query through the PQ paths.
     assert(gs.pqQuery(Seq(0L, 1L), k = 3).count() == 6)
+    assert(gs.ivfPqQuery(Seq(0L, 1L), k = 3).count() == 6)
     graft.operators.OpCaches.releaseAll(spark)
   }
 }
