@@ -2919,6 +2919,51 @@ object Queries {
         "    sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb)) * " +
         "      (1.0 / na + 1.0 / nb)), 3) AS z " +
         "FROM w"),
+
+    // Gini coefficient of customer revenue — the inequality companion to
+    // q_pareto_cut's cut point: G = (2·Σ i·rᵢ − (n+1)·Σr) / (n·Σr) over
+    // ascending-revenue ranks. Engine: the distributed prefix rank +
+    // DECIMAL(38) Σ i·rᵢ (the term overflows a 64-bit sum at full scale);
+    // oracle: the real row_number window. All-integer until one final
+    // double expression, identically shaped both engines.
+    dfq("q_gini",
+      "WITH rev AS (SELECT o_custkey AS c, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS r " +
+        "  FROM orders GROUP BY 1), " +
+        "rk AS (SELECT c, r, row_number() OVER (ORDER BY r ASC, c) AS i FROM rev), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS t, " +
+        "  sum(i * r) AS ir FROM rk) " +
+        "SELECT n, t AS total_cents, " +
+        "  round((2.0 * CAST(ir AS DOUBLE) - (n + 1.0) * t) / (n * 1.0 * t), 6) AS gini " +
+        "FROM agg") { (s, dir) =>
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("r"))
+      graft.operators.Prefix.withRunningSums(
+          rev, "r", Nil, idxCol = "i", tieCols = Seq("c"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("r")).cast("long").as("t"),
+          sum(col("i").cast("decimal(38,0)") * col("r")).as("ir"))
+        .select(col("n"), col("t").as("total_cents"),
+          round((lit(2.0) * col("ir").cast("double") - (col("n") + 1.0) * col("t")) /
+            (col("n") * lit(1.0) * col("t")), 6).as("gini"))
+    },
+
+    // Day-of-week seasonality index: per-weekday revenue share vs the
+    // uniform 1/7 — the demand-shape profile behind staffing/capacity.
+    // Spark's dayofweek is 1-based (Sunday=1), DuckDB's 0-based; the
+    // Spark text shifts by one so both engines emit the same dow key.
+    sql2("q_seasonal_index",
+      "WITH d AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) - 1 AS dow, " +
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "per AS (SELECT dow, CAST(sum(cents) AS BIGINT) AS rev, count(*) AS n FROM d GROUP BY dow), " +
+        "tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per) " +
+        "SELECT CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n_orders, rev AS rev_cents, " +
+        "  round(rev * 7.0 / tot.t, 6) AS seasonal_index FROM per CROSS JOIN tot ORDER BY dow",
+      "WITH d AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow, " +
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "per AS (SELECT dow, CAST(sum(cents) AS BIGINT) AS rev, count(*) AS n FROM d GROUP BY dow), " +
+        "tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per) " +
+        "SELECT CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n_orders, rev AS rev_cents, " +
+        "  round(rev * 7.0 / tot.t, 6) AS seasonal_index FROM per CROSS JOIN tot ORDER BY dow"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
