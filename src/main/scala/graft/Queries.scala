@@ -2395,9 +2395,12 @@ object Queries {
     // BM25 sums; 6-dp-rounded cosine with id tie-break), each 1/(60+r)
     // contribution is 6-dp-rounded into DECIMAL so the fused sum is
     // exact, and docs in only one list contribute 0 from the other (full
-    // outer join). The top-100 cuts are global sort-limits
-    // (TakeOrdered); the rank windows then run over ≤ 100 rows —
-    // contractually tiny at any corpus scale.
+    // outer join). The top-100 cuts come FIRST as global sort-limits
+    // (TakeOrdered, `bmtop`/`costop`) and only then are the rank
+    // windows applied — so the partition-less row_number genuinely
+    // runs over ≤ 100 rows, contractually tiny at any corpus scale
+    // (r12 advice: ranking before the LIMIT ran the window over the
+    // full relation in a single partition).
     sql2("q_rrf_fusion",
       "WITH toks AS (SELECT doc_id, tok FROM " +
         "  (SELECT doc_id, explode(split(lower(text), ' ')) AS tok FROM documents) e " +
@@ -2412,8 +2415,8 @@ object Queries {
         "    (tf + 1.2 * (0.25 + 0.75 * dl.dl / (stats.sum_dl / stats.n_docs))), 6) AS DECIMAL(18,6)) AS s " +
         "  FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats), " +
         "bm AS (SELECT doc_id, sum(s) AS bscore FROM scored GROUP BY doc_id), " +
-        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) AS r " +
-        "  FROM bm ORDER BY bscore DESC, doc_id LIMIT 100), " +
+        "bmtop AS (SELECT doc_id, bscore FROM bm ORDER BY bscore DESC, doc_id LIMIT 100), " +
+        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY bscore DESC, doc_id) AS r FROM bmtop), " +
         "pairs AS (SELECT c.vec_id AS doc_id, c.embedding AS cv, q.embedding AS qv " +
         "  FROM embeddings c CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
         "  WHERE c.vec_id <> 0), " +
@@ -2423,8 +2426,9 @@ object Queries {
         "  sqrt(aggregate(cv, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nc, " +
         "  sqrt(aggregate(qv, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) AS nq " +
         "  FROM pairs), " +
-        "cosr AS (SELECT doc_id, row_number() OVER (ORDER BY round(dotp / (nc * nq), 6) DESC, doc_id) AS r " +
-        "  FROM dots ORDER BY round(dotp / (nc * nq), 6) DESC, doc_id LIMIT 100), " +
+        "costop AS (SELECT doc_id, round(dotp / (nc * nq), 6) AS cscore " +
+        "  FROM dots ORDER BY cscore DESC, doc_id LIMIT 100), " +
+        "cosr AS (SELECT doc_id, row_number() OVER (ORDER BY cscore DESC, doc_id) AS r FROM costop), " +
         "fused AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, " +
         "  coalesce(CAST(round(1.0 / (60 + b.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) + " +
         "  coalesce(CAST(round(1.0 / (60 + c.r), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf " +
@@ -2742,27 +2746,39 @@ object Queries {
     // pruned band, so nothing inside the radius can fall outside the
     // box) and the box predicates push to the scan; the ORACLE brute
     // forces WITHOUT the box — green proves the prune lost nothing.
+    // BOTH texts CAST the integer numerator to DOUBLE before the
+    // /100.0: Spark types `int / 100.0` DECIMAL (decimal-literal
+    // rule) while DuckDB's decimal-division path rounds the low bits
+    // differently from IEEE double division (measured: ±5 low bits at
+    // sf0.01) — double÷double is correctly rounded in both engines,
+    // so casting first makes lat/lon bit-identical. Distance is
+    // floored integer METERS, not 3-dp-rounded km: sf0.01's closest
+    // rounding margin is 12.4 mm — seven orders above libm ulp noise
+    // — where the old km form sat 1.7e-6 km from a round(…,3)
+    // boundary on id 219.
     dfq("q_geo_radius",
       "WITH pts AS (SELECT c_custkey AS id, " +
-        "  ((c_custkey * 37) % 17000) / 100.0 - 85.0 AS lat, " +
-        "  ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
-        "d AS (SELECT id, lat, lon, round(2 * 6371.0 * asin(sqrt( " +
+        "  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat, " +
+        "  CAST((c_custkey * 91) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon FROM customer), " +
+        "d AS (SELECT id, lat, lon, 2 * 6371000.0 * asin(sqrt( " +
         "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
         "    cos(radians(10.0)) * cos(radians(lat)) * " +
-        "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))), 3) AS km FROM pts) " +
-        "SELECT id, lat, lon, km FROM d WHERE km <= 2500 ORDER BY km, id LIMIT 20") { (s, dir) =>
+        "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))) AS m_raw FROM pts) " +
+        "SELECT id, lat, lon, CAST(floor(m_raw) AS BIGINT) AS dist_m FROM d " +
+        "WHERE m_raw <= 2500000 ORDER BY dist_m, id LIMIT 20") { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql(
         "WITH pts AS (SELECT c_custkey AS id, " +
-          "  ((c_custkey * 37) % 17000) / 100.0 - 85.0 AS lat, " +
-          "  ((c_custkey * 91) % 36000) / 100.0 - 180.0 AS lon FROM customer), " +
+          "  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat, " +
+          "  CAST((c_custkey * 91) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon FROM customer), " +
           "boxed AS (SELECT * FROM pts WHERE lat BETWEEN -15.0 AND 35.0 " +
           "  AND lon BETWEEN -8.0 AND 48.0), " +
-          "d AS (SELECT id, lat, lon, round(2 * 6371.0 * asin(sqrt( " +
+          "d AS (SELECT id, lat, lon, 2 * 6371000.0 * asin(sqrt( " +
           "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
           "    cos(radians(10.0)) * cos(radians(lat)) * " +
-          "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))), 3) AS km FROM boxed) " +
-          "SELECT id, lat, lon, km FROM d WHERE km <= 2500 ORDER BY km, id LIMIT 20")
+          "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))) AS m_raw FROM boxed) " +
+          "SELECT id, lat, lon, CAST(floor(m_raw) AS BIGINT) AS dist_m FROM d " +
+          "WHERE m_raw <= 2500000 ORDER BY dist_m, id LIMIT 20")
     },
 
     // Benford first-digit analysis of line-item amounts — the classic
@@ -2896,9 +2912,9 @@ object Queries {
         "    max(CASE WHEN grp = 'B' THEN n_conv END) AS cb FROM conv) " +
         "SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a, " +
         "  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b, " +
-        "  round(ca * 1.0 / na, 6) AS rate_a, round(cb * 1.0 / nb, 6) AS rate_b, " +
-        "  round((cb * 1.0 / nb - ca * 1.0 / na) / " +
-        "    sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb)) * " +
+        "  round(CAST(ca AS DOUBLE) / na, 6) AS rate_a, round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b, " +
+        "  round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) / " +
+        "    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
         "      (1.0 / na + 1.0 / nb)), 3) AS z " +
         "FROM w",
       "WITH assign AS (SELECT user_id, CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '|ab1'), 1, 1) < '8' " +
@@ -2914,9 +2930,9 @@ object Queries {
         "    max(CASE WHEN grp = 'B' THEN n_conv END) AS cb FROM conv) " +
         "SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a, " +
         "  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b, " +
-        "  round(ca * 1.0 / na, 6) AS rate_a, round(cb * 1.0 / nb, 6) AS rate_b, " +
-        "  round((cb * 1.0 / nb - ca * 1.0 / na) / " +
-        "    sqrt(((ca + cb) * 1.0 / (na + nb)) * (1 - (ca + cb) * 1.0 / (na + nb)) * " +
+        "  round(CAST(ca AS DOUBLE) / na, 6) AS rate_a, round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b, " +
+        "  round((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) / " +
+        "    sqrt((CAST(ca + cb AS DOUBLE) / (na + nb)) * (1 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
         "      (1.0 / na + 1.0 / nb)), 3) AS z " +
         "FROM w"),
 
@@ -2951,13 +2967,17 @@ object Queries {
     // uniform 1/7 — the demand-shape profile behind staffing/capacity.
     // Spark's dayofweek is 1-based (Sunday=1), DuckDB's 0-based; the
     // Spark text shifts by one so both engines emit the same dow key.
+    // The Spark side CASTs rev to DOUBLE before the `* 7.0 / t` ratio:
+    // Spark types decimal-literal arithmetic over BIGINT as DECIMAL
+    // where DuckDB emits DOUBLE, and the driver hash fails on the
+    // representation even with bit-identical values (r12 verdict).
     sql2("q_seasonal_index",
       "WITH d AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) - 1 AS dow, " +
         "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "per AS (SELECT dow, CAST(sum(cents) AS BIGINT) AS rev, count(*) AS n FROM d GROUP BY dow), " +
         "tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per) " +
         "SELECT CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n_orders, rev AS rev_cents, " +
-        "  round(rev * 7.0 / tot.t, 6) AS seasonal_index FROM per CROSS JOIN tot ORDER BY dow",
+        "  round(CAST(rev AS DOUBLE) * 7.0 / tot.t, 6) AS seasonal_index FROM per CROSS JOIN tot ORDER BY dow",
       "WITH d AS (SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow, " +
         "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "per AS (SELECT dow, CAST(sum(cents) AS BIGINT) AS rev, count(*) AS n FROM d GROUP BY dow), " +

@@ -348,11 +348,15 @@ final class GraftSession(val spark: SparkSession, dataDir: String,
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long = 1000000L, fpp: Double = 0.03): DataFrame = {
     import graft.functions.BloomOps._
-    val keys = dim.select(col(dimKey))
-    val bytes = keys.agg(bloom_agg(col(dimKey), expectedItems, fpp))
+    // The dim key is re-aliased to a reserved name: with the common
+    // shared-key-name shape (factKey == dimKey, or fact already has a
+    // column named dimKey) an unqualified col(dimKey) === col(factKey)
+    // join condition is ambiguous and throws AnalysisException.
+    val keys = dim.select(col(dimKey).as("__graft_dim_key"))
+    val bytes = keys.agg(bloom_agg(col("__graft_dim_key"), expectedItems, fpp))
       .head().getAs[Array[Byte]](0)
     fact.filter(bloom_might_contain(lit(bytes), col(factKey)))
-      .join(keys.distinct(), col(factKey) === col(dimKey), "left_semi")
+      .join(keys.distinct(), col(factKey) === col("__graft_dim_key"), "left_semi")
   }
 
   /** Capped multi-source BFS hop counts over an undirected edge list —

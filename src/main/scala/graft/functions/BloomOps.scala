@@ -113,9 +113,28 @@ final case class BloomMightContain(left: Expression, right: Expression)
 
   @transient private lazy val cachedBf: BloomFilter = deserialize(left.eval())
 
+  // Non-foldable sketch operands (e.g. a joined-in per-group sketch
+  // column) would otherwise deserialize the filter on EVERY row — an
+  // O(rows × filter-size) hazard on the scan hot path this expression
+  // is built for. The byte array is immutable in Spark's row lifecycle
+  // and repeats by reference across consecutive rows of the same
+  // sketch, so an identity-keyed one-slot cache amortizes it to one
+  // deserialization per distinct upstream buffer.
+  @transient private var lastBytes: AnyRef = _
+  @transient private var lastBf: BloomFilter = _
+
   /** Codegen/interpreted shared kernel (public: the generated code calls it). */
   def test(sketchBytes: Any, key: Any): Boolean = {
-    val bf = if (left.foldable) cachedBf else deserialize(sketchBytes)
+    val bf =
+      if (left.foldable) cachedBf
+      else {
+        val ref = sketchBytes.asInstanceOf[AnyRef]
+        if (ref ne lastBytes) {
+          lastBf = deserialize(sketchBytes)
+          lastBytes = ref
+        }
+        lastBf
+      }
     key match {
       case s: UTF8String => bf.mightContainBinary(s.getBytes)
       case n: java.lang.Number => bf.mightContainLong(n.longValue())

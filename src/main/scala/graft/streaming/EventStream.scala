@@ -356,8 +356,8 @@ object EventStream {
     * file sinks lack natively (the batch face is `q_dedup_keep_latest`;
     * this is its end-to-end streaming face). Per micro-batch: reduce the
     * batch to its per-key winner, merge with the current state under the
-    * SAME rule, write the merged state as version `v=<batchId>` and
-    * retire older versions. Because "latest by (orderCols…)" is an
+    * SAME rule, write the merged state as version `v=(max committed + 1)`
+    * and retire older versions. Because "latest by (orderCols…)" is an
     * associative, commutative reduction under a TOTAL order (callers
     * pass a unique tiebreaker, e.g. (ts, event_id)), the final state is
     * independent of micro-batch boundaries — exactly the batch answer.
@@ -389,7 +389,7 @@ object EventStream {
     changes.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val committed = committedVersions(stateDir)
+        val committed = committedVersions(spark, stateDir)
         val next = if (committed.isEmpty) 0L else committed.max + 1L
         val merged = committed.sorted.lastOption match {
           case Some(v) =>
@@ -399,26 +399,39 @@ object EventStream {
         merged.write.mode("overwrite").parquet(s"$stateDir/v=$next")
         // Retire superseded committed versions — readers already ignore
         // them; this bounds disk.
+        val (fs, base) = fsFor(spark, stateDir)
         committed.foreach { v =>
-          def rm(p: java.io.File): Unit = {
-            Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
-          }
-          rm(new java.io.File(s"$stateDir/v=$v"))
+          fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true): Unit
         }
     }
   }
 
-  private def committedVersions(stateDir: String): Seq[Long] =
-    Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v=").toLong)
+  /** stateDir's FileSystem + qualified Path via the session's Hadoop
+    * conf — java.io.File would silently list ZERO committed versions
+    * on a non-local stateDir (HDFS/S3, which the scale story invites),
+    * making every batch reduce only itself and drop all prior keys.
+    */
+  private def fsFor(spark: SparkSession, stateDir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  private def committedVersions(spark: SparkSession, stateDir: String): Seq[Long] = {
+    val (fs, base) = fsFor(spark, stateDir)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
 
   /** Latest committed CDC state (max `v=` dir with a `_SUCCESS` marker),
     * None before the first commit.
     */
   def currentCdcState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val versions = committedVersions(stateDir)
+    val versions = committedVersions(spark, stateDir)
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$stateDir/v=${versions.max}"))
   }

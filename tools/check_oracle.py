@@ -38,6 +38,28 @@ for name, sql in sorted(oracle.items()):
         bad.append((name, f"COLUMNS spark={sorted(s.columns)} duck={sorted(d.columns)}")); continue
     if len(s) != len(d):
         bad.append((name, f"ROWS spark={len(s)} duck={len(d)}")); continue
+    # Dtype audit (r12 verdict): the DRIVER's compare hashes exact value
+    # representations, so a Spark DecimalType column vs a DuckDB DOUBLE
+    # twin hash-fails even when every value is numerically identical —
+    # and the tolerance compare below would happily pass it. Spark mints
+    # this silently via decimal-literal typing (`x / 100.0`, `rev * 7.0`
+    # over integer inputs). Fail loudly on the representation mismatch.
+    import decimal
+    dtype_bad = None
+    for c in s.columns:
+        s_dec = s[c].dtype == object and s[c].map(
+            lambda v: isinstance(v, decimal.Decimal)).any()
+        d_float = str(d[c].dtype).startswith("float")
+        d_dec = d[c].dtype == object and d[c].map(
+            lambda v: isinstance(v, decimal.Decimal)).any()
+        s_float = str(s[c].dtype).startswith("float")
+        if (s_dec and d_float) or (d_dec and s_float):
+            dtype_bad = (f"DTYPE col={c}: spark={'decimal' if s_dec else 'float'} "
+                         f"vs duck={'decimal' if d_dec else 'float'} — driver hash "
+                         f"will fail on representation; CAST the Spark side")
+            break
+    if dtype_bad:
+        bad.append((name, dtype_bad)); continue
     try:
         mismatch = None
         for c in s.columns:
