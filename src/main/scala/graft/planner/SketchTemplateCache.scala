@@ -103,6 +103,73 @@ final class SketchTemplateCache(dir: Path) {
     }
   }
 
+  // ---- Filtered-instance tier ----------------------------------------
+  // The reference persists its sketch templates across sessions
+  // (Catalog/Catalog.h:579-731 load/save; sketch-templates/README.md);
+  // the analogue for FILTERED instances lives here: CompassSession's
+  // session-scoped memo spills each built filtered sketch to a side-file
+  // keyed by the memo's own canonical key (data identity + canonicalized
+  // filtered plan + join columns + seed classes + dims), so a COLD
+  // session re-pays only a ~600 KB file read instead of a sketch job per
+  // filtered instance (r12 measured the cold filtered-sketch path at
+  // ~50% of per-query time on the JOB subset). Unlike table templates
+  // the population is workload-shaped and unbounded, so the tier is
+  // CAPPED: past `maxFilteredFiles` the oldest files (mtime) are pruned
+  // — always safe, the tier is a rebuildable cache by construction, and
+  // staleness is impossible because the key's data-identity component
+  // snapshots location + mtime (a rewritten table simply misses).
+
+  private val filteredCap: Int =
+    sys.env.get("GRAFT_FILTERED_CACHE_CAP").flatMap(_.toIntOption).getOrElse(512)
+
+  private def filteredFile(rawKey: String): Path = {
+    val h = MessageDigest.getInstance("SHA-256").digest(rawKey.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    dir.resolve(s"filtered-$h.bin")
+  }
+
+  /** The persisted filtered sketch for this canonical key, if present. */
+  def loadFiltered(rawKey: String): Option[SketchGroup] = {
+    val f = filteredFile(rawKey)
+    if (Files.exists(f))
+      // A torn/corrupt file (pruned mid-read, disk fault) must degrade to
+      // a rebuild, never fail the query.
+      try Some(SketchGroup.deserialize(Files.readAllBytes(f)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    else None
+  }
+
+  /** Persist a filtered sketch (atomic write), then prune past the cap. */
+  def storeFiltered(rawKey: String, g: SketchGroup): Unit = {
+    val f = filteredFile(rawKey)
+    val tmp = Files.createTempFile(dir, "filtered", ".tmp")
+    try {
+      Files.write(tmp, g.serialize())
+      try Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          Files.move(tmp, f, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally Files.deleteIfExists(tmp): Unit
+    // Bound the tier: delete oldest-by-mtime beyond the cap. Best-effort —
+    // concurrent stores may race the listing; a missed prune is caught by
+    // the next store, a double delete is a no-op.
+    try {
+      val s = Files.list(dir)
+      val files =
+        try s.filter(p => p.getFileName.toString.startsWith("filtered-"))
+          .toArray(new Array[Path](_)).toSeq
+        finally s.close()
+      if (files.size > filteredCap)
+        files.sortBy(p =>
+            try Files.getLastModifiedTime(p).toMillis catch { case _: Throwable => 0L })
+          .dropRight(filteredCap)
+          .foreach(p => try Files.deleteIfExists(p): Unit catch { case _: Throwable => () })
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def clear(): Unit = {
     memory.clear()
     if (Files.exists(dir)) {

@@ -144,6 +144,36 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(optimized.toSeq == vanilla.toSeq)
   }
 
+  test("filtered-sketch disk tier: a COLD session with a warm cache dir " +
+      "runs zero filtered sketch jobs and plans identically") {
+    Tables.registerAll(spark, dir)
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft-filtered-tier")
+    // Session 1: cold everything — builds the filtered region sketch and
+    // spills it to the disk tier.
+    val cs1 = new CompassSession(spark,
+      templateCache = Some(new SketchTemplateCache(cacheDir)))
+    val r1 = cs1.sql(fiveWay).collect().map(_.toSeq)
+    val plan1 = cs1.lastPlan.get
+    assert(cs1.filteredMisses >= 1, "cold session must build the filtered sketch")
+    assert(cs1.filteredDiskHits == 0)
+    // Session 2: NEW CompassSession (memory memo empty — the r12 cold-start
+    // cost) over the SAME cache dir: every filtered sketch must come from
+    // disk, no sketch job, and the plan + results must be identical (the
+    // persisted bytes ARE the built sketch, so estimates cannot drift).
+    val cs2 = new CompassSession(spark,
+      templateCache = Some(new SketchTemplateCache(cacheDir)))
+    val r2 = cs2.sql(fiveWay).collect().map(_.toSeq)
+    val plan2 = cs2.lastPlan.get
+    assert(cs2.filteredMisses == 0,
+      s"warm disk tier must serve every filtered sketch (built ${cs2.filteredMisses})")
+    assert(cs2.filteredDiskHits >= 1)
+    assert(plan2.order == plan1.order, "disk-served sketches must reproduce the plan")
+    assert(plan2.sketchCounts == plan1.sketchCounts)
+    assert(r2.toSeq == r1.toSeq)
+    // And the result still equals vanilla.
+    assert(r2.toSeq == spark.sql(fiveWay).collect().map(_.toSeq).toSeq)
+  }
+
   test("PRE_PROCESSING warm-up: first compass query after warm() builds nothing") {
     Tables.registerAll(spark, dir)
     val cache = new SketchTemplateCache(
