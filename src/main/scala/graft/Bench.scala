@@ -162,6 +162,11 @@ object Bench {
     // median is the contention-robust number — both are recorded so the
     // official line is diagnosable without a quiesced replica.
     val jobLatency = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Int)]()
+    // Per-streaming-entry micro-batch telemetry (n_batches, median ms,
+    // max ms) from the COLD lap: r12's streaming entries doubled under
+    // driver contention with no way to tell a uniform slowdown from one
+    // stalled batch; this is the streaming analogue of job_planning.
+    val streamBatches = scala.collection.mutable.LinkedHashMap[String, (Int, Long, Long)]()
     def latencyStats(lat: Map[String, Long]): Option[(Long, Long, Long, Int)] =
       if (lat.isEmpty) None else {
         val xs = lat.values.toSeq.sorted
@@ -177,6 +182,8 @@ object Bench {
         graft.job.JobCorpus.lastCorpusLatencies = Map.empty
         JobEntries.lastQualityReports = Nil
       }
+      if (e.name.startsWith("q_stream"))
+        StreamQueries.lastBatchDurations = Map.empty
       val t0 = System.nanoTime()
       try {
         val n = materialize(e.run(spark, sfDir))
@@ -198,6 +205,12 @@ object Bench {
         graft.job.JobCorpus.lastCompassRuns = Nil
         graft.job.JobCorpus.lastCorpusLatencies = Map.empty
         JobEntries.lastQualityReports = Nil
+      }
+      if (e.name.startsWith("q_stream")) {
+        val durs = StreamQueries.lastBatchDurations.values.flatten.toSeq.sorted
+        if (durs.nonEmpty)
+          streamBatches(e.name) = (durs.size, durs(durs.size / 2), durs.last)
+        StreamQueries.lastBatchDurations = Map.empty
       }
       // Operator-internal persists only serve their own query's action;
       // release them so the 70+-query run doesn't accumulate cache.
@@ -298,8 +311,14 @@ object Bench {
     val jobLatencyJson = jobLatency.map { case (k, (med, p90, mx, n)) =>
       s""""${esc(k)}":{"median_ms":$med,"p90_ms":$p90,"max_ms":$mx,"n":$n}"""
     }.mkString("{", ",", "}")
+    // Per-streaming-entry [n_batches, median_ms, max_ms] — full map in
+    // the file; the compact stdout line carries only the 3 largest-max
+    // entries (the ~2000-char driver window cannot fit 13 more keys).
+    def streamJson(m: Iterable[(String, (Int, Long, Long))]): String =
+      m.map { case (k, (n, md, mx)) => s""""${esc(k)}":[$n,$md,$mx]""" }
+        .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
     java.nio.file.Files.write(fullOut,
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq
@@ -320,6 +339,8 @@ object Bench {
     val jobPlanningCompact = jobPlanning.map { case (entry, runs) =>
       s""""${esc(entry)}":{${planningTotals(runs)}}"""
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":$jobPlanningCompact,"job_corpus_latency":$jobLatencyJson,"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
+    val streamNoisiest = streamJson(
+      streamBatches.toSeq.sortBy { case (_, (_, _, mx)) => -mx }.take(3))
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":$jobPlanningCompact,"job_corpus_latency":$jobLatencyJson,"stream_batches_noisiest":$streamNoisiest,"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
   }
 }

@@ -46,6 +46,28 @@ object StreamQueries {
     if (table == "events") Tables.normalizeEvents(raw) else raw
   }
 
+  /** Per-micro-batch `triggerExecution` durations (ms) of the most recent
+    * streaming drains, keyed per started stream. Bench snapshots + clears
+    * this around each `q_stream_*` entry and emits count/median/max, so a
+    * contended driver number is decomposable into "every batch slowed"
+    * vs "one batch stalled" from the bench file alone (r12: streaming
+    * entries ran ~2x under driver load with no per-batch signal — the
+    * same diagnosability `job_planning` gives the JOB trio).
+    */
+  @volatile var lastBatchDurations: Map[String, Seq[Long]] = Map.empty
+
+  /** Drain a started streaming query, recording its per-batch durations
+    * under `key`, and always stop it.
+    */
+  private def drainTracked(
+      q: org.apache.spark.sql.streaming.StreamingQuery, key: String): Unit =
+    try {
+      q.processAllAvailable()
+      val durs = q.recentProgress.toSeq.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      synchronized { lastBatchDurations += key -> durs }
+    } finally q.stop()
+
   /** Run `df` into a memory sink to completion, return the sink's rows.
     * Fixed query names are safe across repeated entry runs — active-query
     * name uniqueness only applies to RUNNING queries, and the sink view
@@ -53,7 +75,7 @@ object StreamQueries {
     */
   private def drainToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    drainTracked(q, name)
     df.sparkSession.table(name)
   }
 
@@ -427,7 +449,7 @@ object StreamQueries {
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/chk")
           .start()
-        try q.processAllAvailable() finally q.stop()
+        drainTracked(q, "graft_stream_curate")
         s.read.parquet(s"$out/data").orderBy("doc_id")
     },
 
@@ -474,7 +496,7 @@ object StreamQueries {
             s"$out/state")
           .option("checkpointLocation", s"$out/$chk")
           .start()
-        try q.processAllAvailable() finally q.stop()
+        drainTracked(q, s"graft_stream_cdc_$chk")
       }
       applyOnce("chk1") // cold start: no prior state
       applyOnce("chk2") // steady state: merges with the committed version
