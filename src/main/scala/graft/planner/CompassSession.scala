@@ -93,7 +93,19 @@ final class CompassSession(
     // broadcast budgets, while anything larger is left to AQE's own
     // size-based decision.
     broadcastRowLimit: Long = 100000,
-    templateCache: Option[SketchTemplateCache] = None) {
+    templateCache: Option[SketchTemplateCache] = None,
+    // Wall-time policy (r12 verdict): when every instance except at most
+    // one sits under spark.sql.autoBroadcastJoinThreshold, Catalyst
+    // compiles ANY join order into the same shuffle-free chain of
+    // broadcast hash joins streaming the single big side — the order
+    // cannot change which side streams, so the sketch jobs + splice buy
+    // nothing and only add planning overhead (measured at sf0.1: the
+    // COMPASS spine ran SLOWER than naive in ~half the quality families
+    // for exactly this reason). OFF by default: the differential entries
+    // exist to exercise the COMPASS path at toy scale where everything
+    // is broadcastable; a production session at data scale turns it on
+    // to skip the regime where order provably doesn't matter.
+    skipWhenAllBroadcastable: Boolean = false) {
 
   // Config contract: Catalyst must not re-reorder the spliced spine.
   // Two logical rules could override the enumerator's choice —
@@ -271,6 +283,19 @@ final class CompassSession(
     */
   def optimize(df: DataFrame): DataFrame = optimizeIn(defaultScope, df)
 
+  /** True when at most ONE instance's UNFILTERED base relation is over
+    * the session's autoBroadcastJoinThreshold (stats-based, the same
+    * sizeInBytes Catalyst's broadcast decision reads — filters only
+    * shrink, so "unfiltered under threshold" is conservative-safe).
+    * Checked BEFORE any sketch job so the skip saves the whole pre-pass,
+    * not just the splice. A disabled threshold (<= 0) never skips.
+    */
+  private def allButOneBroadcastable(g: ExtractedJoinGraph): Boolean = {
+    val threshold = Bridge.autoBroadcastThreshold(spark)
+    threshold > 0 && g.instances.count(i =>
+      Bridge.sizeInBytes(i.plan) > BigInt(threshold)) <= 1
+  }
+
   private def optimizeIn(scope: QueryScope, df: DataFrame): DataFrame = {
     if (!fpdEnabled) return df
     scope.release()
@@ -278,6 +303,13 @@ final class CompassSession(
     try {
       val analyzed = df.queryExecution.analyzed
       JoinGraphExtractor.extract(analyzed) match {
+        case Some((g, _)) if skipWhenAllBroadcastable &&
+            g.instances.size >= 3 && allButOneBroadcastable(g) =>
+          // Order provably can't matter (see the constructor flag's doc):
+          // leave the plan untouched — no sketch jobs, no splice. lastPlan
+          // stays None, honestly reporting "did not take the COMPASS
+          // path" to the quality harness.
+          df
         case Some((g, rebuild)) if g.instances.size >= 3 =>
           // Timing mirrors the reference's per-phase instrumentation
           // (FilterPushDownSketch.cpp:1564-1569, RelAlgExecutor.cpp:2628).

@@ -174,6 +174,30 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(r2.toSeq == spark.sql(fiveWay).collect().map(_.toSeq).toSeq)
   }
 
+  test("skipWhenAllBroadcastable: toy-scale region skips the pre-pass, " +
+      "big-side regime takes it (wall-time policy, r12 verdict #5)") {
+    Tables.registerAll(spark, dir)
+    val cs = new CompassSession(spark, skipWhenAllBroadcastable = true)
+    // sf0.001: every table is far under the 10MB default threshold, so
+    // order provably can't matter — the policy must leave the plan
+    // untouched, run ZERO sketch jobs, and still return correct rows.
+    val r = cs.sql(fiveWay).collect().map(_.toSeq)
+    assert(cs.lastPlan.isEmpty, "all-broadcastable region must skip the COMPASS path")
+    assert(cs.filteredMisses == 0 && cs.filteredHits == 0,
+      "the skip must happen BEFORE any sketch job")
+    assert(r.toSeq == spark.sql(fiveWay).collect().map(_.toSeq).toSeq)
+    // Shrink the threshold so >1 instance is "big": the same query must
+    // now take the full COMPASS path.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      cs.lastPlan = None
+      val r2 = cs.sql(fiveWay).collect().map(_.toSeq)
+      assert(cs.lastPlan.isDefined, "big-side regime must take the COMPASS path")
+      assert(r2.toSeq == r.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("PRE_PROCESSING warm-up: first compass query after warm() builds nothing") {
     Tables.registerAll(spark, dir)
     val cache = new SketchTemplateCache(
