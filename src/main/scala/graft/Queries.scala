@@ -72,6 +72,27 @@ object Queries {
     dir.toString
   }
 
+  /** Write orders + customer BUCKETED by custkey (matching 8-bucket
+    * counts + sortBy) as catalog tables `graft_bkt_orders` /
+    * `graft_bkt_customer` — shared by `q_bucketed_join` and
+    * PlanAuditSpec's no-shuffle assertion. Bucketing needs a catalog
+    * entry (`saveAsTable`); the external `path` option keeps the files
+    * in a shutdown-cleaned temp dir.
+    */
+  private[graft] def bucketedTables(s: SparkSession, dir: String): Unit = {
+    val tmp = tempDir("graft_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    Tables.load(s, dir, "orders")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$tmp/orders").mode("overwrite")
+      .saveAsTable("graft_bkt_orders")
+    Tables.load(s, dir, "customer")
+      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$tmp/customer").mode("overwrite")
+      .saveAsTable("graft_bkt_customer")
+  }
+
   // ===========================================================================
   // §2.1 Sources / sinks
   // ===========================================================================
@@ -144,6 +165,56 @@ object Queries {
       df.write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .agg(count(lit(1)).as("n"), sum("s_suppkey").cast("long").as("s"))
+    },
+
+    // Schema-EVOLUTION read (mergeSchema): a fact table whose later
+    // partitions added a column — the 100 TB reality that a reader must
+    // union schemas across file generations instead of failing or
+    // silently dropping the new column. The engine WRITES two
+    // generations under gen= partition dirs (old: k, cents; new adds
+    // priority), reads the directory with mergeSchema=true, and
+    // aggregates the merged relation — old-generation rows surface
+    // priority NULL. The oracle re-derives both generations from orders
+    // directly, so a reader that dropped either the old rows or the new
+    // column hash-fails.
+    dfq("q_schema_evolution",
+      "WITH m AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS prio FROM orders) " +
+        "SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents " +
+        "FROM m GROUP BY prio ORDER BY prio NULLS FIRST") { (s, dir) =>
+      val tmp = tempDir("graft_evolve")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority").as("prio"))
+      orders.filter(col("k") % 2 === 0).select("k", "cents")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      orders.filter(col("k") % 2 === 1).select("k", "cents", "prio")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").option("basePath", tmp).parquet(tmp)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("cents"))
+        .orderBy(col("prio").asc_nulls_first)
+    },
+
+    // Bucketed co-located join: both sides written with bucketBy on the
+    // join key (matching bucket counts + sortBy), so the join reads
+    // bucket-aligned files with NO shuffle on either side — at 100 TB
+    // this is the difference between a metadata-planned merge join and
+    // re-shuffling the fact table on every query. The correctness oracle
+    // recomputes from the original parquet; PlanAuditSpec asserts the
+    // executed plan has zero shuffle exchanges with broadcast disabled.
+    dfq("q_bucketed_join",
+      "SELECT c_nationkey AS nation, count(*) AS n, " +
+        "  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_nationkey ORDER BY nation") { (s, dir) =>
+      bucketedTables(s, dir)
+      s.sql(
+        "SELECT c_nationkey AS nation, count(*) AS n, " +
+          "CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents " +
+          "FROM graft_bkt_orders JOIN graft_bkt_customer ON o_custkey = c_custkey " +
+          "GROUP BY c_nationkey ORDER BY nation")
     },
 
     // CTAS-style parquet materialization + re-read. Reference:
@@ -2781,6 +2852,53 @@ object Queries {
           "WHERE m_raw <= 2500000 ORDER BY dist_m, id LIMIT 20")
     },
 
+    // Geospatial k-NN over a Z-ORDERED LAYOUT (r12 verdict stretch): the
+    // ENGINE writes customers clustered by interleave_bits(latg, long)
+    // via Layout.writeZOrdered (range-partitioned on the z curve — the
+    // 100 TB layout for two-column filter workloads), reads the layout
+    // back, and prunes with an integer box on the CLUSTERED grid columns
+    // — on a z-ordered layout that box skips most parquet row groups via
+    // min/max stats, where the same predicate over an unclustered layout
+    // scans everything. The ORACLE brute-forces the 20 nearest over ALL
+    // customers with no box. Green proves the layout path lost nothing:
+    // the box (lat ±25°, lon ±28° ⊇ the 2500 km ball — soundness margin
+    // as in q_geo_radius) contains ≥ 20 points at every checked SF, so
+    // the global top-20 all lie inside it. Same floored-meters output as
+    // q_geo_radius (12.4 mm min boundary margin at sf0.01).
+    dfq("q_geo_knn",
+      "WITH pts AS (SELECT c_custkey AS id, " +
+        "  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat, " +
+        "  CAST((c_custkey * 91) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon FROM customer), " +
+        "d AS (SELECT id, 2 * 6371000.0 * asin(sqrt( " +
+        "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
+        "    cos(radians(10.0)) * cos(radians(lat)) * " +
+        "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))) AS m_raw FROM pts) " +
+        "SELECT id, CAST(floor(m_raw) AS BIGINT) AS dist_m FROM d " +
+        "ORDER BY dist_m, id LIMIT 20") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val out = tempDir("graft-geo-knn")
+      // Grid columns: exact integer centidegrees shifted non-negative
+      // (lat has 2-dp resolution by construction, so the grid is exact
+      // and the integer box below is equivalent to the lat/lon box).
+      val pts = s.sql(
+        "SELECT c_custkey AS id, " +
+          "CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat, " +
+          "CAST((c_custkey * 91) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon, " +
+          "CAST((c_custkey * 37) % 17000 AS BIGINT) + 500 AS latg, " +
+          "CAST((c_custkey * 91) % 36000 AS BIGINT) AS lng FROM customer")
+      graft.operators.Layout.writeZOrdered(pts, "latg", "lng", s"$out/data", 8)
+      s.read.parquet(s"$out/data").createOrReplaceTempView("graft_geo_layout")
+      s.sql(
+        "WITH boxed AS (SELECT id, lat, lon FROM graft_geo_layout " +
+          "  WHERE latg BETWEEN 7500 AND 12500 AND lng BETWEEN 17200 AND 22800), " +
+          "d AS (SELECT id, 2 * 6371000.0 * asin(sqrt( " +
+          "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
+          "    cos(radians(10.0)) * cos(radians(lat)) * " +
+          "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))) AS m_raw FROM boxed) " +
+          "SELECT id, CAST(floor(m_raw) AS BIGINT) AS dist_m FROM d " +
+          "ORDER BY dist_m, id LIMIT 20")
+    },
+
     // Benford first-digit analysis of line-item amounts — the classic
     // fraud/materiality screen: observed vs expected log10(1 + 1/d)
     // frequency with per-digit z-statistics. The synthetic prices are
@@ -2984,6 +3102,162 @@ object Queries {
         "tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM per) " +
         "SELECT CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n_orders, rev AS rev_cents, " +
         "  round(rev * 7.0 / tot.t, 6) AS seasonal_index FROM per CROSS JOIN tot ORDER BY dow"),
+
+    // ---- Model/data-evaluation metrics (r13): the readouts a training
+    // pipeline runs on every scored dataset — decile lift, drift (PSI),
+    // ranking quality (AUC), and distribution separation (KS). All four
+    // are EXACT (integer counts + deterministic double arithmetic) and
+    // the rank-based ones ride the distributed prefix machinery, never a
+    // partition-less window.
+
+    // Gains/lift table of a repeat-buyer propensity score: score = spend
+    // before the holdout cut, outcome = any order in the last 6 months.
+    // Deciles by distributed percent-rank (Prefix; ties by customer).
+    // The synthetic generator draws per-customer order rates i.i.d., so
+    // spend barely predicts and lift hugs 1.0 — the HONEST readout for
+    // homogeneous customers (like q_benford's rejection), while the
+    // machinery (rank → decile → rate → lift vs base) is fully exercised.
+    dfq("q_decile_lift",
+      "WITH fh AS (SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+        "  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1), " +
+        "conv AS (SELECT DISTINCT o_custkey AS c FROM orders " +
+        "  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'), " +
+        "scored AS (SELECT fh.c, fh.spend, CASE WHEN conv.c IS NULL THEN 0 ELSE 1 END AS y, " +
+        "    percent_rank() OVER (ORDER BY fh.spend, fh.c) AS pr " +
+        "  FROM fh LEFT JOIN conv ON fh.c = conv.c), " +
+        "dec AS (SELECT CAST(floor(least(pr, 0.999999) * 10) AS INT) AS decile, " +
+        "    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_conv FROM scored GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_conv) AS DOUBLE) / sum(n) AS base FROM dec) " +
+        "SELECT decile, CAST(n AS BIGINT) AS n, n_conv, " +
+        "  round(CAST(n_conv AS DOUBLE) / n, 6) AS rate, " +
+        "  round(CAST(n_conv AS DOUBLE) / n / tot.base, 6) AS lift " +
+        "FROM dec CROSS JOIN tot ORDER BY decile") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val fh = s.sql(
+        "SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1")
+      val conv = s.sql(
+        "SELECT DISTINCT o_custkey AS c FROM orders " +
+          "WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'")
+        .withColumn("y1", lit(1L))
+      val scored = fh.join(conv, Seq("c"), "left")
+        .withColumn("y", coalesce(col("y1"), lit(0L))).drop("y1")
+      val n = scored.count() // one scalar: the percent_rank denominator
+      val dec = graft.operators.Prefix.withRunningSums(
+          scored, "spend", Nil, idxCol = "_r", tieCols = Seq("c"))
+        .withColumn("pr", (col("_r") - 1) / (n - 1).toDouble)
+        .groupBy(floor(least(col("pr"), lit(0.999999)) * 10).cast("int").as("decile"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).cast("long").as("n_conv"))
+      val base = dec.agg(
+        (sum(col("n_conv")).cast("double") / sum(col("n"))).as("base"))
+      dec.crossJoin(broadcast(base))
+        .select(col("decile"), col("n"), col("n_conv"),
+          round(col("n_conv").cast("double") / col("n"), 6).as("rate"),
+          round(col("n_conv").cast("double") / col("n") / col("base"), 6).as("lift"))
+        .orderBy("decile")
+    },
+
+    // Population Stability Index between the serving window (last 6
+    // months) and everything before it, over 10 fixed-width price bins —
+    // the standard train/serve drift monitor. The ε-floor (1e-6) guards
+    // empty bins; identical double arithmetic both engines, 6-dp terms.
+    // Stationary synthetic orders → PSI ≈ 0.001 ("no drift"), the
+    // correct monitoring answer for this generator.
+    sql("q_psi_drift",
+      "WITH base AS (SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '2001-02-01' " +
+        "    THEN 'p' ELSE 'q' END AS period, " +
+        "    least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bin FROM orders), " +
+        "cnt AS (SELECT bin, count(*) FILTER (WHERE period = 'p') AS np, " +
+        "    count(*) FILTER (WHERE period = 'q') AS nq FROM base GROUP BY bin), " +
+        "tot AS (SELECT CAST(sum(np) AS DOUBLE) AS tp, CAST(sum(nq) AS DOUBLE) AS tq FROM cnt), " +
+        "prop AS (SELECT bin, CAST(np AS BIGINT) AS np, CAST(nq AS BIGINT) AS nq, " +
+        "    greatest(np / tot.tp, 0.000001) AS p, greatest(nq / tot.tq, 0.000001) AS q " +
+        "  FROM cnt CROSS JOIN tot) " +
+        "SELECT CAST(bin AS INT) AS bin, np, nq, round(p, 6) AS p, round(q, 6) AS q, " +
+        "  round((p - q) * ln(p / q), 6) AS psi_term " +
+        "FROM prop ORDER BY bin"),
+
+    // AUC of the same propensity score by the exact Mann–Whitney
+    // rank-sum with average-rank tie handling: per distinct score value
+    // (nv, pv), average rank = cum-before + (nv+1)/2 from ONE
+    // distributed prefix sum; AUC = (Σ pv·avgrank − n⁺(n⁺+1)/2)/(n⁺n⁻).
+    // Integer-exact until the final division. AUC ≈ 0.5 on this
+    // generator — consistent with q_decile_lift's flat table.
+    dfq("q_auc_rank",
+      "WITH fh AS (SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+        "  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1), " +
+        "conv AS (SELECT DISTINCT o_custkey AS c FROM orders " +
+        "  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'), " +
+        "scored AS (SELECT fh.spend, CASE WHEN conv.c IS NULL THEN 0 ELSE 1 END AS y " +
+        "  FROM fh LEFT JOIN conv ON fh.c = conv.c), " +
+        "byv AS (SELECT spend, count(*) AS nv, CAST(sum(y) AS BIGINT) AS pv " +
+        "  FROM scored GROUP BY spend), " +
+        "cum AS (SELECT spend, nv, pv, " +
+        "    sum(nv) OVER (ORDER BY spend ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnv " +
+        "  FROM byv), " +
+        "rs AS (SELECT CAST(sum(pv) AS DOUBLE) AS npos, " +
+        "    CAST(sum(nv - pv) AS DOUBLE) AS nneg, " +
+        "    sum(pv * (cnv - nv + (nv + 1) / 2.0)) AS ranksum FROM cum) " +
+        "SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg, " +
+        "  round((ranksum - npos * (npos + 1) / 2.0) / (npos * nneg), 6) AS auc FROM rs") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val byv = s.sql(
+        "WITH fh AS (SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+          "  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1), " +
+          "conv AS (SELECT DISTINCT o_custkey AS c FROM orders " +
+          "  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'), " +
+          "scored AS (SELECT fh.spend, CASE WHEN conv.c IS NULL THEN 0 ELSE 1 END AS y " +
+          "  FROM fh LEFT JOIN conv ON fh.c = conv.c) " +
+          "SELECT spend, CAST(count(*) AS BIGINT) AS nv, CAST(sum(y) AS BIGINT) AS pv " +
+          "FROM scored GROUP BY spend")
+      graft.operators.Prefix.withRunningSums(
+          byv, "spend", Seq("nv" -> "cnv"), idxCol = "_i")
+        .agg(sum(col("pv")).cast("double").as("npos"),
+          sum(col("nv") - col("pv")).cast("double").as("nneg"),
+          sum(col("pv") * (col("cnv") - col("nv") + (col("nv") + 1) / 2.0)).as("ranksum"))
+        .select(col("npos").cast("long").as("n_pos"), col("nneg").cast("long").as("n_neg"),
+          round((col("ranksum") - col("npos") * (col("npos") + 1) / 2.0) /
+            (col("npos") * col("nneg")), 6).as("auc"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov statistic between the same two order
+    // populations, over exact cent values: per-value counts, ONE
+    // distributed prefix sum per side, D = max |F_p − F_q| with the
+    // smallest achieving value as the deterministic argmax. All
+    // divisions are exact-operand doubles — both engines compare
+    // identical numbers.
+    dfq("q_ks_stat",
+      "WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "    CASE WHEN CAST(o_orderdate AS DATE) < DATE '2001-02-01' THEN 1 ELSE 0 END AS isp " +
+        "  FROM orders), " +
+        "byv AS (SELECT cents, CAST(sum(isp) AS BIGINT) AS np, " +
+        "    CAST(sum(1 - isp) AS BIGINT) AS nq FROM v GROUP BY cents), " +
+        "tot AS (SELECT CAST(sum(np) AS DOUBLE) AS tp, CAST(sum(nq) AS DOUBLE) AS tq FROM byv), " +
+        "cum AS (SELECT cents, " +
+        "    sum(np) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp, " +
+        "    sum(nq) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq " +
+        "  FROM byv), " +
+        "d AS (SELECT cents, abs(cp / tot.tp - cq / tot.tq) AS dv FROM cum CROSS JOIN tot) " +
+        "SELECT cents AS at_cents, round(dv, 6) AS ks_d FROM d " +
+        "ORDER BY dv DESC, cents LIMIT 1") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val byv = s.sql(
+        "WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+          "    CASE WHEN CAST(o_orderdate AS DATE) < DATE '2001-02-01' THEN 1 ELSE 0 END AS isp " +
+          "  FROM orders) " +
+          "SELECT cents, CAST(sum(isp) AS BIGINT) AS np, " +
+          "  CAST(sum(1 - isp) AS BIGINT) AS nq FROM v GROUP BY cents")
+      val tot = byv.agg(sum(col("np")).cast("double").as("tp"),
+        sum(col("nq")).cast("double").as("tq"))
+      graft.operators.Prefix.withRunningSums(
+          byv, "cents", Seq("np" -> "cp", "nq" -> "cq"), idxCol = "_i")
+        .crossJoin(broadcast(tot))
+        .select(col("cents").as("at_cents"),
+          abs(col("cp") / col("tp") - col("cq") / col("tq")).as("dv"))
+        .orderBy(col("dv").desc, col("at_cents"))
+        .limit(1)
+        .select(col("at_cents"), round(col("dv"), 6).as("ks_d"))
+    },
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
