@@ -197,6 +197,36 @@ object Queries {
         .orderBy(col("prio").asc_nulls_first)
     },
 
+    // Small-file COMPACTION — the 100 TB hygiene op: a fragmented table
+    // (64 round-robin shards — the "too many tiny files" state a
+    // streaming sink or over-parallel writer leaves behind) is read back
+    // and rewritten at a target file count with coalesce (no shuffle:
+    // coalesce only merges partitions). The output pins the before/after
+    // DATA-file counts (deterministic: round-robin over ≥64 rows fills
+    // every shard; coalesce(4) emits exactly 4) plus full content
+    // checksums over the compacted copy, so a compaction that dropped or
+    // duplicated rows — or didn't actually reduce files — hash-fails.
+    dfq("q_compact_small_files",
+      "SELECT 64 AS files_before, 4 AS files_after, count(*) AS n, " +
+        "  CAST(sum(length(text)) AS BIGINT) AS chars, " +
+        "  CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents") { (s, dir) =>
+      val tmp = tempDir("graft_compact")
+      def dataFiles(p: String): Int =
+        Option(new java.io.File(p).listFiles).toSeq.flatten
+          .count(f => f.getName.endsWith(".parquet"))
+      Tables.load(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$tmp/frag")
+      val before = dataFiles(s"$tmp/frag")
+      s.read.parquet(s"$tmp/frag").coalesce(4)
+        .write.mode("overwrite").parquet(s"$tmp/compact")
+      val after = dataFiles(s"$tmp/compact")
+      s.read.parquet(s"$tmp/compact")
+        .agg(count(lit(1)).as("n"), sum(length(col("text"))).cast("long").as("chars"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+        .select(lit(before).as("files_before"), lit(after).as("files_after"),
+          col("n"), col("chars"), col("n_chars"))
+    },
+
     // Bucketed co-located join: both sides written with bucketBy on the
     // join key (matching bucket counts + sortBy), so the join reads
     // bucket-aligned files with NO shuffle on either side — at 100 TB

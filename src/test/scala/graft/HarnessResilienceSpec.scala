@@ -40,6 +40,18 @@ class HarnessResilienceSpec extends AnyFunSuite {
     assert(Files.exists(fullOut))
   }
 
+  test("Bench telemetry: a streaming entry carries per-batch [n, median, max] " +
+      "on both the compact and full lines") {
+    val fullOut = Paths.get(Queries.tempDir("bench-telemetry")).resolve("full.json")
+    val line = Bench.run(spark, "/root/testdata/sf0.001",
+      only = Set("q_stream_sample"), fullOut = fullOut)
+    assert(line.contains("\"stream_batches_noisiest\":{\"q_stream_sample\":["),
+      s"streaming per-batch telemetry missing from the compact line: $line")
+    val full = Files.readString(fullOut)
+    assert(full.contains("\"stream_batches\":{\"q_stream_sample\":["),
+      s"streaming per-batch telemetry missing from the full record")
+  }
+
   test("Verify surfaces a dead entry as an error marker, not silence") {
     val out = Paths.get(Queries.tempDir("verify-corrupt"))
     Verify.run(spark, corruptDir, out.toString, subset = Set("q1_agg"))
