@@ -1311,18 +1311,26 @@ object Queries {
     // Spark's try_divide/try_cast return NULL where strict evaluation
     // would raise; the DuckDB twin re-derives the same nulls with
     // nullif-protected division and its own TRY_CAST. The nullif(...,1)
-    // makes the zero-divisor branch LIVE on every linenumber=1 row.
+    // makes the zero-divisor branch LIVE on every linenumber=1 row, and
+    // the cast column is MOSTLY-CLEAN with a ~1% dirty branch (every
+    // 97th order carries the non-numeric returnflag) — the scale-sane
+    // shape: Spark's failing string→int TRY cast throws-and-catches
+    // internally per row (measured 4.2 s/600k rows when EVERY row
+    // failed, r13 bench audit; 0.33 s at 1% dirt), and a column that
+    // always fails is a schema bug, not a TRY use case.
     sql2("q_try_fns",
       "SELECT count(*) AS n, " +
         "CAST(count(try_divide(l_quantity, l_linenumber - 1)) AS BIGINT) AS n_div, " +
         "round(sum(coalesce(try_divide(l_quantity, l_linenumber - 1), 0)), 2) AS s_div, " +
-        "CAST(count(try_cast(l_returnflag AS INT)) AS BIGINT) AS n_cast, " +
+        "CAST(count(try_cast(CASE WHEN l_orderkey % 97 = 0 THEN l_returnflag " +
+        "  ELSE CAST(l_orderkey AS STRING) END AS INT)) AS BIGINT) AS n_cast_mixed, " +
         "CAST(count(try_cast(CAST(l_linenumber AS STRING) AS INT)) AS BIGINT) AS n_cast_ok " +
         "FROM lineitem",
       "SELECT count(*) AS n, " +
         "CAST(count(l_quantity / nullif(l_linenumber - 1, 0)) AS BIGINT) AS n_div, " +
         "round(sum(coalesce(l_quantity / nullif(l_linenumber - 1, 0), 0)), 2) AS s_div, " +
-        "CAST(count(TRY_CAST(l_returnflag AS INT)) AS BIGINT) AS n_cast, " +
+        "CAST(count(TRY_CAST(CASE WHEN l_orderkey % 97 = 0 THEN l_returnflag " +
+        "  ELSE CAST(l_orderkey AS VARCHAR) END AS INT)) AS BIGINT) AS n_cast_mixed, " +
         "CAST(count(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT)) AS BIGINT) AS n_cast_ok " +
         "FROM lineitem"),
 

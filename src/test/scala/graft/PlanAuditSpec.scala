@@ -26,6 +26,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "the dim filter must be pushed into the region scan")
   }
 
+  test("geo k-NN box predicates push into the z-ordered layout scan") {
+    // The layout exists so the box SKIPS row groups: that only happens if
+    // the integer grid predicates reach the parquet reader as
+    // PushedFilters (the layout guarantees they are also tight per file).
+    val plan = planOf("q_geo_knn")
+    // The PushedFilters list renders truncated ("Gre...") past ~100 chars,
+    // so assert on the prefix that always fits: both latg bounds pushed.
+    assert(plan.contains("GreaterThanOrEqual(latg,7500)") &&
+        plan.contains("LessThanOrEqual(latg,12500)"),
+      s"latg box not pushed into the layout scan:\n${plan.take(4000)}")
+    assert(plan.contains("PushedFilters: [IsNotNull(latg), IsNotNull(lng)"),
+      "lng must participate in the pushed-filter set")
+  }
+
   test("column pruning: projection-only query reads only needed columns") {
     Tables.registerAll(spark, dir)
     val df = spark.sql("SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 10")
