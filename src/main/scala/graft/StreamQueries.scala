@@ -473,6 +473,51 @@ object StreamQueries {
         "graft_stream_sample", "append").orderBy("event_id")
     },
 
+    // Streaming DRIFT MONITOR — the live face of q_psi_drift: the stream
+    // maintains the serving-window value-distribution bins (stateless
+    // bin projection + complete-mode groupBy, so state is O(bins) = 8
+    // rows however much data flows), the batch side supplies the
+    // training-window baseline, and an 8-row broadcast join computes
+    // per-bin PSI terms at read time. DuckDB replays the whole monitor
+    // relationally — stream ≡ batch on the same input.
+    dfq("q_stream_psi",
+      "WITH b AS (SELECT least(CAST(floor(value / 50) AS INT), 7) AS bin, " +
+        "    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS isbase FROM events), " +
+        "cnt AS (SELECT bin, CAST(sum(isbase) AS BIGINT) AS nb, CAST(sum(1 - isbase) AS BIGINT) AS nl " +
+        "  FROM b GROUP BY bin), " +
+        "tot AS (SELECT CAST(sum(nb) AS DOUBLE) AS tb, CAST(sum(nl) AS DOUBLE) AS tl FROM cnt) " +
+        "SELECT CAST(bin AS INT) AS bin, nb, nl, " +
+        "  round(greatest(nb / tot.tb, 0.000001), 6) AS p, " +
+        "  round(greatest(nl / tot.tl, 0.000001), 6) AS q, " +
+        "  round((greatest(nb / tot.tb, 0.000001) - greatest(nl / tot.tl, 0.000001)) * " +
+        "        ln(greatest(nb / tot.tb, 0.000001) / greatest(nl / tot.tl, 0.000001)), 6) AS psi_term " +
+        "FROM cnt CROSS JOIN tot ORDER BY bin") { (s, dir) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val live = fileStream(s, dir, "events")
+        .filter(col("ts") >= cut)
+        .select(least(floor(col("value") / 50).cast("int"), lit(7)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("nl"))
+      val liveCounts = drainToMemory(live, "graft_stream_psi", "complete")
+      val baseCounts = Tables.load(s, dir, "events")
+        .filter(col("ts") < cut)
+        .select(least(floor(col("value") / 50).cast("int"), lit(7)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("nb"))
+      val cnt = baseCounts.join(liveCounts, Seq("bin"), "full_outer")
+        .select(col("bin"),
+          coalesce(col("nb"), lit(0L)).cast("long").as("nb"),
+          coalesce(col("nl"), lit(0L)).cast("long").as("nl"))
+      val tot = cnt.agg(sum(col("nb")).cast("double").as("tb"),
+        sum(col("nl")).cast("double").as("tl"))
+      val eps = lit(0.000001)
+      val p = greatest(col("nb") / col("tb"), eps)
+      val q = greatest(col("nl") / col("tl"), eps)
+      cnt.crossJoin(broadcast(tot))
+        .select(col("bin"), col("nb"), col("nl"),
+          round(p, 6).as("p"), round(q, 6).as("q"),
+          round((p - q) * log(p / q), 6).as("psi_term"))
+        .orderBy("bin")
+    },
+
     // Streaming CDC APPLY (foreachBatch upsert sink): the change stream
     // maintains a per-user latest-state parquet table
     // (EventStream.applyCdcStream — versioned dirs, associative
