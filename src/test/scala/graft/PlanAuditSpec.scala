@@ -303,13 +303,22 @@ class PlanAuditSpec extends AnyFunSuite {
     // quality gate) inherit the same scale contract as q_window_running:
     // windows partition by _pid, no Exchange SinglePartition anywhere.
     Tables.registerAll(spark, dir)
+    // Entries whose final (or embedded scalar) aggregate is a LEGITIMATE
+    // bounded single-partition reduction — one partial row per upstream
+    // partition, never a data funnel: q_rfm's corpus-max-date scalar,
+    // and the r13 eval metrics' O(1)/O(bins) outputs.
+    val boundedScalarReduce =
+      Set("q_rfm", "q_decile_lift", "q_auc_rank", "q_ks_stat")
     for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate",
         "q_corpus_shuffle",
         // r12 prefix riders: RFM ranks, quantile transform, sweep-line
         // concurrency, Borda fusion, and the skyline's exclusive
         // running-min all inherit the same contract.
         "q_rfm", "q_quantile_transform", "q_peak_concurrency",
-        "q_rank_fusion", "q_skyline")) {
+        "q_rank_fusion", "q_skyline",
+        // r13 prefix riders: decile gains table, Mann-Whitney AUC
+        // rank-sum, and the KS running CDFs.
+        "q_decile_lift", "q_auc_rank", "q_ks_stat")) {
       val df = Queries.queryMap(name)(spark, dir)
       df.collect()
       val plan = finalPlan(df.queryExecution.executedPlan.toString)
@@ -319,16 +328,12 @@ class PlanAuditSpec extends AnyFunSuite {
       windowLines.foreach { l =>
         assert(l.contains("_pid"), s"$name: partition-less window:\n$l")
       }
-      // q_rfm embeds one SCALAR aggregate (the corpus max order date):
-      // its final reduce is a legitimate Exchange SinglePartition
-      // carrying one partial row per partition — a bounded reduction,
-      // not a data funnel. Everything else must have none at all.
-      if (name != "q_rfm")
+      if (!boundedScalarReduce(name))
         assert(!plan.contains("Exchange SinglePartition"),
           s"$name: single-partition exchange:\n$plan")
       else
         assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 1,
-          s"q_rfm: more single-partition exchanges than its one scalar agg:\n$plan")
+          s"$name: more single-partition exchanges than its one bounded reduce:\n$plan")
       graft.operators.OpCaches.releaseAll(spark)
     }
   }
