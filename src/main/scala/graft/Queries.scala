@@ -3296,6 +3296,35 @@ object Queries {
         .limit(1)
         .select(col("at_cents"), round(col("dv"), 6).as("ks_d"))
     },
+
+    // POINT-IN-TIME dimension join — the feature-store join that keeps
+    // training features leakage-free: each order joins the customer's
+    // spend TIER as of strictly BEFORE its own day (an SCD2 interval
+    // table built from day-boundary cumulative spend: the exclusive
+    // running sum means a day's own orders never contribute to the tier
+    // they receive). Scale shape: the interval join is keyed on the
+    // equi CUSTOMER key with the interval as a residual predicate — a
+    // plain hash-join shuffle, never an interval cross product — and
+    // the tier windows are customer-partitioned. Tiers genuinely move
+    // ($500k width → 4 populated tiers at sf0.01), so an off-by-one-day
+    // leak (using <= instead of <, or an inclusive running sum) changes
+    // thousands of assignments and hash-fails.
+    sql("q_pit_join",
+      "WITH daily AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d, " +
+        "    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1, 2), " +
+        "cum AS (SELECT c, d, " +
+        "    coalesce(sum(cents) OVER (PARTITION BY c ORDER BY d " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+        "  FROM daily), " +
+        "scd AS (SELECT c, d AS valid_from, " +
+        "    coalesce(lead(d) OVER (PARTITION BY c ORDER BY d), DATE '9999-12-31') AS valid_to, " +
+        "    least(CAST(floor(cum_before / 50000000.0) AS INT), 3) AS tier FROM cum), " +
+        "pit AS (SELECT s.tier, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents " +
+        "  FROM orders o JOIN scd s ON o.o_custkey = s.c " +
+        "    AND CAST(o.o_orderdate AS DATE) >= s.valid_from " +
+        "    AND CAST(o.o_orderdate AS DATE) < s.valid_to) " +
+        "SELECT CAST(tier AS INT) AS tier, count(*) AS n, " +
+        "  CAST(sum(cents) AS BIGINT) AS cents FROM pit GROUP BY tier ORDER BY tier"),
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in
