@@ -65,9 +65,15 @@ object Verify {
     // dump via read_parquet, so the output dir is substituted here, at
     // dump time, as an absolute path (DuckDB runs from an unknown cwd).
     val absOut = Paths.get(outDir).toAbsolutePath.toString
+    // Scale-matched JOB data dir: the corpus entry executes the sf-scaled
+    // IMDb, so its oracle's table reads must point at the SAME scale
+    // (x1-vs-x1 at the driver's sf0.01; x10-vs-x10 under an sf0.1 audit).
+    val jobDir = graft.job.JobCorpus.dataPathFor(
+      graft.job.JobCorpus.scaleFor(sfDir))
     val json = SparkEntry.oracleSql
       .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(Queries.VerifyOutToken, absOut))}"
+        s"${q(k)}: ${q(v.replace(Queries.VerifyOutToken, absOut)
+          .replace(graft.job.JobCorpus.JobDataToken, jobDir))}"
       }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json): Unit
   }

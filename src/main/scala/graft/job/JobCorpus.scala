@@ -585,13 +585,28 @@ object JobCorpus {
     * rewritten to read the entry's own parquet files, one scalar
     * subquery per query, UNION ALL'd into the (q, n) relation.
     */
-  lazy val duckOracleSql: String = duckOracleSqlFor(queries.map(_._1))
+  /** Placeholder in the corpus oracle for the SCALE-matched data dir:
+    * `runAll` reads the sf-scaled IMDb (x1 at sf0.01, x10 at sf0.1) but
+    * oracle texts are static strings, so the corpus twin carries this
+    * token and Verify substitutes `dataPathFor(scaleFor(sfDir))` at dump
+    * time — the same mechanism as [[graft.Queries.VerifyOutToken]]. The
+    * r13 sf0.1 audit caught the unsubstituted form comparing an x10
+    * Spark run against x1 DuckDB reads (71/113 spurious mismatches;
+    * the official sf0.01 gate was x1-vs-x1 and unaffected).
+    */
+  val JobDataToken = "{{JOB_DATA_DIR}}"
 
-  /** The DuckDB twin for a named subset of the corpus. */
-  def duckOracleSqlFor(names: Seq[String]): String = {
+  lazy val duckOracleSql: String =
+    duckOracleSqlFor(queries.map(_._1), JobDataToken)
+
+  /** The DuckDB twin for a named subset of the corpus. `dir` defaults to
+    * the BASE-scale data because the compass subset always executes at
+    * x1 (`runCompassSubset` calls `ensureData(spark)` unscaled).
+    */
+  def duckOracleSqlFor(names: Seq[String], dir: String = dataPath): String = {
     val byName = queries.toMap
     val branches = names.sorted.map { name =>
-      s"SELECT '$name' AS q, (${rewriteFrom(byName(name))}) AS n"
+      s"SELECT '$name' AS q, (${rewriteFrom(byName(name), dir)}) AS n"
     }
     branches.mkString("SELECT q, n FROM (", " UNION ALL ", ") ORDER BY q")
   }
@@ -599,7 +614,7 @@ object JobCorpus {
   /** Rewrite `FROM t1 AS a1, t2 AS a2, ...` to read_parquet file refs.
     * JOB's FROM clauses are plain comma lists with AS aliases.
     */
-  private[graft] def rewriteFrom(text: String): String = {
+  private[graft] def rewriteFrom(text: String, dir: String = dataPath): String = {
     val m = java.util.regex.Pattern
       .compile("(?is)\\bFROM\\b(.*?)\\bWHERE\\b").matcher(text)
     require(m.find(), s"no FROM..WHERE in:\n$text")
@@ -610,7 +625,7 @@ object JobCorpus {
       val alias = if (parts.length >= 3 && parts(1).equalsIgnoreCase("AS")) parts(2)
         else if (parts.length == 2) parts(1)
         else table
-      s"read_parquet('$dataPath/$table.parquet/*.parquet') AS $alias"
+      s"read_parquet('$dir/$table.parquet/*.parquet') AS $alias"
     }
     text.substring(0, m.start()) + "FROM " + items.mkString(", ") + " WHERE " +
       text.substring(m.end())
