@@ -7,6 +7,18 @@ import scala.util.control.NonFatal
   * "error" instead of a misleading wall-time (VERDICT r1 "What's wrong" #4).
   */
 object Bench {
+  /** Full per-entry record destination. Default is UNTRACKED
+    * (`target/bench_full.json`): the tracked `BENCH_FULL.json` is a
+    * deliberately-committed quiesced record, and r13's driver bench
+    * silently overwrote it with a contended-window run — a tracked file
+    * every bench run clobbers will eventually commit a contaminated
+    * record. Override with GRAFT_BENCH_OUT; promote a quiesced run by
+    * copying it over BENCH_FULL.json on purpose.
+    */
+  def defaultFullOut: java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_BENCH_OUT", "target/bench_full.json"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,7 +38,7 @@ object Bench {
     * stopping the shared test session or printing to stdout.
     */
   def run(spark: SparkSession, sfDir: String, only: Set[String],
-          fullOut: java.nio.file.Path = java.nio.file.Paths.get("BENCH_FULL.json")): String = {
+          fullOut: java.nio.file.Path = defaultFullOut): String = {
     // One-time setup (parquet footer reads for all views) — not attributable
     // to whichever query happens to run first. Guarded: one poisoned table
     // must cost only the entries that read it (each already has a per-entry
@@ -319,6 +331,8 @@ object Bench {
         .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
+    Option(fullOut.toAbsolutePath.getParent)
+      .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
     java.nio.file.Files.write(fullOut,
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val slow = timings.collect { case (k, Right(t)) => k -> t }.toSeq

@@ -1066,19 +1066,25 @@ object PipelineQueries {
 
     // Corpus-self-trained unigram surprisal (the cheap perplexity-filter
     // proxy): bits/token under the corpus's own unigram distribution.
-    // Per-token surprisal is 6-dp-rounded DECIMAL before the document
-    // sum, so the aggregate is exact and partition-order-free in both
-    // engines; only the final mean divides in double.
+    // Per-token surprisal is an exact INTEGER micro-bit difference of
+    // knife-edge-guarded floor(log2(count)*1e6+0.5) lattice values
+    // (r14 — the r13 6-dp DECIMAL scheme had one sf0.1 cell one
+    // libm-ulp off its rounding boundary), so the document sum is exact
+    // and partition-order-free in both engines; the final mean is one
+    // IEEE division of exact integers — bit-identical by IEEE-754, no
+    // rounding step at all.
     dfq("q_lm_score",
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok " +
         "  FROM documents), " +
         "vocab AS (SELECT tok, count(*) AS n_w FROM toks GROUP BY tok), " +
         "tot AS (SELECT count(*) AS n_total FROM toks), " +
-        "sc AS (SELECT doc_id, CAST(round(-log2(CAST(n_w AS DOUBLE) / n_total), 6) " +
-        "    AS DECIMAL(18,6)) AS s " +
+        "sc AS (SELECT doc_id, " +
+        "    CAST(floor(log2(CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+        "  - CAST(floor(log2(CAST(n_w AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS mb " +
         "  FROM toks JOIN vocab USING (tok) CROSS JOIN tot) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
-        "  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bits_per_token " +
+        "  CAST(sum(mb) AS BIGINT) AS sum_microbits, " +
+        "  CAST(sum(mb) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS bits_per_token " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
       TextAnalysis.withUnigramSurprisal(
           Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -1088,7 +1094,7 @@ object PipelineQueries {
     // Bigram conditional surprisal (−log2 P(w|prev), corpus-trained) —
     // the conditional-LM step beyond q_lm_score. DuckDB rebuilds the
     // bigram table with aligned parallel unnests and re-derives every
-    // document's bits/bigram through the same DECIMAL-exact sum.
+    // document's micro-bit sum through the same exact integer lattice.
     dfq("q_lm_bigram",
       "WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t " +
         "  FROM documents), " +
@@ -1098,10 +1104,13 @@ object PipelineQueries {
         "  FROM toks WHERE len(t) >= 2), " +
         "cb AS (SELECT prev, tok, count(*) AS n_pair FROM bg GROUP BY prev, tok), " +
         "cp AS (SELECT prev, count(*) AS n_prev FROM bg GROUP BY prev), " +
-        "sc AS (SELECT doc_id, CAST(round(-log2(CAST(n_pair AS DOUBLE) / n_prev), 6) " +
-        "    AS DECIMAL(18,6)) AS s FROM bg JOIN cb USING (prev, tok) JOIN cp USING (prev)) " +
+        "sc AS (SELECT doc_id, " +
+        "    CAST(floor(log2(CAST(n_prev AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+        "  - CAST(floor(log2(CAST(n_pair AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS mb " +
+        "  FROM bg JOIN cb USING (prev, tok) JOIN cp USING (prev)) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
-        "  round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bits_per_bigram " +
+        "  CAST(sum(mb) AS BIGINT) AS sum_microbits, " +
+        "  CAST(sum(mb) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS bits_per_bigram " +
         "FROM sc GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
       TextAnalysis.withBigramSurprisal(
           Tables.load(s, dir, "documents"), "doc_id", "text")
@@ -1109,9 +1118,9 @@ object PipelineQueries {
     },
 
     // Per-document top-3 TF-IDF keywords. The (score desc, term asc)
-    // ranking happens on EXACT decimal scores — tf · 6-dp-decimal idf —
-    // so the cut cannot differ across engines; DuckDB re-derives every
-    // (rank, term, score) triple.
+    // ranking happens on EXACT integer micro-scores — tf · micro-bit
+    // idf — so the cut cannot differ across engines; DuckDB re-derives
+    // every (rank, term, score) triple.
     dfq("q_tfidf_topk",
       "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term " +
         "  FROM documents), " +
@@ -1119,12 +1128,14 @@ object PipelineQueries {
         "dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term), " +
         "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
         "scored AS (SELECT doc_id, term, " +
-        "    tf * CAST(round(log2(CAST(n_docs AS DOUBLE) / df_t), 6) AS DECIMAL(18,6)) AS score " +
+        "    tf * (CAST(floor(log2(CAST(n_docs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+        "        - CAST(floor(log2(CAST(df_t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS score_micro " +
         "  FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
-        "ranked AS (SELECT doc_id, term, score, " +
-        "    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk " +
+        "ranked AS (SELECT doc_id, term, score_micro, " +
+        "    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rnk " +
         "  FROM scored) " +
-        "SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, CAST(score AS DOUBLE) AS score " +
+        "SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, " +
+        "  CAST(score_micro AS DOUBLE) / CAST(1000000 AS DOUBLE) AS score " +
         "FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank") { (s, dir) =>
       TextAnalysis.withTfIdfTopK(
           Tables.load(s, dir, "documents"), "doc_id", "text", k = 3)
@@ -1360,10 +1371,13 @@ object PipelineQueries {
         "ftoks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), " +
         "vocab AS (SELECT tok, count(*) AS n_w FROM ftoks GROUP BY tok), " +
         "tot AS (SELECT count(*) AS n_total FROM ftoks), " +
-        "sc AS (SELECT doc_id, CAST(round(-log2(CAST(n_w AS DOUBLE) / n_total), 6) " +
-        "    AS DECIMAL(18,6)) AS s FROM ftoks JOIN vocab USING (tok) CROSS JOIN tot), " +
+        "sc AS (SELECT doc_id, " +
+        "    CAST(floor(log2(CAST(n_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+        "  - CAST(floor(log2(CAST(n_w AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS mb " +
+        "  FROM ftoks JOIN vocab USING (tok) CROSS JOIN tot), " +
         "lm AS (SELECT doc_id, count(*) AS n_tokens, " +
-        "    round(CAST(sum(s) AS DOUBLE) / count(*), 6) AS bpt FROM sc GROUP BY doc_id), " +
+        "    CAST(sum(mb) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) AS bpt " +
+        "  FROM sc GROUP BY doc_id), " +
         "kept2 AS (SELECT d.doc_id, lm.n_tokens FROM dedup d JOIN lm ON d.doc_id = lm.doc_id " +
         "  WHERE lm.bpt <= 4.91), " +
         "labeled AS (SELECT doc_id, n_tokens, " +

@@ -203,7 +203,8 @@ object Queries {
     // and rewritten at a target file count with coalesce (no shuffle:
     // coalesce only merges partitions). The output pins the before/after
     // DATA-file counts (deterministic: round-robin over ≥64 rows fills
-    // every shard; coalesce(4) emits exactly 4) plus full content
+    // every shard; the fragmented read is pinned to one-file-per-
+    // partition below, so coalesce(4) emits exactly 4) plus full content
     // checksums over the compacted copy, so a compaction that dropped or
     // duplicated rows — or didn't actually reduce files — hash-fails.
     dfq("q_compact_small_files",
@@ -217,8 +218,26 @@ object Queries {
       Tables.load(s, dir, "documents").repartition(64)
         .write.mode("overwrite").parquet(s"$tmp/frag")
       val before = dataFiles(s"$tmp/frag")
-      s.read.parquet(s"$tmp/frag").coalesce(4)
-        .write.mode("overwrite").parquet(s"$tmp/compact")
+      // Pin the fragmented read to one file per partition: with the
+      // session defaults, Spark's split packing depends on
+      // defaultParallelism/maxPartitionBytes, so on a small machine the
+      // 64 tiny files can pack into < 4 read partitions and coalesce(4)
+      // would emit fewer files than the pinned oracle count (r13 advice).
+      // openCost = maxPartitionBytes = 8 MiB makes every tiny file its
+      // own split regardless of core count. The compact write below is
+      // an eager action, so restoring the confs afterwards cannot
+      // retroactively change its partitioning.
+      val fileConfs = Seq("spark.sql.files.openCostInBytes",
+        "spark.sql.files.maxPartitionBytes")
+      val saved = fileConfs.map(k => k -> s.conf.getOption(k))
+      try {
+        fileConfs.foreach(k => s.conf.set(k, (8L << 20).toString))
+        s.read.parquet(s"$tmp/frag").coalesce(4)
+          .write.mode("overwrite").parquet(s"$tmp/compact")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
       val after = dataFiles(s"$tmp/compact")
       s.read.parquet(s"$tmp/compact")
         .agg(count(lit(1)).as("n"), sum(length(col("text"))).cast("long").as("chars"),
@@ -2898,11 +2917,15 @@ object Queries {
     // — on a z-ordered layout that box skips most parquet row groups via
     // min/max stats, where the same predicate over an unclustered layout
     // scans everything. The ORACLE brute-forces the 20 nearest over ALL
-    // customers with no box. Green proves the layout path lost nothing:
-    // the box (lat ±25°, lon ±28° ⊇ the 2500 km ball — soundness margin
-    // as in q_geo_radius) contains ≥ 20 points at every checked SF, so
-    // the global top-20 all lie inside it. Same floored-meters output as
-    // q_geo_radius (12.4 mm min boundary margin at sf0.01).
+    // customers with no box. Soundness invariant (box-pruned top-20 ≡
+    // global top-20): ≥ 20 points lie inside the 2500 km BALL — then the
+    // 20th-nearest global distance is ≤ 2500 km, and since the box
+    // (lat ±25°, lon ±28°) CONTAINS the ball, every global top-20 point
+    // is in the box. ("≥ 20 points in the box" alone would NOT suffice:
+    // box corners lie outside the ball.) The condition is asserted below
+    // so a sparse run fails with a clear message instead of a hash
+    // mismatch. Same floored-meters output as q_geo_radius (12.4 mm min
+    // boundary margin at sf0.01).
     dfq("q_geo_knn",
       "WITH pts AS (SELECT c_custkey AS id, " +
         "  CAST((c_custkey * 37) % 17000 AS DOUBLE) / 100.0 - 85.0 AS lat, " +
@@ -2926,6 +2949,20 @@ object Queries {
           "CAST((c_custkey * 91) % 36000 AS BIGINT) AS lng FROM customer")
       graft.operators.Layout.writeZOrdered(pts, "latg", "lng", s"$out/data", 8)
       s.read.parquet(s"$out/data").createOrReplaceTempView("graft_geo_layout")
+      // Assert the ball-containment invariant (see the soundness comment):
+      // one cheap count over the already-boxed subset.
+      val inBall = s.sql(
+        "SELECT count(*) FROM (SELECT 2 * 6371000.0 * asin(sqrt( " +
+          "    sin(radians(lat - 10.0) / 2) * sin(radians(lat - 10.0) / 2) + " +
+          "    cos(radians(10.0)) * cos(radians(lat)) * " +
+          "    sin(radians(lon - 20.0) / 2) * sin(radians(lon - 20.0) / 2))) AS m " +
+          "  FROM graft_geo_layout " +
+          "  WHERE latg BETWEEN 7500 AND 12500 AND lng BETWEEN 17200 AND 22800) " +
+          "WHERE m <= 2500000").head().getLong(0)
+      require(inBall >= 20,
+        s"q_geo_knn soundness violated: only $inBall points inside the " +
+          "2500 km ball (< k=20) — the box-pruned top-20 is not guaranteed " +
+          "to equal the global top-20 at this data scale")
       s.sql(
         "WITH boxed AS (SELECT id, lat, lon FROM graft_geo_layout " +
           "  WHERE latg BETWEEN 7500 AND 12500 AND lng BETWEEN 17200 AND 22800), " +

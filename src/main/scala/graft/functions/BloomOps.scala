@@ -120,8 +120,12 @@ final case class BloomMightContain(left: Expression, right: Expression)
   // and repeats by reference across consecutive rows of the same
   // sketch, so an identity-keyed one-slot cache amortizes it to one
   // deserialization per distinct upstream buffer.
-  @transient private var lastBytes: AnyRef = _
-  @transient private var lastBf: BloomFilter = _
+  // Held as ONE immutable pair written once per miss: two separate fields
+  // updated non-atomically could interleave under cross-thread reuse of a
+  // plan fragment and pair bytes from one sketch with another's filter —
+  // silent wrong pruning. A stale or torn *reference* read of the pair is
+  // harmless (worst case: one redundant deserialize).
+  @transient private var slot: (AnyRef, BloomFilter) = _
 
   /** Codegen/interpreted shared kernel (public: the generated code calls it). */
   def test(sketchBytes: Any, key: Any): Boolean = {
@@ -129,11 +133,13 @@ final case class BloomMightContain(left: Expression, right: Expression)
       if (left.foldable) cachedBf
       else {
         val ref = sketchBytes.asInstanceOf[AnyRef]
-        if (ref ne lastBytes) {
-          lastBf = deserialize(sketchBytes)
-          lastBytes = ref
+        val s = slot
+        if (s != null && (s._1 eq ref)) s._2
+        else {
+          val fresh = deserialize(sketchBytes)
+          slot = (ref, fresh)
+          fresh
         }
-        lastBf
       }
     key match {
       case s: UTF8String => bf.mightContainBinary(s.getBytes)

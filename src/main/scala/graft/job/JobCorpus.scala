@@ -534,14 +534,15 @@ object JobCorpus {
     * wide shape.
     */
   private def submitThreads: Int =
-    sys.env.get("GRAFT_JOB_THREADS").flatMap(_.toIntOption).getOrElse(4)
+    // Clamp: a zero/negative override would throw out of
+    // Executors.newFixedThreadPool and kill the corpus entry.
+    math.max(1, sys.env.get("GRAFT_JOB_THREADS").flatMap(_.toIntOption).getOrElse(4))
 
   /** Per-query wall-clock latencies (ms) of the most recent [[runAll]] —
     * read by Bench so the official record carries a contention-robust
     * per-query median beside the contention-sensitive total wall.
     */
   @volatile var lastCorpusLatencies: Map[String, Long] = Map.empty
-  private val latencies = new java.util.concurrent.ConcurrentHashMap[String, Long]()
   import scala.jdk.CollectionConverters._
 
   def runAll(spark: SparkSession, sfDir: String = ""): DataFrame = {
@@ -560,10 +561,24 @@ object JobCorpus {
     // into this entry's wall time while ordinary entries drifted 1.08x,
     // so the official number now runs narrower.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(submitThreads)
+    // LPT (longest-processing-time-first) submission: with a 4-slot pool,
+    // FIFO order can strand a deep 28a-33a chain (p90/median = 4.8 at x10)
+    // as the LAST job, serializing ~9 s of tail behind an otherwise-idle
+    // pool. Sorting by the previous lap's latency (unknown queries first —
+    // they might be long) bounds the makespan overhang by the LAST-started
+    // job's cost, the classical LPT guarantee. A cold run with no prior
+    // lap keeps the natural order — identical results either way.
+    val prior = lastCorpusLatencies
+    val submitOrder =
+      if (prior.isEmpty) queries
+      else queries.sortBy { case (name, _) => -prior.getOrElse(name, Long.MaxValue) }
+    // Latencies are a LOCAL map per run: the previous field-level map
+    // leaked stale timings into the next lap's snapshot if Await timed out.
+    val latencies = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val futures = queries.map { case (name, text) =>
+      val futures = submitOrder.map { case (name, text) =>
         scala.concurrent.Future {
           val t0 = System.nanoTime()
           val n = exec.sql(text).head().getLong(0)
@@ -576,7 +591,6 @@ object JobCorpus {
           scala.concurrent.duration.Duration(15, "min"))
         .toDF("q", "n").orderBy("q")
       lastCorpusLatencies = latencies.asScala.toMap
-      latencies.clear()
       out
     } finally pool.shutdown()
   }

@@ -377,12 +377,19 @@ object TextAnalysis {
     * observable probability, so the bound changes scores only for the
     * tail the filter would flag anyway).
     *
-    * Cross-engine determinism: each token's surprisal is rounded to
-    * 6 dp and cast to DECIMAL(18,6) BEFORE the per-document sum —
-    * decimal addition is exact and order-independent, so the aggregate
-    * cannot drift with partitioning (double sums can, by an ulp per
-    * reorder). The only float op left is log2 of a ratio of two exact
-    * integers, identical on both engines' libm for these magnitudes.
+    * Cross-engine determinism (r14, replacing the r13 6-dp DECIMAL
+    * scheme whose sf0.1 audit found one cell one libm-ulp off its
+    * rounding boundary): per-token surprisal is the EXACT INTEGER
+    * micro-bit difference `microLog2(n_total) - microLog2(n_w)` where
+    * microLog2(k) = floor(log2(k)·1e6 + 0.5) of an INTEGER count — a
+    * finite lattice whose knife-edge margins are auditable per k
+    * (min margin at sf0.01/sf0.1: 7.2e-4 ≈ 3.9e5 ulps, at k=3; the
+    * guard inside [[microLog2]] fails LOUDLY if any future count sits
+    * within 1e-5 of a boundary instead of silently hash-mismatching).
+    * Integer sums are exact and order-free; the final bits-per-token is
+    * ONE IEEE division of two exactly-representable integers (< 2^53),
+    * which every IEEE-754 engine rounds identically — no transcendental
+    * ever crosses the engine boundary unaudited.
     */
   def withUnigramSurprisal(df: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = 0): DataFrame = {
@@ -404,17 +411,40 @@ object TextAnalysis {
     val total = vocabAll.agg(sum("n_w").as("n_total")) // 1 row — broadcast join
     toks.join(vocab, Seq("tok"), "left")
       .crossJoin(broadcast(total))
-      .withColumn("_s",
-        round(-log2(coalesce(col("n_w"), lit(1L)).cast("double") /
-          col("n_total").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("_mb",
+        microLog2(col("n_total")) - microLog2(coalesce(col("n_w"), lit(1L))))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"), sum("_s").as("_sum"))
-      // Divide in DOUBLE, not decimal — Spark's decimal-division result
-      // scale differs from DuckDB's; the sum itself stays exact decimal.
-      .select(col(idCol), col("n_tokens"),
-        round(col("_sum").cast("double") / col("n_tokens"), 6)
-          .as("bits_per_token"))
+      .agg(count(lit(1)).as("n_tokens"), sum("_mb").as("sum_microbits"))
+      .select(col(idCol), col("n_tokens"), col("sum_microbits"),
+        microRatio(col("sum_microbits"), col("n_tokens")).as("bits_per_token"))
   }
+
+  /** floor(log2(k)·1e6 + 0.5) as BIGINT — surprisal fixed-point unit.
+    * Knife-edge guard: if the scaled value sits within 1e-5 of its floor
+    * boundary (where a 1-ulp libm difference between engines could flip
+    * the integer), the row RAISES instead of silently diverging from the
+    * oracle. 1e-5 ≈ 5×10³ ulps at the largest counts in play and 72×
+    * under the smallest margin observed in the committed audit
+    * (COVERAGE.md r14: min 7.2e-4 at k=3 over every distinct count at
+    * sf0.01 and sf0.1). Stays inside whole-stage codegen (pure
+    * arithmetic + conditional).
+    */
+  private[graft] def microLog2(k: Column): Column = {
+    val x = log2(k.cast("double")) * lit(1e6) + lit(0.5)
+    val frac = x - floor(x)
+    val margin = least(frac, lit(1.0) - frac)
+    when(margin >= lit(1e-5), floor(x).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("lm micro-bit knife-edge: log2("), k.cast("string"),
+        lit(")*1e6+0.5 within 1e-5 of a floor boundary - re-audit the precision"))))
+  }
+
+  /** sum_microbits / (n · 1e6) as ONE IEEE division of two exactly-
+    * representable integers — bit-identical on every IEEE-754 engine,
+    * so the human-facing ratio needs no rounding step at all.
+    */
+  private[graft] def microRatio(sumMicro: Column, n: Column): Column =
+    sumMicro.cast("double") / (n * lit(1000000L)).cast("double")
 
   /** Bigram conditional surprisal — one step closer to the real
     * perplexity filter than [[withUnigramSurprisal]]: each adjacent
@@ -424,7 +454,9 @@ object TextAnalysis {
     * no per-document window, no lag): documents shorter than two
     * tokens produce no bigrams and drop out. Same cross-engine
     * determinism contract as the unigram scorer: per-bigram surprisal
-    * is 6-dp DECIMAL before the exact order-free document sum.
+    * is an exact integer micro-bit difference of [[microLog2]] values
+    * before the exact order-free document sum (see
+    * [[withUnigramSurprisal]] for the knife-edge audit story).
     */
   def withBigramSurprisal(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
@@ -440,21 +472,21 @@ object TextAnalysis {
     val prevCounts = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
     bg.join(pairCounts, Seq("prev", "tok"))
       .join(prevCounts, Seq("prev"))
-      .withColumn("_s",
-        round(-log2(col("n_pair").cast("double") /
-          col("n_prev").cast("double")), 6).cast("decimal(18,6)"))
+      .withColumn("_mb", microLog2(col("n_prev")) - microLog2(col("n_pair")))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum("_s").as("_sum"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("_sum").cast("double") / col("n_bigrams"), 6)
-          .as("bits_per_bigram"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("_mb").as("sum_microbits"))
+      .select(col(idCol), col("n_bigrams"), col("sum_microbits"),
+        microRatio(col("sum_microbits"), col("n_bigrams")).as("bits_per_bigram"))
   }
 
   /** Per-document top-`k` TF-IDF keywords: score = tf · idf with
     * idf = log2(N / df) over this corpus (N = document count, df =
-    * documents containing the term). idf is 6-dp DECIMAL, so tf·idf is
-    * exact decimal arithmetic and the (score desc, term asc) ranking is
-    * engine-independent — no float comparison anywhere near the cut.
+    * documents containing the term). idf is an exact integer micro-bit
+    * difference of [[microLog2]] values (knife-edge-guarded — see
+    * [[withUnigramSurprisal]]), so tf·idf is exact BIGINT arithmetic
+    * and the (score desc, term asc) ranking is engine-independent — no
+    * float comparison anywhere near the cut; the reported double score
+    * is one IEEE division of exact integers.
     * Two aggregations (doc-term tf, term df) + one per-document window
     * partitioned by `idCol`; the df table broadcasts when the
     * vocabulary is bounded, and N rides a 1-row broadcast.
@@ -471,16 +503,14 @@ object TextAnalysis {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs")) // 1 row
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+      .partitionBy(idCol).orderBy(col("score_micro").desc, col("term"))
     tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("idf",
-        round(log2(col("n_docs").cast("double") / col("df_t")), 6)
-          .cast("decimal(18,6)"))
-      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("idf_micro", microLog2(col("n_docs")) - microLog2(col("df_t")))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
-        col("score").cast("double").as("score"))
+        microRatio(col("score_micro"), lit(1L)).as("score"))
   }
 }

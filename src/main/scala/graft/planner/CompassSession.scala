@@ -182,7 +182,11 @@ final class CompassSession(
             case None =>
               filteredMissCount.incrementAndGet()
               val built = build
-              templateCache.foreach(_.storeFiltered(key, built))
+              // The disk tier is best-effort end to end: a cache-dir write
+              // failure (disk full, read-only dir) must not discard the
+              // sketch we just built — degrade to memory-memo-only.
+              try templateCache.foreach(_.storeFiltered(key, built))
+              catch { case scala.util.control.NonFatal(_) => }
               built
           }
           mine.complete(g); return g

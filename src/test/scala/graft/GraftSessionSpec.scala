@@ -51,7 +51,8 @@ class GraftSessionSpec extends AnyFunSuite {
     val pii = gs.piiRedactedDocuments()
     assert(pii.columns.contains("redacted") && pii.count() == 500)
     val lm = gs.surprisalScores(maxVocab = 500)
-    assert(lm.columns.toSeq == Seq("doc_id", "n_tokens", "bits_per_token")
+    assert(lm.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "sum_microbits", "bits_per_token")
       && lm.count() == 500)
     val qz = gs.quantizedEmbeddings().select("q_vec").head().getSeq[Int](0)
     assert(qz.forall(c => c >= -127 && c <= 127))

@@ -12,9 +12,9 @@ class PlanAuditSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  private def planOf(name: String): String = {
-    Tables.registerAll(spark, dir)
-    val df = Queries.queryMap(name)(spark, dir)
+  private def planOf(name: String, atDir: String = dir): String = {
+    Tables.registerAll(spark, atDir)
+    val df = Queries.queryMap(name)(spark, atDir)
     df.collect() // materialize so AQE finalizes the physical plan
     df.queryExecution.executedPlan.toString
   }
@@ -30,7 +30,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // The layout exists so the box SKIPS row groups: that only happens if
     // the integer grid predicates reach the parquet reader as
     // PushedFilters (the layout guarantees they are also tight per file).
-    val plan = planOf("q_geo_knn")
+    // At sf0.01, not the suite default sf0.001: the entry's runtime
+    // soundness guard (≥ k points inside the 2500 km ball) correctly
+    // REFUSES the ~150-customer scale, where a box-pruned top-20 is not
+    // the global top-20 (r13 advice).
+    val plan = planOf("q_geo_knn", atDir = "/root/testdata/sf0.01")
     // The PushedFilters list renders truncated ("Gre...") past ~100 chars,
     // so assert on the prefix that always fits: both latg bounds pushed.
     assert(plan.contains("GreaterThanOrEqual(latg,7500)") &&

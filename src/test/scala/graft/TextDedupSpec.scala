@@ -265,25 +265,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L)._2 == "<EMAIL> <EMAIL> <IP> <IP>")
   }
 
-  test("unigram surprisal: corpus-frequency bits/token; maxVocab OOV fallback") {
+  // The operators' fixed-point unit: floor(log2(k)·1e6 + 0.5) micro-bits
+  // of an integer count (TextAnalysis.microLog2).
+  private def mb(k: Long): Long =
+    math.floor(math.log(k.toDouble) / math.log(2.0) * 1e6 + 0.5).toLong
+
+  test("unigram surprisal: corpus-frequency micro-bits; maxVocab OOV fallback") {
     import spark.implicits._
-    // Counts: a:2, b:2, c:2, N=6 → common tokens cost log2(3) bits,
-    // OOV fallback (count 1) costs log2(6).
+    // Counts: a:2, b:2, c:2, N=6 → common tokens cost mb(6)-mb(2),
+    // OOV fallback (count 1) costs mb(6)-mb(1) = full log2(N).
     val df = Seq((1L, "a a b"), (2L, "b c c")).toDF("doc_id", "text")
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val log2_3 = r6(math.log(3.0) / math.log(2.0))
-    val log2_6 = r6(math.log(6.0) / math.log(2.0))
-    val full = TextAnalysis.withUnigramSurprisal(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(full(1L) == ((3L, r6(3 * log2_3 / 3))))
-    assert(full(2L) == ((3L, r6(3 * log2_3 / 3))))
+    val common = mb(6) - mb(2)
+    val oov = mb(6) - mb(1)
+    def grab(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val full = grab(TextAnalysis.withUnigramSurprisal(df, "doc_id", "text"))
+    assert(full(1L) == ((3L, 3 * common, 3 * common / 3e6)))
+    assert(full(2L) == ((3L, 3 * common, 3 * common / 3e6)))
     // maxVocab=2 keeps {a, b} (count desc, token asc); c becomes OOV.
-    val bounded = TextAnalysis.withUnigramSurprisal(df, "doc_id", "text",
-        maxVocab = 2)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(bounded(1L) == ((3L, r6(3 * log2_3 / 3))))
-    assert(bounded(2L) == ((3L, r6((log2_3 + 2 * log2_6) / 3))))
+    val bounded = grab(TextAnalysis.withUnigramSurprisal(df, "doc_id", "text",
+      maxVocab = 2))
+    assert(bounded(1L) == ((3L, 3 * common, 3 * common / 3e6)))
+    assert(bounded(2L) == ((3L, common + 2 * oov, (common + 2 * oov) / 3e6)))
   }
 
   test("incremental near-dup: cross pairs only, batch-internal dups ignored") {
@@ -325,35 +329,35 @@ class TextDedupSpec extends AnyFunSuite {
   test("bigram surprisal: conditional bits; sub-2-token docs drop out") {
     import spark.implicits._
     // Bigrams: doc1 (a,b)(b,a)(a,c), doc2 (c,a); prev counts a:2 b:1 c:1
-    // → P(b|a)=P(c|a)=1/2 cost 1 bit, P(a|b)=P(a|c)=1 cost 0.
+    // → P(b|a)=P(c|a)=1/2 cost 1 bit = mb(2) micro-bits, P(a|b)=P(a|c)=1
+    // cost 0.
     val df = Seq((1L, "a b a c"), (2L, "c a"), (3L, "solo"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.withBigramSurprisal(df, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(out.keySet == Set(1L, 2L), "single-token doc must drop out")
-    assert(out(1L) == ((3L, 0.666667)))
-    assert(out(2L) == ((1L, 0.0)))
+    assert(out(1L) == ((3L, 2 * mb(2), 2 * mb(2) / 3e6)))
+    assert(out(2L) == ((1L, 0L, 0.0)))
   }
 
-  test("tf-idf top-k: exact-decimal ranking with deterministic tie-break") {
+  test("tf-idf top-k: exact-integer micro-score ranking with deterministic tie-break") {
     import spark.implicits._
     val df = Seq((1L, "x x y"), (2L, "y z"), (3L, "z z z w"))
       .toDF("doc_id", "text")
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val log2_3 = r6(math.log(3.0) / math.log(2.0))   // idf of df=1 terms
-    val log2_15 = r6(math.log(1.5) / math.log(2.0))  // idf of df=2 terms
+    val idf1 = mb(3) - mb(1)  // idf of df=1 terms: log2(3/1) micro-bits
+    val idf2 = mb(3) - mb(2)  // idf of df=2 terms: log2(3/2) micro-bits
     val out = TextAnalysis.withTfIdfTopK(df, "doc_id", "text", k = 2)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(3)))
       .toMap
-    assert(out((1L, 1L)) == (("x", 2 * log2_3)))
-    assert(out((1L, 2L)) == (("y", log2_15)))
+    assert(out((1L, 1L)) == (("x", 2 * idf1 / 1e6)))
+    assert(out((1L, 2L)) == (("y", idf2 / 1e6)))
     // doc2: y and z tie exactly (same tf, same df) → term asc breaks it.
-    assert(out((2L, 1L)) == (("y", log2_15)))
-    assert(out((2L, 2L)) == (("z", log2_15)))
-    assert(out((3L, 1L)) == (("z", 3 * log2_15)))
-    assert(out((3L, 2L)) == (("w", log2_3)))
+    assert(out((2L, 1L)) == (("y", idf2 / 1e6)))
+    assert(out((2L, 2L)) == (("z", idf2 / 1e6)))
+    assert(out((3L, 1L)) == (("z", 3 * idf2 / 1e6)))
+    assert(out((3L, 2L)) == (("w", idf1 / 1e6)))
   }
 
   test("repeatedSpans: planted cross-doc span, occurrence counts, short docs absent") {
