@@ -1701,6 +1701,37 @@ object PipelineQueries {
     },
   )
 
+  /** Deterministic RGB raster per document — the differential image
+    * fixture: (doc_id, w, h, pixels) with w·h row-major 0xRRGGBB ints
+    * from pure SQL expressions, so the DuckDB oracle regenerates the
+    * identical raster with a list comprehension.
+    */
+  private def imageRaster(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        (pmod(col("doc_id"), lit(13)) + 4).cast("int").as("w"),
+        (pmod(col("doc_id"), lit(11)) + 4).cast("int").as("h"))
+      .withColumn("pixels",
+        transform(sequence(lit(0L), col("w").cast("long") * col("h") - 1),
+          i => (pmod(col("doc_id") * 7 + i * 3, lit(256)) * 65536 +
+            pmod(col("doc_id") * 11 + i * 5, lit(256)) * 256 +
+            pmod(col("doc_id") * 13 + i * 7, lit(256))).cast("int")))
+
+  /** Reduce a decoded raster to the differential projection: dims,
+    * per-channel sums (bit-shift channel extraction — stays integer),
+    * and md5 over the comma-joined packed pixels.
+    */
+  private def imageChecksums(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dec.select(col("doc_id"), col("width"), col("height"),
+      size(col("pixels")).cast("long").as("n_px"),
+      aggregate(col("pixels"), lit(0L),
+        (acc, p) => acc + shiftright(p, 16).cast("long")).as("sum_r"),
+      aggregate(col("pixels"), lit(0L),
+        (acc, p) => acc + shiftright(p, 8).bitwiseAND(lit(255)).cast("long")).as("sum_g"),
+      aggregate(col("pixels"), lit(0L),
+        (acc, p) => acc + p.bitwiseAND(lit(255)).cast("long")).as("sum_b"),
+      md5(concat_ws(",", transform(col("pixels"), _.cast("string"))).cast("binary"))
+        .as("pix_md5"))
+
   private val multimodal: Seq[Entry] = Seq(
     // Binary payload + typed metadata struct (the multimodal column
     // contract) — metadata is SQL-checkable against DuckDB.
@@ -1763,6 +1794,60 @@ object PipelineQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(media, "doc_id", frames = 4)
         .orderBy("doc_id", "frame")
+    },
+
+    // REAL PNG codec round-trip (r13 verdict #2): a deterministic RGB
+    // raster is generated with pure SQL expressions, encoded to real
+    // PNG bytes by the JDK's javax.imageio writer (mapPartitions — one
+    // codec init per partition), decoded back with the real reader, and
+    // reduced to dims + per-channel sums + an md5 over the row-major
+    // packed pixels. PNG is LOSSLESS, so the ORACLE needs no codec:
+    // DuckDB re-derives the expected checksums from the same generator
+    // in pure SQL — any encoder/decoder defect (channel swap, gamma/ICC
+    // contamination, row-order bug, truncation) breaks the hash.
+    dfq("q_image_decode",
+      "WITH gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
+        "  FROM documents), " +
+        "px AS (SELECT doc_id, w, h, " +
+        "  [((doc_id*7 + i*3) % 256) * 65536 + ((doc_id*11 + i*5) % 256) * 256 " +
+        "   + ((doc_id*13 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM gen) " +
+        "SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "  CAST(len(pixels) AS BIGINT) AS n_px, " +
+        "  CAST(list_sum(list_transform(pixels, p -> p // 65536)) AS BIGINT) AS sum_r, " +
+        "  CAST(list_sum(list_transform(pixels, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
+        "  CAST(list_sum(list_transform(pixels, p -> p % 256)) AS BIGINT) AS sum_b, " +
+        "  md5(array_to_string(pixels, ',')) AS pix_md5 " +
+        "FROM px ORDER BY doc_id") { (s, dir) =>
+      val png = Multimodal.encodePng(
+        imageRaster(Tables.load(s, dir, "documents")), "doc_id", "w", "h", "pixels")
+      imageChecksums(Multimodal.decodeImage(png, "doc_id")).orderBy("doc_id")
+    },
+
+    // REAL resize through the codec: PNG decode → deterministic
+    // nearest-neighbor 6×5 sample (integer-division index math — exactly
+    // reproducible in SQL, unlike Graphics2D interpolation) → PNG
+    // re-encode → decode again. The oracle replays the NN sampling on
+    // the generated raster; exact dims + conservation checksums.
+    dfq("q_image_resize",
+      "WITH gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
+        "  FROM documents), " +
+        "px AS (SELECT doc_id, w, h, " +
+        "  [((doc_id*7 + i*3) % 256) * 65536 + ((doc_id*11 + i*5) % 256) * 256 " +
+        "   + ((doc_id*13 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM gen), " +
+        "rs AS (SELECT doc_id, " +
+        "  [pixels[CAST(((i // 6) * h // 5) * w + ((i % 6) * w // 6) + 1 AS INT)] " +
+        "   FOR i IN range(0, 30)] AS rp FROM px) " +
+        "SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height, " +
+        "  CAST(len(rp) AS BIGINT) AS n_px, " +
+        "  CAST(list_sum(list_transform(rp, p -> p // 65536)) AS BIGINT) AS sum_r, " +
+        "  CAST(list_sum(list_transform(rp, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
+        "  CAST(list_sum(list_transform(rp, p -> p % 256)) AS BIGINT) AS sum_b, " +
+        "  md5(array_to_string(rp, ',')) AS pix_md5 " +
+        "FROM rs ORDER BY doc_id") { (s, dir) =>
+      val png = Multimodal.encodePng(
+        imageRaster(Tables.load(s, dir, "documents")), "doc_id", "w", "h", "pixels")
+      val small = Multimodal.resizeImage(png, "doc_id", tw = 6, th = 5)
+      imageChecksums(Multimodal.decodeImage(small, "doc_id")).orderBy("doc_id")
     },
 
     // Stubbed resize (stride-sampled payload to a pixel budget) composed

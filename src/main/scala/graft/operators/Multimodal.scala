@@ -8,13 +8,18 @@ import org.apache.spark.sql.{DataFrame, Row}
   * `binary` columns next to a typed metadata struct; decode / feature
   * extraction runs partition-batched over the binary payloads.
   *
-  * The decode step itself is STUBBED with a deterministic fake — this
-  * container ships no image/audio codecs — but everything Spark-side is
-  * real and load-bearing at scale: the schema contract, the
-  * `mapPartitions` batch shape (one reusable decoder per partition, not
-  * per row — exactly how a JNI/FFmpeg binding must be held), kryo-free
-  * row encoding, and partition sizing by byte volume rather than row
-  * count.
+  * IMAGES use a REAL codec (r14): the JDK's built-in `javax.imageio`
+  * PNG reader/writer drives [[encodePng]] / [[decodeImage]] /
+  * [[resizeImage]] — lossless encode→decode round-trips verified
+  * differentially against a codec-free SQL oracle (PNG is lossless, so
+  * the decoded raster equals the deterministic generator's output).
+  * Only the AUDIO-shaped feature fold ([[decodeStub]]) remains a
+  * deterministic fake — the container ships no audio codecs. Everything
+  * Spark-side is real and load-bearing at scale: the schema contract,
+  * the `mapPartitions` batch shape (one reusable decoder per partition,
+  * not per row — exactly how a JNI/FFmpeg binding must be held),
+  * kryo-free row encoding, and partition sizing by byte volume rather
+  * than row count.
   */
 object Multimodal {
 
@@ -41,8 +46,9 @@ object Multimodal {
         (pmod(xxhash64(col(textCol)), lit(480)) + 32).cast(IntegerType).as("height"))
         .as("meta"))
 
-  /** STUB — deterministic fake decoder standing in for a real image/audio
-    * decode (???: no codec libraries in this environment). Emits `dim`
+  /** STUB — deterministic fake decoder standing in for a real AUDIO
+    * decode (???: no audio codec libraries in this environment; images
+    * now use the real JDK PNG codec — see [[decodeImage]]). Emits `dim`
     * floats derived from payload bytes; a real implementation swaps ONLY
     * this function (same signature: bytes in, fixed-length features out).
     */
@@ -123,6 +129,149 @@ object Multimodal {
           crc.update(out)
           Row(r.get(idIdx), out,
             Row(meta.getString(0), out.length.toLong, crc.getValue, width, height))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL image codec path (JDK javax.imageio — PNG, lossless).
+  // ---------------------------------------------------------------------
+
+  /** Encode an integer-raster column to real PNG payloads → media table
+    * (id, payload binary, meta struct). `pixelsCol` is a row-major
+    * array<int> of 0xRRGGBB-packed pixels of size `wCol`·`hCol` (the
+    * raster can come straight from SQL expressions — the differential
+    * entries generate it with `transform(sequence(...))`).
+    * Partition-batched: `ImageIO` disk caching is disabled once per
+    * partition and the encode buffer is reused — the same handle
+    * discipline a JNI codec needs. NULL or size-mismatched rasters emit
+    * a NULL payload with metadata kept (one bad row must not fail the
+    * stage).
+    */
+  def encodePng(df: DataFrame, idCol: String, wCol: String, hCol: String,
+      pixelsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val wIdx = inSchema.fieldIndex(wCol)
+    val hIdx = inSchema.fieldIndex(hCol)
+    val pxIdx = inSchema.fieldIndex(pixelsCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx), StructField("payload", BinaryType),
+      StructField("meta", metadataType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // once per partition: no temp-file cache
+      val baos = new java.io.ByteArrayOutputStream(1 << 12)
+      rows.map { r =>
+        val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+        val px = if (r.isNullAt(pxIdx)) null else r.getSeq[Int](pxIdx)
+        if (px == null || px.length != w * h || w <= 0 || h <= 0)
+          Row(r.get(idIdx), null,
+            Row("image/png", 0L, 0L, w, h))
+        else {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
+          baos.reset()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          val bytes = baos.toByteArray
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          Row(r.get(idIdx), bytes,
+            Row("image/png", bytes.length.toLong, crc.getValue, w, h))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode PNG payloads back to (id, width, height, pixels array<int>)
+    * with the real JDK reader — the inverse of [[encodePng]]; pixels are
+    * row-major 0xRRGGBB ints (`getRGB` masked to 24 bits, exact for
+    * 8-bit RGB PNG: no gamma/ICC chunks are written, so the round-trip
+    * is lossless bit-for-bit). NULL/undecodable payloads → NULL raster.
+    */
+  def decodeImage(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", ArrayType(IntegerType, containsNull = false))))
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) Row(r.get(idIdx), null, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Int](w * h)
+          var i = 0
+          while (i < px.length) {
+            px(i) = img.getRGB(i % w, i / w) & 0xffffff; i += 1
+          }
+          Row(r.get(idIdx), w, h, px.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL image resize: decode PNG → deterministic NEAREST-NEIGHBOR
+    * sample to `tw`×`th` (target (tx,ty) ← source (tx·w/tw, ty·h/th),
+    * integer division — exactly reproducible in any SQL engine, unlike
+    * Graphics2D's implementation-defined interpolation) → re-encode PNG.
+    * Media table in, media table out, so it composes with
+    * [[decodeImage]]/[[sampleFrames]] like the generic [[resize]].
+    */
+  def resizeImage(df: DataFrame, idCol: String, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, s"resizeImage: target $tw x $th must be positive")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val metaIdx = inSchema.fieldIndex("meta")
+    val outSchema = StructType(Seq(
+      inSchema(idIdx), StructField("payload", BinaryType),
+      StructField("meta", metadataType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val baos = new java.io.ByteArrayOutputStream(1 << 12)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val meta = r.getStruct(metaIdx)
+        val img =
+          if (payload == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) Row(r.get(idIdx), null, meta)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var ty = 0
+          while (ty < th) {
+            val sy = ty * h / th
+            var tx = 0
+            while (tx < tw) {
+              out.setRGB(tx, ty, img.getRGB(tx * w / tw, sy))
+              tx += 1
+            }
+            ty += 1
+          }
+          baos.reset()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          val bytes = baos.toByteArray
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          Row(r.get(idIdx), bytes,
+            Row(meta.getString(0), bytes.length.toLong, crc.getValue, tw, th))
         }
       }
     }

@@ -320,6 +320,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Multimodal.extractFeatures(small, "doc_id", dim = 4).count() == 50)
   }
 
+  test("multimodal: real PNG codec — lossless round-trip, NN resize, bad-row tolerance") {
+    import spark.implicits._
+    // Known rasters: 3x2 gradient, 1x1, a size-MISMATCHED row (raster
+    // shorter than w*h), and a NULL raster.
+    val px32 = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x102030, 0xfefdfc, 0x000000)
+    val src = Seq(
+      (1L, 3, 2, px32), (2L, 1, 1, Seq(0xabcdef)),
+      (3L, 3, 2, Seq(1, 2)), (4L, 3, 2, null.asInstanceOf[Seq[Int]]))
+      .toDF("doc_id", "w", "h", "pixels")
+    val png = Multimodal.encodePng(src, "doc_id", "w", "h", "pixels")
+    val byId = png.collect().map(r => r.getLong(0) -> r).toMap
+    // Real PNG bytes: magic header on good rows, NULL payload on bad.
+    val goodPayload = byId(1L).getAs[Array[Byte]]("payload")
+    assert(goodPayload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    assert(byId(3L).getAs[Array[Byte]]("payload") == null &&
+      byId(4L).getAs[Array[Byte]]("payload") == null,
+      "bad rasters must yield NULL payloads, not fail the stage")
+    assert(byId(1L).getStruct(2).getString(0) == "image/png")
+    // Lossless round-trip: decode returns the exact input raster.
+    val dec = Multimodal.decodeImage(png, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getInt(1) == 3 && dec(1L).getInt(2) == 2)
+    assert(dec(1L).getSeq[Int](3) == px32, "PNG round-trip must be bit-exact")
+    assert(dec(2L).getSeq[Int](3) == Seq(0xabcdef))
+    assert(dec(3L).isNullAt(3) && dec(4L).isNullAt(3),
+      "NULL payloads must decode to NULL rasters")
+    // NN resize 3x2 -> 2x1: target (tx,0) <- source (tx*3/2, 0*2/1) =
+    // (0,0) and (1,0) -> pixels 0 and 1.
+    val small = Multimodal.resizeImage(png, "doc_id", tw = 2, th = 1)
+    val sdec = Multimodal.decodeImage(small, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sdec(1L).getInt(1) == 2 && sdec(1L).getInt(2) == 1)
+    assert(sdec(1L).getSeq[Int](3) == Seq(0xff0000, 0x00ff00),
+      "nearest-neighbor must pick source (tx*w/tw, ty*h/th) exactly")
+    assert(sdec(3L).isNullAt(3), "NULL payloads ride through resize as NULL")
+  }
+
   test("multimodal: frame windows are byte-exact on non-UTF-8 binary payloads") {
     import spark.implicits._
     // Payloads that are NOT valid UTF-8 (JPEG-like magic + high bytes):
