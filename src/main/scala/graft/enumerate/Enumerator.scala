@@ -43,7 +43,10 @@ final case class GraphNode(id: Int, sketch: SketchGroup) {
 final class Enumerator(
     nodes: IndexedSeq[GraphNode],
     edges: Seq[((Int, String), (Int, String))],
-    traversalBound: Int = 100) {
+    traversalBound: Int = 100,
+    estimator: String = Enumerator.ModeHybrid) {
+  require(Enumerator.Modes.contains(estimator),
+    s"unknown estimator mode '$estimator' (one of ${Enumerator.Modes})")
 
   private val sketchOf: Map[Int, SketchGroup] = nodes.map(n => n.id -> n.sketch).toMap
   private val complexityOf: Map[Int, Long] = nodes.map(n => n.id -> n.complexity).toMap
@@ -122,15 +125,32 @@ final class Enumerator(
         // disconnected traversal (size-descending fallback introspection)
         // would trip composedPlane's require before cascadeEstimate's
         // cartesian branch could handle it.
-        if (multiwayAligned(traversal)) {
-          val planes = traversal.map { n =>
-            val others = traversal.filterNot(_ == n)
-            composedPlane(n, others)
-          }
-          Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
-        } else cascadeEstimate(traversal)
+        estimator match {
+          case Enumerator.ModeReference =>
+            // The reference's unconditional composition (A/B mode): the
+            // multi-way product-median regardless of seed alignment,
+            // exactly as RelAlgExecutor.cpp:2068-2188 computes it. Only a
+            // structurally unestimable traversal (disconnected member —
+            // composedPlane's require) falls back, mirroring how such
+            // traversals are handled on the default path.
+            try multiwayEstimate(traversal, sk0)
+            catch { case scala.util.control.NonFatal(_) => cascadeEstimate(traversal) }
+          case Enumerator.ModeCascade => cascadeEstimate(traversal)
+          case _ =>
+            if (multiwayAligned(traversal)) multiwayEstimate(traversal, sk0)
+            else cascadeEstimate(traversal)
+        }
       }
     })
+  }
+
+  private def multiwayEstimate(traversal: Seq[Int],
+      sk0: SketchGroup): Double = {
+    val planes = traversal.map { n =>
+      val others = traversal.filterNot(_ == n)
+      composedPlane(n, others)
+    }
+    Estimator.multiway(planes.toArray, sk0.rows, sk0.buckets)
   }
 
   /** Seed-class fingerprint of one (node, column): SeedRegistry hands the
@@ -336,4 +356,19 @@ final class Enumerator(
     pop()
     future
   }
+}
+
+object Enumerator {
+  /** Default: seed-alignment-guarded hybrid — reference product-median
+    * where its math holds (one seed class), independence cascade
+    * everywhere else (see the alignment-guard comment in `estimate`).
+    */
+  val ModeHybrid = "hybrid"
+  /** A/B mode: the reference's unconditional multi-way product-median
+    * (the math `MultiwayDivergenceSpec` proves degenerates cross-class).
+    */
+  val ModeReference = "reference"
+  /** A/B mode: the independence cascade for every >2-way traversal. */
+  val ModeCascade = "cascade"
+  val Modes: Set[String] = Set(ModeHybrid, ModeReference, ModeCascade)
 }

@@ -736,4 +736,20 @@ object JobCorpus {
     lastCompassRuns = runs
     runs.map(r => r.name -> r.count).toDF("q", "n").orderBy("q")
   }
+
+  /** A/B the enumerator's estimator math on plan CHOICE over the JOB
+    * compass families (r13 verdict #5) — see
+    * [[graft.planner.OptimizerQuality.abForQuery]] for the measurement.
+    */
+  def abEstimatorModes(spark: SparkSession,
+      cs: graft.planner.CompassSession,
+      families: Seq[String] = compassSubset)
+      : Seq[graft.planner.OptimizerQuality.ModeAB] = {
+    ensureData(spark)
+    registerViews(spark)
+    val byName = queries.toMap
+    families.map(name =>
+      graft.planner.OptimizerQuality.abForQuery(spark, cs, name,
+        spark.sql(byName(name))))
+  }
 }

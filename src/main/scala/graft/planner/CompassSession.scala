@@ -287,6 +287,23 @@ final class CompassSession(
     */
   def optimize(df: DataFrame): DataFrame = optimizeIn(defaultScope, df)
 
+  /** A/B introspection support (r13 verdict #5): extract the query's
+    * join graph and build ONE sketch set for it, returning the raw
+    * (graph, nodes, edges) so a harness can construct Enumerators under
+    * several estimator modes over the SAME nodes — isolating the
+    * estimator as the only variable. The sketch groups are driver-local
+    * arrays and stay valid after the build scope is dropped.
+    */
+  private[graft] def sketchGraph(df: DataFrame): (ExtractedJoinGraph,
+      IndexedSeq[GraphNode], Seq[((Int, String), (Int, String))]) = {
+    val analyzed = df.queryExecution.analyzed
+    val (g, _) = JoinGraphExtractor.extract(analyzed)
+      .getOrElse(sys.error("sketchGraph: not an optimizable join region"))
+    val scope = newScope()
+    try (g, buildSketches(g, scope), enumeratorEdges(g))
+    finally dropScope(scope)
+  }
+
   /** True when at most ONE instance's UNFILTERED base relation is over
     * the session's autoBroadcastJoinThreshold (stats-based, the same
     * sizeInBytes Catalyst's broadcast decision reads — filters only

@@ -269,4 +269,57 @@ object OptimizerQuality {
     placed
   }
 
+  /** One query's estimator-mode A/B verdict (r13 verdict #5): the order
+    * each estimator mode chose (unconditional reference product-median /
+    * independence cascade / the shipping alignment-guarded hybrid), each
+    * distinct order's measured Σ true intermediates, and both the ref-
+    * and cascade-chosen orders' costs under the CASCADE model —
+    * comparable numbers on one scale, separating "the cascade model
+    * mis-ranks these two orders" from "the bounded DFS under cascade
+    * estimates never reached the reference-chosen order".
+    */
+  final case class ModeAB(family: String, refOrder: Seq[String],
+      refSum: Long, casOrder: Seq[String], casSum: Long,
+      hybOrder: Seq[String], hybSum: Long,
+      casCostOfRef: Double, casCostOfCas: Double) {
+    def agree: Boolean = refOrder == casOrder
+    def cascadeWinsOrTies: Boolean = casSum <= refSum
+    def hybridEqCascade: Boolean = hybOrder == casOrder
+    /** Cascade's own model prefers the reference-chosen order — the
+      * disagreement is a search-path artifact, not a ranking error.
+      */
+    def searchArtifact: Boolean = !agree && casCostOfRef < casCostOfCas
+  }
+
+  /** Measure one query under all three estimator modes: ONE sketch set
+    * ([[CompassSession.sketchGraph]]), three enumerations over the same
+    * nodes, then each DISTINCT chosen order's Σ true intermediates from
+    * its executed left-deep spine ([[prefixRows]] — duplicates measured
+    * once). `MultiwayDivergenceSpec` proved the reference math
+    * degenerates cross-class as ESTIMATES; this measures whether that
+    * changes the CHOICE, and who wins when it does.
+    */
+  def abForQuery(spark: SparkSession, cs: CompassSession, name: String,
+      df: org.apache.spark.sql.DataFrame): ModeAB = {
+    val (g, nodes, edges) = cs.sketchGraph(df)
+    import graft.enumerate.Enumerator
+    def bestUnder(mode: String): Seq[Int] =
+      new Enumerator(nodes, edges, estimator = mode).optimalOrder()._1
+    val ref = bestUnder(Enumerator.ModeReference)
+    val cas = bestUnder(Enumerator.ModeCascade)
+    val hyb = bestUnder(Enumerator.ModeHybrid)
+    val casModel = new Enumerator(nodes, edges,
+      estimator = Enumerator.ModeCascade)
+    def costOf(o: Seq[Int]): Double =
+      try casModel.orderCost(o)
+      catch { case scala.util.control.NonFatal(_) => Double.NaN }
+    val sums = scala.collection.mutable.Map.empty[Seq[Int], Long]
+    def sumOf(o: Seq[Int]): Long =
+      sums.getOrElseUpdate(o, prefixRows(spark, g, o).sum)
+    val toNames = (o: Seq[Int]) => o.map(g.instances(_).name)
+    ModeAB(name, toNames(ref), sumOf(ref), toNames(cas), sumOf(cas),
+      toNames(hyb), sumOf(hyb),
+      casCostOfRef = costOf(ref), casCostOfCas = costOf(cas))
+  }
+
 }
