@@ -323,6 +323,16 @@ object Bench {
     val jobLatencyJson = jobLatency.map { case (k, (med, p90, mx, n)) =>
       s""""${esc(k)}":{"median_ms":$med,"p90_ms":$p90,"max_ms":$mx,"n":$n}"""
     }.mkString("{", ",", "}")
+    // skipWhenAllBroadcastable facet (r13 verdict #6): planning ms with
+    // the policy OFF vs ON over the 12-family quality subset at this
+    // bench's JOB scale, result equality asserted. Untimed (not part of
+    // any entry); skipped when the JOB entries are filtered out.
+    val skipPolicyJson =
+      if (!selected.exists(e => e.name == "q_job_quality")) "null"
+      else try {
+        val f = graft.job.JobCorpus.measureSkipPolicy(spark, sfDir)
+        s"""{"off_plan_ms":${f.offPlanMs},"on_plan_ms":${f.onPlanMs},"skipped":${f.nSkipped},"families":${f.families},"equal":${f.allEqual}}"""
+      } catch { case NonFatal(e) => s""""error: ${esc(e.getMessage)}"""" }
     // Per-streaming-entry [n_batches, median_ms, max_ms] — full map in
     // the file; the compact stdout line carries only the 3 largest-max
     // entries (the ~2000-char driver window cannot fit 13 more keys).
@@ -330,7 +340,7 @@ object Bench {
       m.map { case (k, (n, md, mx)) => s""""${esc(k)}":[$n,$md,$mx]""" }
         .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
     Option(fullOut.toAbsolutePath.getParent)
       .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
     java.nio.file.Files.write(fullOut,
@@ -355,6 +365,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val streamNoisiest = streamJson(
       streamBatches.toSeq.sortBy { case (_, (_, _, mx)) => -mx }.take(3))
-    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":$jobPlanningCompact,"job_corpus_latency":$jobLatencyJson,"stream_batches_noisiest":$streamNoisiest,"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":${jsonOf(compact)},"warm_total":${f2(warmTotal)},"warm_is_median_of_3":true,"warm_spread_noisiest":$noisiest,"job_planning":$jobPlanningCompact,"job_corpus_latency":$jobLatencyJson,"skip_policy":$skipPolicyJson,"stream_batches_noisiest":$streamNoisiest,"errors":$nErr,"n_queries":${timings.size},"full":"$fullOut","sf":"$sfDir"}"""
   }
 }

@@ -737,6 +737,50 @@ object JobCorpus {
     runs.map(r => r.name -> r.count).toDF("q", "n").orderBy("q")
   }
 
+  /** Bench facet for the `skipWhenAllBroadcastable` policy (r13 verdict
+    * #6): run the 12-family quality subset through two CompassSessions —
+    * policy OFF (full pre-pass) and ON — timing ONLY the optimize step
+    * (cs.sql builds sketches eagerly; execution is a separate head()),
+    * and compare result counts. Returns (offPlanMs, onPlanMs, nSkipped,
+    * allEqual). When the scale's big tables exceed the broadcast
+    * threshold the policy correctly declines to skip (nSkipped < 12) —
+    * the facet reports that honestly rather than forcing the regime.
+    */
+  final case class SkipPolicyFacet(offPlanMs: Long, onPlanMs: Long,
+      nSkipped: Int, families: Int, allEqual: Boolean)
+
+  def measureSkipPolicy(spark: SparkSession, sfDir: String = ""): SkipPolicyFacet = {
+    val m = scaleFor(sfDir)
+    ensureData(spark, m)
+    registerViews(spark, m)
+    val byName = queries.toMap
+    val texts = qualitySubset.map(n => n -> byName(n))
+    import graft.planner.{CompassSession, SketchTemplateCache}
+    val csOff = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    val csOn = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()),
+      skipWhenAllBroadcastable = true)
+    try {
+      // Steady-state planning: warm unfiltered templates for the OFF side
+      // (the ON side's whole point is to touch nothing).
+      csOff.warmTemplates(texts.map(t => spark.sql(t._2)))
+      var offMs = 0L; var onMs = 0L; var skipped = 0; var equal = true
+      texts.foreach { case (_, text) =>
+        val t0 = System.nanoTime()
+        val dfOff = csOff.sql(text)
+        offMs += (System.nanoTime() - t0) / 1000000
+        csOn.lastPlan = None
+        val t1 = System.nanoTime()
+        val dfOn = csOn.sql(text)
+        onMs += (System.nanoTime() - t1) / 1000000
+        if (csOn.lastPlan.isEmpty) skipped += 1
+        equal &&= dfOff.head().getLong(0) == dfOn.head().getLong(0)
+      }
+      SkipPolicyFacet(offMs, onMs, skipped, texts.size, equal)
+    } finally { csOff.close(); csOn.close() }
+  }
+
   /** A/B the enumerator's estimator math on plan CHOICE over the JOB
     * compass families (r13 verdict #5) — see
     * [[graft.planner.OptimizerQuality.abForQuery]] for the measurement.
