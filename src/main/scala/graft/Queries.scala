@@ -3217,10 +3217,14 @@ object Queries {
         .withColumn("y1", lit(1L))
       val scored = fh.join(conv, Seq("c"), "left")
         .withColumn("y", coalesce(col("y1"), lit(0L))).drop("y1")
-      val n = scored.count() // one scalar: the percent_rank denominator
+      // percent_rank denominator rides the prefix pass's own partition
+      // totals (totalCountCol) — no separate count() action re-running
+      // the filter+join for one scalar (r13 advice #3).
       val dec = graft.operators.Prefix.withRunningSums(
-          scored, "spend", Nil, idxCol = "_r", tieCols = Seq("c"))
-        .withColumn("pr", (col("_r") - 1) / (n - 1).toDouble)
+          scored, "spend", Nil, idxCol = "_r", tieCols = Seq("c"),
+          totalCountCol = "_n_total")
+        .withColumn("pr",
+          (col("_r") - 1).cast("double") / (col("_n_total") - 1).cast("double"))
         .groupBy(floor(least(col("pr"), lit(0.999999)) * 10).cast("int").as("decile"))
         .agg(count(lit(1)).cast("long").as("n"), sum(col("y")).cast("long").as("n_conv"))
       val base = dec.agg(
@@ -3362,6 +3366,66 @@ object Queries {
         "    AND CAST(o.o_orderdate AS DATE) < s.valid_to) " +
         "SELECT CAST(tier AS INT) AS tier, count(*) AS n, " +
         "  CAST(sum(cents) AS BIGINT) AS cents FROM pit GROUP BY tier ORDER BY tier"),
+
+    // PIT-vs-AS-OF cross-proof (r13 verdict #8): the same point-in-time
+    // question — each order's customer tier as of strictly before its
+    // day — answered by BOTH join families: (a) the SCD2 interval join
+    // (equi key + interval residual, as q_pit_join) and (b) the backward
+    // as-of join against the tier table's effective dates
+    // (Temporal.asofJoin: latest valid_from <= order day carries exactly
+    // the interval containing the day). The entry emits both answers
+    // side by side; the ORACLE computes the answer ONCE and expects both
+    // pairs equal to it, so ANY divergence between the two operator
+    // families hash-fails — two independently-tested joins now also
+    // prove each other.
+    dfq("q_pit_asof_consistency",
+      "WITH daily AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d, " +
+        "    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1, 2), " +
+        "cum AS (SELECT c, d, " +
+        "    coalesce(sum(cents) OVER (PARTITION BY c ORDER BY d " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+        "  FROM daily), " +
+        "scd AS (SELECT c, d AS valid_from, " +
+        "    coalesce(lead(d) OVER (PARTITION BY c ORDER BY d), DATE '9999-12-31') AS valid_to, " +
+        "    least(CAST(floor(cum_before / 50000000.0) AS INT), 3) AS tier FROM cum), " +
+        "pit AS (SELECT s.tier, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents " +
+        "  FROM orders o JOIN scd s ON o.o_custkey = s.c " +
+        "    AND CAST(o.o_orderdate AS DATE) >= s.valid_from " +
+        "    AND CAST(o.o_orderdate AS DATE) < s.valid_to), " +
+        "agg AS (SELECT CAST(tier AS INT) AS tier, count(*) AS n, " +
+        "  CAST(sum(cents) AS BIGINT) AS cents FROM pit GROUP BY tier) " +
+        "SELECT tier, CAST(n AS BIGINT) AS n_pit, cents AS cents_pit, " +
+        "  CAST(n AS BIGINT) AS n_asof, cents AS cents_asof " +
+        "FROM agg ORDER BY tier") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val scd = s.sql(
+        "WITH daily AS (SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d, " +
+          "    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1, 2), " +
+          "cum AS (SELECT c, d, " +
+          "    coalesce(sum(cents) OVER (PARTITION BY c ORDER BY d " +
+          "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before " +
+          "  FROM daily) " +
+          "SELECT c, d AS valid_from, " +
+          "  coalesce(lead(d) OVER (PARTITION BY c ORDER BY d), DATE '9999-12-31') AS valid_to, " +
+          "  least(CAST(floor(cum_before / 50000000.0) AS INT), 3) AS tier FROM cum")
+      val ords = s.sql(
+        "SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders")
+      val pit = ords.as("o")
+        .join(scd.as("s"), col("o.c") === col("s.c") &&
+          col("o.d") >= col("s.valid_from") && col("o.d") < col("s.valid_to"))
+        .groupBy(col("s.tier").cast("int").as("tier"))
+        .agg(count(lit(1)).as("n_pit"), sum(col("o.cents")).cast("long").as("cents_pit"))
+      val asof = graft.operators.Temporal.asofJoin(
+          ords, scd.select(col("c"), col("valid_from").as("d"), col("tier")),
+          "c", "d", Seq("tier"))
+        .groupBy(col("tier").cast("int").as("tier"))
+        .agg(count(lit(1)).as("n_asof"), sum(col("cents")).cast("long").as("cents_asof"))
+      pit.join(asof, Seq("tier"), "full")
+        .select(col("tier"), col("n_pit"), col("cents_pit"),
+          col("n_asof"), col("cents_asof"))
+        .orderBy("tier")
+    },
   )
 
   /** Relational surface (§2.1–2.9). COMPASS + pipeline entries live in

@@ -59,7 +59,7 @@ object Prefix {
       df: DataFrame, orderCol: String,
       sums: Seq[(String, String)], idxCol: String = "_idx",
       numPartitions: Int = 0, tieCols: Seq[String] = Nil,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil, totalCountCol: String = ""): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
@@ -68,6 +68,8 @@ object Prefix {
       require(t == LongType || t == DoubleType,
         s"withRunningSums: $v must be LONG or DOUBLE, got $t")
     }
+    require(totalCountCol.isEmpty || groupCols.isEmpty,
+      "withRunningSums: totalCountCol is not supported with groupCols")
     if (groupCols.nonEmpty)
       return withGroupedRunningSums(df, orderCol, sums, idxCol, n, tieCols, groupCols)
     val orderCols = col(orderCol) +: tieCols.map(col)
@@ -120,8 +122,15 @@ object Prefix {
       })
     val offsets = spark.createDataFrame(
       spark.sparkContext.parallelize(offsetRows, 1), offSchema)
-    val joined = localP.join(broadcast(offsets), "_pid")
+    val joined0 = localP.join(broadcast(offsets), "_pid")
       .withColumn(idxCol, col("_lidx") + col("_idx_off"))
+    // The per-partition totals are already on the driver, so the global
+    // row count is free here — exposing it saves callers that need a
+    // denominator (percent_rank-style) a second full pass (r13 advice:
+    // q_decile_lift ran an extra count() action for one scalar).
+    val joined =
+      if (totalCountCol.isEmpty) joined0
+      else joined0.withColumn(totalCountCol, lit(rowOff))
     sums.foldLeft(joined) { case (acc, (v, out)) =>
       // Exact SQL running-sum null semantics: NULL while BOTH the local
       // prefix and every earlier partition's total are all-null (no
