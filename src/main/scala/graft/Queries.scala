@@ -1472,15 +1472,24 @@ object Queries {
         "FROM j ORDER BY user_id, day"),
 
     // Shannon entropy of each user's event-type mix — the mixture-skew
-    // signal a curation pipeline gates on. Counts are exact; the ≤5-term
-    // -Σ p·log2(p) fold is rounded at 6 dp (term count is O(types), so
-    // partial-aggregation order drift is last-ulp only).
+    // signal a curation pipeline gates on. r14: the double -Σ p·log2(p)
+    // fold (order-sensitive, 6-dp-rounded — the transcendental knife-edge
+    // class) is replaced by the exact identity
+    // H = log2(T) − (1/T)·Σ n·log2(n) on the integer micro-bit lattice
+    // floor(log2(k)·1e6+0.5) of INTEGER counts: the sum is exact BIGINT
+    // (order-free), and the result is ONE IEEE division of two exact
+    // integers — bit-identical cross-engine with no rounding step (see
+    // COVERAGE.md r14 margin table; same lattice as q_lm_score).
     sql("q_entropy",
       "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
-        "t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1) " +
-        "SELECT c.user_id, CAST(max(tot) AS BIGINT) AS n_events, " +
-        "  round(-sum((n / CAST(tot AS DOUBLE)) * log2(n / CAST(tot AS DOUBLE))), 6) AS entropy_bits " +
-        "FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id ORDER BY c.user_id"),
+        "t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1), " +
+        "s AS (SELECT c.user_id, CAST(max(tot) AS BIGINT) AS n_events, " +
+        "    CAST(sum(n * CAST(floor(log2(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS snl " +
+        "  FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id) " +
+        "SELECT user_id, n_events, " +
+        "  CAST(n_events * CAST(floor(log2(CAST(n_events AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) - snl AS DOUBLE) " +
+        "    / CAST(n_events * 1000000 AS DOUBLE) AS entropy_bits " +
+        "FROM s ORDER BY user_id"),
 
     // Deterministic MODE per group — most-frequent quantity with an
     // explicit (count DESC, value) tie-break, because bare mode() is
@@ -1952,10 +1961,13 @@ object Queries {
         "FROM s GROUP BY day ORDER BY day"),
 
     // PMI collocations (pointwise mutual information over adjacent word
-    // pairs) — the classic phrase detector. All counts exact; PMI's log
-    // is the only double (JVM Math.log vs libm can differ a last ulp →
-    // 5-dp round), and the result set is cut by exact SUPPORT (cxy ≥ 20),
-    // never by a float ranking — so the SET cannot flip on log ulps.
+    // pairs) — the classic phrase detector. All counts exact; r14: PMI
+    // itself is now the micro-bit lattice difference
+    // L(cxy·2·tot) − L(a.c·b.c) over exact integer products (< 2^53)
+    // divided once in IEEE — no transcendental result is rounded
+    // cross-engine (the r13 formulation 5-dp-rounded a raw log2: the
+    // same latent knife-edge class as the lm entries). The result set is
+    // still cut by exact SUPPORT (cxy ≥ 20), never a float ranking.
     // Docs with a single token are excluded on both sides (Spark's
     // sequence(1, 0) DESCENDS where generate_series is empty).
     sql2("q_pmi_collocations",
@@ -1967,7 +1979,9 @@ object Queries {
         "pc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2), " +
         "n AS (SELECT count(*) AS tot FROM bg) " +
         "SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, " +
-        "  round(log2(CAST(cxy AS DOUBLE) * 2 * tot / (a.c * b.c)), 5) AS pmi " +
+        "  CAST(CAST(floor(log2(CAST(cxy * 2 * tot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+        "     - CAST(floor(log2(CAST(a.c * b.c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) " +
+        "    / CAST(1000000 AS DOUBLE) AS pmi " +
         "FROM pc JOIN uni a ON pc.w1 = a.w JOIN uni b ON pc.w2 = b.w CROSS JOIN n " +
         "WHERE cxy >= 20 ORDER BY w1, w2",
       "WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents WHERE len(string_split(lower(text), ' ')) >= 2), " +
@@ -1978,7 +1992,9 @@ object Queries {
         "pc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2), " +
         "n AS (SELECT count(*) AS tot FROM bg) " +
         "SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, " +
-        "  round(log2(CAST(cxy AS DOUBLE) * 2 * tot / (a.c * b.c)), 5) AS pmi " +
+        "  CAST(CAST(floor(log2(CAST(cxy * 2 * tot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
+        "     - CAST(floor(log2(CAST(a.c * b.c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) " +
+        "    / CAST(1000000 AS DOUBLE) AS pmi " +
         "FROM pc JOIN uni a ON pc.w1 = a.w JOIN uni b ON pc.w2 = b.w CROSS JOIN n " +
         "WHERE cxy >= 20 ORDER BY w1, w2"),
 
