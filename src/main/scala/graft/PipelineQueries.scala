@@ -1850,6 +1850,44 @@ object PipelineQueries {
       imageChecksums(Multimodal.decodeImage(small, "doc_id")).orderBy("doc_id")
     },
 
+    // Feature extraction over REALLY-DECODED pixels: extractFeatures
+    // magic-sniffs the PNG payload, inflates it with the JDK reader, and
+    // runs the FNV feature fold over the decoded row-major RGB bytes —
+    // NOT the compressed stream (a fold over deflate bytes would change
+    // with the encoder's compression level). The oracle replays the fold
+    // over the generator's RGB byte sequence with the same recursive-CTE
+    // float32 arithmetic as q_multimodal_decode — so a decode that
+    // returned wrong pixels, wrong channel order, or the raw stream
+    // hash-fails.
+    dfq("q_image_features",
+      "WITH RECURSIVE gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
+        "  FROM documents), " +
+        "bts AS (SELECT doc_id, " +
+        "  [CASE j % 3 WHEN 0 THEN (doc_id*7 + (j//3)*3) % 256 " +
+        "              WHEN 1 THEN (doc_id*11 + (j//3)*5) % 256 " +
+        "              ELSE (doc_id*13 + (j//3)*7) % 256 END " +
+        "   FOR j IN range(0, 3*w*h)] AS bs FROM gen), " +
+        "steps AS (" +
+        "  SELECT doc_id, bs, len(bs) AS n, 0 AS i, " +
+        "    CAST(14695981039346656037 AS HUGEINT) AS h, CAST(0 AS REAL) AS f0 " +
+        "  FROM bts " +
+        "  UNION ALL " +
+        "  SELECT doc_id, bs, n, i + 1, nh, " +
+        "    CAST(CASE WHEN i % 4 = 0 THEN f0 + CAST((nh >> 40) & 255 AS REAL)/CAST(255 AS REAL) ELSE f0 END AS REAL) " +
+        "  FROM (SELECT doc_id, bs, n, i, f0, " +
+        "      (xor(h, CAST(bs[i + 1] AS HUGEINT)) * 1099511628211) % 18446744073709551616 AS nh " +
+        "    FROM steps WHERE i < n) t) " +
+        "SELECT doc_id, CAST(floor(CAST(f0 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f0fp " +
+        "FROM steps WHERE i = n ORDER BY doc_id") { (s, dir) =>
+      val png = Multimodal.encodePng(
+        imageRaster(Tables.load(s, dir, "documents")), "doc_id", "w", "h", "pixels")
+      Multimodal.extractFeatures(png, "doc_id", dim = 4)
+        .select(col("doc_id"),
+          floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
+            .cast("long").as("f0fp"))
+        .orderBy("doc_id")
+    },
+
     // Stubbed resize (stride-sampled payload to a pixel budget) composed
     // with feature extraction — media table in, media table out.
     // ORACLE-CHECKED (r10): the 64×64 budget is 64 bytes, so DuckDB

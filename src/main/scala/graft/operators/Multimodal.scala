@@ -64,10 +64,41 @@ object Multimodal {
     out
   }
 
+  private val PngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+
+  private def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == PngMagic(0) && payload(1) == PngMagic(1) &&
+      payload(2) == PngMagic(2) && payload(3) == PngMagic(3)
+
+  /** Row-major RGB byte sequence (r,g,b per pixel) of a decoded image —
+    * the feature kernel's input for the REAL image path.
+    */
+  private def rgbBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](3 * w * h)
+    var i = 0
+    while (i < w * h) {
+      val p = img.getRGB(i % w, i / w)
+      out(3 * i) = ((p >> 16) & 0xff).toByte
+      out(3 * i + 1) = ((p >> 8) & 0xff).toByte
+      out(3 * i + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Partition-batched feature extraction over the payload column.
     * `mapPartitions` (not per-row UDF) so a real decoder is initialized
     * once per partition — the pattern that matters for JNI decoders.
     * Output: (id, features array<float>).
+    *
+    * r14: PNG payloads (magic-sniffed) take the REAL decode path — the
+    * JDK reader inflates them and the feature fold runs over the decoded
+    * row-major RGB bytes, not the compressed stream (a feature of the
+    * deflate bytes would change whenever the encoder's compression level
+    * did). Non-image payloads keep the deterministic stand-in fold
+    * ([[decodeStub]] — audio-shaped); undecodable or NULL payloads yield
+    * NULL features.
     */
   def extractFeatures(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
@@ -78,11 +109,19 @@ object Multimodal {
       inSchema(idIdx), StructField("features", ArrayType(FloatType, containsNull = false))))
     val rdd = df.rdd.mapPartitions { rows =>
       // Real pipelines initialize the decoder handle here, once.
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         // NULL payload → NULL features (one bad row must not fail the
         // stage; every expression-based operator here is null-tolerant).
-        Row(r.get(idIdx), if (payload == null) null else decodeStub(payload, dim))
+        val bytes =
+          if (payload == null) null
+          else if (isPng(payload)) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            if (img == null) null else rgbBytes(img)
+          } else payload
+        Row(r.get(idIdx), if (bytes == null) null else decodeStub(bytes, dim))
       }
     }
     spark.createDataFrame(rdd, outSchema)
