@@ -246,6 +246,43 @@ object Queries {
           col("n"), col("chars"), col("n_chars"))
     },
 
+    // Parquet compression-codec matrix — the 100 TB storage knob: the
+    // same table written under uncompressed/snappy/gzip/zstd must read
+    // back content-identical (per-codec row counts + char checksums all
+    // equal the source), and the compressed layouts must actually be
+    // smaller than uncompressed (asserted engine-side, loudly — a codec
+    // option that silently fell back to uncompressed would pass a pure
+    // content check). The oracle recomputes the invariant projection per
+    // codec from the source table.
+    dfq("q_parquet_codecs",
+      "SELECT codec, CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum(length(text)) AS BIGINT) AS chars FROM documents, " +
+        "  (SELECT unnest(['gzip','snappy','uncompressed','zstd']) AS codec) c " +
+        "GROUP BY codec ORDER BY codec") { (s, dir) =>
+      val tmp = tempDir("graft_codecs")
+      val docs = Tables.load(s, dir, "documents")
+      val codecs = Seq("gzip", "snappy", "uncompressed", "zstd")
+      def dirBytes(p: String): Long =
+        Option(new java.io.File(p).listFiles).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val sizes = codecs.map { c =>
+        docs.write.mode("overwrite").option("compression", c)
+          .parquet(s"$tmp/$c")
+        c -> dirBytes(s"$tmp/$c")
+      }.toMap
+      Seq("gzip", "snappy", "zstd").foreach { c =>
+        require(sizes(c) < sizes("uncompressed"),
+          s"codec $c wrote ${sizes(c)} bytes >= uncompressed " +
+            s"${sizes("uncompressed")} — compression silently disabled?")
+      }
+      codecs.map { c =>
+          s.read.parquet(s"$tmp/$c")
+            .agg(count(lit(1)).as("n"),
+              sum(length(col("text"))).cast("long").as("chars"))
+            .select(lit(c).as("codec"), col("n"), col("chars"))
+        }.reduce(_.unionByName(_)).orderBy("codec")
+    },
+
     // Bucketed co-located join: both sides written with bucketBy on the
     // join key (matching bucket counts + sortBy), so the join reads
     // bucket-aligned files with NO shuffle on either side — at 100 TB

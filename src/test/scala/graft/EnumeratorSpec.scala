@@ -401,4 +401,52 @@ class EnumeratorSpec extends AnyFunSuite {
     assert(order.toSet == (0 until n).toSet)
     assert(ms < 30000, s"enumeration took ${ms}ms — bound not effective")
   }
+
+  test("estimator modes: unknown rejected; hybrid ≡ reference on a single-class clique") {
+    val reg = new SeedRegistry(rows)
+    reg.addPredicate(("0", "k"), ("1", "k"))
+    reg.addPredicate(("1", "k"), ("2", "k"))
+    val rng = new scala.util.Random(41)
+    val nodes = IndexedSeq(
+      GraphNode(0, mkSketch(reg, "0", Seq("k"), Seq.fill(5000)(Seq(rng.nextInt(200))))),
+      GraphNode(1, mkSketch(reg, "1", Seq("k"), Seq.fill(800)(Seq(rng.nextInt(200))))),
+      GraphNode(2, mkSketch(reg, "2", Seq("k"), Seq.fill(40)(Seq(rng.nextInt(200))))))
+    val edges = Seq(((0, "k"), (1, "k")), ((1, "k"), (2, "k")), ((0, "k"), (2, "k")))
+    intercept[IllegalArgumentException] {
+      new Enumerator(nodes, edges, estimator = "bogus")
+    }
+    // One seed class (every edge on "k") → the alignment guard passes and
+    // hybrid IS the reference math: identical estimates on every subset.
+    val hyb = new Enumerator(nodes, edges, estimator = Enumerator.ModeHybrid)
+    val ref = new Enumerator(nodes, edges, estimator = Enumerator.ModeReference)
+    val sets = Seq(Seq(0, 1), Seq(0, 2), Seq(1, 2), Seq(0, 1, 2))
+    sets.foreach(t => assert(hyb.estimate(t) == ref.estimate(t),
+      s"aligned traversal $t: hybrid must equal reference math"))
+    assert(hyb.optimalOrder()._1 == ref.optimalOrder()._1)
+  }
+
+  test("estimator modes: cascade multiplies survivor counts by clamped edge selectivities") {
+    // Two disconnected-in-class edges (k and j are different predicates)
+    // → hybrid routes >2-way traversals to the cascade; forcing cascade
+    // must agree with hybrid exactly, and both differ from reference.
+    val reg = new SeedRegistry(rows)
+    reg.addPredicate(("0", "k"), ("1", "k"))
+    reg.addPredicate(("1", "j"), ("2", "j"))
+    val rng = new scala.util.Random(43)
+    val nodes = IndexedSeq(
+      GraphNode(0, mkSketch(reg, "0", Seq("k"), Seq.fill(4000)(Seq(rng.nextInt(300))))),
+      GraphNode(1, mkSketch(reg, "1", Seq("k", "j"),
+        Seq.fill(2000)(Seq(rng.nextInt(300), rng.nextInt(250))))),
+      GraphNode(2, mkSketch(reg, "2", Seq("j"), Seq.fill(60)(Seq(rng.nextInt(250))))))
+    val edges = Seq(((0, "k"), (1, "k")), ((1, "j"), (2, "j")))
+    val hyb = new Enumerator(nodes, edges, estimator = Enumerator.ModeHybrid)
+    val cas = new Enumerator(nodes, edges, estimator = Enumerator.ModeCascade)
+    assert(hyb.estimate(Seq(0, 1, 2)) == cas.estimate(Seq(0, 1, 2)),
+      "cross-class traversal: hybrid must BE the cascade")
+    // Cascade closed form: Π counts × Π clamped pairwise selectivities.
+    val selK = math.min(1.0, hyb.estimate(Seq(0, 1)) / (4000.0 * 2000.0))
+    val selJ = math.min(1.0, hyb.estimate(Seq(1, 2)) / (2000.0 * 60.0))
+    val expected = math.max(4000.0 * 2000.0 * 60.0 * selK * selJ, 1.0)
+    assert(math.abs(cas.estimate(Seq(0, 1, 2)) - expected) < 1e-6 * expected)
+  }
 }

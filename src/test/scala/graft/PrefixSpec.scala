@@ -44,6 +44,19 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("totalCountCol rides the partition totals: global count on every row, no extra pass") {
+    val df = sample
+    val got = Prefix.withRunningSums(df, "k", Nil, numPartitions = 8,
+      totalCountCol = "_n_total")
+    assert(got.select("_n_total").distinct().collect().map(_.getLong(0)).toSeq
+      == Seq(400L), "every row must carry the exact global count")
+    // Unsupported with grouped prefixes — must refuse loudly.
+    intercept[IllegalArgumentException] {
+      Prefix.withRunningSums(df, "k", Nil, groupCols = Seq("cnt"),
+        totalCountCol = "_n_total")
+    }
+  }
+
   test("offset path is live: the input really spans multiple range partitions") {
     val df = sample
     val nPids = df.repartitionByRange(8, col("k"))
