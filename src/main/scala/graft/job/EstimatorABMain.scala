@@ -50,10 +50,16 @@ object EstimatorABMain {
         f"measured in $secs%.1f s")
     }
 
+    // JOB scale follows SPARK_GRAFT_SF_DIR like the bench does (x1 at
+    // the default/sf0.01, x10 at sf0.1) — the x10 run answers whether
+    // the x1 ranking findings survive a scale-up.
+    val jobDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "")
+    val jobScale = JobCorpus.scaleFor(jobDir)
     JobCorpus.warmCompass(spark, cs)
     val t0 = System.nanoTime()
-    val jobRows = JobCorpus.abEstimatorModes(spark, cs)
-    render("JOB corpus (x1), 33 families", jobRows, (System.nanoTime() - t0) / 1e9)
+    val jobRows = JobCorpus.abEstimatorModes(spark, cs, sfDir = jobDir)
+    render(s"JOB corpus (x$jobScale), 33 families", jobRows,
+      (System.nanoTime() - t0) / 1e9)
 
     // The TPC-H quality battery — the workload the alignment guard was
     // born on ("nine" = the 9-way region diamond regression pin).

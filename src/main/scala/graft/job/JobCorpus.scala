@@ -787,10 +787,11 @@ object JobCorpus {
     */
   def abEstimatorModes(spark: SparkSession,
       cs: graft.planner.CompassSession,
-      families: Seq[String] = compassSubset)
-      : Seq[graft.planner.OptimizerQuality.ModeAB] = {
-    ensureData(spark)
-    registerViews(spark)
+      families: Seq[String] = compassSubset,
+      sfDir: String = ""): Seq[graft.planner.OptimizerQuality.ModeAB] = {
+    val m = scaleFor(sfDir)
+    ensureData(spark, m)
+    registerViews(spark, m)
     val byName = queries.toMap
     families.map(name =>
       graft.planner.OptimizerQuality.abForQuery(spark, cs, name,
