@@ -332,7 +332,12 @@ object Bench {
       else try {
         val f = graft.job.JobCorpus.measureSkipPolicy(spark, sfDir)
         s"""{"off_plan_ms":${f.offPlanMs},"on_plan_ms":${f.onPlanMs},"skipped":${f.nSkipped},"families":${f.families},"equal":${f.allEqual}}"""
-      } catch { case NonFatal(e) => s""""error: ${esc(e.getMessage)}"""" }
+      } catch { case NonFatal(e) =>
+        // Bounded: this string also rides the ~2000-char compact stdout
+        // line — an unbounded stack-bearing message would truncate the
+        // whole record past the driver's parse window.
+        s""""error: ${esc(String.valueOf(e.getMessage).take(80))}""""
+      }
     // Per-streaming-entry [n_batches, median_ms, max_ms] — full map in
     // the file; the compact stdout line carries only the 3 largest-max
     // entries (the ~2000-char driver window cannot fit 13 more keys).

@@ -44,6 +44,27 @@ object Queries {
   /** Not SQL-expressible in DuckDB → driver records a rows-only check. */
   def opaque(name: String)(fn: QueryFn): Entry = Entry(name, fn, None)
 
+  /** Spark-SQL text of the knife-edge-GUARDED micro-bit lattice value
+    * floor(log2(k)·1e6 + 0.5) — the SQL twin of
+    * [[graft.operators.TextAnalysis.microLog2]]: if the scaled log2 sits
+    * within 1e-5 of its floor boundary (where a 1-2 ulp libm difference
+    * between engines could flip the integer), the ROW raises instead of
+    * silently hash-mismatching at some future scale. Engine side only —
+    * the DuckDB twin ([[microLog2Duck]]) stays raw: a divergence either
+    * raises here (loud) or hash-fails, never passes silently.
+    */
+  private[graft] def microLog2Guarded(k: String): String = {
+    val x = s"(log2(CAST(($k) AS DOUBLE)) * 1000000.0 + 0.5)"
+    s"(CASE WHEN least($x - floor($x), 1.0 - ($x - floor($x))) >= 1e-5 " +
+      s"THEN floor($x) " +
+      s"ELSE raise_error(concat('micro-bit knife-edge: log2(', " +
+      s"CAST(($k) AS STRING), ')*1e6+0.5 within 1e-5 of a floor boundary')) END)"
+  }
+
+  /** DuckDB twin of [[microLog2Guarded]] (unguarded — see there). */
+  private[graft] def microLog2Duck(k: String): String =
+    s"CAST(floor(log2(CAST(($k) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
   /** Placeholder in oracle SQL for the Verify output directory —
     * [[Verify]] substitutes the absolute path at dump time. Lets an
     * oracle re-derive checkable columns of an APPROXIMATE-BY-DESIGN
@@ -1517,14 +1538,23 @@ object Queries {
     // (order-free), and the result is ONE IEEE division of two exact
     // integers — bit-identical cross-engine with no rounding step (see
     // COVERAGE.md r14 margin table; same lattice as q_lm_score).
-    sql("q_entropy",
+    sql2("q_entropy",
       "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
         "t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1), " +
         "s AS (SELECT c.user_id, CAST(max(tot) AS BIGINT) AS n_events, " +
-        "    CAST(sum(n * CAST(floor(log2(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS snl " +
+        s"    CAST(sum(n * ${microLog2Guarded("n")}) AS BIGINT) AS snl " +
         "  FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id) " +
         "SELECT user_id, n_events, " +
-        "  CAST(n_events * CAST(floor(log2(CAST(n_events AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) - snl AS DOUBLE) " +
+        s"  CAST(n_events * ${microLog2Guarded("n_events")} - snl AS DOUBLE) " +
+        "    / CAST(n_events * 1000000 AS DOUBLE) AS entropy_bits " +
+        "FROM s ORDER BY user_id",
+      "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1), " +
+        "s AS (SELECT c.user_id, CAST(max(tot) AS BIGINT) AS n_events, " +
+        s"    CAST(sum(n * ${microLog2Duck("n")}) AS BIGINT) AS snl " +
+        "  FROM c JOIN t ON c.user_id = t.user_id GROUP BY c.user_id) " +
+        "SELECT user_id, n_events, " +
+        s"  CAST(n_events * ${microLog2Duck("n_events")} - snl AS DOUBLE) " +
         "    / CAST(n_events * 1000000 AS DOUBLE) AS entropy_bits " +
         "FROM s ORDER BY user_id"),
 
@@ -2016,8 +2046,8 @@ object Queries {
         "pc AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1, 2), " +
         "n AS (SELECT count(*) AS tot FROM bg) " +
         "SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, " +
-        "  CAST(CAST(floor(log2(CAST(cxy * 2 * tot AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) " +
-        "     - CAST(floor(log2(CAST(a.c * b.c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) " +
+        s"  CAST(${microLog2Guarded("cxy * 2 * tot")} " +
+        s"     - ${microLog2Guarded("a.c * b.c")} AS DOUBLE) " +
         "    / CAST(1000000 AS DOUBLE) AS pmi " +
         "FROM pc JOIN uni a ON pc.w1 = a.w JOIN uni b ON pc.w2 = b.w CROSS JOIN n " +
         "WHERE cxy >= 20 ORDER BY w1, w2",

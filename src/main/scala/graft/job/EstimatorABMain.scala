@@ -55,7 +55,7 @@ object EstimatorABMain {
     // the x1 ranking findings survive a scale-up.
     val jobDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "")
     val jobScale = JobCorpus.scaleFor(jobDir)
-    JobCorpus.warmCompass(spark, cs)
+    JobCorpus.warmCompass(spark, cs, sfDir = jobDir)
     val t0 = System.nanoTime()
     val jobRows = JobCorpus.abEstimatorModes(spark, cs, sfDir = jobDir)
     render(s"JOB corpus (x$jobScale), 33 families", jobRows,

@@ -692,9 +692,13 @@ object JobCorpus {
     * Idempotent — a warm cache takes zero sketch jobs.
     */
   def warmCompass(spark: SparkSession,
-      cs: graft.planner.CompassSession): Int = {
-    ensureData(spark)
-    registerViews(spark)
+      cs: graft.planner.CompassSession, sfDir: String = ""): Int = {
+    // Template keys snapshot data location+mtime, so warming must happen
+    // at the SAME scale the measurement will run (x1-keyed templates are
+    // cold misses against x10 views — the A/B harness hit exactly that).
+    val m = scaleFor(sfDir)
+    ensureData(spark, m)
+    registerViews(spark, m)
     val byName = queries.toMap
     cs.warmTemplates(compassSubset.map(n => spark.sql(byName(n))))
   }
@@ -766,10 +770,18 @@ object JobCorpus {
       // (the ON side's whole point is to touch nothing).
       csOff.warmTemplates(texts.map(t => spark.sql(t._2)))
       var offMs = 0L; var onMs = 0L; var skipped = 0; var equal = true
-      texts.foreach { case (_, text) =>
+      texts.foreach { case (name, text) =>
+        csOff.lastPlan = None
         val t0 = System.nanoTime()
         val dfOff = csOff.sql(text)
         offMs += (System.nanoTime() - t0) / 1000000
+        // The OFF side must actually take the COMPASS path: a query that
+        // silently stopped being optimizable would otherwise be counted
+        // as a successful policy skip (lastPlan None on BOTH sides) and
+        // the facet would mask a planner regression as a win.
+        require(csOff.lastPlan.nonEmpty,
+          s"skip-policy facet: $name did not take the COMPASS path with " +
+            "the policy OFF — planner regression, not a skip")
         csOn.lastPlan = None
         val t1 = System.nanoTime()
         val dfOn = csOn.sql(text)

@@ -64,11 +64,16 @@ object Multimodal {
     out
   }
 
-  private val PngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+  // The FULL 8-byte PNG signature, not just the 4-byte prefix: arbitrary
+  // binary payloads on the stub path (resized strides, future media)
+  // must not be mis-routed to ImageIO by a 4-byte coincidence.
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   private def isPng(payload: Array[Byte]): Boolean =
-    payload.length >= 4 && payload(0) == PngMagic(0) && payload(1) == PngMagic(1) &&
-      payload(2) == PngMagic(2) && payload(3) == PngMagic(3)
+    payload.length >= PngMagic.length &&
+      java.util.Arrays.equals(
+        java.util.Arrays.copyOf(payload, PngMagic.length), PngMagic)
 
   /** Row-major RGB byte sequence (r,g,b per pixel) of a decoded image —
     * the feature kernel's input for the REAL image path.
