@@ -174,6 +174,9 @@ object Bench {
     // median is the contention-robust number — both are recorded so the
     // official line is diagnosable without a quiesced replica.
     val jobLatency = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long, Int)]()
+    // entry -> family -> (n_queries, median ms, max ms); COLD lap only.
+    val jobFamilyLatency = scala.collection.mutable
+      .LinkedHashMap[String, Map[String, (Int, Long, Long)]]()
     // Per-streaming-entry micro-batch telemetry (n_batches, median ms,
     // max ms) from the COLD lap: r12's streaming entries doubled under
     // driver contention with no way to tell a uniform slowdown from one
@@ -214,6 +217,18 @@ object Bench {
         if (reports.nonEmpty) jobQuality(e.name) = reports
         latencyStats(graft.job.JobCorpus.lastCorpusLatencies)
           .foreach(jobLatency(e.name) = _)
+        // Per-FAMILY attribution (full record only): the corpus summary
+        // hides WHICH families carry the tail; grouping the 113 per-query
+        // latencies by their family number (digits prefix of "28a")
+        // makes the deep-chain cost directly readable round-over-round.
+        if (graft.job.JobCorpus.lastCorpusLatencies.nonEmpty &&
+            !jobFamilyLatency.contains(e.name))
+          jobFamilyLatency(e.name) = graft.job.JobCorpus.lastCorpusLatencies
+            .groupBy { case (q, _) => q.takeWhile(_.isDigit) }
+            .map { case (fam, qs) =>
+              val xs = qs.values.toSeq.sorted
+              fam -> ((xs.size, xs(xs.size / 2), xs.last))
+            }
         graft.job.JobCorpus.lastCompassRuns = Nil
         graft.job.JobCorpus.lastCorpusLatencies = Map.empty
         JobEntries.lastQualityReports = Nil
@@ -323,6 +338,14 @@ object Bench {
     val jobLatencyJson = jobLatency.map { case (k, (med, p90, mx, n)) =>
       s""""${esc(k)}":{"median_ms":$med,"p90_ms":$p90,"max_ms":$mx,"n":$n}"""
     }.mkString("{", ",", "}")
+    // Per-family [n, median_ms, max_ms] — families sorted numerically so
+    // the record diffs cleanly round-over-round. Full file only.
+    val jobFamilyJson = jobFamilyLatency.map { case (entry, fams) =>
+      s""""${esc(entry)}":""" + fams.toSeq
+        .sortBy { case (f, _) => f.toIntOption.getOrElse(Int.MaxValue) }
+        .map { case (f, (n, med, mx)) => s""""${esc(f)}":[$n,$med,$mx]""" }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     // skipWhenAllBroadcastable facet (r13 verdict #6): planning ms with
     // the policy OFF vs ON over the 12-family quality subset at this
     // bench's JOB scale, result equality asserted. Untimed (not part of
@@ -345,7 +368,7 @@ object Bench {
       m.map { case (k, (n, md, mx)) => s""""${esc(k)}":[$n,$md,$mx]""" }
         .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"job_corpus_family_n_med_max_ms":$jobFamilyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
     Option(fullOut.toAbsolutePath.getParent)
       .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
     java.nio.file.Files.write(fullOut,
