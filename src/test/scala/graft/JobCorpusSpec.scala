@@ -84,6 +84,22 @@ class JobCorpusSpec extends AnyFunSuite {
     } finally cs.close()
   }
 
+  test("skip-policy facet: all 12 quality families skip at x1, results identical, OFF side on-path") {
+    // The bench facet (r13 verdict #6) must mean what it claims: with
+    // the policy ON the pre-pass is skipped (lastPlan None) for every
+    // all-but-one-broadcastable family, results match the full-pre-pass
+    // session bit-for-bit, and the OFF side demonstrably took the
+    // COMPASS path (the facet raises otherwise — a planner regression
+    // must not masquerade as a successful skip).
+    val f = JobCorpus.measureSkipPolicy(spark)
+    assert(f.families == 12 && f.nSkipped == 12,
+      s"expected all 12 families to skip at x1, got ${f.nSkipped}")
+    assert(f.allEqual, "policy ON changed a result")
+    assert(f.onPlanMs < f.offPlanMs,
+      s"skipping must cost less planning than the full pre-pass " +
+        s"(on=${f.onPlanMs}ms off=${f.offPlanMs}ms)")
+  }
+
   test("estimator-mode A/B across ALL 33 JOB families: documented exceptions, bounded losses") {
     // ESTIMATES.md §4 gate (r13 verdict #5): the three estimator modes
     // are enumerated over ONE shared sketch set per family and each
