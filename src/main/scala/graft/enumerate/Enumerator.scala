@@ -120,6 +120,12 @@ final class Enumerator(
         // where its math holds, an all-edge independence cascade
         // (exact survivor counts x pairwise sketch selectivities, always
         // seed-aligned on their own predicate) everywhere else.
+        // Measured A/B of the three modes on plan CHOICE (ESTIMATES.md
+        // §4, r14): reference math ranks 1.4-2.1x better on JOB but
+        // 12-14x worse on TPC-H (34x on one family, worsening with
+        // scale); this hybrid keeps the best Σ-true-intermediates totals
+        // on BOTH workloads with the bounded worst case — gated in
+        // JobCorpusSpec.
         // Planes are composed only on the aligned path: each composition
         // clones |traversal| full planes (~600 KB each), and a
         // disconnected traversal (size-descending fallback introspection)
