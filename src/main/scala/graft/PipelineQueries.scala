@@ -1732,6 +1732,35 @@ object PipelineQueries {
       md5(concat_ws(",", transform(col("pixels"), _.cast("string"))).cast("binary"))
         .as("pix_md5"))
 
+  /** Deterministic 16-bit PCM waveform per document — the differential
+    * audio fixture: (doc_id, n, samples) with n signed-16-bit mono
+    * samples from pure SQL expressions (the Knuth-hash multiplier makes
+    * the wave oscillate, so zero-crossing counts are non-degenerate);
+    * the DuckDB oracle regenerates the identical samples with a list
+    * comprehension.
+    */
+  private def audioWave(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        (lit(200) + pmod(col("doc_id"), lit(57))).cast("int").as("n"))
+      .withColumn("samples",
+        transform(sequence(lit(0L), col("n").cast("long") - 1),
+          i => (pmod(col("doc_id") * 31 + i * lit(2654435761L), lit(65536L)) - 32768)
+            .cast("int")))
+
+  /** Reduce decoded audio to the differential projection: rate/channels/
+    * count, exact BIGINT sample sum and energy, md5 over the
+    * comma-joined samples — integer-exact end to end.
+    */
+  private def audioChecksums(dec: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    dec.select(col("doc_id"), col("sample_rate"), col("channels"),
+      size(col("samples")).cast("long").as("n_samples"),
+      aggregate(col("samples"), lit(0L),
+        (acc, s) => acc + s.cast("long")).as("sum_s"),
+      aggregate(col("samples"), lit(0L),
+        (acc, s) => acc + s.cast("long") * s.cast("long")).as("sum_sq"),
+      md5(concat_ws(",", transform(col("samples"), _.cast("string"))).cast("binary"))
+        .as("smp_md5"))
+
   private val multimodal: Seq[Entry] = Seq(
     // Binary payload + typed metadata struct (the multimodal column
     // contract) — metadata is SQL-checkable against DuckDB.
@@ -1916,6 +1945,131 @@ object PipelineQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text")
       val small = Multimodal.resize(media, "doc_id", width = 64, height = 64)
       Multimodal.extractFeatures(small, "doc_id", dim = 4)
+        .select(col("doc_id"),
+          floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
+            .cast("long").as("f0fp"))
+        .orderBy("doc_id")
+    },
+
+    // REAL WAV codec round-trip (retires the last multimodal stub): a
+    // deterministic 16-bit PCM waveform is generated with pure SQL
+    // expressions, encoded to real WAV bytes by the JDK's
+    // javax.sound.sampled writer (mapPartitions — one format handle per
+    // partition), decoded back with the real reader, and reduced to
+    // rate/channels/count + exact integer sum/energy + an md5 over the
+    // samples. 16-bit PCM WAV is LOSSLESS, so the ORACLE needs no codec:
+    // DuckDB re-derives the expected values from the same generator in
+    // pure SQL — any codec defect (byte-order swap, header contamination
+    // of the data chunk, truncation, sign error) breaks the hash.
+    dfq("q_audio_decode",
+      "WITH gen AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents), " +
+        "smp AS (SELECT doc_id, n, " +
+        "  [((doc_id*31 + i*2654435761) % 65536) - 32768 FOR i IN range(0, n)] AS samples FROM gen) " +
+        "SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "  CAST(n AS BIGINT) AS n_samples, " +
+        "  CAST(list_sum(samples) AS BIGINT) AS sum_s, " +
+        "  CAST(list_sum(list_transform(samples, s -> s*s)) AS BIGINT) AS sum_sq, " +
+        "  md5(array_to_string(samples, ',')) AS smp_md5 " +
+        "FROM smp ORDER BY doc_id") { (s, dir) =>
+      val wav = Multimodal.encodeWav(
+        audioWave(Tables.load(s, dir, "documents")), "doc_id", "samples",
+        sampleRate = 8000)
+      audioChecksums(Multimodal.decodeWav(wav, "doc_id")).orderBy("doc_id")
+    },
+
+    // REAL resample through the codec: WAV decode → deterministic
+    // decimation by 2 (every other sample — exact, no interpolation) →
+    // WAV re-encode at the halved rate → decode again. The oracle
+    // replays the decimation on the generated samples; exact counts +
+    // conservation checksums prove BOTH codec passes lossless.
+    dfq("q_audio_resample",
+      "WITH gen AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents), " +
+        "smp AS (SELECT doc_id, n, " +
+        "  [((doc_id*31 + i*2654435761) % 65536) - 32768 FOR i IN range(0, n)] AS samples FROM gen), " +
+        "dec AS (SELECT doc_id, n, [samples[i] FOR i IN range(1, CAST(n AS INT)+1, 2)] AS ds FROM smp) " +
+        "SELECT doc_id, CAST(4000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels, " +
+        "  CAST(len(ds) AS BIGINT) AS n_samples, " +
+        "  CAST(list_sum(ds) AS BIGINT) AS sum_s, " +
+        "  CAST(list_sum(list_transform(ds, s -> s*s)) AS BIGINT) AS sum_sq, " +
+        "  md5(array_to_string(ds, ',')) AS smp_md5 " +
+        "FROM dec ORDER BY doc_id") { (s, dir) =>
+      val wav = Multimodal.encodeWav(
+        audioWave(Tables.load(s, dir, "documents")), "doc_id", "samples",
+        sampleRate = 8000)
+      val decimated = Multimodal.decodeWav(wav, "doc_id")
+        .select(col("doc_id"),
+          filter(col("samples"), (_, i) => pmod(i, lit(2)) === 0).as("samples"))
+      val wav2 = Multimodal.encodeWav(decimated, "doc_id", "samples",
+        sampleRate = 4000)
+      audioChecksums(Multimodal.decodeWav(wav2, "doc_id")).orderBy("doc_id")
+    },
+
+    // Signal metrics over really-decoded samples: zero-crossing count,
+    // peak amplitude, total energy — all integer-exact (the products and
+    // sums are BIGINT; no transcendental, no rounding). The oracle
+    // computes the same three integers from the regenerated wave.
+    dfq("q_audio_metrics",
+      "WITH gen AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents), " +
+        "smp AS (SELECT doc_id, n, " +
+        "  [((doc_id*31 + i*2654435761) % 65536) - 32768 FOR i IN range(0, n)] AS samples FROM gen) " +
+        "SELECT doc_id, " +
+        "  CAST(len(list_filter(range(1, CAST(n AS INT)), i -> samples[i]*samples[i+1] < 0)) AS BIGINT) AS zero_crossings, " +
+        "  CAST(list_max(list_transform(samples, s -> abs(s))) AS BIGINT) AS peak, " +
+        "  CAST(list_sum(list_transform(samples, s -> s*s)) AS BIGINT) AS energy " +
+        "FROM smp ORDER BY doc_id") { (s, dir) =>
+      val wav = Multimodal.encodeWav(
+        audioWave(Tables.load(s, dir, "documents")), "doc_id", "samples",
+        sampleRate = 8000)
+      Multimodal.decodeWav(wav, "doc_id")
+        .select(col("doc_id"),
+          aggregate(
+            zip_with(
+              slice(col("samples"), lit(1), size(col("samples")) - 1),
+              slice(col("samples"), lit(2), size(col("samples")) - 1),
+              (a, b) => when(a.cast("long") * b.cast("long") < 0, 1L)
+                .otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).as("zero_crossings"),
+          array_max(transform(col("samples"), s => abs(s))).cast("long")
+            .as("peak"),
+          aggregate(col("samples"), lit(0L),
+            (acc, s) => acc + s.cast("long") * s.cast("long")).as("energy"))
+        .orderBy("doc_id")
+    },
+
+    // Feature extraction over REALLY-DECODED audio: extractFeatures
+    // sniffs the RIFF+WAVE signature, decodes the PCM with the JDK
+    // reader, and runs the FNV feature fold over the decoded
+    // little-endian sample bytes — NOT the container bytes (a fold over
+    // the file would hash the 44-byte header too). The oracle replays
+    // the fold over the generator's PCM byte sequence with the same
+    // recursive-CTE float32 arithmetic as q_image_features — so a decode
+    // that returned wrong samples, wrong byte order, or the raw
+    // container hash-fails. (Byte identity: the little-endian bytes of
+    // signed s are ((s mod 65536) % 256, (s mod 65536) // 256), and with
+    // s = raw - 32768 that unsigned value is (raw + 32768) % 65536.)
+    dfq("q_audio_features",
+      "WITH RECURSIVE gen AS (SELECT doc_id, 200 + doc_id % 57 AS n FROM documents), " +
+        "bts AS (SELECT doc_id, " +
+        "  [CASE WHEN j % 2 = 0 " +
+        "        THEN (((doc_id*31 + (j//2)*2654435761) % 65536 + 32768) % 65536) % 256 " +
+        "        ELSE (((doc_id*31 + (j//2)*2654435761) % 65536 + 32768) % 65536) // 256 END " +
+        "   FOR j IN range(0, 2*n)] AS bs FROM gen), " +
+        "steps AS (" +
+        "  SELECT doc_id, bs, len(bs) AS n, 0 AS i, " +
+        "    CAST(14695981039346656037 AS HUGEINT) AS h, CAST(0 AS REAL) AS f0 " +
+        "  FROM bts " +
+        "  UNION ALL " +
+        "  SELECT doc_id, bs, n, i + 1, nh, " +
+        "    CAST(CASE WHEN i % 4 = 0 THEN f0 + CAST((nh >> 40) & 255 AS REAL)/CAST(255 AS REAL) ELSE f0 END AS REAL) " +
+        "  FROM (SELECT doc_id, bs, n, i, f0, " +
+        "      (xor(h, CAST(bs[i + 1] AS HUGEINT)) * 1099511628211) % 18446744073709551616 AS nh " +
+        "    FROM steps WHERE i < n) t) " +
+        "SELECT doc_id, CAST(floor(CAST(f0 AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS f0fp " +
+        "FROM steps WHERE i = n ORDER BY doc_id") { (s, dir) =>
+      val wav = Multimodal.encodeWav(
+        audioWave(Tables.load(s, dir, "documents")), "doc_id", "samples",
+        sampleRate = 8000)
+      Multimodal.extractFeatures(wav, "doc_id", dim = 4)
         .select(col("doc_id"),
           floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
             .cast("long").as("f0fp"))

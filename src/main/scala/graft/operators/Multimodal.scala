@@ -13,13 +13,17 @@ import org.apache.spark.sql.{DataFrame, Row}
   * [[resizeImage]] — lossless encode→decode round-trips verified
   * differentially against a codec-free SQL oracle (PNG is lossless, so
   * the decoded raster equals the deterministic generator's output).
-  * Only the AUDIO-shaped feature fold ([[decodeStub]]) remains a
-  * deterministic fake — the container ships no audio codecs. Everything
-  * Spark-side is real and load-bearing at scale: the schema contract,
-  * the `mapPartitions` batch shape (one reusable decoder per partition,
-  * not per row — exactly how a JNI/FFmpeg binding must be held),
-  * kryo-free row encoding, and partition sizing by byte volume rather
-  * than row count.
+  * AUDIO likewise uses a REAL codec (r14, second half): the JDK's
+  * built-in `javax.sound.sampled.AudioSystem` WAV reader/writer drives
+  * [[encodeWav]] / [[decodeWav]] — 16-bit PCM is lossless, so the same
+  * codec-free differential oracle pattern applies. The stand-in fold
+  * ([[decodeStub]]) now covers only UNKNOWN payload formats (the honest
+  * production shape: unrecognized media routes to a fallback, known
+  * formats decode for real). Everything Spark-side is real and
+  * load-bearing at scale: the schema contract, the `mapPartitions`
+  * batch shape (one reusable decoder per partition, not per row —
+  * exactly how a JNI/FFmpeg binding must be held), kryo-free row
+  * encoding, and partition sizing by byte volume rather than row count.
   */
 object Multimodal {
 
@@ -46,10 +50,10 @@ object Multimodal {
         (pmod(xxhash64(col(textCol)), lit(480)) + 32).cast(IntegerType).as("height"))
         .as("meta"))
 
-  /** STUB — deterministic fake decoder standing in for a real AUDIO
-    * decode (???: no audio codec libraries in this environment; images
-    * now use the real JDK PNG codec — see [[decodeImage]]). Emits `dim`
-    * floats derived from payload bytes; a real implementation swaps ONLY
+  /** Deterministic fallback fold for UNKNOWN payload formats (images
+    * decode via the real JDK PNG codec — [[decodeImage]]; audio via the
+    * real JDK WAV codec — [[decodeWav]]). Emits `dim` floats derived
+    * from payload bytes; a pipeline adding a new media format swaps ONLY
     * this function (same signature: bytes in, fixed-length features out).
     */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -74,6 +78,15 @@ object Multimodal {
     payload.length >= PngMagic.length &&
       java.util.Arrays.equals(
         java.util.Arrays.copyOf(payload, PngMagic.length), PngMagic)
+
+  // WAV sniffing checks BOTH the RIFF container tag (bytes 0-3) and the
+  // WAVE form type (bytes 8-11) — a RIFF prefix alone also matches AVI
+  // and WebP containers, which must stay on the fallback path.
+  private def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
 
   /** Row-major RGB byte sequence (r,g,b per pixel) of a decoded image —
     * the feature kernel's input for the REAL image path.
@@ -101,9 +114,12 @@ object Multimodal {
     * JDK reader inflates them and the feature fold runs over the decoded
     * row-major RGB bytes, not the compressed stream (a feature of the
     * deflate bytes would change whenever the encoder's compression level
-    * did). Non-image payloads keep the deterministic stand-in fold
-    * ([[decodeStub]] — audio-shaped); undecodable or NULL payloads yield
-    * NULL features.
+    * did). WAV payloads (RIFF+WAVE-sniffed) likewise decode for real:
+    * the fold runs over the decoded little-endian PCM sample bytes, not
+    * the container (a fold over the file bytes would hash the 44-byte
+    * header too, so a header-layout change would masquerade as a signal
+    * change). Unknown payloads keep the deterministic fallback fold
+    * ([[decodeStub]]); undecodable or NULL payloads yield NULL features.
     */
   def extractFeatures(df: DataFrame, idCol: String, dim: Int = 16): DataFrame = {
     val spark = df.sparkSession
@@ -125,6 +141,8 @@ object Multimodal {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
             if (img == null) null else rgbBytes(img)
+          } else if (isWav(payload)) {
+            pcmBytes(payload) // real decode: PCM sample bytes, not container
           } else payload
         Row(r.get(idIdx), if (bytes == null) null else decodeStub(bytes, dim))
       }
@@ -317,6 +335,150 @@ object Multimodal {
           Row(r.get(idIdx), bytes,
             Row(meta.getString(0), bytes.length.toLong, crc.getValue, tw, th))
         }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---------------------------------------------------------------------
+  // REAL audio codec path (JDK javax.sound.sampled — WAV/PCM, lossless).
+  // ---------------------------------------------------------------------
+
+  /** Audio media metadata: same contract shape as [[metadataType]] with
+    * the image dims replaced by the audio ones. `n_samples` is per
+    * channel (= frame count).
+    */
+  val audioMetadataType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("checksum", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType)))
+
+  /** Decode a WAV payload to its 16-bit signed PCM samples, or null if
+    * the payload is not decodable 16-bit PCM. Shared by [[decodeWav]]
+    * and the [[extractFeatures]] audio route.
+    */
+  private def wavSamples(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
+      else {
+        val pcm = in.readAllBytes()
+        val n = pcm.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          // little-endian signed 16-bit: low byte unsigned, high byte signed
+          out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        (math.round(fmt.getSampleRate), fmt.getChannels, out)
+      }
+    } catch {
+      // undecodable payload = data problem, not a stage failure
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** The decoded little-endian PCM byte stream of a WAV payload (the
+    * [[extractFeatures]] fold input for the real audio path), or null.
+    */
+  private def pcmBytes(payload: Array[Byte]): Array[Byte] = {
+    val dec = wavSamples(payload)
+    if (dec == null) null
+    else {
+      val samples = dec._3
+      val out = new Array[Byte](2 * samples.length)
+      var i = 0
+      while (i < samples.length) {
+        out(2 * i) = (samples(i) & 0xff).toByte
+        out(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Encode a 16-bit sample column to real WAV payloads → audio media
+    * table (id, payload binary, meta struct). `samplesCol` is an
+    * array<int> of signed 16-bit mono samples (straight from SQL
+    * expressions — the differential entries generate it with
+    * `transform(sequence(...))`). Partition-batched like [[encodePng]]:
+    * the `AudioFormat` handle and encode buffer are built once per
+    * partition. NULL/empty/out-of-range sample arrays emit a NULL
+    * payload with metadata kept (one bad row must not fail the stage).
+    */
+  def encodeWav(df: DataFrame, idCol: String, samplesCol: String,
+      sampleRate: Int): DataFrame = {
+    require(sampleRate > 0, s"encodeWav: sample rate $sampleRate must be positive")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val sIdx = inSchema.fieldIndex(samplesCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx), StructField("payload", BinaryType),
+      StructField("meta", audioMetadataType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      // once per partition: the codec format handle + reusable buffer
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val baos = new java.io.ByteArrayOutputStream(1 << 12)
+      rows.map { r =>
+        val samples = if (r.isNullAt(sIdx)) null else r.getSeq[Int](sIdx)
+        if (samples == null || samples.isEmpty ||
+            samples.exists(s => s < Short.MinValue || s > Short.MaxValue))
+          Row(r.get(idIdx), null, Row("audio/wav", 0L, 0L, sampleRate, 0))
+        else {
+          val pcm = new Array[Byte](2 * samples.length)
+          var i = 0
+          while (i < samples.length) {
+            pcm(2 * i) = (samples(i) & 0xff).toByte
+            pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+          baos.reset()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          val bytes = baos.toByteArray
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          Row(r.get(idIdx), bytes,
+            Row("audio/wav", bytes.length.toLong, crc.getValue, sampleRate,
+              samples.length))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode WAV payloads back to (id, sample_rate, channels, samples
+    * array<int>) with the real JDK reader — the inverse of [[encodeWav]];
+    * 16-bit PCM WAV is lossless, so the round-trip is bit-exact.
+    * NULL/undecodable/non-PCM16 payloads → NULL samples.
+    */
+  def decodeWav(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val dec =
+          if (payload == null || !isWav(payload)) null else wavSamples(payload)
+        if (dec == null) Row(r.get(idIdx), null, null, null)
+        else Row(r.get(idIdx), dec._1, dec._2, dec._3.toSeq)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -358,6 +358,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sdec(3L).isNullAt(3), "NULL payloads ride through resize as NULL")
   }
 
+  test("real WAV codec: lossless round-trip on edge samples, bad rows, feature routing") {
+    import spark.implicits._
+    // Edge values: both 16-bit extremes, zero, ±1. Row 2 is out of
+    // 16-bit range, row 3 NULL — both must yield NULL payloads.
+    val edge = Seq(-32768, 32767, 0, 1, -1, 12345, -12345)
+    val src = Seq(
+      (1L, edge), (2L, Seq(40000)), (3L, null.asInstanceOf[Seq[Int]]))
+      .toDF("doc_id", "samples")
+    val wav = Multimodal.encodeWav(src, "doc_id", "samples", sampleRate = 8000)
+    val byId = wav.collect().map(r => r.getLong(0) -> r).toMap
+    val good = byId(1L).getAs[Array[Byte]]("payload")
+    assert(good != null && new String(good, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(good, 8, 4, "US-ASCII") == "WAVE", "real RIFF/WAVE container")
+    assert(byId(2L).getAs[Array[Byte]]("payload") == null &&
+      byId(3L).getAs[Array[Byte]]("payload") == null,
+      "out-of-range / NULL samples must yield NULL payloads, not fail the stage")
+    assert(byId(1L).getStruct(2).getString(0) == "audio/wav" &&
+      byId(1L).getStruct(2).getInt(3) == 8000 &&
+      byId(1L).getStruct(2).getInt(4) == edge.length)
+    // Lossless decode: the exact input samples come back, including both
+    // signed-16 extremes (a sign or byte-order bug flips these first).
+    val dec = Multimodal.decodeWav(wav, "doc_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getInt(1) == 8000 && dec(1L).getInt(2) == 1)
+    assert(dec(1L).getSeq[Int](3) == edge, "WAV round-trip must be bit-exact")
+    assert(dec(2L).isNullAt(3) && dec(3L).isNullAt(3))
+    // A non-WAV payload must NOT be routed to the audio decoder.
+    val fake = Seq((9L, Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3, 4, 'A', 'V', 'I', ' ')))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeWav(fake, "doc_id").collect().head.isNullAt(3),
+      "RIFF-but-not-WAVE (AVI) payloads must yield NULL, not decode")
+    // extractFeatures must fold over the DECODED PCM bytes, not the
+    // container: replay the FNV fold over the little-endian sample bytes
+    // and compare the fixed-point projection.
+    val feats = Multimodal.extractFeatures(wav, "doc_id", dim = 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val pcm = edge.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val expected = {
+      val out = new Array[Float](4)
+      var h = 0xcbf29ce484222325L
+      for ((b, i) <- pcm.zipWithIndex) {
+        h = (h ^ (b & 0xffL)) * 0x100000001b3L
+        out(i % 4) += ((h >>> 40) & 0xff) / 255.0f
+      }
+      out
+    }
+    val gotF = feats(1L).getSeq[Float](1)
+    assert(gotF.zip(expected).forall { case (a, b) =>
+      math.floor(a * 10000 + 0.5) == math.floor(b * 10000 + 0.5) },
+      s"features must fold over decoded PCM: $gotF vs ${expected.toSeq}")
+    assert(feats(2L).isNullAt(1), "NULL payloads yield NULL features")
+  }
+
   test("multimodal: frame windows are byte-exact on non-UTF-8 binary payloads") {
     import spark.implicits._
     // Payloads that are NOT valid UTF-8 (JPEG-like magic + high bytes):
