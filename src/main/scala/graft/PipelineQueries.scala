@@ -591,6 +591,72 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // Grid-density clustering (DBSCAN's grid-cell formulation): hash
+    // customers onto a 30×30 cell grid (md5 coordinates — engine-
+    // portable coins, Poisson occupancy), keep cells meeting a
+    // scale-adaptive density threshold (exact integer ceil-division —
+    // no float in the cut, so no knife-edge at any scale), and cluster
+    // dense cells by 8-neighborhood connectivity. The scale shape: the
+    // neighbor relation is built by EXPLODING each dense cell to its 8
+    // shifted keys and EQUI-joining (never an |dx|<=1 theta-join — that
+    // is a cross product at 100 TB), components ride the distributed
+    // pointer-jumping loop, and the per-cell counts are one hash
+    // aggregate over the points. The ORACLE re-derives the same grid,
+    // threshold, adjacency, and min-label components via a recursive
+    // CTE. At sf0.01: 85 dense cells, 59 clusters (22 multi-cell);
+    // sf0.1: 297 cells, 36 clusters — non-degenerate at both gated
+    // scales by construction of the 1.12×mean threshold.
+    dfq("q_grid_cluster",
+      "WITH RECURSIVE pts AS (SELECT c_custkey AS k, " +
+        "  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|gx'), 1, 4))::UBIGINT % 30 AS BIGINT) AS cx, " +
+        "  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|gy'), 1, 4))::UBIGINT % 30 AS BIGINT) AS cy FROM customer), " +
+        "thr AS (SELECT greatest(4, (112 * count(*) + 89999) // 90000) AS minpts FROM pts), " +
+        "cells AS (SELECT cx, cy, count(*) AS n FROM pts GROUP BY cx, cy), " +
+        "ids AS (SELECT cx*30 + cy AS cell, cx, cy, n FROM cells, thr WHERE n >= thr.minpts), " +
+        "edges AS (SELECT a.cell AS ca, b.cell AS cb FROM ids a JOIN ids b " +
+        "  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.cell <> b.cell), " +
+        "labels AS (SELECT cell, cell AS lbl FROM ids " +
+        "  UNION SELECT e.cb, l.lbl FROM labels l JOIN edges e ON l.cell = e.ca) " +
+        "SELECT i.cx, i.cy, CAST(min(l.lbl) AS BIGINT) AS cluster_id, CAST(i.n AS BIGINT) AS n_points " +
+        "FROM ids i JOIN labels l ON l.cell = i.cell " +
+        "GROUP BY i.cx, i.cy, i.n ORDER BY cx, cy") { (s, dir) =>
+      val pts = Tables.load(s, dir, "customer").select(
+        pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit("|gx"))), 1, 4), 16, 10)
+          .cast("long"), lit(30L)).as("cx"),
+        pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit("|gy"))), 1, 4), 16, 10)
+          .cast("long"), lit(30L)).as("cy"))
+      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+      // Scale-adaptive threshold: one broadcast singleton scalar
+      // (exact integer ceil(1.12·total/900) = (112·total+89999) div 9e4;
+      // floor() because Column./ is double division — the remainder is
+      // >= 1/90000 whenever non-zero, 6 orders above double ulp, so the
+      // floored quotient is the exact integer division).
+      val thr = pts.agg(greatest(lit(4L),
+        floor((lit(112) * count(lit(1)) + 89999) / 90000).cast("long")).as("minpts"))
+      val ids = cells.crossJoin(broadcast(thr))
+        .filter(col("n") >= col("minpts"))
+        .select((col("cx") * 30 + col("cy")).as("cell"), col("cx"), col("cy"), col("n"))
+      // 8-neighborhood adjacency as an EQUI-join: explode each dense
+      // cell to its 8 shifted keys, join back on the exact key.
+      val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if (dx, dy) != (0, 0) }
+        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+      val shifted = ids.select(col("cell").as("ca"), col("cx"), col("cy"),
+          explode(array(offsets: _*)).as("o"))
+        .select(col("ca"), (col("cx") + col("o.dx")).as("nx"),
+          (col("cy") + col("o.dy")).as("ny"))
+      val edges = shifted.join(
+        ids.select(col("cell").as("cb"), col("cx").as("nx"), col("cy").as("ny")),
+        Seq("nx", "ny"))
+      val comps = Components.connectedComponents(edges, "ca", "cb")
+      // Isolated dense cells have no edges → they label themselves.
+      ids.join(comps.withColumnsRenamed(Map("id" -> "cell", "comp" -> "lbl")),
+          Seq("cell"), "left")
+        .select(col("cx"), col("cy"),
+          coalesce(col("lbl"), col("cell")).cast("long").as("cluster_id"),
+          col("n").cast("long").as("n_points"))
+        .orderBy("cx", "cy")
+    },
+
     // Mean pooling: chunk embeddings → one vector per group via the
     // vec_avg aggregate (one pass, map-side partials carrying a single
     // sums[dim] array — never the posexplode'd n×dim shuffle). DuckDB
@@ -2074,6 +2140,68 @@ object PipelineQueries {
           floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
             .cast("long").as("f0fp"))
         .orderBy("doc_id")
+    },
+
+    // REAL video frame sampling: per document, 2-4 deterministic RGB
+    // frames are each encoded to real PNG, packed into a length-prefixed
+    // frame container (Multimodal.packFrames — the minimal honest chunked
+    // container shape), then sampleDecodedFrames seeks every 2nd frame BY
+    // CHUNK INDEX (skipped frames never touch the codec — the keyframe-
+    // sampling access pattern) and decodes the kept ones with the real
+    // JDK reader. The oracle regenerates the sampled frames' rasters in
+    // pure SQL — a container mis-pack (length/order/offset), a sampling
+    // off-by-one, or a decode defect all break the hash.
+    dfq("q_video_frames",
+      "WITH gen AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, f FROM gen CROSS JOIN (SELECT unnest([0,1,2,3]) AS f) u WHERE f < nf AND f % 2 = 0), " +
+        "px AS (SELECT doc_id, f, w, h, " +
+        "  [((doc_id*7 + f*19 + i*3) % 256) * 65536 + ((doc_id*11 + f*23 + i*5) % 256) * 256 " +
+        "   + ((doc_id*13 + f*29 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM fr) " +
+        "SELECT doc_id, CAST(f AS INT) AS frame, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "  CAST(len(pixels) AS BIGINT) AS n_px, " +
+        "  CAST(list_sum(list_transform(pixels, p -> p // 65536)) AS BIGINT) AS sum_r, " +
+        "  CAST(list_sum(list_transform(pixels, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
+        "  CAST(list_sum(list_transform(pixels, p -> p % 256)) AS BIGINT) AS sum_b, " +
+        "  md5(array_to_string(pixels, ',')) AS pix_md5 " +
+        "FROM px ORDER BY doc_id, frame") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      // One row per (doc, frame) with the frame's raster; the composite
+      // id doc_id*10+f survives encodePng's (id, payload, meta) contract
+      // (n_frames <= 4, so f < 10 — the decomposition is exact).
+      val frames = docs.select(col("doc_id"),
+          (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"),
+          (lit(4) + pmod(col("doc_id"), lit(5))).cast("int").as("w"),
+          (lit(3) + pmod(col("doc_id"), lit(4))).cast("int").as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), col("nf") - 1)).as("f"))
+        .withColumn("pixels",
+          transform(sequence(lit(0L), col("w").cast("long") * col("h") - 1),
+            i => (pmod(col("doc_id") * 7 + col("f") * 19 + i * 3, lit(256)) * 65536 +
+              pmod(col("doc_id") * 11 + col("f") * 23 + i * 5, lit(256)) * 256 +
+              pmod(col("doc_id") * 13 + col("f") * 29 + i * 7, lit(256))).cast("int")))
+        .withColumn("fid", col("doc_id") * 10 + col("f"))
+      val pngFrames = Multimodal.encodePng(frames, "fid", "w", "h", "pixels")
+      // Re-assemble each document's ordered frame list (bounded: <= 4
+      // small PNGs per group) and pack the container.
+      val packed = Multimodal.packFrames(
+        pngFrames.select((col("fid") / 10).cast("long").as("doc_id"),
+            pmod(col("fid"), lit(10)).cast("int").as("f"), col("payload"))
+          .groupBy("doc_id")
+          .agg(transform(array_sort(collect_list(struct(col("f"), col("payload")))),
+            e => e.getField("payload")).as("frames")),
+        "doc_id", "frames")
+      Multimodal.sampleDecodedFrames(packed, "doc_id", every = 2)
+        .select(col("doc_id"), col("frame"), col("width"), col("height"),
+          size(col("pixels")).cast("long").as("n_px"),
+          aggregate(col("pixels"), lit(0L),
+            (acc, p) => acc + shiftright(p, 16).cast("long")).as("sum_r"),
+          aggregate(col("pixels"), lit(0L),
+            (acc, p) => acc + shiftright(p, 8).bitwiseAND(lit(255)).cast("long")).as("sum_g"),
+          aggregate(col("pixels"), lit(0L),
+            (acc, p) => acc + p.bitwiseAND(lit(255)).cast("long")).as("sum_b"),
+          md5(concat_ws(",", transform(col("pixels"), _.cast("string"))).cast("binary"))
+            .as("pix_md5"))
+        .orderBy("doc_id", "frame")
     },
   )
 

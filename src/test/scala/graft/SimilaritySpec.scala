@@ -411,6 +411,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(feats(2L).isNullAt(1), "NULL payloads yield NULL features")
   }
 
+  test("video container: pack/sample round-trip, stride, bad rows, truncation") {
+    import spark.implicits._
+    // Three 1x1 PNG frames with distinct colors; stride 2 keeps 0 and 2.
+    val rasters = Seq(
+      (10L, 1, 1, Seq(0xff0000)), (11L, 1, 1, Seq(0x00ff00)),
+      (12L, 1, 1, Seq(0x0000ff)))
+      .toDF("fid", "w", "h", "pixels")
+    val pngs = Multimodal.encodePng(rasters, "fid", "w", "h", "pixels")
+      .collect().sortBy(_.getLong(0)).map(_.getAs[Array[Byte]]("payload"))
+    val src = Seq(
+      (1L, pngs.toSeq),                                // good: 3 frames
+      (2L, Seq.empty[Array[Byte]]),                    // empty list
+      (3L, null.asInstanceOf[Seq[Array[Byte]]]),       // NULL list
+      (4L, Seq(pngs(0), null)))                        // NULL frame inside
+      .toDF("doc_id", "frames")
+    val packed = Multimodal.packFrames(src, "doc_id", "frames")
+    val byId = packed.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Array[Byte]]("payload") != null &&
+      byId(1L).getStruct(2).getInt(3) == 3, "3-frame container packs")
+    assert(Seq(2L, 3L, 4L).forall(byId(_).getAs[Array[Byte]]("payload") == null),
+      "empty / NULL / NULL-frame lists must yield NULL payloads")
+    // Stride 2 over 3 frames -> frames 0 and 2, decoded to exact pixels.
+    val dec = Multimodal.sampleDecodedFrames(packed, "doc_id", every = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    assert(dec.keySet == Set((1L, 0), (1L, 2)), s"sampled ${dec.keySet}")
+    assert(dec((1L, 0)).getSeq[Int](4) == Seq(0xff0000) &&
+      dec((1L, 2)).getSeq[Int](4) == Seq(0x0000ff),
+      "kept frames decode to their exact rasters (order preserved)")
+    // Truncated container: drop the last 5 bytes -> no rows, no failure.
+    val good = byId(1L).getAs[Array[Byte]]("payload")
+    val trunc = Seq((9L, good.dropRight(5)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.sampleDecodedFrames(trunc, "doc_id", every = 1).count() == 2,
+      "a truncated container keeps the frames before the break, does not fail")
+    // Non-container payload: skipped entirely.
+    val junk = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    assert(Multimodal.sampleDecodedFrames(junk, "doc_id", every = 1).count() == 0)
+  }
+
   test("multimodal: frame windows are byte-exact on non-UTF-8 binary payloads") {
     import spark.implicits._
     // Payloads that are NOT valid UTF-8 (JPEG-like magic + high bytes):
