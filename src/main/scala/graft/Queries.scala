@@ -1929,6 +1929,35 @@ object Queries {
         "SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, round(s, 6) AS ewma_cents " +
         "FROM e ORDER BY user_id, rn"),
 
+    // Holt's LINEAR exponential smoothing (level + trend, α = β = 1/2) —
+    // the two-state recurrence l_t = v_t/2 + (l+b)/2, b_t = (l_t−l)/2 +
+    // b/2 plus the one-step-ahead forecast l_t + b_t. Like the EWMA
+    // entry, α = β = 1/2 keeps every step exact dyadic arithmetic on
+    // integer cents (numerators stay ≪ 2^53 at the ≤ 24-step chain
+    // depth), and the same SQL text runs on both engines — identical op
+    // sequence → identical doubles. Outputs are fixed-point
+    // floor(x·1e6 + 0.5) micro-units: floor is rounding-RULE-free, so
+    // identical doubles cannot diverge even ON a .5 boundary (dyadic
+    // values DO land there — e.g. 1/128 — which round(x, 6) would
+    // tie-break engine-specifically; this is the knife-edge discipline).
+    sql("q_holt_linear",
+      "WITH RECURSIVE seq AS (" +
+        "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "  FROM events WHERE event_type = 'purchase'), " +
+        "e(user_id, rn, l, b) AS (" +
+        "  SELECT user_id, rn, CAST(cents AS DOUBLE), CAST(0 AS DOUBLE) FROM seq WHERE rn = 1 " +
+        "  UNION ALL " +
+        "  SELECT seq.user_id, seq.rn, " +
+        "    0.5 * seq.cents + 0.5 * (e.l + e.b), " +
+        "    0.5 * ((0.5 * seq.cents + 0.5 * (e.l + e.b)) - e.l) + 0.5 * e.b " +
+        "  FROM e JOIN seq ON seq.user_id = e.user_id AND seq.rn = e.rn + 1) " +
+        "SELECT user_id, CAST(rn AS BIGINT) AS rn, " +
+        "  CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_u, " +
+        "  CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_u, " +
+        "  CAST(floor((l + b) * 1000000 + 0.5) AS BIGINT) AS forecast_u " +
+        "FROM e ORDER BY user_id, rn"),
+
     // Pairwise correlation matrix of the numeric lineitem measures — the
     // feature-redundancy screen a training pipeline runs before model
     // fitting. Six corr aggregates in ONE pass over the fact table
@@ -2433,6 +2462,46 @@ object Queries {
       val srcId = pr.agg(min(col("u"))).head().getLong(0)
       graft.operators.Components.bfsHops(pr, "u", "v", Seq(srcId), maxHops = 12)
         .select(col("id").as("node"), col("hops"))
+        .orderBy("node")
+    },
+
+    // Single-source WEIGHTED shortest paths over the same co-purchase
+    // graph — distributed Bellman-Ford (Components.shortestPaths):
+    // deterministic integer edge weights 1..9, so every relaxation
+    // comparison is exact; the 12-edge hop cap is part of the semantics
+    // exactly as in q_bfs_hops, and the oracle replays it as a
+    // depth-capped recursive CTE over (node, cost, hops) states (the
+    // integer weights bound the state space, so the recursion
+    // terminates). Non-degenerate at sf0.01: 1860/1880 nodes reached,
+    // costs 0..42.
+    dfq("q_shortest_path",
+      "WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "w AS (SELECT u, v, 1 + (u*31 + v*17) % 9 AS w FROM pr), " +
+        "e AS (SELECT u, v, w FROM w UNION ALL SELECT v, u, w FROM w), " +
+        "nodes AS (SELECT DISTINCT u AS id FROM e), " +
+        "s AS (SELECT min(id) AS sid FROM nodes), " +
+        "reach(id, d, h) AS (SELECT sid, 0, 0 FROM s " +
+        "  UNION SELECT e.v, reach.d + e.w, reach.h + 1 FROM reach JOIN e ON e.u = reach.id WHERE reach.h < 12) " +
+        "SELECT n.id AS node, CAST(coalesce(min(reach.d), -1) AS BIGINT) AS dist " +
+        "FROM nodes n LEFT JOIN reach ON reach.id = n.id GROUP BY n.id ORDER BY node") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      // Weight is computed on the canonical (u < v) pair, then mirrored,
+      // so both directions of an undirected edge carry the same cost.
+      val w = s.sql(
+        "SELECT u, v, 1 + (u*31 + v*17) % 9 AS w FROM " +
+          "(SELECT a.p AS u, b.p AS v FROM " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2)")
+      val sym = w.union(w.select(col("v"), col("u"), col("w")))
+      val srcId = w.agg(min(col("u"))).head().getLong(0)
+      val reached = graft.operators.Components.shortestPaths(
+        sym, "u", "v", "w", Seq(srcId), maxHops = 12)
+      sym.select(col("u").as("node")).distinct()
+        .join(reached.withColumnsRenamed(Map("id" -> "node")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(-1L)).cast("long").as("dist"))
         .orderBy("node")
     },
 

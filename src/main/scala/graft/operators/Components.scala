@@ -228,6 +228,71 @@ object Components {
       .select(col("id"), coalesce(col("hops"), lit(-1)).cast("int").as("hops"))
   }
 
+  /** Single-source WEIGHTED shortest paths, bounded at `maxHops` edges —
+    * distributed Bellman–Ford: after round h, dist(v) is the exact
+    * minimum cost over paths of ≤ h edges (integer weights, so every
+    * comparison is exact — no float accumulation order to diverge on).
+    * The hop cap is part of the semantics (like [[bfsHops]]'s), which a
+    * differential oracle replays as a depth-capped recursion; with
+    * maxHops ≥ the graph diameter and non-negative weights it IS the
+    * true shortest-path relation, since longer paths only cost more.
+    * Returns (id, dist) for REACHED nodes only.
+    *
+    * Scale shape: each round relaxes only the frontier (nodes improved
+    * last round) — one equi-join of frontier onto edges (shuffle on the
+    * src key) + one min-aggregate per dst + one join back against the
+    * running dist; rounds eager-checkpoint like the components loop so
+    * the plan stays constant-size; convergence = empty frontier, checked
+    * with the same one-action-per-round discipline. Edges are treated
+    * DIRECTED; pass a symmetrized relation for undirected graphs.
+    */
+  def shortestPaths(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      sources: Seq[Long], maxHops: Int): DataFrame = {
+    require(sources.nonEmpty, "shortestPaths: at least one source node")
+    require(maxHops >= 0, s"shortestPaths: maxHops must be >= 0, got $maxHops")
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val e = ckpt(edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("w").isNotNull &&
+        col("a") =!= col("b")))
+
+    var dist = ckpt(e.sparkSession.createDataFrame(
+      e.sparkSession.sparkContext.parallelize(sources.map(Tuple1(_))).map(t =>
+        org.apache.spark.sql.Row(t._1, 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.LongType)))))
+    var frontier = dist
+    var h = 0
+    var exhausted = frontier.isEmpty
+    while (h < maxHops && !exhausted) {
+      h += 1
+      // Candidate relaxations through the frontier, best per dst first
+      // (the min-agg keeps the per-round exchange node-bounded).
+      val cand = frontier
+        .join(e, col("id") === col("a"))
+        .groupBy(col("b").as("nid"))
+        .agg(min(col("d") + col("w")).as("nd"))
+      val improved = ckpt(cand
+        .join(dist.withColumnsRenamed(Map("id" -> "o_id", "d" -> "o_d")),
+          col("nid") === col("o_id"), "left")
+        .filter(col("o_d").isNull || col("nd") < col("o_d"))
+        .select(col("nid").as("id"), col("nd").as("d")))
+      if (improved.isEmpty) exhausted = true
+      else {
+        dist = ckpt(dist.join(improved, Seq("id"), "left_anti").union(improved))
+        frontier = improved
+      }
+    }
+    dist
+  }
+
   /** k-core decomposition by synchronous peeling: `rounds` rounds of
     * "drop every node with degree < k, restrict edges to survivors".
     * Peeling reaches the true k-core at fixpoint (the loop exits early

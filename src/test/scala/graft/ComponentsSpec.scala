@@ -124,6 +124,30 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
   }
 
+  private def spOf(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+      maxHops: Int = 12): Map[Long, Long] = {
+    // Symmetrize here: shortestPaths treats edges as directed.
+    val sym = edges ++ edges.map(e => (e._2, e._1, e._3))
+    Components.shortestPaths(sym.toDF("src", "dst", "w"), "src", "dst", "w",
+        sources, maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("shortestPaths: weighted route beats fewer hops; cap and islands hold") {
+    // 1→2→3 costs 1+1=2, direct 1→3 costs 5: Bellman-Ford must prefer
+    // the longer-hop cheaper route. Island 10-11 stays unreached.
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (10L, 11L, 2L))
+    assert(spOf(g, Seq(1L)) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      "reached nodes only, island absent — " + spOf(g, Seq(1L)))
+    // Hop cap 1: only direct edges relax — 3 reads the EXPENSIVE direct
+    // cost (5), not the cheaper 2-hop route.
+    assert(spOf(g, Seq(1L), maxHops = 1) == Map(1L -> 0L, 2L -> 1L, 3L -> 5L))
+    // A later round must re-improve: with cap 2 the 2-hop route wins.
+    assert(spOf(g, Seq(1L), maxHops = 2)(3L) == 2L)
+    // Multi-source takes the min over sources.
+    assert(spOf(g, Seq(1L, 11L))(10L) == 2L)
+  }
+
   private def kCoreOf(edges: Seq[(Long, Long)], k: Int,
       rounds: Int = 12): Map[Long, Int] = {
     val out = Components.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds)
