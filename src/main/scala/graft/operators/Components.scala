@@ -67,6 +67,11 @@ object Components {
       sym.groupBy(col("a").as("id"))
         .agg(min(col("b")).as("min_nbr"))
         .select(col("id"), least(col("id"), col("min_nbr")).as("comp")))
+    // Empty edge relation (e.g. a dedup pass that found no pairs, a
+    // density grid with no dense cells at sparse scale): the loop's
+    // convergence sum would be NULL and NPE — there is nothing to
+    // propagate, so the empty label relation IS the answer.
+    if (labels.isEmpty) return labels
     // Labels only ever DECREASE, so Σcomp strictly decreases on any
     // change: convergence is "sum unchanged" — one aggregate action per
     // round, no self-join diff. DECIMAL(38) sum: node-count × id-range

@@ -46,6 +46,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L), s"chain not fully contracted: ${got.values.toSet}")
   }
 
+  test("an empty edge relation yields an empty label relation, not an NPE") {
+    // Regression: the convergence-sum loop NPE'd on the NULL aggregate
+    // of an empty label table (hit by q_grid_cluster at sf0.001, where
+    // no cell meets the density threshold).
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(empty, "src", "dst").count() == 0)
+    // Edges that all self-loop reduce to the same empty relation.
+    val loops = Seq((5L, 5L), (7L, 7L)).toDF("src", "dst")
+    assert(Components.connectedComponents(loops, "src", "dst").count() == 0)
+  }
+
   test("self-loops and duplicate/reversed edges are harmless") {
     val got = componentsOf(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
     // Pure self-loop nodes are dropped by the a =!= b filter (they carry

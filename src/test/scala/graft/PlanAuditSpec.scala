@@ -360,6 +360,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("grid clustering joins adjacency on exact cell keys, never a theta/cross join") {
+    // The 8-neighborhood relation must be the exploded-offset EQUI-join;
+    // an |dx|<=1 theta-join would plan as a cartesian. sf0.01 so the
+    // dense-cell set is non-empty and the join actually materializes.
+    // (The 1-row threshold crossJoin broadcasts — benign.)
+    val plan = planOf("q_grid_cluster", atDir = "/root/testdata/sf0.01")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_grid_cluster plans a cartesian product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"q_grid_cluster: expected equi-joins for the adjacency relation in:\n$plan")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
+  test("theil index: dims broadcast onto the fact scan, no cartesian beyond the 1-row total") {
+    val plan = planOf("q_theil_index")
+    assert(!plan.contains("CartesianProduct"),
+      s"q_theil_index plans a cartesian product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q_theil_index: the 25-row nation dim must broadcast in:\n$plan")
+  }
+
   test("semDedup pairs only within clusters: equi-join on centroid_id, never a cross product") {
     // The whole point of cluster-scoped dedup is that the pair space is
     // keyed — a plan that degrades to CartesianProduct/NestedLoop has
