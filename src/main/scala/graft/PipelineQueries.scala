@@ -591,6 +591,11 @@ object PipelineQueries {
         .orderBy("vec_id")
     },
 
+    // (gridDensityGraph, the dense-cell + adjacency builder, is defined
+    // on the object below the entry list so PlanAuditSpec can audit the
+    // adjacency join's OWN executed plan — the CC loop's checkpoints
+    // truncate it out of the entry's final plan.)
+    //
     // Grid-density clustering (DBSCAN's grid-cell formulation): hash
     // customers onto a 30×30 cell grid (md5 coordinates — engine-
     // portable coins, Poisson occupancy), keep cells meeting a
@@ -620,33 +625,7 @@ object PipelineQueries {
         "SELECT i.cx, i.cy, CAST(min(l.lbl) AS BIGINT) AS cluster_id, CAST(i.n AS BIGINT) AS n_points " +
         "FROM ids i JOIN labels l ON l.cell = i.cell " +
         "GROUP BY i.cx, i.cy, i.n ORDER BY cx, cy") { (s, dir) =>
-      val pts = Tables.load(s, dir, "customer").select(
-        pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit("|gx"))), 1, 4), 16, 10)
-          .cast("long"), lit(30L)).as("cx"),
-        pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit("|gy"))), 1, 4), 16, 10)
-          .cast("long"), lit(30L)).as("cy"))
-      val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
-      // Scale-adaptive threshold: one broadcast singleton scalar
-      // (exact integer ceil(1.12·total/900) = (112·total+89999) div 9e4;
-      // floor() because Column./ is double division — the remainder is
-      // >= 1/90000 whenever non-zero, 6 orders above double ulp, so the
-      // floored quotient is the exact integer division).
-      val thr = pts.agg(greatest(lit(4L),
-        floor((lit(112) * count(lit(1)) + 89999) / 90000).cast("long")).as("minpts"))
-      val ids = cells.crossJoin(broadcast(thr))
-        .filter(col("n") >= col("minpts"))
-        .select((col("cx") * 30 + col("cy")).as("cell"), col("cx"), col("cy"), col("n"))
-      // 8-neighborhood adjacency as an EQUI-join: explode each dense
-      // cell to its 8 shifted keys, join back on the exact key.
-      val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if (dx, dy) != (0, 0) }
-        yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
-      val shifted = ids.select(col("cell").as("ca"), col("cx"), col("cy"),
-          explode(array(offsets: _*)).as("o"))
-        .select(col("ca"), (col("cx") + col("o.dx")).as("nx"),
-          (col("cy") + col("o.dy")).as("ny"))
-      val edges = shifted.join(
-        ids.select(col("cell").as("cb"), col("cx").as("nx"), col("cy").as("ny")),
-        Seq("nx", "ny"))
+      val (ids, edges) = gridDensityGraph(s, dir)
       val comps = Components.connectedComponents(edges, "ca", "cb")
       // Isolated dense cells have no edges → they label themselves.
       ids.join(comps.withColumnsRenamed(Map("id" -> "cell", "comp" -> "lbl")),
@@ -2204,6 +2183,45 @@ object PipelineQueries {
         .orderBy("doc_id", "frame")
     },
   )
+
+  /** Dense-cell relation and its 8-neighborhood adjacency for
+    * q_grid_cluster: (ids = (cell, cx, cy, n), edges = (ca, cb)).
+    * Exposed private[graft] so PlanAuditSpec asserts the adjacency
+    * join's executed plan DIRECTLY — inside the entry it is consumed by
+    * the checkpointing components loop, which truncates it out of the
+    * final plan.
+    */
+  private[graft] def gridDensityGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pts = Tables.load(s, dir, "customer").select(
+      pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit("|gx"))), 1, 4), 16, 10)
+        .cast("long"), lit(30L)).as("cx"),
+      pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit("|gy"))), 1, 4), 16, 10)
+        .cast("long"), lit(30L)).as("cy"))
+    val cells = pts.groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+    // Scale-adaptive threshold: one broadcast singleton scalar
+    // (exact integer ceil(1.12·total/900) = (112·total+89999) div 9e4;
+    // floor() because Column./ is double division — the remainder is
+    // >= 1/90000 whenever non-zero, 6 orders above double ulp, so the
+    // floored quotient is the exact integer division).
+    val thr = pts.agg(greatest(lit(4L),
+      floor((lit(112) * count(lit(1)) + 89999) / 90000).cast("long")).as("minpts"))
+    val ids = cells.crossJoin(broadcast(thr))
+      .filter(col("n") >= col("minpts"))
+      .select((col("cx") * 30 + col("cy")).as("cell"), col("cx"), col("cy"), col("n"))
+    // 8-neighborhood adjacency as an EQUI-join: explode each dense
+    // cell to its 8 shifted keys, join back on the exact key.
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 if (dx, dy) != (0, 0) }
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val shifted = ids.select(col("cell").as("ca"), col("cx"), col("cy"),
+        explode(array(offsets: _*)).as("o"))
+      .select(col("ca"), (col("cx") + col("o.dx")).as("nx"),
+        (col("cy") + col("o.dy")).as("ny"))
+    val edges = shifted.join(
+      ids.select(col("cell").as("cb"), col("cx").as("nx"), col("cy").as("ny")),
+      Seq("nx", "ny"))
+    (ids, edges)
+  }
 
   def entries: Seq[Entry] =
     textAnalysis ++ dedup ++ grouping ++ sampling ++ skew ++ heavyHitters ++

@@ -2483,10 +2483,16 @@ object Queries {
           "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2")
       // Single seed = the smallest node id (u < v ⇒ min u is min node):
       // one scalar to the driver, like the components convergence sum.
-      val srcId = pr.agg(min(col("u"))).head().getLong(0)
-      graft.operators.Components.bfsHops(pr, "u", "v", Seq(srcId), maxHops = 12)
-        .select(col("id").as("node"), col("hops"))
-        .orderBy("node")
+      // An EMPTY pair graph (sparse scale) has a NULL min — the oracle's
+      // answer is the empty relation, not an NPE.
+      val srcRow = pr.agg(min(col("u"))).head()
+      if (srcRow.isNullAt(0))
+        pr.select(col("u").as("node"), lit(-1).cast("int").as("hops")).limit(0)
+      else
+        graft.operators.Components.bfsHops(
+            pr, "u", "v", Seq(srcRow.getLong(0)), maxHops = 12)
+          .select(col("id").as("node"), col("hops"))
+          .orderBy("node")
     },
 
     // Single-source WEIGHTED shortest paths over the same co-purchase
@@ -2520,13 +2526,19 @@ object Queries {
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
           "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2)")
       val sym = w.union(w.select(col("v"), col("u"), col("w")))
-      val srcId = w.agg(min(col("u"))).head().getLong(0)
-      val reached = graft.operators.Components.shortestPaths(
-        sym, "u", "v", "w", Seq(srcId), maxHops = 12)
-      sym.select(col("u").as("node")).distinct()
-        .join(reached.withColumnsRenamed(Map("id" -> "node")), Seq("node"), "left")
-        .select(col("node"), coalesce(col("d"), lit(-1L)).cast("long").as("dist"))
-        .orderBy("node")
+      // Empty pair graph (sparse scale) → NULL min seed → the oracle's
+      // empty relation, not an NPE (same guard as q_bfs_hops).
+      val srcRow = w.agg(min(col("u"))).head()
+      if (srcRow.isNullAt(0))
+        sym.select(col("u").as("node"), lit(-1L).as("dist")).limit(0)
+      else {
+        val reached = graft.operators.Components.shortestPaths(
+          sym, "u", "v", "w", Seq(srcRow.getLong(0)), maxHops = 12)
+        sym.select(col("u").as("node")).distinct()
+          .join(reached.withColumnsRenamed(Map("id" -> "node")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("d"), lit(-1L)).cast("long").as("dist"))
+          .orderBy("node")
+      }
     },
 
     // Bloom-filter semi-join: build a bitset over the filtered dim's keys
@@ -3391,11 +3403,13 @@ object Queries {
     // lattice difference of two guarded integer log2s (committed margin
     // audit: min boundary distance 2.7e-3 at sf0.01, 1.8e-3 at sf0.1 —
     // 180-270× the 1e-5 runtime guard; operands max 8.2e16 < 2^63).
-    // theil_term is then one division of exact BIGINTs (the casts round
-    // once each, IEEE-nearest in both engines — gate-verified
-    // bit-identical). The 3-way join shape: lineitem⋈orders⋈customer⋈
-    // nation, all group-bys on the 25-nation key — broadcast dims, one
-    // fact shuffle.
+    // theil_term multiplies in DOUBLE space — cents (< 2^53, exact) ×
+    // the exact integer lattice difference, divided by double(X)·1e6:
+    // one IEEE-nearest rounding per operation, identical op order both
+    // engines. (A BIGINT product `x·1e6` would overflow 2^63 from
+    // ~sf0.4 — silently on Spark with ANSI off, loudly on DuckDB.) The
+    // 3-way join shape: lineitem⋈orders⋈customer⋈nation, all group-bys
+    // on the 25-nation key — broadcast dims, one fact shuffle.
     sql2("q_theil_index",
       "WITH rev AS (SELECT n.n_name AS nation, " +
         "    sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents, " +
@@ -3406,8 +3420,8 @@ object Queries {
         "tot AS (SELECT CAST(sum(cents) AS BIGINT) AS x, CAST(sum(n_g) AS BIGINT) AS n FROM rev) " +
         "SELECT nation, CAST(cents AS BIGINT) AS cents, CAST(n_g AS BIGINT) AS n_g, " +
         s"  CAST(${microLog2Guarded("cents * tot.n")} - ${microLog2Guarded("tot.x * n_g")} AS BIGINT) AS dl_u, " +
-        s"  CAST(cents * (${microLog2Guarded("cents * tot.n")} - ${microLog2Guarded("tot.x * n_g")}) AS DOUBLE) " +
-        "    / CAST(tot.x * 1000000 AS DOUBLE) AS theil_term " +
+        s"  (CAST(cents AS DOUBLE) * (${microLog2Guarded("cents * tot.n")} - ${microLog2Guarded("tot.x * n_g")})) " +
+        "    / (CAST(tot.x AS DOUBLE) * 1000000.0) AS theil_term " +
         "FROM rev CROSS JOIN tot ORDER BY nation",
       "WITH rev AS (SELECT n.n_name AS nation, " +
         "    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents, " +
@@ -3418,8 +3432,8 @@ object Queries {
         "tot AS (SELECT CAST(sum(cents) AS BIGINT) AS x, CAST(sum(n_g) AS BIGINT) AS n FROM rev) " +
         "SELECT nation, cents, CAST(n_g AS BIGINT) AS n_g, " +
         s"  ${microLog2Duck("cents * tot.n")} - ${microLog2Duck("tot.x * n_g")} AS dl_u, " +
-        s"  CAST(cents * (${microLog2Duck("cents * tot.n")} - ${microLog2Duck("tot.x * n_g")}) AS DOUBLE) " +
-        "    / CAST(tot.x * 1000000 AS DOUBLE) AS theil_term " +
+        s"  (CAST(cents AS DOUBLE) * (${microLog2Duck("cents * tot.n")} - ${microLog2Duck("tot.x * n_g")})) " +
+        "    / (CAST(tot.x AS DOUBLE) * 1000000.0) AS theil_term " +
         "FROM rev CROSS JOIN tot ORDER BY nation"),
 
     // Day-of-week seasonality index: per-weekday revenue share vs the

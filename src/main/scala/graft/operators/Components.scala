@@ -30,6 +30,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Eager checkpoint for iterative loops — lineage truncation, not just
+    * caching: a persisted DataFrame still carries its FULL logical plan,
+    * so every round would re-analyze and re-optimize the upstream
+    * pipeline (for dedup, the whole MinHash-LSH HOF lattice) plus all
+    * previous rounds' joins, and that plan work (not data) dominated the
+    * loops at bench scale. The checkpoint roots the plan at the
+    * materialized partitions: reliable (dir-based) when
+    * `sparkContext.setCheckpointDir` was called, executor-local
+    * otherwise — standard iterative-graph practice; set a checkpoint dir
+    * at cluster scale so executor loss cannot orphan a long loop.
+    * Checkpointed blocks are freed by the ContextCleaner once the
+    * DataFrame is unreachable (unpersist() is a no-op on them). Shared
+    * by every iterative operator in this file.
+    */
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def connectedComponents(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -42,20 +60,7 @@ object Components {
         .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
         .filter(col("a") =!= col("b")) // also drops null-id edges
         .persist(StorageLevel.MEMORY_AND_DISK))
-    // Lineage truncation, not just caching: a persisted DataFrame still
-    // carries its FULL logical plan — every round would re-analyze and
-    // re-optimize the upstream pipeline (for dedup, the whole MinHash-LSH
-    // HOF lattice) plus all previous rounds' joins, and that plan work
-    // (not data) dominated the loop at bench scale. An EAGER checkpoint
-    // roots the plan at the materialized partitions: reliable (dir-based)
-    // when `sparkContext.setCheckpointDir` was called, executor-local
-    // otherwise — standard iterative-graph practice; set a checkpoint dir
-    // at cluster scale so executor loss cannot orphan a long loop.
-    // Checkpointed blocks are freed by the ContextCleaner once the
-    // DataFrame is unreachable (unpersist() is a no-op on them).
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // Rounds eager-checkpoint via the shared [[ckpt]] (see its doc).
     val sym = ckpt(
       directed.union(directed.select(col("b").as("a"), col("a").as("b")))
         .distinct())
@@ -138,9 +143,6 @@ object Components {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping must be in (0,1), got $damping")
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val e = ckpt(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
@@ -196,9 +198,6 @@ object Components {
       sources: Seq[Long], maxHops: Int): DataFrame = {
     require(sources.nonEmpty, "bfsHops: at least one source node")
     require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val directed = OpCaches.track(
       edges
         .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
@@ -256,9 +255,6 @@ object Components {
       sources: Seq[Long], maxHops: Int): DataFrame = {
     require(sources.nonEmpty, "shortestPaths: at least one source node")
     require(maxHops >= 0, s"shortestPaths: maxHops must be >= 0, got $maxHops")
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val e = ckpt(edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"),
         col(weightCol).cast("long").as("w"))
@@ -266,7 +262,9 @@ object Components {
         col("a") =!= col("b")))
 
     var dist = ckpt(e.sparkSession.createDataFrame(
-      e.sparkSession.sparkContext.parallelize(sources.map(Tuple1(_))).map(t =>
+      // distinct: duplicate seeds would ride every left_anti/union round
+      // and emit duplicate (id, dist) rows
+      e.sparkSession.sparkContext.parallelize(sources.distinct.map(Tuple1(_))).map(t =>
         org.apache.spark.sql.Row(t._1, 0L)),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
@@ -317,9 +315,6 @@ object Components {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(rounds >= 1, s"kCore: rounds must be >= 1, got $rounds")
-    def ckpt(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
     val directed = OpCaches.track(
       edges
         .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))

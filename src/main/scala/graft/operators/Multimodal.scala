@@ -590,6 +590,13 @@ object Multimodal {
           var f = 0
           while (f < nFrames) {
             val len = in.readInt()
+            // A corrupt length word (negative, or larger than the bytes
+            // that exist) is a data problem like truncation — stop at
+            // the frames already read; without this, a negative len
+            // throws NegativeArraySizeException (not IOException) out of
+            // the catch and a huge one attempts a matching allocation.
+            if (len < 0 || len > in.available())
+              throw new java.io.IOException(s"corrupt frame length $len")
             if (f % every != 0) in.skipBytes(len) // seek, no decode
             else {
               val bytes = new Array[Byte](len)

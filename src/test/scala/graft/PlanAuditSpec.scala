@@ -30,10 +30,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // The layout exists so the box SKIPS row groups: that only happens if
     // the integer grid predicates reach the parquet reader as
     // PushedFilters (the layout guarantees they are also tight per file).
-    // At sf0.01, not the suite default sf0.001: the entry's runtime
-    // soundness guard (≥ k points inside the 2500 km ball) correctly
-    // REFUSES the ~150-customer scale, where a box-pruned top-20 is not
-    // the global top-20 (r13 advice).
+    // At sf0.01, not the suite default sf0.001: the entry's prune is
+    // ADAPTIVE — at the ~150-customer scale the ball-containment check
+    // fails and it falls back to the UNPRUNED layout scan (no box
+    // predicates to push), so only sf0.01 exercises the pushdown this
+    // test asserts.
     val plan = planOf("q_geo_knn", atDir = "/root/testdata/sf0.01")
     // The PushedFilters list renders truncated ("Gre...") past ~100 chars,
     // so assert on the prefix that always fits: both latg bounds pushed.
@@ -361,17 +362,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("grid clustering joins adjacency on exact cell keys, never a theta/cross join") {
-    // The 8-neighborhood relation must be the exploded-offset EQUI-join;
-    // an |dx|<=1 theta-join would plan as a cartesian. sf0.01 so the
+    // Audit the adjacency relation's OWN executed plan — inside the
+    // entry the components loop checkpoints it away, so the entry's
+    // final plan could not reveal a theta-join regression. The
+    // 8-neighborhood relation must be the exploded-offset EQUI-join; an
+    // |dx|<=1 theta-join would plan as a cartesian. sf0.01 so the
     // dense-cell set is non-empty and the join actually materializes.
     // (The 1-row threshold crossJoin broadcasts — benign.)
-    val plan = planOf("q_grid_cluster", atDir = "/root/testdata/sf0.01")
+    val (_, edges) = PipelineQueries.gridDensityGraph(spark, "/root/testdata/sf0.01")
+    edges.collect()
+    val plan = edges.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
-      s"q_grid_cluster plans a cartesian product:\n$plan")
+      s"grid-cluster adjacency plans a cartesian product:\n$plan")
     assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
       plan.contains("ShuffledHashJoin"),
-      s"q_grid_cluster: expected equi-joins for the adjacency relation in:\n$plan")
-    graft.operators.OpCaches.releaseAll(spark)
+      s"grid-cluster adjacency: expected an equi-join in:\n$plan")
   }
 
   test("theil index: dims broadcast onto the fact scan, no cartesian beyond the 1-row total") {

@@ -448,6 +448,21 @@ class SimilaritySpec extends AnyFunSuite {
     // Non-container payload: skipped entirely.
     val junk = Seq((8L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
     assert(Multimodal.sampleDecodedFrames(junk, "doc_id", every = 1).count() == 0)
+    // Corrupt LENGTH WORD (negative / absurdly large): must degrade like
+    // truncation — keep frames before the break, never throw
+    // NegativeArraySizeException or attempt a matching allocation.
+    def withLenWord(value: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(good.length)
+      b.put(good, 0, good.length)
+      // frame 0's length word sits right after magic+count (bytes 8-11)
+      b.putInt(8, value)
+      b.array()
+    }
+    for (bad <- Seq(-5, Int.MaxValue - 16)) {
+      val df = Seq((7L, withLenWord(bad))).toDF("doc_id", "payload")
+      assert(Multimodal.sampleDecodedFrames(df, "doc_id", every = 1).count() == 0,
+        s"length word $bad must stop the parse cleanly")
+    }
   }
 
   test("multimodal: frame windows are byte-exact on non-UTF-8 binary payloads") {
