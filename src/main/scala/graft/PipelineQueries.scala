@@ -259,6 +259,33 @@ object PipelineQueries {
         .orderBy("supplier")
     },
 
+    // HITS hubs/authorities over the DIRECTED customer→part purchase
+    // graph (hubs = customers, authorities = parts — the natural
+    // bipartite reading). Two UNNORMALIZED power iterations: with h₀=1
+    // every score is a SUM OF INTEGERS, so unlike the 8-dp-rounded
+    // PageRank comparison this entry is EXACT end to end — the only
+    // double is one IEEE division of two exact integers < 2^53 (the
+    // share against total authority mass). Unrolled relationally: each
+    // iteration is one equi-join + one sum aggregate, key-partitioned;
+    // the same text runs on both engines (DuckDB's HUGEINT sums are
+    // cast back to BIGINT).
+    sql("q_hits",
+      "WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst " +
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey), " +
+        "a1 AS (SELECT e.dst AS id, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY e.dst), " +
+        "h1 AS (SELECT e.src AS id, CAST(sum(a1.a) AS BIGINT) AS h FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src), " +
+        "a2 AS (SELECT e.dst AS id, CAST(sum(h1.h) AS BIGINT) AS a FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst), " +
+        "h2 AS (SELECT e.src AS id, CAST(sum(a2.a) AS BIGINT) AS h FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src), " +
+        "tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta FROM a2) " +
+        "SELECT 'auth' AS role, a2.id AS node, a2.a AS score, " +
+        "  CAST(a2.a AS DOUBLE) / tot.ta AS share " +
+        "FROM a2 CROSS JOIN tot " +
+        "UNION ALL " +
+        "SELECT 'hub' AS role, h2.id AS node, h2.h AS score, " +
+        "  CAST(h2.h AS DOUBLE) / tot.ta AS share " +
+        "FROM h2 CROSS JOIN tot " +
+        "ORDER BY role, node"),
+
     dfq("q_dedup_components",
       "WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
