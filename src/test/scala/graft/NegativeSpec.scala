@@ -103,4 +103,31 @@ class NegativeSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.toLowerCase.contains("bloom_might_contain"), e3.getMessage)
   }
+
+  test("r14 operators validate their arguments cleanly") {
+    import spark.implicits._
+    val media = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val samples = Seq((1L, Seq(1, 2, 3))).toDF("id", "samples")
+    // encodeWav: non-positive sample rate is a construction error, not a
+    // per-row data problem.
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.encodeWav(samples, "id", "samples", sampleRate = 0)
+    }
+    assert(e1.getMessage.contains("sample rate"), e1.getMessage)
+    // sampleDecodedFrames: a zero stride would loop forever.
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.sampleDecodedFrames(media, "id", every = 0)
+    }
+    assert(e2.getMessage.contains("stride"), e2.getMessage)
+    // shortestPaths: empty sources / negative hop cap are contract errors.
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Components.shortestPaths(edges, "src", "dst", "w", Nil, 5)
+    }
+    assert(e3.getMessage.contains("source"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      graft.operators.Components.shortestPaths(edges, "src", "dst", "w", Seq(1L), -1)
+    }
+    assert(e4.getMessage.contains("maxHops"), e4.getMessage)
+  }
 }
