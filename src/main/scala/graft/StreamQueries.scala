@@ -97,6 +97,30 @@ object StreamQueries {
           .orderBy("h", "event_type")
     },
 
+    // Streaming windowed TOP-K (heavy-hitters face): per-hour per-user
+    // counts maintained by the windowed stream aggregate (state O(windows
+    // × active users), watermark-evicted), ranked top-3 per window at the
+    // drain — the standard responsibility split (the stream maintains
+    // keyed counts; the sink ranks). Deterministic tie-break on user_id;
+    // the batch oracle re-derives the identical ranking.
+    dfq("q_stream_topk",
+      "WITH c AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id, " +
+        "    count(*) AS n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT h, user_id, n, row_number() OVER (PARTITION BY h ORDER BY n DESC, user_id) AS rk FROM c) " +
+        "SELECT h, CAST(rk AS INT) AS rk, user_id, CAST(n AS BIGINT) AS n " +
+        "FROM r WHERE rk <= 3 ORDER BY h, rk") { (s, dir) =>
+      val counts = EventStream.windowedKeyCounts(
+        fileStream(s, dir, "events"), "user_id")
+      import org.apache.spark.sql.expressions.Window
+      drainToMemory(counts, "graft_stream_topk", "complete")
+        .select(col("window_start").cast("long").as("h"), col("user_id"), col("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("n").desc, col("user_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("h"), col("rk"), col("user_id"), col("n"))
+        .orderBy("h", "rk")
+    },
+
     // Streaming exact dedup under redelivery: the same events file read
     // by TWO independent sources unioned (every row delivered twice —
     // the at-least-once transport shape), deduped by event_id within the

@@ -42,6 +42,20 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sv"))
 
+  /** Windowed per-key counts — the heavy-hitters ingest shape: state is
+    * O(windows × active keys), the watermark evicts closed windows, and
+    * the top-k READOUT ranks at the sink (ranking inside the stream
+    * would need a per-window sort per trigger; ranking the drained
+    * keyed counts is the standard split of responsibilities).
+    */
+  def windowedKeyCounts(events: DataFrame, keyCol: String,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** Per-user event counts — the running-aggregate ingest shape (maps to
     * `writeStream.outputMode("update")` into a keyed sink/table).
     */

@@ -71,6 +71,32 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("windowed key counts accumulate across micro-batches per (window, key)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.windowedKeyCounts(events, "user_id")
+      .writeStream.format("memory").queryName("keycounts_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts(1, 10), 10L, "click", 1.0), (2L, ts(1, 40), 10L, "click", 2.0),
+        (3L, ts(1, 20), 11L, "view", 5.0), (4L, ts(2, 5), 10L, "click", 3.0))
+      query.processAllAvailable()
+      // Second micro-batch adds to an ALREADY-SEEN (window, key) pair —
+      // the stateful accumulation the entry's top-k ranking depends on.
+      input.addData((5L, ts(1, 50), 10L, "view", 1.0))
+      query.processAllAvailable()
+      val out = spark.table("keycounts_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out == Map(
+        (ts(1), 10L) -> 3L, (ts(1), 11L) -> 1L, (ts(2), 10L) -> 1L),
+        s"cross-batch keyed counts mismatch: $out")
+    } finally query.stop()
+  }
+
   test("streaming near-dup dedup: planted near-dups across micro-batches drop, fresh docs survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
