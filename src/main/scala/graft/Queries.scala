@@ -2589,6 +2589,57 @@ object Queries {
         "FROM cn JOIN deg dx ON cn.x = dx.n JOIN deg dy ON cn.y = dy.n " +
         "ORDER BY jac DESC, x, y LIMIT 20"),
 
+    // Link prediction by the resource-allocation index (Zhou/Lü/Zhang
+    // 2009) over the same repeat-co-purchase graph: RA(x,y) =
+    // Σ_{z∈CN(x,y)} 1/deg(z), scored only for NON-adjacent candidate
+    // pairs (that's what makes it prediction, not description). Each
+    // 1/deg term is the INTEGER floor(1e6/deg) — exact in both engines
+    // (one IEEE division of exact integers, then floor), so ra_micro is
+    // an integer-exact sum with no rounding anywhere. Scale shape: the
+    // wedge join is bounded by Σ deg² of the SPARSE thresholded graph
+    // (never all-pairs), the adjacency exclusion is an anti-join on the
+    // edge relation, and the top-20 cut is TakeOrdered with a unique
+    // (ra_micro, x, y) total order.
+    sql("q_link_pred",
+      "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "deg AS (SELECT u AS n, count(*) AS d FROM e GROUP BY u), " +
+        "w AS (SELECT a.v AS x, b.v AS y, a.u AS z FROM e a JOIN e b ON a.u = b.u AND a.v < b.v), " +
+        "cand AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common, " +
+        "    CAST(sum(CAST(floor(1000000.0 / d.d) AS BIGINT)) AS BIGINT) AS ra_micro " +
+        "  FROM w JOIN deg d ON w.z = d.n GROUP BY x, y HAVING count(*) >= 2) " +
+        "SELECT x, y, common, ra_micro FROM cand " +
+        "WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.u = cand.x AND pr.v = cand.y) " +
+        "ORDER BY ra_micro DESC, x, y LIMIT 20"),
+
+    // Degree assortativity (Newman 2002) of the co-purchase graph: the
+    // Pearson correlation of endpoint degrees across the SYMMETRIC edge
+    // list. The four moments (edge count, Σdx, Σdx·dy, Σdx²) are exact
+    // BIGINT sums — on the symmetric list Σdx = Σdy and Σdx² = Σdy²
+    // identically, so r = (M·Sxy − Sx²)/(M·Sxx − Sx²) needs no sqrt.
+    // The final scalar arithmetic runs in DOUBLE space on the four
+    // exact moments: every op is plain IEEE (no libm, no rounding), so
+    // the result is bit-identical cross-engine. One shuffle for deg,
+    // two broadcast-able joins, one global agg; at extreme scale the
+    // BIGINT products (dx·dy ≤ dmax²·M) bound the design — dmax ~1e4
+    // keeps Σdx·dy < 2^63 past 1e10 edges.
+    sql("q_assortativity",
+      "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "deg AS (SELECT u AS n, count(*) AS d FROM e GROUP BY u), " +
+        "ed AS (SELECT du.d AS dx, dv.d AS dy FROM e " +
+        "  JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(dx) AS BIGINT) AS sx, " +
+        "  CAST(sum(dx * dy) AS BIGINT) AS sxy, CAST(sum(dx * dx) AS BIGINT) AS sxx FROM ed) " +
+        "SELECT m AS n_edges, sx AS sum_deg, sxy AS sum_xy, sxx AS sum_xx, " +
+        "  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+        "  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS r_assort " +
+        "FROM m"),
+
     // Per-user interval union — total covered time of overlapping
     // activity windows (each event opens a 5-minute interval): the
     // gaps-and-islands merge with a running max-end, all windows
@@ -3435,6 +3486,78 @@ object Queries {
         s"  (CAST(cents AS DOUBLE) * (${microLog2Duck("cents * tot.n")} - ${microLog2Duck("tot.x * n_g")})) " +
         "    / (CAST(tot.x AS DOUBLE) * 1000000.0) AS theil_term " +
         "FROM rev CROSS JOIN tot ORDER BY nation"),
+
+    // Spearman rank correlation between order value and order width
+    // (lineitem count): ranks are UNTIED by construction (deterministic
+    // (value, orderkey) tie-break — the documented variant; average-rank
+    // ties would need a second pass), so the no-ties shortcut
+    // ρ = 1 − 6Σd²/(n(n²−1)) is exact: Σd² is an exact BIGINT sum,
+    // and the final expression is restructured to exact-integer
+    // numerator/denominator in DOUBLE space with ONE division — plain
+    // IEEE arithmetic, bit-identical cross-engine, no rounding. Both
+    // global ranks ride the distributed prefix machinery (two
+    // range-partitioned passes), never a partition-less window.
+    dfq("q_spearman",
+      "WITH li AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nl FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT o.o_orderkey AS k, CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents, li.nl " +
+        "  FROM orders o JOIN li ON o.o_orderkey = li.k), " +
+        "rk AS (SELECT k, row_number() OVER (ORDER BY cents, k) AS rx, " +
+        "  row_number() OVER (ORDER BY nl, k) AS ry FROM j), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sd2 FROM rk) " +
+        "SELECT n, sd2 AS sum_d2, " +
+        "  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0) - 6.0 * CAST(sd2 AS DOUBLE)) / " +
+        "  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)) AS rho " +
+        "FROM agg") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).cast("long").as("nl"))
+      val j = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .join(li, "k")
+      val ranked = graft.operators.Prefix.withRunningSums(
+        graft.operators.Prefix.withRunningSums(
+          j, "cents", Nil, idxCol = "rx", tieCols = Seq("k")),
+        "nl", Nil, idxCol = "ry", tieCols = Seq("k"))
+      val nD = col("n").cast("double")
+      ranked
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).cast("long").as("sd2"))
+        .select(col("n"), col("sd2").as("sum_d2"),
+          ((nD * (nD * nD - lit(1.0)) - lit(6.0) * col("sd2").cast("double")) /
+            (nD * (nD * nD - lit(1.0)))).as("rho"))
+    },
+
+    // Herfindahl–Hirschman concentration of supplier revenue within each
+    // returnflag segment — the antitrust-style market-structure readout:
+    // HHI = Σ share² = Σr²/(Σr)² over integer cents. Per-supplier
+    // revenue sums are exact BIGINT; the squared sum exceeds 2^63 (~1e20
+    // at sf0.01 already), so each engine carries it in its own exact
+    // wide type — HUGEINT in DuckDB (sum(BIGINT) is int128 there),
+    // DECIMAL(38,0) in Spark — and each converts the exact integer to
+    // DOUBLE once (both conversions are IEEE round-to-nearest →
+    // bit-identical), then ONE division. Partial-agg only: two hash
+    // aggregations, 3-row final relation.
+    sql2("q_hhi",
+      "WITH rev AS (SELECT l_returnflag AS seg, l_suppkey AS s, " +
+        "    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+        "  FROM lineitem GROUP BY 1, 2), " +
+        "agg AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_firms, " +
+        "    CAST(sum(r) AS BIGINT) AS tot, " +
+        "    sum(CAST(r AS DECIMAL(38,0)) * r) AS sq FROM rev GROUP BY 1) " +
+        "SELECT seg, n_firms, tot AS total_cents, " +
+        "  CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi " +
+        "FROM agg ORDER BY seg",
+      "WITH rev AS (SELECT l_returnflag AS seg, l_suppkey AS s, " +
+        "    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r " +
+        "  FROM lineitem GROUP BY 1, 2), " +
+        "agg AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_firms, " +
+        "    CAST(sum(r) AS BIGINT) AS tot, " +
+        "    sum(r * r) AS sq FROM rev GROUP BY 1) " +
+        "SELECT seg, n_firms, tot AS total_cents, " +
+        "  CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi " +
+        "FROM agg ORDER BY seg"),
 
     // Day-of-week seasonality index: per-weekday revenue share vs the
     // uniform 1/7 — the demand-shape profile behind staffing/capacity.

@@ -313,7 +313,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // partition, never a data funnel: q_rfm's corpus-max-date scalar,
     // and the r13 eval metrics' O(1)/O(bins) outputs.
     val boundedScalarReduce =
-      Set("q_rfm", "q_decile_lift", "q_auc_rank", "q_ks_stat")
+      Set("q_rfm", "q_decile_lift", "q_auc_rank", "q_ks_stat",
+        // r14: Spearman's four-scalar moment row off the double-ranked
+        // prefix relation.
+        "q_spearman")
     for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate",
         "q_corpus_shuffle",
         // r12 prefix riders: RFM ranks, quantile transform, sweep-line
@@ -323,7 +326,9 @@ class PlanAuditSpec extends AnyFunSuite {
         "q_rank_fusion", "q_skyline",
         // r13 prefix riders: decile gains table, Mann-Whitney AUC
         // rank-sum, and the KS running CDFs.
-        "q_decile_lift", "q_auc_rank", "q_ks_stat")) {
+        "q_decile_lift", "q_auc_rank", "q_ks_stat",
+        // r14: Spearman's two global ranks (value, width).
+        "q_spearman")) {
       val df = Queries.queryMap(name)(spark, dir)
       df.collect()
       val plan = finalPlan(df.queryExecution.executedPlan.toString)
@@ -350,7 +355,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // would be the all-pairs blowup the designs exist to avoid. (The
     // 1-row scalar CROSS JOINs plan as broadcast nested loops — benign.)
     for (name <- Seq("q_market_basket", "q_item_cf", "q_graph_jaccard",
-        "q_typo_join")) {
+        "q_typo_join",
+        // r14: RA link prediction (wedge + anti-join on the edge set)
+        // and assortativity (edge-degree equi-joins).
+        "q_link_pred", "q_assortativity")) {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$plan")
