@@ -2640,6 +2640,34 @@ object Queries {
         "  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS r_assort " +
         "FROM m"),
 
+    // Newman modularity of a FIXED vertex partition (p_type as the
+    // community labels) over the co-purchase graph: Q = Σ_c [A_c/2m −
+    // (d_c/2m)²] on the symmetric (double-counted) edge list, so A_c =
+    // within-community directed edges and 2m = |e| are plain counts —
+    // every input to the per-community term is an exact BIGINT, and the
+    // term itself is plain IEEE double arithmetic (no libm, no
+    // rounding). Communities with nodes but no internal edges keep a
+    // row via the LEFT JOIN (a_c = 0). Scale shape: two broadcast-able
+    // community-label joins + hash aggs; community count is bounded by
+    // the label domain, never the graph size.
+    sql("q_modularity",
+      "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "com AS (SELECT p_partkey AS pk, p_type AS c FROM part), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM e), " +
+        "dc AS (SELECT cm.c, CAST(count(*) AS BIGINT) AS d_c " +
+        "  FROM e JOIN com cm ON e.u = cm.pk GROUP BY 1), " +
+        "ec AS (SELECT cu.c, CAST(count(*) AS BIGINT) AS a_c " +
+        "  FROM e JOIN com cu ON e.u = cu.pk JOIN com cv ON e.v = cv.pk " +
+        "  WHERE cu.c = cv.c GROUP BY 1) " +
+        "SELECT dc.c AS community, CAST(coalesce(ec.a_c, 0) AS BIGINT) AS a_c, dc.d_c, " +
+        "  CAST(coalesce(ec.a_c, 0) AS DOUBLE) / CAST(m.e2 AS DOUBLE) - " +
+        "  (CAST(dc.d_c AS DOUBLE) / CAST(m.e2 AS DOUBLE)) * " +
+        "  (CAST(dc.d_c AS DOUBLE) / CAST(m.e2 AS DOUBLE)) AS q_term " +
+        "FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m ORDER BY community"),
+
     // Per-user interval union — total covered time of overlapping
     // activity windows (each event opens a 5-minute interval): the
     // gaps-and-islands merge with a running max-end, all windows
@@ -3558,6 +3586,177 @@ object Queries {
         "SELECT seg, n_firms, tot AS total_cents, " +
         "  CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) AS hhi " +
         "FROM agg ORDER BY seg"),
+
+    // Mutual information between event type and hour-of-day — the
+    // feature-relevance readout, on the ratio-log micro-bit lattice
+    // (the q_theil_index discipline): each cell's pointwise term is
+    // n_xy·log2((n_xy/N)/((n_x/N)(n_y/N))) where the log argument is
+    // the INTEGER ratio (n_xy·N)/(n_x·n_y), so dl_u = L(n_xy·N) −
+    // L(n_x·n_y) is an exact difference of guarded micro-bit floors
+    // (margins audited ≥ 3.0e-4 micro-bits across all three SFs, ≥ 30×
+    // the in-expression 1e-5 guard), and mi_term is one IEEE
+    // mul-sub-div chain on exact integers. Scale: the cell relation is
+    // |types|×24, marginals broadcast.
+    sql2("q_mutual_info",
+      "WITH c AS (SELECT event_type AS et, CAST(hour(ts) AS INT) AS hr, " +
+        "    CAST(count(*) AS BIGINT) AS n_xy FROM events GROUP BY 1, 2), " +
+        "mx AS (SELECT et, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1), " +
+        "my AS (SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c) " +
+        "SELECT c.et, c.hr, c.n_xy, " +
+        s"  CAST(${microLog2Guarded("c.n_xy * tot.n")} - ${microLog2Guarded("mx.n_x * my.n_y")} AS BIGINT) AS dl_u, " +
+        s"  (CAST(c.n_xy AS DOUBLE) * (${microLog2Guarded("c.n_xy * tot.n")} - ${microLog2Guarded("mx.n_x * my.n_y")})) " +
+        "    / (CAST(tot.n AS DOUBLE) * 1000000.0) AS mi_term " +
+        "FROM c JOIN mx USING (et) JOIN my USING (hr) CROSS JOIN tot ORDER BY c.et, c.hr",
+      "WITH c AS (SELECT event_type AS et, CAST(hour(ts) AS INT) AS hr, " +
+        "    CAST(count(*) AS BIGINT) AS n_xy FROM events GROUP BY 1, 2), " +
+        "mx AS (SELECT et, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1), " +
+        "my AS (SELECT hr, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c) " +
+        "SELECT c.et, c.hr, c.n_xy, " +
+        s"  ${microLog2Duck("c.n_xy * tot.n")} - ${microLog2Duck("mx.n_x * my.n_y")} AS dl_u, " +
+        s"  (CAST(c.n_xy AS DOUBLE) * (${microLog2Duck("c.n_xy * tot.n")} - ${microLog2Duck("mx.n_x * my.n_y")})) " +
+        "    / (CAST(tot.n AS DOUBLE) * 1000000.0) AS mi_term " +
+        "FROM c JOIN mx USING (et) JOIN my USING (hr) CROSS JOIN tot ORDER BY c.et, c.hr"),
+
+    // Permutation entropy (Bandt–Pompe 2002) of per-user value series —
+    // the model-free complexity/noisiness readout a curation pipeline
+    // runs on telemetry: each consecutive value triple maps to its
+    // ordinal pattern (ties broken by position: earlier index ranks
+    // lower, so the CASE comparisons are <=), and H = Σ (n_p/N)·
+    // log2(N/n_p) rides the same micro-bit lattice as q_entropy/theil —
+    // dl_u = L(N) − L(n_p) exactly (margins ≥ 0.02 micro-bits across
+    // SFs, ≥ 2000× the guard). The triple extraction is a keyed lead()
+    // window (per-user — parallel at any scale); the pattern relation
+    // has ≤ 6 rows.
+    sql2("q_perm_entropy",
+      "WITH s AS (SELECT user_id, value AS v1, " +
+        "    lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2, " +
+        "    lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3 FROM events), " +
+        "pat AS (SELECT CAST(CASE WHEN v1 <= v2 THEN 4 ELSE 0 END + " +
+        "    CASE WHEN v2 <= v3 THEN 2 ELSE 0 END + " +
+        "    CASE WHEN v1 <= v3 THEN 1 ELSE 0 END AS INT) AS p " +
+        "  FROM s WHERE v3 IS NOT NULL), " +
+        "c AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM pat GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_p) AS BIGINT) AS n FROM c) " +
+        "SELECT c.p AS pattern, c.n_p, " +
+        s"  CAST(${microLog2Guarded("tot.n")} - ${microLog2Guarded("c.n_p")} AS BIGINT) AS dl_u, " +
+        s"  (CAST(c.n_p AS DOUBLE) * (${microLog2Guarded("tot.n")} - ${microLog2Guarded("c.n_p")})) " +
+        "    / (CAST(tot.n AS DOUBLE) * 1000000.0) AS h_term " +
+        "FROM c CROSS JOIN tot ORDER BY pattern",
+      "WITH s AS (SELECT user_id, value AS v1, " +
+        "    lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v2, " +
+        "    lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS v3 FROM events), " +
+        "pat AS (SELECT CAST(CASE WHEN v1 <= v2 THEN 4 ELSE 0 END + " +
+        "    CASE WHEN v2 <= v3 THEN 2 ELSE 0 END + " +
+        "    CASE WHEN v1 <= v3 THEN 1 ELSE 0 END AS INT) AS p " +
+        "  FROM s WHERE v3 IS NOT NULL), " +
+        "c AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM pat GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_p) AS BIGINT) AS n FROM c) " +
+        "SELECT c.p AS pattern, c.n_p, " +
+        s"  ${microLog2Duck("tot.n")} - ${microLog2Duck("c.n_p")} AS dl_u, " +
+        s"  (CAST(c.n_p AS DOUBLE) * (${microLog2Duck("tot.n")} - ${microLog2Duck("c.n_p")})) " +
+        "    / (CAST(tot.n AS DOUBLE) * 1000000.0) AS h_term " +
+        "FROM c CROSS JOIN tot ORDER BY pattern"),
+
+    // RAKE keyword scores (Rose et al. 2010) at word granularity:
+    // phrases are maximal stopword-delimited runs (gaps-and-islands on
+    // a KEYED per-document running stopword count), deg(w) = Σ phrase
+    // length over w's occurrences, freq(w) = occurrence count — both
+    // exact BIGINTs — and score = deg/freq is ONE IEEE division per
+    // row (phrase-level RAKE would sum rationals in nondeterministic
+    // association order; word-level keeps every value exact). Top-20
+    // under the unique (score, w) total order. Spark tokenizes via
+    // LATERAL VIEW posexplode, DuckDB via generate_series indexing —
+    // same relation, engine-native syntax each side.
+    sql2("q_rake_keywords",
+      "WITH tok AS (SELECT doc_id, i, w FROM documents " +
+        "    LATERAL VIEW posexplode(split(text, ' ')) t AS i, w), " +
+        "fl AS (SELECT doc_id, w, i, CASE WHEN w IN ('a','the','of','and','or','in','on','to','is') " +
+        "    THEN 1 ELSE 0 END AS stop FROM tok WHERE length(w) > 0), " +
+        "ph AS (SELECT doc_id, w, i, sum(stop) OVER (PARTITION BY doc_id ORDER BY i " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid, stop FROM fl), " +
+        "pw AS (SELECT doc_id, pid, w FROM ph WHERE stop = 0), " +
+        "plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen FROM pw GROUP BY 1, 2), " +
+        "sc AS (SELECT pw.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen.plen) AS BIGINT) AS deg " +
+        "  FROM pw JOIN plen ON pw.doc_id = plen.doc_id AND pw.pid = plen.pid GROUP BY 1) " +
+        "SELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score " +
+        "FROM sc ORDER BY score DESC, w LIMIT 20",
+      "WITH sp AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents), " +
+        "tok AS (SELECT doc_id, CAST(i AS BIGINT) AS i, l[i] AS w FROM sp, " +
+        "    unnest(generate_series(1, len(l))) AS t(i)), " +
+        "fl AS (SELECT doc_id, w, i, CASE WHEN w IN ('a','the','of','and','or','in','on','to','is') " +
+        "    THEN 1 ELSE 0 END AS stop FROM tok WHERE length(w) > 0), " +
+        "ph AS (SELECT doc_id, w, i, sum(stop) OVER (PARTITION BY doc_id ORDER BY i " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pid, stop FROM fl), " +
+        "pw AS (SELECT doc_id, pid, w FROM ph WHERE stop = 0), " +
+        "plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen FROM pw GROUP BY 1, 2), " +
+        "sc AS (SELECT pw.w, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen.plen) AS BIGINT) AS deg " +
+        "  FROM pw JOIN plen ON pw.doc_id = plen.doc_id AND pw.pid = plen.pid GROUP BY 1) " +
+        "SELECT w, freq, deg, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS score " +
+        "FROM sc ORDER BY score DESC, w LIMIT 20"),
+
+    // Burstiness of per-user inter-arrival times as the index of
+    // dispersion CV² = (n·Σg² − (Σg)²)/(Σg)² on WHOLE-SECOND gaps
+    // (floor of the µs delta over one exact double division — seconds
+    // keep g² ≤ 1e10 so the BIGINT moments survive ~1e9 gaps/user):
+    // numerator and denominator are exact integer products, ONE IEEE
+    // division per user, no libm. Keyed lead() window; the ≥5-gap /
+    // ≥1-second HAVING guards the 0/0 cell. Top-20 by activity under
+    // a unique total order.
+    sql2("q_burstiness",
+      "WITH g AS (SELECT user_id, CAST(floor(CAST(unix_micros(lead(ts, 1) OVER " +
+        "    (PARTITION BY user_id ORDER BY ts, event_id)) - unix_micros(ts) AS DOUBLE) " +
+        "    / 1000000.0) AS BIGINT) AS gs FROM events), " +
+        "agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(gs) AS BIGINT) AS s, " +
+        "    CAST(sum(gs * gs) AS BIGINT) AS sq " +
+        "  FROM g WHERE gs IS NOT NULL GROUP BY 1 HAVING count(*) >= 5 AND sum(gs) >= 1) " +
+        "SELECT user_id, n, s AS sum_s, sq AS sum_sq, " +
+        "  CAST(n * sq - s * s AS DOUBLE) / CAST(s * s AS DOUBLE) AS cv2 " +
+        "FROM agg ORDER BY n DESC, user_id LIMIT 20",
+      "WITH g AS (SELECT user_id, CAST(floor(CAST(epoch_us(lead(ts, 1) OVER " +
+        "    (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS DOUBLE) " +
+        "    / 1000000.0) AS BIGINT) AS gs FROM events), " +
+        "agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(gs) AS BIGINT) AS s, " +
+        "    CAST(sum(gs * gs) AS BIGINT) AS sq " +
+        "  FROM g WHERE gs IS NOT NULL GROUP BY 1 HAVING count(*) >= 5 AND sum(gs) >= 1) " +
+        "SELECT user_id, n, s AS sum_s, sq AS sum_sq, " +
+        "  CAST(n * sq - s * s AS DOUBLE) / CAST(s * s AS DOUBLE) AS cv2 " +
+        "FROM agg ORDER BY n DESC, user_id LIMIT 20"),
+
+    // Vocabulary coverage curve — what fraction of the token stream the
+    // top-k vocabulary covers (the tokenizer-sizing readout): ranks and
+    // cumulative frequencies ride the distributed prefix machinery
+    // (rank = global index by (freq DESC, word), cum = inclusive
+    // running sum — ONE Prefix pass provides both consistently), never
+    // a partition-less window; coverage = cum/N is one IEEE division
+    // of exact BIGINTs. The curve is cut at rank ≤ 50; the corpus
+    // total comes from the full vocab relation, not the cut.
+    dfq("q_vocab_coverage",
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE length(w) > 0 GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM c), " +
+        "rk AS (SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM c), " +
+        "run AS (SELECT rk, w, freq, CAST(sum(freq) OVER (ORDER BY rk " +
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum " +
+        "  FROM rk WHERE rk <= 50) " +
+        "SELECT CAST(rk AS BIGINT) AS k, w, freq, cum, " +
+        "  CAST(cum AS DOUBLE) / CAST(tot.n AS DOUBLE) AS coverage " +
+        "FROM run CROSS JOIN tot ORDER BY k") { (s, dir) =>
+      val c = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).cast("long").as("freq"))
+      val tot = c.agg(sum("freq").cast("long").as("n"))
+      graft.operators.Prefix.withRunningSums(
+          c.withColumn("negf", -col("freq")), "negf",
+          Seq("freq" -> "cum"), idxCol = "k", tieCols = Seq("w"))
+        .filter(col("k") <= 50)
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("w"), col("freq"), col("cum").cast("long").as("cum"),
+          (col("cum").cast("double") / col("n").cast("double")).as("coverage"))
+        .orderBy("k")
+    },
 
     // Day-of-week seasonality index: per-weekday revenue share vs the
     // uniform 1/7 — the demand-shape profile behind staffing/capacity.

@@ -315,8 +315,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val boundedScalarReduce =
       Set("q_rfm", "q_decile_lift", "q_auc_rank", "q_ks_stat",
         // r14: Spearman's four-scalar moment row off the double-ranked
-        // prefix relation.
-        "q_spearman")
+        // prefix relation; vocab coverage's corpus-total scalar.
+        "q_spearman", "q_vocab_coverage")
     for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate",
         "q_corpus_shuffle",
         // r12 prefix riders: RFM ranks, quantile transform, sweep-line
@@ -327,8 +327,9 @@ class PlanAuditSpec extends AnyFunSuite {
         // r13 prefix riders: decile gains table, Mann-Whitney AUC
         // rank-sum, and the KS running CDFs.
         "q_decile_lift", "q_auc_rank", "q_ks_stat",
-        // r14: Spearman's two global ranks (value, width).
-        "q_spearman")) {
+        // r14: Spearman's two global ranks (value, width); the vocab
+        // coverage curve's (rank, cumulative frequency) pair.
+        "q_spearman", "q_vocab_coverage")) {
       val df = Queries.queryMap(name)(spark, dir)
       df.collect()
       val plan = finalPlan(df.queryExecution.executedPlan.toString)
