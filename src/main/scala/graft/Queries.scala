@@ -3758,6 +3758,144 @@ object Queries {
         .orderBy("k")
     },
 
+    // Brier score of the repeat-buyer propensity (same fh/conv generator
+    // as q_decile_lift/q_auc_rank): p = (r−1)/(n−1) off the distributed
+    // prefix rank, so (p−y)² = ((r−1) − y(n−1))²/(n−1)² has an exact
+    // BIGINT numerator — the whole score is ONE integer sum and ONE
+    // IEEE division by n(n−1)² (no per-row rounding, no libm). The
+    // rank's denominator rides the prefix pass's own partition totals
+    // (totalCountCol), not a second count() action.
+    dfq("q_brier_score",
+      "WITH fh AS (SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+        "  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1), " +
+        "conv AS (SELECT DISTINCT o_custkey AS c FROM orders " +
+        "  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'), " +
+        "scored AS (SELECT fh.c, CASE WHEN conv.c IS NULL THEN 0 ELSE 1 END AS y, " +
+        "    row_number() OVER (ORDER BY fh.spend, fh.c) AS r, count(*) OVER () AS n " +
+        "  FROM fh LEFT JOIN conv ON fh.c = conv.c), " +
+        "agg AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos, " +
+        "    CAST(sum(((r - 1) - y * (n - 1)) * ((r - 1) - y * (n - 1))) AS BIGINT) AS num " +
+        "  FROM scored) " +
+        "SELECT n, pos, num AS brier_num, " +
+        "  CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS brier " +
+        "FROM agg") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val fh = s.sql(
+        "SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1")
+      val conv = s.sql(
+        "SELECT DISTINCT o_custkey AS c FROM orders " +
+          "WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'")
+        .withColumn("y1", lit(1L))
+      val scored = fh.join(conv, Seq("c"), "left")
+        .withColumn("y", coalesce(col("y1"), lit(0L))).drop("y1")
+      val withR = graft.operators.Prefix.withRunningSums(
+        scored, "spend", Nil, idxCol = "_r", tieCols = Seq("c"),
+        totalCountCol = "_n")
+      val d = (col("_r") - 1) - col("y") * (col("_n") - 1)
+      withR
+        .agg(max(col("_n")).cast("long").as("n"), sum(col("y")).cast("long").as("pos"),
+          sum(d * d).cast("long").as("num"))
+        .select(col("n"), col("pos"), col("num").as("brier_num"),
+          (col("num").cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double") *
+              (col("n") - 1).cast("double"))).as("brier"))
+    },
+
+    // Calibration / reliability table for the same propensity: per
+    // predicted-probability decile, observed positive rate vs mean
+    // predicted p — the readout that says WHERE a score is over- or
+    // under-confident (q_decile_lift ranks by outcome lift; this
+    // compares prediction against outcome). mean_p keeps an exact
+    // integer numerator (Σ(r−1)) and ONE division by n_b(n−1); bin
+    // assignment uses the identical floor(10(r−1)/(n−1)) double
+    // expression on both sides (exact integer operands, deterministic).
+    dfq("q_calibration",
+      "WITH fh AS (SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+        "  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1), " +
+        "conv AS (SELECT DISTINCT o_custkey AS c FROM orders " +
+        "  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'), " +
+        "scored AS (SELECT fh.c, CASE WHEN conv.c IS NULL THEN 0 ELSE 1 END AS y, " +
+        "    row_number() OVER (ORDER BY fh.spend, fh.c) AS r, count(*) OVER () AS n " +
+        "  FROM fh LEFT JOIN conv ON fh.c = conv.c), " +
+        "b AS (SELECT CAST(least(floor(10.0 * (r - 1) / (n - 1)), 9) AS INT) AS bin, n, " +
+        "    CAST(r - 1 AS BIGINT) AS r1, y FROM scored), " +
+        "g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS pos, " +
+        "    CAST(sum(r1) AS BIGINT) AS sum_r1, CAST(max(n) AS BIGINT) AS n FROM b GROUP BY 1) " +
+        "SELECT bin, n_b, pos, sum_r1, " +
+        "  CAST(pos AS DOUBLE) / CAST(n_b AS DOUBLE) AS frac_pos, " +
+        "  CAST(sum_r1 AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS mean_p " +
+        "FROM g ORDER BY bin") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val fh = s.sql(
+        "SELECT o_custkey AS c, CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS spend " +
+          "FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2001-02-01' GROUP BY 1")
+      val conv = s.sql(
+        "SELECT DISTINCT o_custkey AS c FROM orders " +
+          "WHERE CAST(o_orderdate AS DATE) >= DATE '2001-02-01'")
+        .withColumn("y1", lit(1L))
+      val scored = fh.join(conv, Seq("c"), "left")
+        .withColumn("y", coalesce(col("y1"), lit(0L))).drop("y1")
+      graft.operators.Prefix.withRunningSums(
+          scored, "spend", Nil, idxCol = "_r", tieCols = Seq("c"),
+          totalCountCol = "_n")
+        .select(
+          least(floor(lit(10.0) * (col("_r") - 1) / (col("_n") - 1)), lit(9L))
+            .cast("int").as("bin"),
+          col("_n"), (col("_r") - 1).cast("long").as("r1"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).cast("long").as("n_b"), sum("y").cast("long").as("pos"),
+          sum("r1").cast("long").as("sum_r1"), max("_n").cast("long").as("n"))
+        .select(col("bin"), col("n_b"), col("pos"), col("sum_r1"),
+          (col("pos").cast("double") / col("n_b").cast("double")).as("frac_pos"),
+          (col("sum_r1").cast("double") /
+            (col("n_b").cast("double") * (col("n") - 1).cast("double"))).as("mean_p"))
+        .orderBy("bin")
+    },
+
+    // Lag-1 Spearman autocorrelation of daily revenue — is yesterday's
+    // rank informative about today's? Day ranks come off the
+    // distributed prefix pass; consecutive-day pairs are an equi-join
+    // on the shifted date key (never a window over the whole series);
+    // the six moments are exact BIGINTs and ρ is computed from them in
+    // pure IEEE double arithmetic — sqrt IS deterministic cross-engine
+    // (IEEE 754 REQUIRES correctly-rounded sqrt, unlike log/exp, so no
+    // lattice is needed here).
+    dfq("q_rank_autocorr",
+      "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+        "rk AS (SELECT d, row_number() OVER (ORDER BY cents, d) AS r FROM daily), " +
+        "pairs AS (SELECT a.r AS x, b.r AS y FROM rk a JOIN rk b ON b.d = a.d + INTERVAL 1 DAY), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy FROM pairs) " +
+        "SELECT n, sx, sy, sxy, sxx, syy, " +
+        "  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+        "  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+        "       (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho1 " +
+        "FROM m") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val daily = s.sql(
+        "SELECT CAST(o_orderdate AS DATE) AS d, " +
+          "CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents FROM orders GROUP BY 1")
+      val rk = graft.operators.Prefix.withRunningSums(
+        daily, "cents", Nil, idxCol = "r", tieCols = Seq("d"))
+        .select(col("d"), col("r"))
+      val nxt = rk.select(col("d").as("d2"), col("r").as("y"))
+      val pairs = rk.join(nxt, date_add(col("d"), 1) === col("d2"))
+        .select(col("r").as("x"), col("y"))
+      val m = pairs.agg(count(lit(1)).cast("long").as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"))
+      val (nD, sxD, syD) = (col("n").cast("double"), col("sx").cast("double"), col("sy").cast("double"))
+      val (sxyD, sxxD, syyD) = (col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+      m.select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        ((nD * sxyD - sxD * syD) /
+          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))).as("rho1"))
+    },
+
     // Day-of-week seasonality index: per-weekday revenue share vs the
     // uniform 1/7 — the demand-shape profile behind staffing/capacity.
     // Spark's dayofweek is 1-based (Sunday=1), DuckDB's 0-based; the

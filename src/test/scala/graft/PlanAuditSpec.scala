@@ -315,8 +315,9 @@ class PlanAuditSpec extends AnyFunSuite {
     val boundedScalarReduce =
       Set("q_rfm", "q_decile_lift", "q_auc_rank", "q_ks_stat",
         // r14: Spearman's four-scalar moment row off the double-ranked
-        // prefix relation; vocab coverage's corpus-total scalar.
-        "q_spearman", "q_vocab_coverage")
+        // prefix relation; vocab coverage's corpus-total scalar; the
+        // Brier and lag-1 autocorrelation moment rows.
+        "q_spearman", "q_vocab_coverage", "q_brier_score", "q_rank_autocorr")
     for (name <- Seq("q_token_budget", "q_pack_sequences", "q_quality_gate",
         "q_corpus_shuffle",
         // r12 prefix riders: RFM ranks, quantile transform, sweep-line
@@ -328,8 +329,11 @@ class PlanAuditSpec extends AnyFunSuite {
         // rank-sum, and the KS running CDFs.
         "q_decile_lift", "q_auc_rank", "q_ks_stat",
         // r14: Spearman's two global ranks (value, width); the vocab
-        // coverage curve's (rank, cumulative frequency) pair.
-        "q_spearman", "q_vocab_coverage")) {
+        // coverage curve's (rank, cumulative frequency) pair; the
+        // propensity ranks behind Brier/calibration; day ranks behind
+        // the lag-1 rank autocorrelation.
+        "q_spearman", "q_vocab_coverage", "q_brier_score",
+        "q_calibration", "q_rank_autocorr")) {
       val df = Queries.queryMap(name)(spark, dir)
       df.collect()
       val plan = finalPlan(df.queryExecution.executedPlan.toString)
