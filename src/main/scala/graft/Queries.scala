@@ -3896,6 +3896,86 @@ object Queries {
           sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))).as("rho1"))
     },
 
+    // Kendall τ-b between daily revenue and daily order count — the
+    // robust rank-concordance twin of q_spearman (τ counts pairwise
+    // inversions directly, so it needs no rank assignment at all).
+    // Concordant/discordant/tied counts are exact BIGINTs off the
+    // d1 < d2 day-pair relation; τ-b's sqrt is IEEE-correctly-rounded
+    // (like q_rank_autocorr's), so the single double expression is
+    // bit-identical cross-engine. Scale: the pair join is over the
+    // DAILY aggregate — bounded by the calendar (~2.4k rows for 7
+    // years), not by data volume, so the broadcast nested-loop pair
+    // enumeration stays O(days²) ≈ 3M rows at ANY corpus size; the
+    // products stay < 2^63 even at 100 TB daily-revenue magnitudes.
+    dfq("q_kendall_tau",
+      "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+        "    CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents, " +
+        "    CAST(count(*) AS BIGINT) AS n_ord FROM orders GROUP BY 1), " +
+        "p AS (SELECT " +
+        "    CASE WHEN (a.cents - b.cents) * (a.n_ord - b.n_ord) > 0 THEN 1 ELSE 0 END AS c, " +
+        "    CASE WHEN (a.cents - b.cents) * (a.n_ord - b.n_ord) < 0 THEN 1 ELSE 0 END AS dd, " +
+        "    CASE WHEN a.cents = b.cents THEN 1 ELSE 0 END AS tx, " +
+        "    CASE WHEN a.n_ord = b.n_ord THEN 1 ELSE 0 END AS ty " +
+        "  FROM daily a JOIN daily b ON a.d < b.d), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(c) AS BIGINT) AS conc, " +
+        "    CAST(sum(dd) AS BIGINT) AS disc, CAST(sum(tx) AS BIGINT) AS ties_x, " +
+        "    CAST(sum(ty) AS BIGINT) AS ties_y FROM p) " +
+        "SELECT n0, conc, disc, ties_x, ties_y, " +
+        "  (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) / " +
+        "  sqrt(CAST(n0 - ties_x AS DOUBLE) * CAST(n0 - ties_y AS DOUBLE)) AS tau_b " +
+        "FROM m") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val daily = s.sql(
+        "SELECT CAST(o_orderdate AS DATE) AS d, " +
+          "CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents, " +
+          "CAST(count(*) AS BIGINT) AS n_ord FROM orders GROUP BY 1")
+      val b = daily.select(col("d").as("d2"), col("cents").as("c2"),
+        col("n_ord").as("n2"))
+      val prod = (col("cents") - col("c2")) * (col("n_ord") - col("n2"))
+      daily.join(broadcast(b), col("d") < col("d2"))
+        .agg(count(lit(1)).cast("long").as("n0"),
+          sum(when(prod > 0, 1L).otherwise(0L)).cast("long").as("conc"),
+          sum(when(prod < 0, 1L).otherwise(0L)).cast("long").as("disc"),
+          sum(when(col("cents") === col("c2"), 1L).otherwise(0L)).cast("long").as("ties_x"),
+          sum(when(col("n_ord") === col("n2"), 1L).otherwise(0L)).cast("long").as("ties_y"))
+        .select(col("n0"), col("conc"), col("disc"), col("ties_x"), col("ties_y"),
+          ((col("conc").cast("double") - col("disc").cast("double")) /
+            sqrt((col("n0") - col("ties_x")).cast("double") *
+              (col("n0") - col("ties_y")).cast("double"))).as("tau_b"))
+    },
+
+    // Randomized-response privatized count (Warner 1965) — the
+    // privacy-preserving statistics readout a training-data pipeline
+    // uses to publish sensitive label counts: each row reports its true
+    // urgent-flag with probability 3/4 (md5 public coin, the
+    // q_sample_det discipline) and the flipped value otherwise; the
+    // debiased estimator 4·obs − n is carried ×2 so EVERY output stays
+    // an exact BIGINT — no division, no rounding, nothing to diverge.
+    // Scale: one map-side coin per row, one partial-agg sum; ε-style
+    // noise amortizes exactly as at sf0.01.
+    dfq("q_rr_private_count",
+      "WITH b AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y, " +
+        "    CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || '|rr1'), 1, 4) < 'c000' " +
+        "      THEN 1 ELSE 0 END AS keep FROM orders), " +
+        "r AS (SELECT y, CASE WHEN keep = 1 THEN y ELSE 1 - y END AS rep FROM b), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS true_pos, " +
+        "    CAST(sum(rep) AS BIGINT) AS obs FROM r) " +
+        "SELECT n, true_pos, obs, CAST(4 * obs - n AS BIGINT) AS est_x2, " +
+        "  CAST(4 * obs - n - 2 * true_pos AS BIGINT) AS err_x2 FROM m") { (s, dir) =>
+      val ords = Tables.load(s, dir, "orders")
+      val y = when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+      val keep = substring(
+        md5(concat(col("o_orderkey").cast("string"), lit("|rr1"))), 1, 4) < "c000"
+      ords.select(y.as("y"), when(keep, y).otherwise(lit(1L) - y).as("rep"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("y").cast("long").as("true_pos"),
+          sum("rep").cast("long").as("obs"))
+        .select(col("n"), col("true_pos"), col("obs"),
+          (lit(4L) * col("obs") - col("n")).cast("long").as("est_x2"),
+          (lit(4L) * col("obs") - col("n") - lit(2L) * col("true_pos"))
+            .cast("long").as("err_x2"))
+    },
+
     // Day-of-week seasonality index: per-weekday revenue share vs the
     // uniform 1/7 — the demand-shape profile behind staffing/capacity.
     // Spark's dayofweek is 1-based (Sunday=1), DuckDB's 0-based; the
