@@ -1,0 +1,364 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import Queries.{Entry, dfq, sql, sql2, microLog2Guarded, microLog2Duck}
+
+/** Round-15 analytics surface: rank statistics, agreement/divergence
+  * measures, in-engine ML primitives, and spatial predicates — each a
+  * differential entry whose oracle re-derives every value from first
+  * principles in DuckDB.
+  *
+  * Numeric discipline (established r13/r14, see [[Queries]] scaladoc):
+  * every cross-engine value is either an exact integer (BIGINT /
+  * DECIMAL(38,0) aggregates), a micro-bit lattice point
+  * (floor(log2·1e6+0.5) of an integer, knife-edge-guarded), or a SHORT
+  * fixed-shape IEEE expression over such exact values (conversions and
+  * one or two divisions — correctly rounded, bit-identical on any
+  * engine; never an order-dependent float aggregate).
+  */
+object AnalyticsQueries {
+
+  val entries: Seq[Entry] = Seq(
+
+    // Mann-Whitney U rank-sum test between two event populations
+    // (click vs purchase values) — the nonparametric A/B readout when
+    // means are not trusted. Ranks are UNTIED by construction (micro-
+    // unit value, event_id tie-break — the q_spearman discipline), so
+    // U_A = R_A − n_A(n_A+1)/2 is an exact BIGINT, and the effect-size
+    // readout is the rank-biserial correlation r = (n_A·n_B − 2U)/
+    // (n_A·n_B): exact integers, ONE IEEE division. Engine side the
+    // global rank rides the distributed prefix machinery (two balanced
+    // range-partitioned passes), never a partition-less window; the
+    // oracle uses exactly the textbook row_number() the prefix replaces.
+    dfq("q_mann_whitney",
+      "WITH s AS (SELECT event_id, event_type AS g, " +
+        "    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v " +
+        "  FROM events WHERE event_type IN ('click','purchase')), " +
+        "rk AS (SELECT g, event_id, row_number() OVER (ORDER BY v, event_id) AS r FROM s), " +
+        "agg AS (SELECT " +
+        "    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "    CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "    CAST(sum(CASE WHEN g = 'click' THEN r ELSE 0 END) AS BIGINT) AS r_a FROM rk) " +
+        "SELECT n_a, n_b, r_a, " +
+        "  CAST(r_a - n_a * (n_a + 1) / 2 AS BIGINT) AS u_a, " +
+        "  CAST(n_a * n_b - 2 * (r_a - n_a * (n_a + 1) / 2) AS DOUBLE) / " +
+        "    CAST(n_a * n_b AS DOUBLE) AS r_rank_biserial " +
+        "FROM agg") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("event_type").as("g"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("v"))
+      val ranked = graft.operators.Prefix.withRunningSums(
+        ev, "v", Nil, idxCol = "r", tieCols = Seq("event_id"))
+      val agg = ranked.agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("g") === "purchase", 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("g") === "click", col("r")).otherwise(0L)).cast("long").as("r_a"))
+      val uA = col("r_a") - col("n_a") * (col("n_a") + 1L) / lit(2L)
+      agg.select(col("n_a"), col("n_b"), col("r_a"),
+        uA.cast("long").as("u_a"),
+        ((col("n_a") * col("n_b") - lit(2L) * uA).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("r_rank_biserial"))
+    },
+
+    // Kruskal-Wallis rank test across ALL event types — the k-group
+    // generalization of q_mann_whitney. Same untied global rank; per
+    // group the entry emits the exact BIGINT rank sum R_i and the H
+    // building block R_i²/n_i. R_i² exceeds 2^63 from ~sf0.3, so each
+    // engine squares in its own exact wide type (HUGEINT / DECIMAL(38,0),
+    // the q_hhi discipline) and converts to DOUBLE once before ONE
+    // division. H = 12/(N(N+1))·Σ h_term − 3(N+1) is left to the
+    // consumer (a cross-engine float SUM would be partial-agg-order
+    // dependent; the per-group terms are bit-identical).
+    dfq("q_kruskal_wallis",
+      "WITH s AS (SELECT event_id, event_type AS g, " +
+        "    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v FROM events), " +
+        "rk AS (SELECT g, row_number() OVER (ORDER BY v, event_id) AS r FROM s), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk), " +
+        "grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i, CAST(sum(r) AS BIGINT) AS r_i " +
+        "  FROM rk GROUP BY 1) " +
+        "SELECT g AS grp, n_i, r_i, tot.n AS n, " +
+        "  CAST(r_i * r_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS h_term " +
+        "FROM grp CROSS JOIN tot ORDER BY grp") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type").as("g"),
+          floor(col("value") * 1000000.0 + 0.5).cast("long").as("v"))
+      val ranked = graft.operators.Prefix.withRunningSums(
+        ev, "v", Nil, idxCol = "r", tieCols = Seq("event_id"))
+      val grp = ranked.groupBy(col("g").as("grp"))
+        .agg(count(lit(1)).cast("long").as("n_i"), sum(col("r")).cast("long").as("r_i"))
+      val tot = grp.agg(sum(col("n_i")).cast("long").as("n"))
+      grp.crossJoin(tot)
+        .select(col("grp"), col("n_i"), col("r_i"), col("n"),
+          ((col("r_i").cast("decimal(38,0)") * col("r_i")).cast("double") /
+            col("n_i").cast("double")).as("h_term"))
+        .orderBy("grp")
+    },
+
+    // Cohen's kappa between two independent order-size heuristics —
+    // the label-quality / annotator-agreement readout a curation
+    // pipeline runs before trusting weak labels: rater 1 buckets by
+    // order value, rater 2 by order width (lineitem count). With
+    // integer cell counts, kappa = (N·Σn_ii − Σ r_i·c_i) /
+    // (N² − Σ r_i·c_i) — every operand an exact BIGINT, ONE IEEE
+    // division. Shape: one fact aggregation per rater, a 9-cell
+    // contingency relation, marginal products over ≤ 3 rows.
+    sql("q_cohens_kappa",
+      "WITH r1 AS (SELECT o_orderkey AS k, CASE WHEN o_totalprice < 170000 THEN 'low' " +
+        "    WHEN o_totalprice < 330000 THEN 'mid' ELSE 'high' END AS c1 FROM orders), " +
+        "w AS (SELECT l_orderkey AS k, count(*) AS width FROM lineitem GROUP BY 1), " +
+        "r2 AS (SELECT k, CASE WHEN width <= 2 THEN 'low' WHEN width <= 4 THEN 'mid' " +
+        "    ELSE 'high' END AS c2 FROM w), " +
+        "cell AS (SELECT c1, c2, CAST(count(*) AS BIGINT) AS n_c " +
+        "  FROM r1 JOIN r2 ON r1.k = r2.k GROUP BY 1, 2), " +
+        "m1 AS (SELECT c1 AS c, CAST(sum(n_c) AS BIGINT) AS rn FROM cell GROUP BY 1), " +
+        "m2 AS (SELECT c2 AS c, CAST(sum(n_c) AS BIGINT) AS cn FROM cell GROUP BY 1), " +
+        "tots AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, " +
+        "    CAST(sum(CASE WHEN c1 = c2 THEN n_c ELSE 0 END) AS BIGINT) AS agree FROM cell), " +
+        "pe AS (SELECT CAST(sum(m1.rn * m2.cn) AS BIGINT) AS pe_num " +
+        "  FROM m1 JOIN m2 ON m1.c = m2.c) " +
+        "SELECT n, agree, pe_num, " +
+        "  CAST(n * agree - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE) AS kappa " +
+        "FROM tots CROSS JOIN pe"),
+
+    // Jensen-Shannon divergence between the weekend and weekday
+    // event-type distributions — the symmetric, bounded drift readout
+    // (complements q_psi_drift's PSI). With P_t = a_t/A, Q_t = b_t/B,
+    // the mixture M_t = (a_t·B + b_t·A)/(2AB) has an INTEGER numerator
+    // m_t, so both KL terms ride the ratio-log micro-bit lattice:
+    // log2(P_t/M_t) = [L(2·a_t·B) − L(m_t)]/1e6 exactly (committed
+    // margin audit: min boundary distance 1.5e-2 micro-bits across
+    // sf0.001/0.01/0.1 — 1400× the 1e-5 in-expression guard; operands
+    // ≤ 2AB ~ 2e10 at sf0.1, far under 2^63). JSD = (Σp_term +
+    // Σq_term)/2 left to the consumer; per-type terms are one IEEE
+    // mul-sub-div chain on exact integers. Scale: one fact aggregation,
+    // a |types|-row cell relation, scalar totals broadcast.
+    sql2("q_js_divergence",
+      "WITH c AS (SELECT event_type AS et, " +
+        "    CAST(sum(CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END) AS BIGINT) AS a_t, " +
+        "    CAST(sum(CASE WHEN dayofweek(ts) IN (1, 7) THEN 0 ELSE 1 END) AS BIGINT) AS b_t " +
+        "  FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(a_t) AS BIGINT) AS a, CAST(sum(b_t) AS BIGINT) AS b FROM c) " +
+        "SELECT c.et, c.a_t, c.b_t, " +
+        "  CAST(c.a_t * tot.b + c.b_t * tot.a AS BIGINT) AS m_t, " +
+        s"  (CAST(c.a_t AS DOUBLE) * (${microLog2Guarded("c.a_t * 2 * tot.b")} - ${microLog2Guarded("c.a_t * tot.b + c.b_t * tot.a")})) " +
+        "    / (CAST(tot.a AS DOUBLE) * 1000000.0) AS p_term, " +
+        s"  (CAST(c.b_t AS DOUBLE) * (${microLog2Guarded("c.b_t * 2 * tot.a")} - ${microLog2Guarded("c.a_t * tot.b + c.b_t * tot.a")})) " +
+        "    / (CAST(tot.b AS DOUBLE) * 1000000.0) AS q_term " +
+        "FROM c CROSS JOIN tot ORDER BY c.et",
+      "WITH c AS (SELECT event_type AS et, " +
+        "    CAST(sum(CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS a_t, " +
+        "    CAST(sum(CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 0 ELSE 1 END) AS BIGINT) AS b_t " +
+        "  FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(a_t) AS BIGINT) AS a, CAST(sum(b_t) AS BIGINT) AS b FROM c) " +
+        "SELECT c.et, c.a_t, c.b_t, " +
+        "  CAST(c.a_t * tot.b + c.b_t * tot.a AS BIGINT) AS m_t, " +
+        s"  (CAST(c.a_t AS DOUBLE) * (${microLog2Duck("c.a_t * 2 * tot.b")} - ${microLog2Duck("c.a_t * tot.b + c.b_t * tot.a")})) " +
+        "    / (CAST(tot.a AS DOUBLE) * 1000000.0) AS p_term, " +
+        s"  (CAST(c.b_t AS DOUBLE) * (${microLog2Duck("c.b_t * 2 * tot.a")} - ${microLog2Duck("c.a_t * tot.b + c.b_t * tot.a")})) " +
+        "    / (CAST(tot.b AS DOUBLE) * 1000000.0) AS q_term " +
+        "FROM c CROSS JOIN tot ORDER BY c.et"),
+
+    // Multinomial naive-Bayes language classifier TRAINED AND APPLIED
+    // in-engine — the in-database ML primitive: Laplace-smoothed
+    // per-lang word likelihoods, score_l(d) = Σ_w c_wd·[L(c_wl+1) −
+    // L(N_l+V)] + L(D_l) − L(D), every term an exact micro-bit lattice
+    // integer (committed margin audit over ALL 166 lattice operands:
+    // min boundary distance 7.2e-4 across sf0.001/0.01/0.1 — 72× the
+    // guard; min winner-vs-runner-up margin 454 micro-bits, so the
+    // argmax can never flip). Accuracy 0.41-0.47 vs 0.20 chance on the
+    // synthetic corpus (langs share the 31-word vocab but differ in
+    // frequencies). Scale: token relation keyed on w, the (w, lang)
+    // model and scalar totals broadcast; per-doc argmax is a keyed
+    // window.
+    sql2("q_naive_bayes",
+      "WITH tok AS (SELECT doc_id, lang, w FROM documents " +
+        "    LATERAL VIEW explode(split(text, ' ')) x AS w), " +
+        "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
+        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
+        "lw AS (SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c_wl FROM t GROUP BY 1, 2), " +
+        "lt AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_l, " +
+        "    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l FROM t GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
+        "d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
+        "sc AS (SELECT dw.doc_id, lt.l, " +
+        s"    CAST(sum(dw.c_wd * (${microLog2Guarded("COALESCE(lw.c_wl, 0) + 1")} - ${microLog2Guarded("lt.n_l + v.v")})) AS BIGINT) " +
+        s"      + max(${microLog2Guarded("lt.d_l")} - ${microLog2Guarded("d.d")}) AS score_u " +
+        "  FROM dw CROSS JOIN lt CROSS JOIN v CROSS JOIN d " +
+        "  LEFT JOIN lw ON lw.l = lt.l AND lw.w = dw.w GROUP BY 1, 2), " +
+        "rk AS (SELECT doc_id, l, score_u, " +
+        "    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, l) AS r FROM sc), " +
+        "p AS (SELECT a.doc_id, a.l AS pred, a.score_u AS best_u, " +
+        "    a.score_u - b.score_u AS margin_u " +
+        "  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.r = 1 AND b.r = 2) " +
+        "SELECT p.doc_id, documents.lang AS true_lang, p.pred, p.best_u, " +
+        "  CAST(p.margin_u AS BIGINT) AS margin_u " +
+        "FROM p JOIN documents ON p.doc_id = documents.doc_id ORDER BY p.doc_id",
+      "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
+        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
+        "lw AS (SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c_wl FROM t GROUP BY 1, 2), " +
+        "lt AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_l, " +
+        "    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l FROM t GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
+        "d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
+        "sc AS (SELECT dw.doc_id, lt.l, " +
+        s"    CAST(sum(dw.c_wd * (${microLog2Duck("COALESCE(lw.c_wl, 0) + 1")} - ${microLog2Duck("lt.n_l + v.v")})) AS BIGINT) " +
+        s"      + max(${microLog2Duck("lt.d_l")} - ${microLog2Duck("d.d")}) AS score_u " +
+        "  FROM dw CROSS JOIN lt CROSS JOIN v CROSS JOIN d " +
+        "  LEFT JOIN lw ON lw.l = lt.l AND lw.w = dw.w GROUP BY 1, 2), " +
+        "rk AS (SELECT doc_id, l, score_u, " +
+        "    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, l) AS r FROM sc), " +
+        "p AS (SELECT a.doc_id, a.l AS pred, a.score_u AS best_u, " +
+        "    a.score_u - b.score_u AS margin_u " +
+        "  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.r = 1 AND b.r = 2) " +
+        "SELECT p.doc_id, documents.lang AS true_lang, p.pred, p.best_u, " +
+        "  CAST(p.margin_u AS BIGINT) AS margin_u " +
+        "FROM p JOIN documents ON p.doc_id = documents.doc_id ORDER BY p.doc_id"),
+
+    // DSIR-style importance selection (Xie et al., NeurIPS'23): rank
+    // raw documents by the log importance weight of a target-domain
+    // (lang='en') unigram LM against the raw-corpus LM — the published
+    // data-selection recipe for pretraining mixtures. w_u(d) = Σ_w
+    // c_wd·[(L(c_w,tgt+1) − L(N_tgt+V)) − (L(c_w,raw+1) − L(N_raw+V))]
+    // — exact lattice integers throughout (margin audit over all 64
+    // operands: min boundary distance 7.2e-4 across SFs); top-50 under
+    // the unique (w_u, doc_id) total order. Selected set is 66-68%
+    // target-lang vs 43.6% base rate at sf≥0.01 — genuinely selective.
+    // Scale: doc-token relation keyed on w, both LMs broadcast.
+    sql2("q_dsir_select",
+      "WITH tok AS (SELECT doc_id, lang, w FROM documents " +
+        "    LATERAL VIEW explode(split(text, ' ')) x AS w), " +
+        "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
+        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
+        "tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS c_t FROM t WHERE lang = 'en' GROUP BY 1), " +
+        "raw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_r FROM t GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t WHERE lang = 'en'), " +
+        "nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t), " +
+        "sc AS (SELECT dw.doc_id, " +
+        s"    CAST(sum(dw.c_wd * ((${microLog2Guarded("COALESCE(tgt.c_t, 0) + 1")} - ${microLog2Guarded("nt.n + v.v")}) " +
+        s"      - (${microLog2Guarded("raw.c_r + 1")} - ${microLog2Guarded("nr.n + v.v")}))) AS BIGINT) AS w_u " +
+        "  FROM dw JOIN raw ON raw.w = dw.w LEFT JOIN tgt ON tgt.w = dw.w " +
+        "  CROSS JOIN v CROSS JOIN nt CROSS JOIN nr GROUP BY 1) " +
+        "SELECT sc.doc_id, documents.lang, sc.w_u " +
+        "FROM sc JOIN documents ON sc.doc_id = documents.doc_id " +
+        "ORDER BY sc.w_u DESC, sc.doc_id LIMIT 50",
+      "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
+        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
+        "tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS c_t FROM t WHERE lang = 'en' GROUP BY 1), " +
+        "raw AS (SELECT w, CAST(count(*) AS BIGINT) AS c_r FROM t GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t WHERE lang = 'en'), " +
+        "nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t), " +
+        "sc AS (SELECT dw.doc_id, " +
+        s"    CAST(sum(dw.c_wd * ((${microLog2Duck("COALESCE(tgt.c_t, 0) + 1")} - ${microLog2Duck("nt.n + v.v")}) " +
+        s"      - (${microLog2Duck("raw.c_r + 1")} - ${microLog2Duck("nr.n + v.v")}))) AS BIGINT) AS w_u " +
+        "  FROM dw JOIN raw ON raw.w = dw.w LEFT JOIN tgt ON tgt.w = dw.w " +
+        "  CROSS JOIN v CROSS JOIN nt CROSS JOIN nr GROUP BY 1) " +
+        "SELECT sc.doc_id, documents.lang, sc.w_u " +
+        "FROM sc JOIN documents ON sc.doc_id = documents.doc_id " +
+        "ORDER BY sc.w_u DESC, sc.doc_id LIMIT 50"),
+
+    // Decision-stump training — exact best-split search by weighted
+    // Gini impurity for "is this order high-priority" on the order
+    // value, over a fixed 19-threshold grid: rows are bucketized ONCE
+    // (one fact aggregation to ≤ 20 cells), the grid×cell triangular
+    // join replaces any prefix window, and every impurity is the SHORT
+    // fixed-shape IEEE expression [n_l − (p_l²+q_l²)/n_l + n_r −
+    // (p_r²+q_r²)/n_r]/N over exact BIGINTs — correctly-rounded
+    // identical doubles on both engines, so the min() election is
+    // deterministic even at the 4.3e-8 impurity gaps sf0.1 produces.
+    sql2("q_decision_stump",
+      "WITH lab AS (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS b, " +
+        "    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y FROM orders), " +
+        "cell AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS p_b FROM lab GROUP BY 1), " +
+        "grid AS (SELECT CAST(g AS BIGINT) AS t FROM (SELECT explode(sequence(1, 19)) AS g)), " +
+        "split AS (SELECT grid.t, " +
+        "    CAST(sum(CASE WHEN cell.b < grid.t THEN cell.n_b ELSE 0 END) AS BIGINT) AS n_l, " +
+        "    CAST(sum(CASE WHEN cell.b < grid.t THEN cell.p_b ELSE 0 END) AS BIGINT) AS p_l, " +
+        "    CAST(sum(CASE WHEN cell.b >= grid.t THEN cell.n_b ELSE 0 END) AS BIGINT) AS n_r, " +
+        "    CAST(sum(CASE WHEN cell.b >= grid.t THEN cell.p_b ELSE 0 END) AS BIGINT) AS p_r " +
+        "  FROM grid CROSS JOIN cell GROUP BY 1), " +
+        "imp AS (SELECT t, n_l, p_l, n_r, p_r, " +
+        "    (CAST(n_l AS DOUBLE) - CAST(p_l * p_l + (n_l - p_l) * (n_l - p_l) AS DOUBLE) / CAST(n_l AS DOUBLE) " +
+        "   + CAST(n_r AS DOUBLE) - CAST(p_r * p_r + (n_r - p_r) * (n_r - p_r) AS DOUBLE) / CAST(n_r AS DOUBLE)) " +
+        "    / CAST(n_l + n_r AS DOUBLE) AS impurity " +
+        "  FROM split WHERE n_l > 0 AND n_r > 0), " +
+        "best AS (SELECT min(impurity) AS mi FROM imp) " +
+        "SELECT imp.t AS threshold_bucket, CAST(imp.t * 25000 AS BIGINT) AS threshold, " +
+        "  n_l, p_l, n_r, p_r, impurity, " +
+        "  CAST(CASE WHEN imp.impurity = best.mi THEN 1 ELSE 0 END AS INT) AS is_best " +
+        "FROM imp CROSS JOIN best ORDER BY imp.t",
+      "WITH lab AS (SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS b, " +
+        "    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y FROM orders), " +
+        "cell AS (SELECT b, CAST(count(*) AS BIGINT) AS n_b, CAST(sum(y) AS BIGINT) AS p_b FROM lab GROUP BY 1), " +
+        "grid AS (SELECT CAST(g AS BIGINT) AS t FROM generate_series(1, 19) AS s(g)), " +
+        "split AS (SELECT grid.t, " +
+        "    CAST(sum(CASE WHEN cell.b < grid.t THEN cell.n_b ELSE 0 END) AS BIGINT) AS n_l, " +
+        "    CAST(sum(CASE WHEN cell.b < grid.t THEN cell.p_b ELSE 0 END) AS BIGINT) AS p_l, " +
+        "    CAST(sum(CASE WHEN cell.b >= grid.t THEN cell.n_b ELSE 0 END) AS BIGINT) AS n_r, " +
+        "    CAST(sum(CASE WHEN cell.b >= grid.t THEN cell.p_b ELSE 0 END) AS BIGINT) AS p_r " +
+        "  FROM grid CROSS JOIN cell GROUP BY 1), " +
+        "imp AS (SELECT t, n_l, p_l, n_r, p_r, " +
+        "    (CAST(n_l AS DOUBLE) - CAST(p_l * p_l + (n_l - p_l) * (n_l - p_l) AS DOUBLE) / CAST(n_l AS DOUBLE) " +
+        "   + CAST(n_r AS DOUBLE) - CAST(p_r * p_r + (n_r - p_r) * (n_r - p_r) AS DOUBLE) / CAST(n_r AS DOUBLE)) " +
+        "    / CAST(n_l + n_r AS DOUBLE) AS impurity " +
+        "  FROM split WHERE n_l > 0 AND n_r > 0), " +
+        "best AS (SELECT min(impurity) AS mi FROM imp) " +
+        "SELECT imp.t AS threshold_bucket, CAST(imp.t * 25000 AS BIGINT) AS threshold, " +
+        "  n_l, p_l, n_r, p_r, impurity, " +
+        "  CAST(CASE WHEN imp.impurity = best.mi THEN 1 ELSE 0 END AS INT) AS is_best " +
+        "FROM imp CROSS JOIN best ORDER BY imp.t"),
+
+    // k-NN classification over the embedding table — majority label of
+    // the 10 nearest held-out vectors (cosine, the q_ann_exact
+    // discipline: 6-dp-rounded ranking with neighbor_id tie-break, so
+    // the neighbor SET is deterministic) with a (votes desc, label asc)
+    // vote election. Queries are vec_id < 50, candidates vec_id ≥ 50 —
+    // disjoint, no self-match. The oracle brute-forces every cosine and
+    // replays the vote. Engine side rides the codegen VectorDot
+    // brute-force path; the vote is one small keyed aggregation.
+    dfq("q_knn_classify",
+      "WITH pairs AS (" +
+        "  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv" +
+        "  FROM embeddings q, embeddings c WHERE q.vec_id < 50 AND c.vec_id >= 50" +
+        "), dots AS (" +
+        "  SELECT query_id, neighbor_id, sum(qa * ca) AS dotp," +
+        "    sqrt(sum(qa * qa)) AS na, sqrt(sum(ca * ca)) AS nb" +
+        "  FROM (SELECT query_id, neighbor_id, unnest(qv)::DOUBLE AS qa," +
+        "        unnest(cv)::DOUBLE AS ca FROM pairs) u" +
+        "  GROUP BY query_id, neighbor_id" +
+        "), scored AS (" +
+        "  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id" +
+        "      ORDER BY round(dotp / (na * nb), 6) DESC, neighbor_id) AS rnk" +
+        "  FROM dots), " +
+        "votes AS (SELECT s.query_id, e.label AS lab, CAST(count(*) AS BIGINT) AS nv " +
+        "  FROM scored s JOIN embeddings e ON e.vec_id = s.neighbor_id " +
+        "  WHERE s.rnk <= 10 GROUP BY 1, 2), " +
+        "pr AS (SELECT query_id, lab, nv, " +
+        "    row_number() OVER (PARTITION BY query_id ORDER BY nv DESC, lab) AS r FROM votes) " +
+        "SELECT p.query_id, CAST(q.label AS INT) AS true_label, CAST(p.lab AS INT) AS pred_label, " +
+        "  p.nv AS votes " +
+        "FROM pr p JOIN embeddings q ON q.vec_id = p.query_id " +
+        "WHERE p.r = 1 ORDER BY p.query_id") { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val top = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", k = 10, rankRounded = true)
+      val votes = top
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("lab")), "neighbor_id")
+        .groupBy(col("query_id"), col("lab"))
+        .agg(count(lit(1)).cast("long").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("nv").desc, col("lab"))
+      votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .join(emb.select(col("vec_id").as("query_id"), col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label").cast("int"),
+          col("lab").cast("int").as("pred_label"), col("nv").as("votes"))
+        .orderBy("query_id")
+    },
+  )
+}

@@ -4255,8 +4255,8 @@ object Queries {
     sources ++ filters ++ joins ++ aggregates ++ sorts ++ scalars ++ advanced ++ advanced2
 
   def all: Seq[Entry] =
-    relational ++ CompassQueries.entries ++ PipelineQueries.entries ++
-      JobEntries.entries ++ StreamQueries.entries
+    relational ++ AnalyticsQueries.entries ++ CompassQueries.entries ++
+      PipelineQueries.entries ++ JobEntries.entries ++ StreamQueries.entries
 
   def queryMap: Map[String, QueryFn] = all.map(e => e.name -> e.run).toMap
   def oracleMap: Map[String, String] =
