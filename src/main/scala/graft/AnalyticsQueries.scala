@@ -360,5 +360,220 @@ object AnalyticsQueries {
           col("lab").cast("int").as("pred_label"), col("nv").as("votes"))
         .orderBy("query_id")
     },
+
+    // Zipf rank-frequency slope of the token distribution — the
+    // tokenizer-design readout (how fast the long tail decays): a
+    // log-log regression of frequency on rank over the top-200 tokens,
+    // with BOTH coordinates on the micro-bit lattice (x = L(rank),
+    // y = L(count); margin audit over all 62 operands: min boundary
+    // distance 7.2e-4 across SFs). All four regression moments are
+    // exact BIGINT sums over the ≤ 200-row relation (maxima ≤ 5.2e18 at
+    // sf0.1, under 2^63 — documented headroom); the slope is ONE IEEE
+    // division of two exact integers. Rank is the bounded triangular
+    // self-join over the top-K relation — never a partition-less
+    // window; the top-K cut itself is a TakeOrdered.
+    sql2("q_zipf_slope",
+      "WITH tok AS (SELECT w FROM documents LATERAL VIEW explode(split(text, ' ')) x AS w), " +
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok WHERE length(w) > 0 GROUP BY 1), " +
+        "top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 200), " +
+        "rk AS (SELECT a.w, a.n, CAST(count(*) AS BIGINT) AS r " +
+        "  FROM top a JOIN top b ON b.n > a.n OR (b.n = a.n AND b.w <= a.w) GROUP BY 1, 2), " +
+        s"xy AS (SELECT ${microLog2Guarded("r")} AS x, ${microLog2Guarded("n")} AS y FROM rk), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
+        "    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "    CAST(sum(x * x) AS BIGINT) AS sx2 FROM xy) " +
+        "SELECT k AS n_points, sx AS sum_x, sy AS sum_y, sxy AS sum_xy, sx2 AS sum_x2, " +
+        "  CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sx2 - sx * sx AS DOUBLE) AS slope " +
+        "FROM m",
+      "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok WHERE length(w) > 0 GROUP BY 1), " +
+        "top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT 200), " +
+        "rk AS (SELECT a.w, a.n, CAST(count(*) AS BIGINT) AS r " +
+        "  FROM top a JOIN top b ON b.n > a.n OR (b.n = a.n AND b.w <= a.w) GROUP BY 1, 2), " +
+        s"xy AS (SELECT ${microLog2Duck("r")} AS x, ${microLog2Duck("n")} AS y FROM rk), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(x) AS BIGINT) AS sx, " +
+        "    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "    CAST(sum(x * x) AS BIGINT) AS sx2 FROM xy) " +
+        "SELECT k AS n_points, sx AS sum_x, sy AS sum_y, sxy AS sum_xy, sx2 AS sum_x2, " +
+        "  CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sx2 - sx * sx AS DOUBLE) AS slope " +
+        "FROM m"),
+
+    // Synchronous label propagation (Raghavan et al. 2007) on the
+    // co-purchase graph, 3 fixed rounds — community detection's cheap
+    // workhorse, made deterministic and oracle-replayable: labels start
+    // as node ids, each round every node adopts the (count desc, label
+    // asc)-elected majority label of its neighbors. Every election is
+    // over exact integer counts with a total tie order, so both engines
+    // derive the identical label relation; the fixed round count is
+    // part of the semantics (the async/random variants are not
+    // replayable). Emits the 25 largest communities. Scale: each round
+    // is one edges⋈labels equi-join + a keyed count + a keyed
+    // row_number — at cluster scale the rounds run through the
+    // persisted-loop discipline (graft.operators.Components.ckpt).
+    sql("q_label_prop",
+      "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "l0 AS (SELECT DISTINCT u AS node, u AS lab FROM e), " +
+        "c1 AS (SELECT e.u AS node, l0.lab, CAST(count(*) AS BIGINT) AS c " +
+        "  FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2), " +
+        "l1 AS (SELECT node, lab FROM (SELECT node, lab, " +
+        "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c1) t WHERE rn = 1), " +
+        "c2 AS (SELECT e.u AS node, l1.lab, CAST(count(*) AS BIGINT) AS c " +
+        "  FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2), " +
+        "l2 AS (SELECT node, lab FROM (SELECT node, lab, " +
+        "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c2) t WHERE rn = 1), " +
+        "c3 AS (SELECT e.u AS node, l2.lab, CAST(count(*) AS BIGINT) AS c " +
+        "  FROM e JOIN l2 ON e.v = l2.node GROUP BY 1, 2), " +
+        "l3 AS (SELECT node, lab FROM (SELECT node, lab, " +
+        "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3) t WHERE rn = 1) " +
+        "SELECT lab AS community, CAST(count(*) AS BIGINT) AS size_n, " +
+        "  CAST(min(node) AS BIGINT) AS min_node, CAST(sum(node) AS BIGINT) AS sum_nodes " +
+        "FROM l3 GROUP BY 1 ORDER BY size_n DESC, community LIMIT 25"),
+
+    // Landmark closeness centrality: exact BFS distances from the 8
+    // smallest node ids (the deterministic landmark set), hop-capped at
+    // 12 — the scale substitute for O(V·E) all-pairs closeness. Per
+    // node: landmarks reached, Σ distance, and HARMONIC closeness as
+    // the exact integer Σ 27720/d (27720 = lcm(1..12), so every
+    // reciprocal is integral — no float sum over a variable-order
+    // aggregate). Engine side is Components.landmarkDistances (the
+    // bfsHops loop lifted to a (landmark, node) key); the oracle
+    // replays the capped BFS as a recursive CTE.
+    dfq("q_closeness",
+      "WITH RECURSIVE po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
+        "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "e AS (SELECT u, v FROM pr UNION ALL SELECT v, u FROM pr), " +
+        "nodes AS (SELECT DISTINCT u AS id FROM e), " +
+        "lms AS (SELECT id FROM nodes ORDER BY id LIMIT 8), " +
+        "reach(lm, id, d) AS (SELECT id, id, 0 FROM lms " +
+        "  UNION SELECT reach.lm, e.v, reach.d + 1 FROM reach JOIN e ON e.u = reach.id WHERE reach.d < 12), " +
+        "md AS (SELECT lm, id, min(d) AS d FROM reach GROUP BY 1, 2) " +
+        "SELECT n.id AS node, " +
+        "  CAST(coalesce(sum(CASE WHEN md.d > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_reached, " +
+        "  CAST(coalesce(sum(md.d), 0) AS BIGINT) AS sum_d, " +
+        "  CAST(coalesce(sum(CASE WHEN md.d > 0 THEN CAST(floor(27720.0 / md.d) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS harmonic_u " +
+        "FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY n.id ORDER BY node") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val pr = s.sql(
+        "SELECT a.p AS u, b.p AS v FROM " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
+          "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2")
+      val nodes = pr.select(col("u").as("id")).union(pr.select(col("v").as("id"))).distinct()
+      val dists = graft.operators.Components.landmarkDistances(pr, "u", "v", nLandmarks = 8, maxHops = 12)
+      val agg = dists.groupBy(col("id"))
+        .agg(
+          sum(when(col("hops") > 0, 1L).otherwise(0L)).cast("long").as("n_reached"),
+          sum(col("hops")).cast("long").as("sum_d"),
+          sum(when(col("hops") > 0,
+            floor(lit(27720.0) / col("hops")).cast("long")).otherwise(0L)).cast("long").as("harmonic_u"))
+      nodes.join(agg, Seq("id"), "left")
+        .select(col("id").as("node"),
+          coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+          coalesce(col("sum_d"), lit(0L)).as("sum_d"),
+          coalesce(col("harmonic_u"), lit(0L)).as("harmonic_u"))
+        .orderBy("node")
+    },
+
+    // Classical additive time-series decomposition of the daily order
+    // count: trend = centered 7-day moving average, seasonal = per-
+    // weekday mean of the detrended series, residual = remainder — the
+    // pre-forecasting diagnostic. EVERYTHING rides integer sevenths:
+    // trend_u7 = Σ±3 counts (exact, via a bounded date-range self-join
+    // on the DAY relation — never a partition-less window), detrended
+    // 7y − trend_u7 exact, seasonal numerator an exact BIGINT sum; the
+    // double-space trend/seasonal/residual are fixed-shape expressions
+    // with one division each — bit-identical cross-engine. Interior
+    // days only (all 7 calendar neighbors present). The weekday key
+    // never leaves the query, so each engine's dayofweek convention is
+    // irrelevant — only the period-7 equivalence classes matter.
+    sql("q_ts_decompose",
+      "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y " +
+        "  FROM orders GROUP BY 1), " +
+        "tr AS (SELECT a.day, a.y, CAST(sum(b.y) AS BIGINT) AS trend_u7, CAST(count(*) AS BIGINT) AS nw " +
+        "  FROM d a JOIN d b ON b.day BETWEEN a.day - 3 AND a.day + 3 GROUP BY 1, 2), " +
+        "t7 AS (SELECT day, y, trend_u7 FROM tr WHERE nw = 7), " +
+        "det AS (SELECT day, y, trend_u7, 7 * y - trend_u7 AS det_u7, dayofweek(day) AS wd FROM t7), " +
+        "s AS (SELECT wd, CAST(sum(det_u7) AS BIGINT) AS s_num, CAST(count(*) AS BIGINT) AS n_wd " +
+        "  FROM det GROUP BY 1) " +
+        "SELECT det.day, det.y, det.trend_u7, s.s_num, s.n_wd, " +
+        "  CAST(det.trend_u7 AS DOUBLE) / 7.0 AS trend, " +
+        "  CAST(s.s_num AS DOUBLE) / CAST(7 * s.n_wd AS DOUBLE) AS seasonal, " +
+        "  CAST(det.y AS DOUBLE) - CAST(det.trend_u7 AS DOUBLE) / 7.0 " +
+        "    - CAST(s.s_num AS DOUBLE) / CAST(7 * s.n_wd AS DOUBLE) AS residual " +
+        "FROM det JOIN s ON det.wd = s.wd ORDER BY det.day"),
+
+    // Seasonal-naive forecast evaluation — MASE (Hyndman & Koehler
+    // 2006): the standard "is your model better than y_{t−7}?"
+    // benchmark gate. Numerator Σ|y_t − y_{t−7}| and denominator
+    // Σ|y_t − y_{t−1}| are exact BIGINT sums over days where BOTH lags
+    // exist (lag alignment via two date-equi self-joins on the bounded
+    // day relation — no window anywhere); MASE is ONE IEEE division.
+    sql("q_mase_baseline",
+      "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS y " +
+        "  FROM orders GROUP BY 1), " +
+        "j AS (SELECT a.day, a.y, s.y AS y_lag7, p.y AS y_lag1 " +
+        "  FROM d a JOIN d s ON s.day = a.day - 7 JOIN d p ON p.day = a.day - 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "  CAST(sum(abs(y - y_lag7)) AS BIGINT) AS sum_naive_err, " +
+        "  CAST(sum(abs(y - y_lag1)) AS BIGINT) AS sum_rw_err, " +
+        "  CAST(sum(abs(y - y_lag7)) AS DOUBLE) / CAST(sum(abs(y - y_lag1)) AS DOUBLE) AS mase " +
+        "FROM j"),
+
+    // Exact point-in-polygon spatial join — ray-casting crossing parity
+    // with ENTIRELY integer arithmetic: points are deterministic
+    // integer coordinates derived from event ids, polygons (one convex,
+    // one triangle, one concave, one reflex) are integer-vertex VALUES
+    // literals, and each edge-crossing test is the cross-multiplied
+    // form sign((py−y1)(x2−x1) − (px−x1)(y2−y1)) against the half-open
+    // vertical rule (y1>py) ≠ (y2>py) — no division anywhere, so parity
+    // is exact on any engine. Emits per-polygon containment counts and
+    // the contained-id checksum. Scale: the points×edges relation is
+    // |points|·Σ|edges| (18 edges here); at cluster scale the polygon
+    // set broadcasts and a bbox grid prefilter bounds the pair volume.
+    sql2("q_point_in_polygon",
+      "WITH pts AS (SELECT event_id, (event_id * 48271) % 1000 AS px, " +
+        "    (event_id * 16807) % 1000 AS py FROM events), " +
+        "poly AS (SELECT * FROM VALUES " +
+        "  (1, 1, 100, 100, 400, 100), (1, 2, 400, 100, 400, 400), (1, 3, 400, 400, 100, 400), (1, 4, 100, 400, 100, 100), " +
+        "  (2, 1, 500, 500, 900, 500), (2, 2, 900, 500, 700, 900), (2, 3, 700, 900, 500, 500), " +
+        "  (3, 1, 0, 600, 300, 600), (3, 2, 300, 600, 300, 800), (3, 3, 300, 800, 150, 800), " +
+        "  (3, 4, 150, 800, 150, 999), (3, 5, 150, 999, 0, 999), (3, 6, 0, 999, 0, 600), " +
+        "  (4, 1, 600, 0, 999, 0), (4, 2, 999, 0, 999, 300), (4, 3, 999, 300, 800, 150), " +
+        "  (4, 4, 800, 150, 600, 300), (4, 5, 600, 300, 600, 0) " +
+        "  AS v(pid, i, x1, y1, x2, y2)), " +
+        "cr AS (SELECT p.event_id, g.pid, " +
+        "    CAST(sum(CASE WHEN (g.y1 > p.py) <> (g.y2 > p.py) " +
+        "      AND (CASE WHEN g.y2 > g.y1 " +
+        "           THEN (p.py - g.y1) * (g.x2 - g.x1) - (p.px - g.x1) * (g.y2 - g.y1) > 0 " +
+        "           ELSE (p.py - g.y1) * (g.x2 - g.x1) - (p.px - g.x1) * (g.y2 - g.y1) < 0 END) " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS crossings " +
+        "  FROM pts p CROSS JOIN poly g GROUP BY 1, 2) " +
+        "SELECT pid AS polygon_id, CAST(sum(crossings % 2) AS BIGINT) AS n_inside, " +
+        "  CAST(sum(CASE WHEN crossings % 2 = 1 THEN event_id ELSE 0 END) AS BIGINT) AS id_sum " +
+        "FROM cr GROUP BY 1 ORDER BY 1",
+      "WITH pts AS (SELECT event_id, (event_id * 48271) % 1000 AS px, " +
+        "    (event_id * 16807) % 1000 AS py FROM events), " +
+        "poly AS (SELECT * FROM (VALUES " +
+        "  (1, 1, 100, 100, 400, 100), (1, 2, 400, 100, 400, 400), (1, 3, 400, 400, 100, 400), (1, 4, 100, 400, 100, 100), " +
+        "  (2, 1, 500, 500, 900, 500), (2, 2, 900, 500, 700, 900), (2, 3, 700, 900, 500, 500), " +
+        "  (3, 1, 0, 600, 300, 600), (3, 2, 300, 600, 300, 800), (3, 3, 300, 800, 150, 800), " +
+        "  (3, 4, 150, 800, 150, 999), (3, 5, 150, 999, 0, 999), (3, 6, 0, 999, 0, 600), " +
+        "  (4, 1, 600, 0, 999, 0), (4, 2, 999, 0, 999, 300), (4, 3, 999, 300, 800, 150), " +
+        "  (4, 4, 800, 150, 600, 300), (4, 5, 600, 300, 600, 0) " +
+        "  ) v(pid, i, x1, y1, x2, y2)), " +
+        "cr AS (SELECT p.event_id, g.pid, " +
+        "    CAST(sum(CASE WHEN (g.y1 > p.py) <> (g.y2 > p.py) " +
+        "      AND (CASE WHEN g.y2 > g.y1 " +
+        "           THEN (p.py - g.y1) * (g.x2 - g.x1) - (p.px - g.x1) * (g.y2 - g.y1) > 0 " +
+        "           ELSE (p.py - g.y1) * (g.x2 - g.x1) - (p.px - g.x1) * (g.y2 - g.y1) < 0 END) " +
+        "      THEN 1 ELSE 0 END) AS BIGINT) AS crossings " +
+        "  FROM pts p CROSS JOIN poly g GROUP BY 1, 2) " +
+        "SELECT pid AS polygon_id, CAST(sum(crossings % 2) AS BIGINT) AS n_inside, " +
+        "  CAST(sum(CASE WHEN crossings % 2 = 1 THEN event_id ELSE 0 END) AS BIGINT) AS id_sum " +
+        "FROM cr GROUP BY 1 ORDER BY 1"),
   )
 }

@@ -232,6 +232,56 @@ object Components {
       .select(col("id"), coalesce(col("hops"), lit(-1)).cast("int").as("hops"))
   }
 
+  /** Multi-landmark BFS distances over the symmetrized edge relation —
+    * the landmark-closeness building block (exact all-pairs BFS is
+    * O(V·E); landmark distances are the standard scale substitute).
+    * Landmarks are the `nLandmarks` SMALLEST node ids — a deterministic,
+    * oracle-replayable choice (one TakeOrdered over the node relation,
+    * never a sample). The BFS state is keyed (lm, id), so each round is
+    * the [[bfsHops]] loop lifted to a composite key: one frontier⋈edges
+    * equi-join + distinct + anti-join against settled state, per-round
+    * relation bounded by nLandmarks·|V|. Returns (lm, id, hops) for
+    * REACHED pairs only (hops = 0 for the landmark itself); an empty
+    * edge relation yields an empty result, never a driver NPE.
+    */
+  def landmarkDistances(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      nLandmarks: Int, maxHops: Int): DataFrame = {
+    require(nLandmarks >= 1, s"landmarkDistances: nLandmarks must be >= 1, got $nLandmarks")
+    require(maxHops >= 0, s"landmarkDistances: maxHops must be >= 0, got $maxHops")
+    val directed = OpCaches.track(
+      edges
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val sym = ckpt(
+      directed.union(directed.select(col("b").as("a"), col("a").as("b")))
+        .distinct())
+    directed.unpersist()
+    val landmarks = ckpt(
+      sym.select(col("a").as("id")).distinct().orderBy("id").limit(nLandmarks))
+
+    var dist = ckpt(landmarks
+      .select(col("id").as("lm"), col("id"), lit(0).as("hops")))
+    var frontier = dist
+    var h = 0
+    var exhausted = frontier.isEmpty
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val nxt = ckpt(frontier
+        .join(sym, col("id") === col("a"))
+        .select(col("lm"), col("b").as("id")).distinct()
+        .join(dist, Seq("lm", "id"), "left_anti")
+        .withColumn("hops", lit(h)))
+      if (nxt.isEmpty) exhausted = true
+      else {
+        dist = ckpt(dist.union(nxt))
+        frontier = nxt
+      }
+    }
+    dist
+  }
+
   /** Single-source WEIGHTED shortest paths, bounded at `maxHops` edges —
     * distributed Bellman–Ford: after round h, dist(v) is the exact
     * minimum cost over paths of ≤ h edges (integer weights, so every

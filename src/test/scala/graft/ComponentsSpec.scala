@@ -135,6 +135,34 @@ class ComponentsSpec extends AnyFunSuite {
       Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
   }
 
+  private def lmOf(edges: Seq[(Long, Long)], nLandmarks: Int,
+      maxHops: Int): Map[(Long, Long), Int] = {
+    val df = edges.toDF("src", "dst")
+    val out = Components.landmarkDistances(df, "src", "dst", nLandmarks, maxHops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    graft.operators.OpCaches.releaseAll(spark)
+    out
+  }
+
+  test("landmarkDistances: per-landmark levels, smallest-id landmark choice, cap") {
+    // Path 1-2-3-4-5 plus island 10-11; landmarks = two smallest ids (1, 2).
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val got = lmOf(path, nLandmarks = 2, maxHops = 12)
+    assert(got == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 4L) -> 3, (1L, 5L) -> 4,
+      (2L, 2L) -> 0, (2L, 1L) -> 1, (2L, 3L) -> 1, (2L, 4L) -> 2, (2L, 5L) -> 3))
+    // Hop cap truncates the reached relation, per landmark independently.
+    val capped = lmOf(path, nLandmarks = 2, maxHops = 1)
+    assert(capped == Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1,
+      (2L, 2L) -> 0, (2L, 1L) -> 1, (2L, 3L) -> 1))
+  }
+
+  test("landmarkDistances: empty edge relation yields empty, not an NPE") {
+    val empty = Seq.empty[(Long, Long)]
+    assert(lmOf(empty, nLandmarks = 4, maxHops = 5).isEmpty)
+  }
+
   private def spOf(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
       maxHops: Int = 12): Map[Long, Long] = {
     // Symmetrize here: shortestPaths treats edges as directed.
