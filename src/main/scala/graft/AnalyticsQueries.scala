@@ -79,7 +79,7 @@ object AnalyticsQueries {
         "grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n_i, CAST(sum(r) AS BIGINT) AS r_i " +
         "  FROM rk GROUP BY 1) " +
         "SELECT g AS grp, n_i, r_i, tot.n AS n, " +
-        "  CAST(r_i * r_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS h_term " +
+        "  CAST(CAST(r_i AS HUGEINT) * r_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS h_term " +
         "FROM grp CROSS JOIN tot ORDER BY grp") { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type").as("g"),
@@ -128,12 +128,15 @@ object AnalyticsQueries {
     // the mixture M_t = (a_t·B + b_t·A)/(2AB) has an INTEGER numerator
     // m_t, so both KL terms ride the ratio-log micro-bit lattice:
     // log2(P_t/M_t) = [L(2·a_t·B) − L(m_t)]/1e6 exactly (committed
-    // margin audit: min boundary distance 1.5e-2 micro-bits across
-    // sf0.001/0.01/0.1 — 1400× the 1e-5 in-expression guard; operands
-    // ≤ 2AB ~ 2e10 at sf0.1, far under 2^63). JSD = (Σp_term +
-    // Σq_term)/2 left to the consumer; per-type terms are one IEEE
-    // mul-sub-div chain on exact integers. Scale: one fact aggregation,
-    // a |types|-row cell relation, scalar totals broadcast.
+    // margin audit: see COVERAGE.md r15 audit section — min boundary
+    // distance across sf0.001/0.01/0.1 ≫ the 1e-5 in-expression guard;
+    // operands ≤ 2AB ~ 2e10 at sf0.1, far under 2^63). The JSD
+    // convention 0·log 0 = 0 is implemented explicitly: a type with
+    // zero weekend (a_t = 0) or zero weekday (b_t = 0) events gets a
+    // 0.0 term via CASE, so neither engine ever evaluates log2(0).
+    // JSD = (Σp_term + Σq_term)/2 left to the consumer; per-type terms
+    // are one IEEE mul-sub-div chain on exact integers. Scale: one
+    // fact aggregation, a |types|-row cell relation, totals broadcast.
     sql2("q_js_divergence",
       "WITH c AS (SELECT event_type AS et, " +
         "    CAST(sum(CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END) AS BIGINT) AS a_t, " +
@@ -142,10 +145,12 @@ object AnalyticsQueries {
         "tot AS (SELECT CAST(sum(a_t) AS BIGINT) AS a, CAST(sum(b_t) AS BIGINT) AS b FROM c) " +
         "SELECT c.et, c.a_t, c.b_t, " +
         "  CAST(c.a_t * tot.b + c.b_t * tot.a AS BIGINT) AS m_t, " +
+        s"  CASE WHEN c.a_t = 0 THEN CAST(0 AS DOUBLE) ELSE " +
         s"  (CAST(c.a_t AS DOUBLE) * (${microLog2Guarded("c.a_t * 2 * tot.b")} - ${microLog2Guarded("c.a_t * tot.b + c.b_t * tot.a")})) " +
-        "    / (CAST(tot.a AS DOUBLE) * 1000000.0) AS p_term, " +
+        "    / (CAST(tot.a AS DOUBLE) * 1000000.0) END AS p_term, " +
+        s"  CASE WHEN c.b_t = 0 THEN CAST(0 AS DOUBLE) ELSE " +
         s"  (CAST(c.b_t AS DOUBLE) * (${microLog2Guarded("c.b_t * 2 * tot.a")} - ${microLog2Guarded("c.a_t * tot.b + c.b_t * tot.a")})) " +
-        "    / (CAST(tot.b AS DOUBLE) * 1000000.0) AS q_term " +
+        "    / (CAST(tot.b AS DOUBLE) * 1000000.0) END AS q_term " +
         "FROM c CROSS JOIN tot ORDER BY c.et",
       "WITH c AS (SELECT event_type AS et, " +
         "    CAST(sum(CASE WHEN extract(dow FROM ts) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS a_t, " +
@@ -154,10 +159,12 @@ object AnalyticsQueries {
         "tot AS (SELECT CAST(sum(a_t) AS BIGINT) AS a, CAST(sum(b_t) AS BIGINT) AS b FROM c) " +
         "SELECT c.et, c.a_t, c.b_t, " +
         "  CAST(c.a_t * tot.b + c.b_t * tot.a AS BIGINT) AS m_t, " +
+        s"  CASE WHEN c.a_t = 0 THEN CAST(0 AS DOUBLE) ELSE " +
         s"  (CAST(c.a_t AS DOUBLE) * (${microLog2Duck("c.a_t * 2 * tot.b")} - ${microLog2Duck("c.a_t * tot.b + c.b_t * tot.a")})) " +
-        "    / (CAST(tot.a AS DOUBLE) * 1000000.0) AS p_term, " +
+        "    / (CAST(tot.a AS DOUBLE) * 1000000.0) END AS p_term, " +
+        s"  CASE WHEN c.b_t = 0 THEN CAST(0 AS DOUBLE) ELSE " +
         s"  (CAST(c.b_t AS DOUBLE) * (${microLog2Duck("c.b_t * 2 * tot.a")} - ${microLog2Duck("c.a_t * tot.b + c.b_t * tot.a")})) " +
-        "    / (CAST(tot.b AS DOUBLE) * 1000000.0) AS q_term " +
+        "    / (CAST(tot.b AS DOUBLE) * 1000000.0) END AS q_term " +
         "FROM c CROSS JOIN tot ORDER BY c.et"),
 
     // Multinomial naive-Bayes language classifier TRAINED AND APPLIED
@@ -365,11 +372,14 @@ object AnalyticsQueries {
     // tokenizer-design readout (how fast the long tail decays): a
     // log-log regression of frequency on rank over the top-200 tokens,
     // with BOTH coordinates on the micro-bit lattice (x = L(rank),
-    // y = L(count); margin audit over all 62 operands: min boundary
-    // distance 7.2e-4 across SFs). All four regression moments are
-    // exact BIGINT sums over the ≤ 200-row relation (maxima ≤ 5.2e18 at
-    // sf0.1, under 2^63 — documented headroom); the slope is ONE IEEE
-    // division of two exact integers. Rank is the bounded triangular
+    // y = L(count); margin audit: see COVERAGE.md r15 audit section).
+    // All four regression moments are exact BIGINT sums over the
+    // ≤ 200-row relation (maxima ≤ 5.2e18 at sf0.1); the slope's
+    // k·sxy − sx·sy and k·sx2 − sx² combinations are ~200× the moments
+    // and would overflow int64 from roughly sf0.3, so each engine
+    // forms them in its own exact wide type (HUGEINT / DECIMAL(38,0),
+    // the q_hhi discipline) before the ONE IEEE division of two
+    // exact integers. Rank is the bounded triangular
     // self-join over the top-K relation — never a partition-less
     // window; the top-K cut itself is a TakeOrdered.
     sql2("q_zipf_slope",
@@ -383,7 +393,8 @@ object AnalyticsQueries {
         "    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
         "    CAST(sum(x * x) AS BIGINT) AS sx2 FROM xy) " +
         "SELECT k AS n_points, sx AS sum_x, sy AS sum_y, sxy AS sum_xy, sx2 AS sum_x2, " +
-        "  CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sx2 - sx * sx AS DOUBLE) AS slope " +
+        "  CAST(CAST(k AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) " +
+        "  / CAST(CAST(k AS DECIMAL(38,0)) * sx2 - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS slope " +
         "FROM m",
       "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
         "c AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok WHERE length(w) > 0 GROUP BY 1), " +
@@ -395,7 +406,8 @@ object AnalyticsQueries {
         "    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
         "    CAST(sum(x * x) AS BIGINT) AS sx2 FROM xy) " +
         "SELECT k AS n_points, sx AS sum_x, sy AS sum_y, sxy AS sum_xy, sx2 AS sum_x2, " +
-        "  CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sx2 - sx * sx AS DOUBLE) AS slope " +
+        "  CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "  / CAST(CAST(k AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope " +
         "FROM m"),
 
     // Synchronous label propagation (Raghavan et al. 2007) on the
@@ -531,30 +543,16 @@ object AnalyticsQueries {
     // form sign((py−y1)(x2−x1) − (px−x1)(y2−y1)) against the half-open
     // vertical rule (y1>py) ≠ (y2>py) — no division anywhere, so parity
     // is exact on any engine. Emits per-polygon containment counts and
-    // the contained-id checksum. Scale: the points×edges relation is
-    // |points|·Σ|edges| (18 edges here); at cluster scale the polygon
-    // set broadcasts and a bbox grid prefilter bounds the pair volume.
-    sql2("q_point_in_polygon",
-      "WITH pts AS (SELECT event_id, (event_id * 48271) % 1000 AS px, " +
-        "    (event_id * 16807) % 1000 AS py FROM events), " +
-        "poly AS (SELECT * FROM VALUES " +
-        "  (1, 1, 100, 100, 400, 100), (1, 2, 400, 100, 400, 400), (1, 3, 400, 400, 100, 400), (1, 4, 100, 400, 100, 100), " +
-        "  (2, 1, 500, 500, 900, 500), (2, 2, 900, 500, 700, 900), (2, 3, 700, 900, 500, 500), " +
-        "  (3, 1, 0, 600, 300, 600), (3, 2, 300, 600, 300, 800), (3, 3, 300, 800, 150, 800), " +
-        "  (3, 4, 150, 800, 150, 999), (3, 5, 150, 999, 0, 999), (3, 6, 0, 999, 0, 600), " +
-        "  (4, 1, 600, 0, 999, 0), (4, 2, 999, 0, 999, 300), (4, 3, 999, 300, 800, 150), " +
-        "  (4, 4, 800, 150, 600, 300), (4, 5, 600, 300, 600, 0) " +
-        "  AS v(pid, i, x1, y1, x2, y2)), " +
-        "cr AS (SELECT p.event_id, g.pid, " +
-        "    CAST(sum(CASE WHEN (g.y1 > p.py) <> (g.y2 > p.py) " +
-        "      AND (CASE WHEN g.y2 > g.y1 " +
-        "           THEN (p.py - g.y1) * (g.x2 - g.x1) - (p.px - g.x1) * (g.y2 - g.y1) > 0 " +
-        "           ELSE (p.py - g.y1) * (g.x2 - g.x1) - (p.px - g.x1) * (g.y2 - g.y1) < 0 END) " +
-        "      THEN 1 ELSE 0 END) AS BIGINT) AS crossings " +
-        "  FROM pts p CROSS JOIN poly g GROUP BY 1, 2) " +
-        "SELECT pid AS polygon_id, CAST(sum(crossings % 2) AS BIGINT) AS n_inside, " +
-        "  CAST(sum(CASE WHEN crossings % 2 = 1 THEN event_id ELSE 0 END) AS BIGINT) AS id_sum " +
-        "FROM cr GROUP BY 1 ORDER BY 1",
+    // the contained-id checksum. Scale: the polygon cell/edge relations
+    // broadcast, and a bbox GRID PREFILTER (Spatial.bboxCandidates — an
+    // equi-join on grid cell against the broadcast covered-cell
+    // relation) bounds the pair volume: only bbox survivors reach the
+    // 18-edge parity test. The prefilter is LOSSLESS (every
+    // non-candidate has even crossing parity — see Spatial scaladoc),
+    // which the oracle proves by re-deriving the same counts from the
+    // UNFILTERED points×edges cross join. Non-cartesian, broadcast-
+    // hash-only plan asserted in PlanAuditSpec.
+    dfq("q_point_in_polygon",
       "WITH pts AS (SELECT event_id, (event_id * 48271) % 1000 AS px, " +
         "    (event_id * 16807) % 1000 AS py FROM events), " +
         "poly AS (SELECT * FROM (VALUES " +
@@ -574,6 +572,25 @@ object AnalyticsQueries {
         "  FROM pts p CROSS JOIN poly g GROUP BY 1, 2) " +
         "SELECT pid AS polygon_id, CAST(sum(crossings % 2) AS BIGINT) AS n_inside, " +
         "  CAST(sum(CASE WHEN crossings % 2 = 1 THEN event_id ELSE 0 END) AS BIGINT) AS id_sum " +
-        "FROM cr GROUP BY 1 ORDER BY 1"),
+        "FROM cr GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      import s.implicits._
+      val pts = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          (col("event_id") * 48271L % 1000L).as("px"),
+          (col("event_id") * 16807L % 1000L).as("py"))
+      val edges = Seq(
+        (1, 1, 100, 100, 400, 100), (1, 2, 400, 100, 400, 400),
+        (1, 3, 400, 400, 100, 400), (1, 4, 100, 400, 100, 100),
+        (2, 1, 500, 500, 900, 500), (2, 2, 900, 500, 700, 900),
+        (2, 3, 700, 900, 500, 500),
+        (3, 1, 0, 600, 300, 600), (3, 2, 300, 600, 300, 800),
+        (3, 3, 300, 800, 150, 800), (3, 4, 150, 800, 150, 999),
+        (3, 5, 150, 999, 0, 999), (3, 6, 0, 999, 0, 600),
+        (4, 1, 600, 0, 999, 0), (4, 2, 999, 0, 999, 300),
+        (4, 3, 999, 300, 800, 150), (4, 4, 800, 150, 600, 300),
+        (4, 5, 600, 300, 600, 0)
+      ).toDF("pid", "i", "x1", "y1", "x2", "y2")
+      graft.operators.Spatial.pointInPolygonCounts(pts, edges, idCol = "event_id", cellSize = 250)
+    },
   )
 }

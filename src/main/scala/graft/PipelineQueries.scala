@@ -1989,12 +1989,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // Stubbed resize (stride-sampled payload to a pixel budget) composed
-    // with feature extraction — media table in, media table out.
-    // ORACLE-CHECKED (r10): the 64×64 budget is 64 bytes, so DuckDB
-    // first re-derives the stride sample ((i·stride).toInt in the same
-    // double arithmetic) as a byte list, then replays the decode fold
-    // over it exactly as the q_multimodal_decode oracle does.
+    // OPAQUE-payload resize (stride-sampled payload to a pixel budget)
+    // composed with feature extraction — media table in, media table
+    // out. The payloads here are raw text bytes no codec claims, so the
+    // generic Multimodal.resize takes its opaque fallback branch (PNG
+    // payloads take the REAL decode→NN-scale→re-encode branch — proven
+    // by q_media_resize_png below). ORACLE-CHECKED (r10): the 64×64
+    // budget is 64 bytes, so DuckDB first re-derives the stride sample
+    // ((i·stride).toInt in the same double arithmetic) as a byte list,
+    // then replays the decode fold over it exactly as the
+    // q_multimodal_decode oracle does.
     dfq("q_multimodal_resize",
       "WITH RECURSIVE src AS (SELECT doc_id, text, length(text) AS n FROM documents), " +
         "resized AS (SELECT doc_id, " +
@@ -2021,6 +2025,39 @@ object PipelineQueries {
           floor(element_at(col("features"), 1).cast("double") * 10000 + 0.5)
             .cast("long").as("f0fp"))
         .orderBy("doc_id")
+    },
+
+    // The GENERIC media resize on REAL PNG payloads (r15 verdict #4):
+    // the same media table contract as q_multimodal_resize, but the
+    // payloads are real PNGs, so Multimodal.resize magic-sniffs them
+    // and takes the decode → NN-scale → re-encode branch instead of the
+    // opaque stride fallback. The pipeline then really decodes the
+    // resized payloads and checksums the rasters; the ORACLE replays
+    // the identical integer-division NN sampling on the generated
+    // source raster (PNG is lossless, so no codec is needed oracle-
+    // side). Any stride-sampling of compressed bytes here would
+    // hash-fail instantly — this is the proof the stub comment used to
+    // disclaim.
+    dfq("q_media_resize_png",
+      "WITH gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
+        "  FROM documents), " +
+        "px AS (SELECT doc_id, w, h, " +
+        "  [((doc_id*7 + i*3) % 256) * 65536 + ((doc_id*11 + i*5) % 256) * 256 " +
+        "   + ((doc_id*13 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM gen), " +
+        "rs AS (SELECT doc_id, " +
+        "  [pixels[CAST(((i // 6) * h // 5) * w + ((i % 6) * w // 6) + 1 AS INT)] " +
+        "   FOR i IN range(0, 30)] AS rp FROM px) " +
+        "SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height, " +
+        "  CAST(len(rp) AS BIGINT) AS n_px, " +
+        "  CAST(list_sum(list_transform(rp, p -> p // 65536)) AS BIGINT) AS sum_r, " +
+        "  CAST(list_sum(list_transform(rp, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
+        "  CAST(list_sum(list_transform(rp, p -> p % 256)) AS BIGINT) AS sum_b, " +
+        "  md5(array_to_string(rp, ',')) AS pix_md5 " +
+        "FROM rs ORDER BY doc_id") { (s, dir) =>
+      val png = Multimodal.encodePng(
+        imageRaster(Tables.load(s, dir, "documents")), "doc_id", "w", "h", "pixels")
+      val small = Multimodal.resize(png, "doc_id", width = 6, height = 5)
+      imageChecksums(Multimodal.decodeImage(small, "doc_id")).orderBy("doc_id")
     },
 
     // REAL WAV codec round-trip (retires the last multimodal stub): a

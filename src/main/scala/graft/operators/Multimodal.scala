@@ -150,15 +150,23 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB resize — deterministic stride-sampling of the payload bytes to
-    * the target pixel budget (???: a real implementation decodes, scales,
-    * re-encodes; no codecs in this environment). Same partition-batched
-    * shape as [[extractFeatures]]: payload in, smaller payload + updated
-    * metadata out, decoder handle initialized once per partition. Output
-    * schema: (id, payload binary, meta struct) — a media table again, so
-    * resize composes with extractFeatures/sampleFrames.
+  /** Generic media resize — REAL codec path for PNG payloads, opaque
+    * fallback for everything else. PNG payloads (magic-sniffed) are
+    * decoded with the JDK reader, nearest-neighbor-scaled to
+    * width×height with the same integer-division index math as
+    * [[resizeImage]] (exactly replayable in SQL), and re-encoded to
+    * PNG; an undecodable PNG-sniffed payload yields a NULL payload with
+    * metadata kept. OPAQUE payloads (no codec claims a match) keep the
+    * deterministic stride-sampling fallback to the target pixel budget
+    * — honest downsampling of bytes the engine cannot interpret. Same
+    * partition-batched shape as [[extractFeatures]]: payload in,
+    * smaller payload + updated metadata out, decoder handle initialized
+    * once per partition. Output schema: (id, payload binary, meta
+    * struct) — a media table again, so resize composes with
+    * extractFeatures/sampleFrames.
     */
   def resize(df: DataFrame, idCol: String, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, s"resize: target $width x $height must be positive")
     val spark = df.sparkSession
     val inSchema = df.schema
     val idIdx = inSchema.fieldIndex(idCol)
@@ -168,11 +176,13 @@ object Multimodal {
       inSchema(idIdx),
       StructField("payload", BinaryType),
       StructField("meta", metadataType)))
-    // Stub byte budget — Long math (width·height overflows Int at 64k²).
+    // Opaque-fallback byte budget — Long math (width·height overflows
+    // Int at 64k²).
     val budget = math.min(Int.MaxValue.toLong,
       math.max(1L, width.toLong * height.toLong / 64)).toInt
     val rdd = df.rdd.mapPartitions { rows =>
-      // Real pipelines initialize the decoder/scaler here, once.
+      javax.imageio.ImageIO.setUseCache(false) // once per partition
+      val baos = new java.io.ByteArrayOutputStream(1 << 12)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val meta = r.getStruct(metaIdx)
@@ -180,6 +190,32 @@ object Multimodal {
           // NULL payload rides through as NULL with its metadata kept —
           // one bad row must not fail the stage.
           Row(r.get(idIdx), null, meta)
+        } else if (isPng(payload)) {
+          // REAL branch: decode → NN scale → re-encode.
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) Row(r.get(idIdx), null, meta)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val out = new java.awt.image.BufferedImage(
+              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var ty = 0
+            while (ty < height) {
+              val sy = ty * h / height
+              var tx = 0
+              while (tx < width) {
+                out.setRGB(tx, ty, img.getRGB(tx * w / width, sy))
+                tx += 1
+              }
+              ty += 1
+            }
+            baos.reset()
+            javax.imageio.ImageIO.write(out, "png", baos)
+            val bytes = baos.toByteArray
+            val crc = new java.util.zip.CRC32(); crc.update(bytes)
+            Row(r.get(idIdx), bytes,
+              Row(meta.getString(0), bytes.length.toLong, crc.getValue, width, height))
+          }
         } else {
           val out =
             if (payload.length <= budget) payload

@@ -130,4 +130,34 @@ class NegativeSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("maxHops"), e4.getMessage)
   }
+
+  test("r15/r16 operators validate their arguments cleanly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    // landmarkDistances: zero landmarks / negative hop cap are contract
+    // errors (same convention the r14 operators spec'd).
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Components.landmarkDistances(edges, "u", "v", nLandmarks = 0, maxHops = 5)
+    }
+    assert(e1.getMessage.contains("nLandmarks"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Components.landmarkDistances(edges, "u", "v", nLandmarks = 8, maxHops = -1)
+    }
+    assert(e2.getMessage.contains("maxHops"), e2.getMessage)
+    // Spatial: a non-positive grid cell would divide by zero / loop the
+    // cell explode.
+    val pts = Seq((1L, 10L, 10L)).toDF("event_id", "px", "py")
+    val poly = Seq((1, 1, 0, 0, 10, 0)).toDF("pid", "i", "x1", "y1", "x2", "y2")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Spatial.pointInPolygonCounts(pts, poly, cellSize = 0)
+    }
+    assert(e3.getMessage.contains("cellSize"), e3.getMessage)
+    // Generic media resize: non-positive target dims are a construction
+    // error, not a per-row data problem.
+    val media = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val e4 = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.resize(media, "id", width = 0, height = 4)
+    }
+    assert(e4.getMessage.contains("positive"), e4.getMessage)
+  }
 }

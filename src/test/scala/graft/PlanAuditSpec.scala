@@ -667,4 +667,38 @@ class PlanAuditSpec extends AnyFunSuite {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("point-in-polygon: edge test runs only on the grid-prefiltered relation") {
+    // The 100 TB contract of Spatial.pointInPolygonCounts: points reach
+    // the 18-edge parity test only through the bbox grid prefilter — an
+    // EQUI-join on (cx, cy) against the broadcast covered-cell relation,
+    // then a broadcast equi-join on pid for the edges. A plan audit on
+    // the ENTRY would also pass if the prefilter silently degraded to a
+    // cartesian, so assert both the builder's own executed plan and the
+    // entry's: broadcast hash joins only, no CartesianProduct /
+    // BroadcastNestedLoopJoin anywhere.
+    import spark.implicits._
+    val pts = Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        (org.apache.spark.sql.functions.col("event_id") * 48271L % 1000L).as("px"),
+        (org.apache.spark.sql.functions.col("event_id") * 16807L % 1000L).as("py"))
+    val edges = Seq(
+      (1, 1, 100, 100, 400, 100), (1, 2, 400, 100, 400, 400),
+      (1, 3, 400, 400, 100, 400), (1, 4, 100, 400, 100, 100)
+    ).toDF("pid", "i", "x1", "y1", "x2", "y2")
+    val cand = graft.operators.Spatial.bboxCandidates(pts, edges, "event_id", 250)
+    cand.collect()
+    val candPlan = cand.queryExecution.executedPlan.toString
+    assert(candPlan.contains("BroadcastHashJoin"),
+      s"bbox prefilter must be a broadcast EQUI-join on the cell keys:\n$candPlan")
+    assert(!candPlan.contains("CartesianProduct") &&
+      !candPlan.contains("BroadcastNestedLoopJoin"),
+      s"bbox prefilter degraded to a cartesian:\n$candPlan")
+    val plan = planOf("q_point_in_polygon")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q_point_in_polygon must not cross-join points with edges:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected cell-prefilter AND edge joins as broadcast hash joins:\n$plan")
+  }
 }
