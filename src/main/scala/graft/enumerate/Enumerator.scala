@@ -260,6 +260,13 @@ final class Enumerator(
   def orderCost(order: Seq[Int]): Double =
     (2 until order.size).map(k => estimate(order.take(k))).sum
 
+  /** The reference's post-enumeration fix-up applied to an order over
+    * THIS enumerator's adjacency — behavior-parity A/B surface only
+    * (see [[Enumerator.adjustPlanForMapD]]).
+    */
+  def adjustedOrder(order: Seq[Int]): Seq[Int] =
+    Enumerator.adjustPlanForMapD(graph, order)
+
   /** The stock baseline order: largest sketch count first, then repeatedly
     * the largest instance adjacent to the placed prefix (largest remaining
     * when nothing connects — the Cross case), ties to the smaller id.
@@ -365,6 +372,77 @@ final class Enumerator(
 }
 
 object Enumerator {
+  /** Behavior-parity port of the reference's left-deep fix-up pass
+    * (reference: mapd-core/QueryEngine/RelAlgExecutor.cpp:2327-2395,
+    * applied to the winning traversal at :2558). A/B-ONLY — never on the
+    * shipping path: this enumerator's DFS emits connected prefixes, and
+    * the reference's does too (both extension phases gate on adjacency
+    * to the current path — :2255-2278 children, :2282-2307
+    * all_adjacent_nodes), so the pass exists for MapD's nest-level
+    * constraint ("re-order: leaves after internal nodes", :2316-2325),
+    * not for left-deep validity. Ported exactly, quirks included:
+    *  - a leaf whose single neighbor is not yet placed always swaps
+    *    positions 0 and 1 of the traversal (:2338-2343) — on a
+    *    connected order this can only fire for a leaf at index 0, and
+    *    the swap puts its parent first (same prefix SETS, so identical
+    *    Σ intermediates);
+    *  - the output keeps the prefix through the LAST leaf verbatim and
+    *    re-inserts each later INTERNAL node directly after its
+    *    latest-placed neighbor (:2359-2391);
+    *  - an internal node with no placed neighbor — reachable only on a
+    *    leafless (all-cycle) graph, where the kept prefix is empty — is
+    *    DROPPED (:2384-2386 inserts nothing), and a leaf in the tail
+    *    would be dropped too (:2387-2389 empty else); both are
+    *    unreachable on leaf-bearing graphs and documented here so the
+    *    A/B can assert node-set preservation per family instead of
+    *    assuming it.
+    */
+  def adjustPlanForMapD(graph: Map[Int, Seq[Int]], order: Seq[Int]): Seq[Int] = {
+    if (order.size < 2) return order
+    val trav = scala.collection.mutable.ArrayBuffer(order: _*)
+    val connected = scala.collection.mutable.Set.empty[Int]
+    var lastLeafIdx = -1 // unsigned -1 in the reference; +1 overflows to 0 there and here
+    var i = 0
+    while (i < trav.size) {
+      val adj = graph.getOrElse(trav(i), Nil)
+      if (adj.size == 1) {
+        if (!connected.contains(adj.head)) {
+          val tmp = trav(0); trav(0) = trav(1); trav(1) = tmp
+        }
+        lastLeafIdx = i
+      }
+      // internal node with all neighbors placed "became a leaf" — the
+      // reference only logs this (:2344-2356)
+      connected += trav(i) // after a swap at i=0 this is the NEW head, as in the reference
+      i += 1
+    }
+    val cut = lastLeafIdx + 1
+    val result = scala.collection.mutable.ArrayBuffer(trav.take(cut).toSeq: _*)
+    val connected2 = scala.collection.mutable.Set.empty[Int]
+    connected2 ++= result
+    var j = cut
+    while (j < trav.size) {
+      val node = trav(j)
+      val adj = graph.getOrElse(node, Nil)
+      if (adj.size != 1) {
+        var closest = -1
+        adj.foreach { a =>
+          var k = 0
+          result.foreach { placed =>
+            if (connected2.contains(placed) && placed == a && k > closest) closest = k
+            k += 1
+          }
+        }
+        if (closest != -1) result.insert(closest + 1, node)
+        // closest == -1: dropped ("internal node remained as a leaf")
+      }
+      // tail leaf: the reference appends nothing
+      connected2 += node
+      j += 1
+    }
+    result.toSeq
+  }
+
   /** Default: seed-alignment-guarded hybrid — reference product-median
     * where its math holds (one seed class), independence cascade
     * everywhere else (see the alignment-guard comment in `estimate`).

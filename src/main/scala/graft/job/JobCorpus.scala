@@ -809,4 +809,21 @@ object JobCorpus {
       graft.planner.OptimizerQuality.abForQuery(spark, cs, name,
         spark.sql(byName(name))))
   }
+
+  /** Behavior-parity A/B of the reference's `adjustPlanForMapD` fix-up
+    * over the JOB compass families (r15 verdict #6) — see
+    * [[graft.planner.OptimizerQuality.adjustParityForQuery]].
+    */
+  def abAdjustParity(spark: SparkSession,
+      cs: graft.planner.CompassSession,
+      families: Seq[String] = compassSubset,
+      sfDir: String = ""): Seq[graft.planner.OptimizerQuality.ParityAB] = {
+    val m = scaleFor(sfDir)
+    ensureData(spark, m)
+    registerViews(spark, m)
+    val byName = queries.toMap
+    families.map(name =>
+      graft.planner.OptimizerQuality.adjustParityForQuery(spark, cs, name,
+        spark.sql(byName(name))))
+  }
 }

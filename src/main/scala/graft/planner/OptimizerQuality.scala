@@ -322,4 +322,48 @@ object OptimizerQuality {
       casCostOfRef = costOf(ref), casCostOfCas = costOf(cas))
   }
 
+  /** One query's `adjustPlanForMapD` behavior-parity verdict (r15
+    * verdict #6, SURVEY §7.4.4): the shipping enumerator's chosen order
+    * vs the reference's post-enumeration fix-up pass applied to that
+    * order over the same adjacency
+    * ([[graft.enumerate.Enumerator.adjustPlanForMapD]]). `identical`
+    * means the pass is a no-op on this family; `firstTwoSwapOnly` is
+    * the one benign rewrite a connected order can trigger (leaf-first
+    * start — prefix SETS unchanged, so Σ intermediates provably equal);
+    * anything else is a genuine re-ordering, adjudicated by measured
+    * Σ true intermediates exactly as the §4 estimator A/B.
+    */
+  final case class ParityAB(family: String, order: Seq[String],
+      adjusted: Seq[String], chosenSum: Long, adjustedSum: Long) {
+    def identical: Boolean = order == adjusted
+    def sameSet: Boolean =
+      order.size == adjusted.size && order.toSet == adjusted.toSet
+    def firstTwoSwapOnly: Boolean = !identical && order.size >= 2 &&
+      adjusted == Seq(order(1), order(0)) ++ order.drop(2)
+  }
+
+  /** Measure one query's fix-up parity: one sketch set, the shipping
+    * (hybrid) enumeration, the ported fix-up, and — only when the pass
+    * actually re-ordered — the adjusted order's own Σ true
+    * intermediates from its executed spine. A node-dropping rewrite
+    * (reachable only on leafless graphs — see the port's scaladoc)
+    * reports adjustedSum = -1 rather than measuring a different join.
+    */
+  def adjustParityForQuery(spark: SparkSession, cs: CompassSession,
+      name: String, df: org.apache.spark.sql.DataFrame): ParityAB = {
+    val (g, nodes, edges) = cs.sketchGraph(df)
+    import graft.enumerate.Enumerator
+    val en = new Enumerator(nodes, edges)
+    val chosen = en.optimalOrder()._1
+    val adjusted = en.adjustedOrder(chosen)
+    val toNames = (o: Seq[Int]) => o.map(g.instances(_).name)
+    val chosenSum = prefixRows(spark, g, chosen).sum
+    val adjustedSum =
+      if (adjusted == chosen) chosenSum
+      else if (adjusted.size == chosen.size && adjusted.toSet == chosen.toSet)
+        prefixRows(spark, g, adjusted).sum
+      else -1L
+    ParityAB(name, toNames(chosen), toNames(adjusted), chosenSum, adjustedSum)
+  }
+
 }

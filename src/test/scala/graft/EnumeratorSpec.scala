@@ -449,4 +449,41 @@ class EnumeratorSpec extends AnyFunSuite {
     val expected = math.max(4000.0 * 2000.0 * 60.0 * selK * selJ, 1.0)
     assert(math.abs(cas.estimate(Seq(0, 1, 2)) - expected) < 1e-6 * expected)
   }
+
+  test("adjustPlanForMapD port: golden rewrites on hand graphs") {
+    // Star: 0 is the hub, 1..3 are leaves (adjacency mirrors the
+    // reference's graph shape — node -> adjacent list).
+    val star = Map(0 -> Seq(1, 2, 3), 1 -> Seq(0), 2 -> Seq(0), 3 -> Seq(0))
+    // Internal-first connected order: the pass is a NO-OP (every leaf's
+    // parent is placed, the trailing node is a leaf so the kept prefix
+    // is the whole traversal).
+    assert(Enumerator.adjustPlanForMapD(star, Seq(0, 1, 2, 3)) == Seq(0, 1, 2, 3))
+    // Leaf-first start: the reference swaps positions 0 and 1
+    // (:2338-2343) — parent first, identical prefix SETS.
+    assert(Enumerator.adjustPlanForMapD(star, Seq(1, 0, 2, 3)) == Seq(0, 1, 2, 3))
+    // Chain 0-1-2-3, order (0, 1, 3, 2): the leaf-start swap fires at
+    // i=0 AND AGAIN at i=2 (leaf 3's parent unplaced — the reference
+    // swaps positions 0/1 regardless of where the orphan leaf sits), the
+    // two cancel, and the tail reinsertion puts 2 back after its
+    // latest-placed neighbor 3 — a hand-traced NO-OP overall.
+    val chain = Map(0 -> Seq(1), 1 -> Seq(0, 2), 2 -> Seq(1, 3), 3 -> Seq(2))
+    assert(Enumerator.adjustPlanForMapD(chain, Seq(0, 1, 3, 2)) == Seq(0, 1, 3, 2))
+    // Genuine rewrite: star 0-(1,2,3) with tail 3-4. Order
+    // (0, 1, 4, 2, 3): orphan leaf 4 at i=2 swaps the FRONT pair
+    // (1, 0, ...), the kept prefix runs through last leaf 2, and
+    // internal node 3 is re-inserted after its latest-placed neighbor
+    // (4, index 2) — ahead of leaf 2. Hand-traced against the C++.
+    val starTail = Map(0 -> Seq(1, 2, 3), 1 -> Seq(0), 2 -> Seq(0),
+      3 -> Seq(0, 4), 4 -> Seq(3))
+    assert(Enumerator.adjustPlanForMapD(starTail, Seq(0, 1, 4, 2, 3)) ==
+      Seq(1, 0, 4, 3, 2))
+    // Leafless cycle: the kept prefix is empty and the first node has no
+    // placed neighbor — the reference DROPS nodes here (documented quirk
+    // the parity A/B asserts never fires on leaf-bearing JOB graphs).
+    val cycle = Map(0 -> Seq(1, 2), 1 -> Seq(0, 2), 2 -> Seq(0, 1))
+    val adjusted = Enumerator.adjustPlanForMapD(cycle, Seq(0, 1, 2))
+    assert(adjusted.size < 3, s"leafless-cycle drop quirk vanished: $adjusted")
+    // Short orders pass through untouched.
+    assert(Enumerator.adjustPlanForMapD(star, Seq(1)) == Seq(1))
+  }
 }

@@ -144,6 +144,70 @@ class JobCorpusSpec extends AnyFunSuite {
     } finally cs.close()
   }
 
+  test("adjustPlanForMapD behavior-parity across ALL 33 JOB families") {
+    // ESTIMATES.md §5 gate (r15 verdict #6, SURVEY §7.4.4): the shipping
+    // enumerator constrains the DFS to connected prefixes instead of
+    // running the reference's post-enumeration fix-up pass; the survey
+    // prescribed keeping a behavior-parity mode for A/B. The pass is
+    // ported verbatim (Enumerator.adjustPlanForMapD, quirks included)
+    // and applied to every family's chosen order: identical permutations
+    // prove the no-op claim; the one benign rewrite a connected order
+    // can trigger (leaf-first start → positions 0/1 swapped) has
+    // provably identical prefix SETS, which the measured sums confirm;
+    // any other rewrite gets the §4 Σ-true-intermediates adjudication.
+    // The node-dropping quirk (leafless graphs) must never fire on the
+    // leaf-bearing JOB graphs. Table dumped to target/parity.md; the
+    // committed copy lives at ESTIMATES.md §5.
+    JobCorpus.ensureData(spark)
+    JobCorpus.registerViews(spark)
+    val cs = new CompassSession(spark,
+      templateCache = Some(SketchTemplateCache.default()))
+    try {
+      val t0 = System.nanoTime()
+      val rows = JobCorpus.abAdjustParity(spark, cs)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(rows.size == 33)
+      val table = new StringBuilder
+      table ++= "| family | chosen (shipping) | adjusted (reference pass) | verdict | Σ true chosen | Σ true adjusted |\n"
+      table ++= "|---|---|---|---|---|---|\n"
+      var identical = 0; var swaps = 0
+      rows.foreach { r =>
+        assert(r.sameSet,
+          s"${r.family}: fix-up dropped/duplicated nodes — " +
+            s"${r.order} -> ${r.adjusted}")
+        val verdict =
+          if (r.identical) { identical += 1; "identical" }
+          else if (r.firstTwoSwapOnly) { swaps += 1; "0/1 swap (same prefix sets)" }
+          else "re-ordered"
+        if (r.firstTwoSwapOnly)
+          assert(r.adjustedSum == r.chosenSum,
+            s"${r.family}: 0/1 swap changed measured intermediates " +
+              s"(${r.chosenSum} vs ${r.adjustedSum}) — prefix-set proof broken")
+        info(s"${r.family}: $verdict chosen=${r.order.mkString("→")}" +
+          (if (r.identical) "" else s" adjusted=${r.adjusted.mkString("→")}"))
+        table ++= s"| ${r.family} | ${r.order.mkString("→")} | " +
+          (if (r.identical) "(identical)" else r.adjusted.mkString("→")) +
+          s" | $verdict | ${r.chosenSum} | ${r.adjustedSum} |\n"
+      }
+      table ++= f"\n33 families, $identical identical, $swaps benign 0/1 swaps, " +
+        f"${33 - identical - swaps} re-ordered; measured in $secs%.1f s\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/parity.md"), table.toString)
+      // The fidelity claim the shipping enumerator rests on: on
+      // connected orders the reference pass never produces a BETTER
+      // order — and empirically it is (near-)always a no-op.
+      rows.filterNot(r => r.identical || r.firstTwoSwapOnly).foreach { r =>
+        assert(r.adjustedSum >= 0, s"${r.family}: unmeasurable adjusted order")
+        assert(r.chosenSum <= 5L * r.adjustedSum + 64,
+          s"${r.family}: reference fix-up found a materially better order " +
+            s"(${r.adjustedSum} vs chosen ${r.chosenSum}) — parity claim broken")
+      }
+      assert(identical + swaps >= 30,
+        s"fix-up re-ordered ${33 - identical - swaps} families — " +
+          "the no-op claim needs re-adjudication")
+    } finally cs.close()
+  }
+
   test("estimator telemetry across ALL 33 JOB families: spine q-error banded") {
     // Same drift canary as OptimizerQualitySpec's chain5/snowflake4, on
     // IMDb-shaped graphs (string-predicate dims, fact-fact movie_id
