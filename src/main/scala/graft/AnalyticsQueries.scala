@@ -128,9 +128,10 @@ object AnalyticsQueries {
     // the mixture M_t = (a_t·B + b_t·A)/(2AB) has an INTEGER numerator
     // m_t, so both KL terms ride the ratio-log micro-bit lattice:
     // log2(P_t/M_t) = [L(2·a_t·B) − L(m_t)]/1e6 exactly (committed
-    // margin audit: see COVERAGE.md r15 audit section — min boundary
-    // distance across sf0.001/0.01/0.1 ≫ the 1e-5 in-expression guard;
-    // operands ≤ 2AB ~ 2e10 at sf0.1, far under 2^63). The JSD
+    // margin audit, COVERAGE.md r16 / tools/margin_audit.py: min
+    // boundary distance 1.47e-2 µbits across sf0.001/0.01/0.1 — 1466×
+    // the 1e-5 in-expression guard; operands ≤ 2AB ~ 7.7e8 at sf0.1,
+    // far under 2^63). The JSD
     // convention 0·log 0 = 0 is implemented explicitly: a type with
     // zero weekend (a_t = 0) or zero weekday (b_t = 0) events gets a
     // 0.0 term via CASE, so neither engine ever evaluates log2(0).
@@ -171,10 +172,12 @@ object AnalyticsQueries {
     // in-engine — the in-database ML primitive: Laplace-smoothed
     // per-lang word likelihoods, score_l(d) = Σ_w c_wd·[L(c_wl+1) −
     // L(N_l+V)] + L(D_l) − L(D), every term an exact micro-bit lattice
-    // integer (committed margin audit over ALL 166 lattice operands:
-    // min boundary distance 7.2e-4 across sf0.001/0.01/0.1 — 72× the
-    // guard; min winner-vs-runner-up margin 454 micro-bits, so the
-    // argmax can never flip). Accuracy 0.41-0.47 vs 0.20 chance on the
+    // integer (committed margin audit, COVERAGE.md r16 /
+    // tools/margin_audit.py, over every distinct lattice operand —
+    // 91/91/134 at sf0.001/0.01/0.1: min boundary distance 7.2e-4,
+    // 72× the guard; min winner-vs-runner-up margin 454 micro-bits at
+    // sf0.01, 4239/8839 at sf0.001/sf0.1, so the argmax can never
+    // flip). Accuracy 0.41-0.47 vs 0.20 chance on the
     // synthetic corpus (langs share the 31-word vocab but differ in
     // frequencies). Scale: token relation keyed on w, the (w, lang)
     // model and scalar totals broadcast; per-doc argmax is a keyed
@@ -229,8 +232,10 @@ object AnalyticsQueries {
     // (lang='en') unigram LM against the raw-corpus LM — the published
     // data-selection recipe for pretraining mixtures. w_u(d) = Σ_w
     // c_wd·[(L(c_w,tgt+1) − L(N_tgt+V)) − (L(c_w,raw+1) − L(N_raw+V))]
-    // — exact lattice integers throughout (margin audit over all 64
-    // operands: min boundary distance 7.2e-4 across SFs); top-50 under
+    // — exact lattice integers throughout (committed margin audit,
+    // COVERAGE.md r16 / tools/margin_audit.py, over every distinct
+    // operand — 53/52/61 at sf0.001/0.01/0.1: min boundary distance
+    // 7.2e-4, 72× the guard); top-50 under
     // the unique (w_u, doc_id) total order. Selected set is 66-68%
     // target-lang vs 43.6% base rate at sf≥0.01 — genuinely selective.
     // Scale: doc-token relation keyed on w, both LMs broadcast.
@@ -372,7 +377,9 @@ object AnalyticsQueries {
     // tokenizer-design readout (how fast the long tail decays): a
     // log-log regression of frequency on rank over the top-200 tokens,
     // with BOTH coordinates on the micro-bit lattice (x = L(rank),
-    // y = L(count); margin audit: see COVERAGE.md r15 audit section).
+    // y = L(count); committed margin audit, COVERAGE.md r16 /
+    // tools/margin_audit.py — 57/55/61 distinct operands at
+    // sf0.001/0.01/0.1, min boundary distance 7.2e-4, 72× the guard).
     // All four regression moments are exact BIGINT sums over the
     // ≤ 200-row relation (maxima ≤ 5.2e18 at sf0.1); the slope's
     // k·sxy − sx·sy and k·sx2 − sx² combinations are ~200× the moments
