@@ -1638,8 +1638,11 @@ object Queries {
       // One enumeration only: fold the (large) triangle stream straight
       // into per-anchor counts — bounded by nodes — and derive BOTH
       // output rows (total = sum, top-10 = order) from that small
-      // persisted relation. The total/top CTE split in the oracle text
-      // would enumerate twice here (Catalyst inlines CTEs).
+      // relation. The total/top CTE split in the oracle text would
+      // enumerate twice here (Catalyst inlines CTEs); the two consumers
+      // share the anchors AGGREGATION through exchange reuse — an
+      // explicit persist measured SLOWER (SCALE.md r16 caching
+      // discipline), so pairs/anchors stay unpersisted by design.
       val anchors = graft.operators.OpCaches.track(s.sql(
         "SELECT e1.u AS a, count(*) AS c FROM graft_tri_pairs e1 " +
           "JOIN graft_tri_pairs e2 ON e2.u = e1.v " +
