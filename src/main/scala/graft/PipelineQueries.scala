@@ -1778,6 +1778,30 @@ object PipelineQueries {
     * from pure SQL expressions, so the DuckDB oracle regenerates the
     * identical raster with a list comprehension.
     */
+  /** Shared NN-resize oracle (DuckDB): re-derives the 6×5
+    * integer-division nearest-neighbor sample of the generated raster
+    * and its checksums. ONE source for BOTH q_image_resize (dedicated
+    * resizeImage) and q_media_resize_png (generic resize's PNG branch)
+    * — the two entries exist to prove the two code paths agree, so the
+    * expected output must be literally the same text.
+    */
+  private val resizeNnOracleSql: String =
+    "WITH gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
+      "  FROM documents), " +
+      "px AS (SELECT doc_id, w, h, " +
+      "  [((doc_id*7 + i*3) % 256) * 65536 + ((doc_id*11 + i*5) % 256) * 256 " +
+      "   + ((doc_id*13 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM gen), " +
+      "rs AS (SELECT doc_id, " +
+      "  [pixels[CAST(((i // 6) * h // 5) * w + ((i % 6) * w // 6) + 1 AS INT)] " +
+      "   FOR i IN range(0, 30)] AS rp FROM px) " +
+      "SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height, " +
+      "  CAST(len(rp) AS BIGINT) AS n_px, " +
+      "  CAST(list_sum(list_transform(rp, p -> p // 65536)) AS BIGINT) AS sum_r, " +
+      "  CAST(list_sum(list_transform(rp, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
+      "  CAST(list_sum(list_transform(rp, p -> p % 256)) AS BIGINT) AS sum_b, " +
+      "  md5(array_to_string(rp, ',')) AS pix_md5 " +
+      "FROM rs ORDER BY doc_id"
+
   private def imageRaster(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.select(col("doc_id"),
         (pmod(col("doc_id"), lit(13)) + 4).cast("int").as("w"),
@@ -1929,22 +1953,7 @@ object PipelineQueries {
     // reproducible in SQL, unlike Graphics2D interpolation) → PNG
     // re-encode → decode again. The oracle replays the NN sampling on
     // the generated raster; exact dims + conservation checksums.
-    dfq("q_image_resize",
-      "WITH gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
-        "  FROM documents), " +
-        "px AS (SELECT doc_id, w, h, " +
-        "  [((doc_id*7 + i*3) % 256) * 65536 + ((doc_id*11 + i*5) % 256) * 256 " +
-        "   + ((doc_id*13 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM gen), " +
-        "rs AS (SELECT doc_id, " +
-        "  [pixels[CAST(((i // 6) * h // 5) * w + ((i % 6) * w // 6) + 1 AS INT)] " +
-        "   FOR i IN range(0, 30)] AS rp FROM px) " +
-        "SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height, " +
-        "  CAST(len(rp) AS BIGINT) AS n_px, " +
-        "  CAST(list_sum(list_transform(rp, p -> p // 65536)) AS BIGINT) AS sum_r, " +
-        "  CAST(list_sum(list_transform(rp, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
-        "  CAST(list_sum(list_transform(rp, p -> p % 256)) AS BIGINT) AS sum_b, " +
-        "  md5(array_to_string(rp, ',')) AS pix_md5 " +
-        "FROM rs ORDER BY doc_id") { (s, dir) =>
+    dfq("q_image_resize", resizeNnOracleSql) { (s, dir) =>
       val png = Multimodal.encodePng(
         imageRaster(Tables.load(s, dir, "documents")), "doc_id", "w", "h", "pixels")
       val small = Multimodal.resizeImage(png, "doc_id", tw = 6, th = 5)
@@ -2038,22 +2047,7 @@ object PipelineQueries {
     // side). Any stride-sampling of compressed bytes here would
     // hash-fail instantly — this is the proof the stub comment used to
     // disclaim.
-    dfq("q_media_resize_png",
-      "WITH gen AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h " +
-        "  FROM documents), " +
-        "px AS (SELECT doc_id, w, h, " +
-        "  [((doc_id*7 + i*3) % 256) * 65536 + ((doc_id*11 + i*5) % 256) * 256 " +
-        "   + ((doc_id*13 + i*7) % 256) FOR i IN range(0, w*h)] AS pixels FROM gen), " +
-        "rs AS (SELECT doc_id, " +
-        "  [pixels[CAST(((i // 6) * h // 5) * w + ((i % 6) * w // 6) + 1 AS INT)] " +
-        "   FOR i IN range(0, 30)] AS rp FROM px) " +
-        "SELECT doc_id, CAST(6 AS INT) AS width, CAST(5 AS INT) AS height, " +
-        "  CAST(len(rp) AS BIGINT) AS n_px, " +
-        "  CAST(list_sum(list_transform(rp, p -> p // 65536)) AS BIGINT) AS sum_r, " +
-        "  CAST(list_sum(list_transform(rp, p -> (p // 256) % 256)) AS BIGINT) AS sum_g, " +
-        "  CAST(list_sum(list_transform(rp, p -> p % 256)) AS BIGINT) AS sum_b, " +
-        "  md5(array_to_string(rp, ',')) AS pix_md5 " +
-        "FROM rs ORDER BY doc_id") { (s, dir) =>
+    dfq("q_media_resize_png", resizeNnOracleSql) { (s, dir) =>
       val png = Multimodal.encodePng(
         imageRaster(Tables.load(s, dir, "documents")), "doc_id", "w", "h", "pixels")
       val small = Multimodal.resize(png, "doc_id", width = 6, height = 5)

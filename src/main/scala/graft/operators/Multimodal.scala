@@ -191,27 +191,11 @@ object Multimodal {
           // one bad row must not fail the stage.
           Row(r.get(idIdx), null, meta)
         } else if (isPng(payload)) {
-          // REAL branch: decode → NN scale → re-encode.
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
-          if (img == null) Row(r.get(idIdx), null, meta)
+          // REAL branch: decode → NN scale → re-encode (shared with
+          // resizeImage via nnScalePng, so the codec paths cannot drift).
+          val bytes = nnScalePng(payload, width, height, baos)
+          if (bytes == null) Row(r.get(idIdx), null, meta)
           else {
-            val w = img.getWidth; val h = img.getHeight
-            val out = new java.awt.image.BufferedImage(
-              width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var ty = 0
-            while (ty < height) {
-              val sy = ty * h / height
-              var tx = 0
-              while (tx < width) {
-                out.setRGB(tx, ty, img.getRGB(tx * w / width, sy))
-                tx += 1
-              }
-              ty += 1
-            }
-            baos.reset()
-            javax.imageio.ImageIO.write(out, "png", baos)
-            val bytes = baos.toByteArray
             val crc = new java.util.zip.CRC32(); crc.update(bytes)
             Row(r.get(idIdx), bytes,
               Row(meta.getString(0), bytes.length.toLong, crc.getValue, width, height))
@@ -346,27 +330,10 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val meta = r.getStruct(metaIdx)
-        val img =
-          if (payload == null) null
-          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        if (img == null) Row(r.get(idIdx), null, meta)
+        val bytes =
+          if (payload == null) null else nnScalePng(payload, tw, th, baos)
+        if (bytes == null) Row(r.get(idIdx), null, meta)
         else {
-          val w = img.getWidth; val h = img.getHeight
-          val out = new java.awt.image.BufferedImage(
-            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var ty = 0
-          while (ty < th) {
-            val sy = ty * h / th
-            var tx = 0
-            while (tx < tw) {
-              out.setRGB(tx, ty, img.getRGB(tx * w / tw, sy))
-              tx += 1
-            }
-            ty += 1
-          }
-          baos.reset()
-          javax.imageio.ImageIO.write(out, "png", baos)
-          val bytes = baos.toByteArray
           val crc = new java.util.zip.CRC32(); crc.update(bytes)
           Row(r.get(idIdx), bytes,
             Row(meta.getString(0), bytes.length.toLong, crc.getValue, tw, th))
@@ -374,6 +341,38 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode → integer-division nearest-neighbor scale → PNG re-encode of
+    * one payload; the ONE implementation behind both [[resizeImage]] and
+    * the generic [[resize]]'s PNG branch (two entries exist to prove
+    * those paths agree, so the scaler must be literally shared). Returns
+    * null when the payload does not decode; `baos` is the caller's
+    * per-partition reuse buffer.
+    */
+  private def nnScalePng(payload: Array[Byte], tw: Int, th: Int,
+      baos: java.io.ByteArrayOutputStream): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < th) {
+        val sy = ty * h / th
+        var tx = 0
+        while (tx < tw) {
+          out.setRGB(tx, ty, img.getRGB(tx * w / tw, sy))
+          tx += 1
+        }
+        ty += 1
+      }
+      baos.reset()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
   }
 
   // ---------------------------------------------------------------------

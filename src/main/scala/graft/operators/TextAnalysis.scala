@@ -217,9 +217,10 @@ object TextAnalysis {
     * tie-break all re-derived on a second engine (per-doc agreement
     * verified at sf0.001/0.01/0.1). Yields `(lang_pred, n)` rows.
     */
-  def langIdOracleSql(table: String = "documents", textCol: String = "text"): String =
+  def langIdOracleSql(table: String = "documents", textCol: String = "text",
+      idCol: String = "doc_id"): String =
     "SELECT lang_pred, count(*) AS n FROM (" +
-      langIdPerDocOracleSql(table, textCol, "doc_id") +
+      langIdPerDocOracleSql(table, textCol, idCol) +
       ") GROUP BY 1 ORDER BY 1"
 
   /** Per-row variant of [[langIdOracleSql]]: (idCol, lang_pred) — the
