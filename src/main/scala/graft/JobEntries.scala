@@ -60,12 +60,15 @@ object JobEntries {
       JobCorpus.runAll(s, dir)
     },
 
-    // A representative subset through the full COMPASS path (extraction →
-    // sketches → enumeration → splice), counts checked against the same
-    // DuckDB twin — proving the literal workload takes the optimized
-    // path with identical results.
-    dfq("q_job_compass", JobCorpus.duckOracleSqlFor(JobCorpus.compassSubset)) {
-      (s, _) => JobCorpus.runCompassSubset(s, compassFor(s))
+    // The ENTIRE corpus through the full COMPASS path (extraction →
+    // sketches → enumeration → splice → execute), counts checked against
+    // the same DuckDB twin — the reference's headline experiment is all
+    // 113 queries with `\fpd` on (reference README.md:57), and since r17
+    // this entry runs exactly that, not the one-per-family sample
+    // (r16 verdict #1). Per-query [sketch, enum, exec] telemetry rides
+    // lastCompassRuns into the bench record.
+    dfq("q_job_compass", JobCorpus.duckOracleSqlFor(JobCorpus.queries.map(_._1))) {
+      (s, _) => JobCorpus.runCompassFull(s, compassFor(s))
     },
 
     // Measured optimizer quality ON the literal JOB workload — the

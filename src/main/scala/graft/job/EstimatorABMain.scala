@@ -25,7 +25,7 @@ object EstimatorABMain {
     def render(title: String,
         rows: Seq[graft.planner.OptimizerQuality.ModeAB], secs: Double): Unit = {
       println(s"\n### $title\n")
-      println("| family | Σ true ref | Σ true cas | Σ true hybrid | winner(ref vs cas) | cascade-model cost ref/cas | orders |")
+      println("| family | Σ true ref | Σ true cas | Σ true hybrid | winner(ref vs cas) | cascade-model cost ref/cas/hyb | orders |")
       println("|---|---|---|---|---|---|---|")
       rows.foreach { r =>
         val winner =
@@ -37,7 +37,7 @@ object EstimatorABMain {
           if (r.agree) s"both: ${r.refOrder.mkString("→")}"
           else s"ref: ${r.refOrder.mkString("→")} / cas: ${r.casOrder.mkString("→")}" +
             (if (r.hybridEqCascade) "" else s" / hyb: ${r.hybOrder.mkString("→")}")
-        val costs = f"${r.casCostOfRef}%.3g / ${r.casCostOfCas}%.3g"
+        val costs = f"${r.casCostOfRef}%.3g / ${r.casCostOfCas}%.3g / ${r.casCostOfHyb}%.3g"
         println(s"| ${r.family} | ${r.refSum} | ${r.casSum} | ${r.hybSum} | $winner | $costs | $orders |")
       }
       val disagree = rows.filterNot(_.agree)
@@ -48,6 +48,30 @@ object EstimatorABMain {
         s"totals ref=${rows.map(_.refSum).sum} cas=${rows.map(_.casSum).sum} " +
         s"hyb=${rows.map(_.hybSum).sum}; " +
         f"measured in $secs%.1f s")
+      // Candidate-portfolio counterfactuals (r16 verdict #2): keep the
+      // three modes' enumerations as CANDIDATES and rescore under the
+      // cascade model — per family, pick-argmin (θ=1) and
+      // switch-only-on-catastrophe variants (take argmin only when the
+      // hybrid order's own cascade cost exceeds θ× the best candidate's).
+      // Measured Σ of each rule, so "does rescoring beat the shipping
+      // hybrid" is a printed number, not a guess.
+      def pickSum(r: graft.planner.OptimizerQuality.ModeAB, theta: Double): Long = {
+        val cands = Seq(
+          (r.casCostOfRef, r.refSum), (r.casCostOfCas, r.casSum),
+          (r.casCostOfHyb, r.hybSum)).filterNot(_._1.isNaN)
+        if (cands.isEmpty || r.casCostOfHyb.isNaN) r.hybSum
+        else {
+          val best = cands.minBy(_._1)
+          if (r.casCostOfHyb > theta * best._1) best._2 else r.hybSum
+        }
+      }
+      Seq(1.0, 1.5, 2.0, 4.0).foreach { theta =>
+        val tot = rows.map(pickSum(_, theta)).sum
+        val worse = rows.count(r => pickSum(r, theta) > r.hybSum)
+        val better = rows.count(r => pickSum(r, theta) < r.hybSum)
+        println(f"portfolio θ=$theta%.1f: Σ=$tot (hyb=${rows.map(_.hybSum).sum}); " +
+          s"families better $better, worse $worse")
+      }
     }
 
     // JOB scale follows SPARK_GRAFT_SF_DIR like the bench does (x1 at

@@ -692,7 +692,8 @@ object JobCorpus {
     * Idempotent — a warm cache takes zero sketch jobs.
     */
   def warmCompass(spark: SparkSession,
-      cs: graft.planner.CompassSession, sfDir: String = ""): Int = {
+      cs: graft.planner.CompassSession, sfDir: String = "",
+      names: Seq[String] = null): Int = {
     // Template keys snapshot data location+mtime, so warming must happen
     // at the SAME scale the measurement will run (x1-keyed templates are
     // cold misses against x10 views — the A/B harness hit exactly that).
@@ -700,11 +701,31 @@ object JobCorpus {
     ensureData(spark, m)
     registerViews(spark, m)
     val byName = queries.toMap
-    cs.warmTemplates(compassSubset.map(n => spark.sql(byName(n))))
+    // Default: the FULL corpus — since r17 the compass entry runs all 113
+    // queries, and a family's representative does not necessarily touch
+    // every (table × join-column set) its sibling variants do. Duplicate
+    // templates dedupe inside the cache, so warming wide costs analysis
+    // only.
+    val ws = Option(names).getOrElse(queries.map(_._1))
+    cs.warmTemplates(ws.map(n => spark.sql(byName(n))))
   }
 
+  /** The FULL reference experiment: all 113 JOB queries through the
+    * COMPASS path — the reference's headline run is the whole corpus
+    * with `\fpd` on (reference README.md:57, queries/README.md,
+    * SQLFrontend/mapdql.cpp:1313-1317), not a per-family sample.
+    * Variants within a family share unfiltered templates (cache) AND
+    * identical filtered instances (the session's filtered-sketch memo,
+    * keyed on templateId+filter), so sketch-job volume grows far slower
+    * than query count.
+    */
+  def runCompassFull(spark: SparkSession,
+      cs: graft.planner.CompassSession): DataFrame =
+    runCompassSubset(spark, cs, queries.map(_._1))
+
   def runCompassSubset(spark: SparkSession,
-      cs: graft.planner.CompassSession): DataFrame = {
+      cs: graft.planner.CompassSession,
+      names: Seq[String] = compassSubset): DataFrame = {
     ensureData(spark)
     registerViews(spark)
     import spark.implicits._
@@ -719,7 +740,7 @@ object JobCorpus {
     val runs = try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val futures = compassSubset.map { name =>
+      val futures = names.map { name =>
         scala.concurrent.Future {
           val scope = cs.newScope()
           try {

@@ -156,8 +156,11 @@ object Multimodal {
     * width×height with the same integer-division index math as
     * [[resizeImage]] (exactly replayable in SQL), and re-encoded to
     * PNG; an undecodable PNG-sniffed payload yields a NULL payload with
-    * metadata kept. OPAQUE payloads (no codec claims a match) keep the
-    * deterministic stride-sampling fallback to the target pixel budget
+    * metadata kept. WAV payloads (magic-sniffed) also NULL through with
+    * metadata kept: resize is image-semantic, and stride-sampling PCM
+    * bytes would stamp corrupt audio with image width/height. OPAQUE
+    * payloads (no codec claims a match) keep the deterministic
+    * stride-sampling fallback to the target pixel budget
     * — honest downsampling of bytes the engine cannot interpret. Same
     * partition-batched shape as [[extractFeatures]]: payload in,
     * smaller payload + updated metadata out, decoder handle initialized
@@ -200,6 +203,10 @@ object Multimodal {
             Row(r.get(idIdx), bytes,
               Row(meta.getString(0), bytes.length.toLong, crc.getValue, width, height))
           }
+        } else if (isWav(payload)) {
+          // Image-semantic op on sniffable audio: NULL through rather
+          // than emit stride-corrupted PCM stamped with image dims.
+          Row(r.get(idIdx), null, meta)
         } else {
           val out =
             if (payload.length <= budget) payload
@@ -347,11 +354,16 @@ object Multimodal {
     * one payload; the ONE implementation behind both [[resizeImage]] and
     * the generic [[resize]]'s PNG branch (two entries exist to prove
     * those paths agree, so the scaler must be literally shared). Returns
-    * null when the payload does not decode; `baos` is the caller's
+    * null when the payload does not decode — including when the PNG
+    * reader CLAIMS the stream (the 8-byte magic matched, so it will)
+    * but then throws on corrupt/truncated data: ImageIO.read only
+    * returns null when NO reader claims the stream, so the
+    * one-bad-row-must-not-fail-the-stage contract needs the IOException
+    * caught here, not just the null checked. `baos` is the caller's
     * per-partition reuse buffer.
     */
   private def nnScalePng(payload: Array[Byte], tw: Int, th: Int,
-      baos: java.io.ByteArrayOutputStream): Array[Byte] = {
+      baos: java.io.ByteArrayOutputStream): Array[Byte] = try {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
     if (img == null) null
@@ -373,6 +385,8 @@ object Multimodal {
       javax.imageio.ImageIO.write(out, "png", baos)
       baos.toByteArray
     }
+  } catch {
+    case _: java.io.IOException => null // corrupt PNG-magic payload → NULL row
   }
 
   // ---------------------------------------------------------------------

@@ -7,7 +7,14 @@ import org.apache.spark.sql.functions._
   * geo engine; this is the beyond-reference spatial join the pipeline
   * queries need). Integer-only arithmetic throughout: the ray-casting
   * parity test is the cross-multiplied half-open form — no division,
-  * so containment is exact on any engine.
+  * so containment is exact on any engine PROVIDED coordinates fit in
+  * 32 bits (|coord| < 2^31): each cross-product factor is then a
+  * difference of two int32 values (< 2^32 in magnitude), their product
+  * fits int64, and the subtraction of two such products stays within
+  * int64 — no silent wraparound in non-ANSI mode. Coordinates at or
+  * beyond 2^31 would let (py−y1)(x2−x1) − (px−x1)(y2−y1) exceed int64
+  * and wrap; callers with wider coordinates must rescale or switch the
+  * cross product to decimal(38,0).
   *
   * Scale shape: the naive points×edges relation is |P|·Σ|edges|; the
   * grid prefilter below cuts it to the points that land in a polygon's

@@ -281,7 +281,8 @@ object OptimizerQuality {
   final case class ModeAB(family: String, refOrder: Seq[String],
       refSum: Long, casOrder: Seq[String], casSum: Long,
       hybOrder: Seq[String], hybSum: Long,
-      casCostOfRef: Double, casCostOfCas: Double) {
+      casCostOfRef: Double, casCostOfCas: Double,
+      casCostOfHyb: Double = Double.NaN) {
     def agree: Boolean = refOrder == casOrder
     def cascadeWinsOrTies: Boolean = casSum <= refSum
     def hybridEqCascade: Boolean = hybOrder == casOrder
@@ -319,7 +320,8 @@ object OptimizerQuality {
     val toNames = (o: Seq[Int]) => o.map(g.instances(_).name)
     ModeAB(name, toNames(ref), sumOf(ref), toNames(cas), sumOf(cas),
       toNames(hyb), sumOf(hyb),
-      casCostOfRef = costOf(ref), casCostOfCas = costOf(cas))
+      casCostOfRef = costOf(ref), casCostOfCas = costOf(cas),
+      casCostOfHyb = costOf(hyb))
   }
 
   /** One query's `adjustPlanForMapD` behavior-parity verdict (r15

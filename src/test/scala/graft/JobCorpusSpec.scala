@@ -114,13 +114,25 @@ class JobCorpusSpec extends AnyFunSuite {
     val cs = new CompassSession(spark,
       templateCache = Some(SketchTemplateCache.default()))
     try {
+      // Deterministic fixture: warm the FULL corpus's unfiltered
+      // templates first. The tiny-template shortcut reads the PERSISTENT
+      // cache, so a partially-warm /tmp state changes which estimates a
+      // family sees (r17: 9a's cascade choice flipped when unrelated
+      // variants' templates appeared). Fully-warmed is both a fixed
+      // point — any machine converges after one warm — and the
+      // reference's own headline fixture (PRE_PROCESSING builds ALL
+      // templates before the experiment, COMPASS_init_variables.txt:6).
+      JobCorpus.warmCompass(spark, cs)
       val rows = JobCorpus.abEstimatorModes(spark, cs)
       assert(rows.size == 33)
       // The documented exceptions: families where the reference's
       // unconditional product-median beats the cascade in measured truth
       // (deterministic corpus -> deterministic set; ESTIMATES.md §4).
-      val refWins = Set("1a", "2d", "4a", "5c", "7a", "8a", "11a", "13a",
-        "14a", "15d", "17e", "18a", "21a", "27a")
+      // r17: re-pinned under the fully-warmed-template fixture (9a and
+      // 10a joined — their tiny filtered instances are now served
+      // unfiltered template counts, which shifts cascade's ranking).
+      val refWins = Set("1a", "2d", "4a", "5c", "7a", "8a", "9a", "10a",
+        "11a", "13a", "14a", "15d", "17e", "18a", "21a", "27a")
       rows.foreach { r =>
         info(s"${r.family}: ref=${r.refSum} cas=${r.casSum} hyb=${r.hybSum}" +
           (if (r.agree) " (agree)" else ""))

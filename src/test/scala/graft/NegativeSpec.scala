@@ -160,4 +160,28 @@ class NegativeSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("positive"), e4.getMessage)
   }
+
+  test("resize NULLs through corrupt-PNG and WAV payloads instead of failing the stage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One payload per failure class: PNG magic + garbage (the reader
+    // CLAIMS it, then throws — ImageIO.read never returns null here),
+    // and a sniffable WAV header (image-semantic resize must not
+    // stride-sample PCM bytes). Both must ride through as NULL payload
+    // with metadata kept; the stage must not fail.
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val corruptPng = pngMagic ++ Array.fill[Byte](16)(0x42)
+    val wavHeader = "RIFF0000WAVE0000".getBytes("US-ASCII")
+    val media = Seq((1L, corruptPng), (2L, wavHeader)).toDF("id", "payload")
+      .select(col("id"), col("payload"),
+        struct(lit("test/raw").as("format"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          crc32(col("payload")).as("checksum"),
+          lit(4).as("width"), lit(4).as("height")).as("meta"))
+    val out = graft.operators.Multimodal.resize(media, "id", width = 2, height = 2)
+      .select("id", "payload", "meta.format").collect().sortBy(_.getLong(0))
+    assert(out.length == 2)
+    assert(out.forall(_.get(1) == null), "both payloads must NULL through")
+    assert(out.forall(_.getString(2) == "test/raw"), "metadata must be kept")
+  }
 }
