@@ -27,6 +27,35 @@ import Queries.{Entry, dfq}
   */
 object StreamQueries {
 
+  /** Child session tuned for THIS entry scale's stream volume, memoized
+    * per parent. A streaming query's state-store instance count is fixed
+    * by `spark.sql.shuffle.partitions` at first start — every stateful
+    * operator runs one store per partition (a stream-stream join runs
+    * FOUR), each paying per-batch provider setup + a checkpoint-delta
+    * file commit. At the bench's 32 partitions the heavy entries spent
+    * most of their 1-3.8 s/batch on that fan-out, not on data (r16
+    * verdict #3); 8 partitions carry the same micro-batches with a
+    * quarter of the store commits and identical results — partitioning
+    * is internal to the operator, and every watermark/timeout semantic
+    * is unchanged. At 100 TB the SAME dial goes the other way: size
+    * partitions to throughput (state shards then spread across
+    * executors), exactly like the JOB corpus's interactive profile is
+    * gated on volume. Transforms, sinks, and the static join sides all
+    * ride the child (entries are wrapped below), so no frame ever mixes
+    * sessions.
+    */
+  private val tunedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def streamSession(s: SparkSession): SparkSession = synchronized {
+    Option(tunedSessions.get(s)).getOrElse {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", "8")
+      tunedSessions.put(s, c)
+      c
+    }
+  }
+
   /** Streaming file source over one driver table, with the SAME schema
     * normalization as the batch loader. The on-disk schema comes from one
     * batch footer read (file sources require a user-supplied schema).
@@ -79,7 +108,14 @@ object StreamQueries {
     df.sparkSession.table(name)
   }
 
-  val entries: Seq[Entry] = Seq(
+  // Every streaming entry runs end-to-end on the tuned child session —
+  // the (s, dir) lambdas below are written against plain `s` and wrapped
+  // here, so source, transforms, static join sides, and sink all share
+  // one session.
+  val entries: Seq[Entry] = rawEntries.map(e =>
+    e.copy(run = (s, dir) => e.run(streamSession(s), dir)))
+
+  private def rawEntries: Seq[Entry] = Seq(
     // Watermarked tumbling-window stats over the event stream — the
     // windowedStats transform end-to-end. Complete output mode so every
     // window is emitted at drain time (append mode holds windows the
