@@ -187,6 +187,26 @@ object Bench {
         val xs = lat.values.toSeq.sorted
         Some((xs(xs.size / 2), xs((xs.size * 9) / 10 min (xs.size - 1)), xs.last, xs.size))
       }
+    // Per-lap GC + JIT attribution for the long-running entries (r16
+    // verdict #4: the quiesced record's q_job_corpus warm lap ran SLOWER
+    // than cold with nothing to attribute it to). Two MXBean reads per
+    // lap: cumulative stop-the-world collection time and cumulative JIT
+    // compilation time — their per-lap deltas separate "the lap's code
+    // was slower" from "the JVM charged this lap for accumulated
+    // garbage / fresh compilation".
+    def gcJitNow(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val gc = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val jit = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime).getOrElse(0L)
+      (gc, jit)
+    }
+    // entry -> per-lap [wall_ms, gc_ms, jit_ms], cold first.
+    val lapTelemetry = scala.collection.mutable
+      .LinkedHashMap.empty[String, Vector[(Long, Long, Long)]]
+    val telemetryEntries = Set("q_job_corpus", "q_job_compass")
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens
@@ -199,11 +219,17 @@ object Bench {
       }
       if (e.name.startsWith("q_stream"))
         StreamQueries.lastBatchDurations = Map.empty
+      val (gc0, jit0) = gcJitNow()
       val t0 = System.nanoTime()
       try {
         val n = materialize(e.run(spark, sfDir))
         require(n >= 0)
         timings(e.name) = Right((System.nanoTime() - t0) / 1e9)
+        if (telemetryEntries(e.name)) {
+          val (gc1, jit1) = gcJitNow()
+          lapTelemetry(e.name) = Vector(
+            ((System.nanoTime() - t0) / 1000000, gc1 - gc0, jit1 - jit0))
+        }
       } catch {
         case NonFatal(ex) =>
           timings(e.name) = Left(Option(ex.getMessage).getOrElse(ex.getClass.getName).take(120))
@@ -268,10 +294,16 @@ object Bench {
           // Between-lap heap settle for the jittery trio: an eager
           // checkpoint mid-lap is where a pending GC lands otherwise.
           if (checkpointHeavy(e.name)) System.gc()
+          val (gcW0, jitW0) = gcJitNow()
           val t1 = System.nanoTime()
           try {
             materialize(e.run(spark, sfDir))
             laps += (System.nanoTime() - t1) / 1e9
+            if (telemetryEntries(e.name)) {
+              val (gcW1, jitW1) = gcJitNow()
+              lapTelemetry(e.name) = lapTelemetry.getOrElse(e.name, Vector.empty) :+
+                (((System.nanoTime() - t1) / 1000000, gcW1 - gcW0, jitW1 - jitW0))
+            }
           } catch { case NonFatal(_) => lap = nLaps }
           graft.operators.OpCaches.releaseAll(spark)
           lap += 1
@@ -367,8 +399,13 @@ object Bench {
     def streamJson(m: Iterable[(String, (Int, Long, Long))]): String =
       m.map { case (k, (n, md, mx)) => s""""${esc(k)}":[$n,$md,$mx]""" }
         .mkString("{", ",", "}")
+    // Per-lap [wall_ms, gc_ms, jit_ms] for the telemetry entries, cold
+    // lap first — the warm>cold attribution channel (r16 verdict #4).
+    val lapTelemetryJson = lapTelemetry.map { case (k, lapsT) =>
+      s""""${esc(k)}":[${lapsT.map { case (w, g, j) => s"[$w,$g,$j]" }.mkString(",")}]"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"job_corpus_family_n_med_max_ms":$jobFamilyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"lap_wall_gc_jit_ms":$lapTelemetryJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"job_corpus_family_n_med_max_ms":$jobFamilyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
     Option(fullOut.toAbsolutePath.getParent)
       .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
     java.nio.file.Files.write(fullOut,
