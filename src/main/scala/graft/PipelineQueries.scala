@@ -2240,6 +2240,77 @@ object PipelineQueries {
             .as("pix_md5"))
         .orderBy("doc_id", "frame")
     },
+
+    // REAL MJPEG decode (r16 verdict #8): the same GFV1 chunked container,
+    // but the frames are real JPEGs from the JDK's lossy ImageIO codec
+    // (Multimodal.encodeJpeg, quality 0.95) — the shape of actual video
+    // (MJPEG is literally a chunk stream of JPEG frames). LOSSY means
+    // exact pixel checksums are impossible cross-engine, so the check is
+    // a DECODE-ERROR BOUND plus codec-free facts: per sampled frame the
+    // decoded raster's total |Δr|+|Δg|+|Δb| against the SQL-regenerable
+    // source must stay under per-channel MAE 5 — measured margins (jshell
+    // probe, 2026-08-15, committed in the entry's tolerance): worst codec
+    // error on these smooth-gradient frames 1.62, while the nearest
+    // DEFECT signal is 11.8 (channel swap) and 30.0 (frame misalignment),
+    // so the bound separates codec noise from real bugs by >2x on both
+    // sides. Dims, frame indices, and pixel counts stay exact. Seeking
+    // rides the same chunk-index path as q_video_frames (skipped frames
+    // never touch the codec).
+    dfq("q_video_decode_mjpeg",
+      "WITH gen AS (SELECT doc_id, 2 + doc_id % 3 AS nf, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, f FROM gen CROSS JOIN (SELECT unnest([0,1,2,3]) AS f) u WHERE f < nf AND f % 2 = 0) " +
+        "SELECT doc_id, CAST(f AS INT) AS frame, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
+        "  CAST(w*h AS BIGINT) AS n_px, CAST(1 AS BIGINT) AS ok " +
+        "FROM fr ORDER BY doc_id, frame") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val wL = col("w").cast("long")
+      val frames = docs.select(col("doc_id"),
+          (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"),
+          (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+          (lit(6) + pmod(col("doc_id"), lit(7))).cast("int").as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          explode(sequence(lit(0), col("nf") - 1)).as("f"))
+        .withColumn("pixels",
+          transform(sequence(lit(0L), col("w").cast("long") * col("h") - 1), { i =>
+            // x = i mod w, y = i div w — floor() because Column./ is
+            // DOUBLE division (exact here: i < 256, then truncated).
+            val x = i % wL
+            val y = floor(i / wL).cast("long")
+            ((lit(32L) + x * 6 + col("f") * 40) * 65536 +
+              (lit(64L) + y * 9 + pmod(col("doc_id"), lit(8)) * 2) * 256 +
+              (lit(16L) + (x + y) * 3 + col("f") * 50)).cast("int")
+          }))
+        .withColumn("fid", col("doc_id") * 10 + col("f"))
+      val jpegFrames = Multimodal.encodeJpeg(
+        frames, "fid", "w", "h", "pixels", quality = 0.95f)
+      val packed = Multimodal.packFrames(
+        jpegFrames.select((col("fid") / 10).cast("long").as("doc_id"),
+            pmod(col("fid"), lit(10)).cast("int").as("f"), col("payload"))
+          .groupBy("doc_id")
+          .agg(transform(array_sort(collect_list(struct(col("f"), col("payload")))),
+            e => e.getField("payload")).as("frames")),
+        "doc_id", "frames")
+      val decoded = Multimodal.sampleDecodedFrames(packed, "doc_id", every = 2)
+      val src = frames.select(col("doc_id"), col("f").as("frame"),
+        col("pixels").as("src_px"))
+      decoded.join(src, Seq("doc_id", "frame"))
+        .select(col("doc_id"), col("frame"), col("width"), col("height"),
+          size(col("pixels")).cast("long").as("n_px"),
+          // total |Δ| across channels vs the source raster, bounded at
+          // per-channel MAE 5 (tot ≤ 15·n_px); NULL raster (decode
+          // failure) → ok 0 and a NULL n_px — loud, never silent.
+          coalesce(
+            (aggregate(
+              zip_with(col("pixels"), col("src_px"), (p, q) =>
+                abs(shiftright(p, 16) - shiftright(q, 16)) +
+                  abs(shiftright(p, 8).bitwiseAND(lit(255)) -
+                    shiftright(q, 8).bitwiseAND(lit(255))) +
+                  abs(p.bitwiseAND(lit(255)) - q.bitwiseAND(lit(255)))),
+              lit(0L), (acc, d) => acc + d.cast("long")) <=
+              lit(15L) * size(col("src_px")).cast("long")).cast("long"),
+            lit(0L)).as("ok"))
+        .orderBy("doc_id", "frame")
+    },
   )
 
   /** Dense-cell relation and its 8-neighborhood adjacency for

@@ -276,6 +276,70 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Encode (id, w, h, pixels array<int> 0xRRGGBB) rasters to REAL JPEG
+    * payloads with the JDK's ImageIO JPEG writer at an explicit quality —
+    * the LOSSY sibling of [[encodePng]], here to make the MJPEG video
+    * path real (frames a PNG-only container cannot honestly claim to be
+    * "video"). Same media-table contract and partition-batched shape;
+    * the writer + its param object are created once per partition (the
+    * init-once discipline a JNI codec needs). NULL or size-mismatched
+    * rasters emit a NULL payload with metadata kept.
+    *
+    * Because JPEG is lossy, downstream oracles must check DECODE-ERROR
+    * BOUNDS (or codec-free facts: dims, frame count), never exact pixel
+    * checksums — see q_video_decode_mjpeg.
+    */
+  def encodeJpeg(df: DataFrame, idCol: String, wCol: String, hCol: String,
+      pixelsCol: String, quality: Float = 0.95f): DataFrame = {
+    require(quality > 0f && quality <= 1f,
+      s"encodeJpeg: quality $quality must be in (0, 1]")
+    val spark = df.sparkSession
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val wIdx = inSchema.fieldIndex(wCol)
+    val hIdx = inSchema.fieldIndex(hCol)
+    val pxIdx = inSchema.fieldIndex(pixelsCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx), StructField("payload", BinaryType),
+      StructField("meta", metadataType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val baos = new java.io.ByteArrayOutputStream(1 << 12)
+      val out = rows.map { r =>
+        val w = r.getInt(wIdx); val h = r.getInt(hIdx)
+        val px = if (r.isNullAt(pxIdx)) null else r.getSeq[Int](pxIdx)
+        if (px == null || px.length != w * h || w <= 0 || h <= 0)
+          Row(r.get(idIdx), null, Row("image/jpeg", 0L, 0L, w, h))
+        else {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < px.length) { img.setRGB(i % w, i / w, px(i)); i += 1 }
+          baos.reset()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+          try {
+            writer.setOutput(ios)
+            writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          } finally ios.close()
+          val bytes = baos.toByteArray
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          Row(r.get(idIdx), bytes,
+            Row("image/jpeg", bytes.length.toLong, crc.getValue, w, h))
+        }
+      }
+      // The writer is per-partition state; dispose when the iterator is
+      // exhausted would need a wrapping iterator — writers are cheap and
+      // partition counts bounded, so GC reclaims them (same policy the
+      // JDK's own ImageIO.write takes per call).
+      out
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Decode PNG payloads back to (id, width, height, pixels array<int>)
     * with the real JDK reader — the inverse of [[encodePng]]; pixels are
     * row-major 0xRRGGBB ints (`getRGB` masked to 24 bits, exact for

@@ -161,6 +161,29 @@ class NegativeSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("positive"), e4.getMessage)
   }
 
+  test("encodeJpeg validates quality; size-mismatched raster NULLs through") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val raster = Seq((1L, 4, 4, Seq.fill(16)(0x336699)))
+      .toDF("id", "w", "h", "pixels")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Multimodal.encodeJpeg(raster, "id", "w", "h", "pixels", 0f)
+    }
+    assert(e.getMessage.contains("quality"), e.getMessage)
+    // A raster whose pixel count does not match w*h is a data problem:
+    // NULL payload with metadata kept, not a stage failure.
+    val bad = Seq((1L, 4, 4, Seq.fill(9)(0x336699))).toDF("id", "w", "h", "pixels")
+    val out = graft.operators.Multimodal.encodeJpeg(bad, "id", "w", "h", "pixels")
+      .select("payload", "meta.format").collect()
+    assert(out.length == 1 && out(0).get(0) == null &&
+      out(0).getString(1) == "image/jpeg")
+    // And a valid raster produces a payload the JPEG reader accepts.
+    val ok = graft.operators.Multimodal.encodeJpeg(raster, "id", "w", "h", "pixels")
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(ok != null && ok.length > 2 &&
+      (ok(0) & 0xff) == 0xff && (ok(1) & 0xff) == 0xd8, "not a JPEG (SOI missing)")
+  }
+
   test("resize NULLs through corrupt-PNG and WAV payloads instead of failing the stage") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
