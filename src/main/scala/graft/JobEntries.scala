@@ -27,7 +27,24 @@ object JobEntries {
 
   private def compassFor(s: SparkSession): CompassSession = synchronized {
     Option(compassSessions.get(s)).flatMap(r => Option(r.get)).getOrElse {
-      val cs = new CompassSession(s,
+      // The COMPASS corpus entries execute at x1 by contract (the scale
+      // where per-query DRIVER work dominates — the same regime the
+      // corpus's interactive profile is gated on, JobCorpus.
+      // interactiveSession), so the CompassSession rides a child with
+      // the same three driver-work trims: AQE re-planning of exchange-
+      // free broadcast trees, whole-stage source generation + Janino
+      // for 113 distinct sub-second shapes, and constraint closure over
+      // JOB's dozens of equality predicates. Measured on the full
+      // corpus (CompassProfileProbe, r17): 14.5 -> 7.7 s cold /
+      // 9.0 -> 7.4 s warm, identical counts on all 113. At data scale
+      // the defaults win — a production CompassSession wraps the user's
+      // session untouched; this child is the ENTRY's bench profile, not
+      // a library default.
+      val c = s.newSession()
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      c.conf.set("spark.sql.codegen.wholeStage", "false")
+      c.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      val cs = new CompassSession(c,
         templateCache = Some(SketchTemplateCache.default()))
       compassSessions.put(s, new java.lang.ref.WeakReference(cs))
       lastCompass = cs

@@ -699,7 +699,12 @@ object JobCorpus {
     // cold misses against x10 views — the A/B harness hit exactly that).
     val m = scaleFor(sfDir)
     ensureData(spark, m)
-    registerViews(spark, m)
+    // Views + workload plans live on the CompassSession's OWN session
+    // (since r17 that may be a driver-work-trimmed child of `spark` —
+    // see JobEntries.compassFor): optimize()/scope.sql() analyze and
+    // splice there, so the warmed template keys must come from the same
+    // resolution path.
+    registerViews(cs.spark, m)
     val byName = queries.toMap
     // Default: the FULL corpus — since r17 the compass entry runs all 113
     // queries, and a family's representative does not necessarily touch
@@ -707,7 +712,7 @@ object JobCorpus {
     // templates dedupe inside the cache, so warming wide costs analysis
     // only.
     val ws = Option(names).getOrElse(queries.map(_._1))
-    cs.warmTemplates(ws.map(n => spark.sql(byName(n))))
+    cs.warmTemplates(ws.map(n => cs.spark.sql(byName(n))))
   }
 
   /** The FULL reference experiment: all 113 JOB queries through the
@@ -727,7 +732,9 @@ object JobCorpus {
       cs: graft.planner.CompassSession,
       names: Seq[String] = compassSubset): DataFrame = {
     ensureData(spark)
-    registerViews(spark)
+    // scope.sql analyzes on cs.spark — the views must live there (r17:
+    // that session may be a trimmed child; see JobEntries.compassFor).
+    registerViews(cs.spark)
     import spark.implicits._
     val byName = queries.toMap
     // Concurrent submission, one short-lived CompassSession scope per
