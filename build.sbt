@@ -27,6 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The container locale is C: a forked JVM writing redirected stdout
+  // would otherwise emit '?' for every non-ASCII glyph (the r17
+  // ESTIMATES tables' Σ/θ/→ were mojibaked exactly this way).
+  "-Dfile.encoding=UTF-8",
+  "-Dstdout.encoding=UTF-8",
+  "-Dstderr.encoding=UTF-8",
 )
 
 // Forked run output goes straight to stdout (no "[info] " logger prefix) —

@@ -122,20 +122,11 @@ object Bench {
     // sink) loads that machinery so the timed streaming entries measure
     // steady state and stay round-comparable.
     if (selected.exists(_.name.startsWith("q_stream")))
-      try {
-        import org.apache.spark.sql.functions.{col, window}
-        val d = Queries.tempDir("graft-stream-warm")
-        spark.range(2).selectExpr("timestamp_seconds(id) AS ts", "id AS v")
-          .write.mode("overwrite").parquet(s"$d/in")
-        val schema = spark.read.parquet(s"$d/in").schema
-        val q = spark.readStream.schema(schema).parquet(s"$d/in")
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"))
-          .count()
-          .writeStream.outputMode("complete").format("memory")
-          .queryName("graft_stream_warmup").start()
-        try q.processAllAvailable() finally q.stop()
-      } catch { case NonFatal(_) => () }
+      // Warm on the tuned child session the timed entries actually run
+      // on (StreamQueries.warmMachinery) — warming the parent would
+      // leave the child's session-scoped init in the first timed lap.
+      try StreamQueries.warmMachinery(spark)
+      catch { case NonFatal(_) => () }
     // Headline subset: stable keys for round-over-round comparison; these
     // also get the median-of-3 warm treatment below.
     val headline = Vector(

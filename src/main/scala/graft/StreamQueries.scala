@@ -56,6 +56,29 @@ object StreamQueries {
     }
   }
 
+  /** Untimed per-JVM/per-SESSION streaming machinery warmup for Bench:
+    * one micro-stream (2 rows, watermark + windowed agg + memory sink)
+    * on the SAME tuned child session the timed entries run on — since
+    * r17 the entries live on `streamSession(s)`, so warming the parent
+    * would leave the child's session-scoped init (SessionState,
+    * StreamingQueryManager, conf resolution) inside the first timed
+    * entry's cold lap.
+    */
+  def warmMachinery(s: SparkSession): Unit = {
+    val c = streamSession(s)
+    val d = Queries.tempDir("graft-stream-warm")
+    c.range(2).selectExpr("timestamp_seconds(id) AS ts", "id AS v")
+      .write.mode("overwrite").parquet(s"$d/in")
+    val schema = c.read.parquet(s"$d/in").schema
+    val q = c.readStream.schema(schema).parquet(s"$d/in")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_stream_warmup").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming file source over one driver table, with the SAME schema
     * normalization as the batch loader. The on-disk schema comes from one
     * batch footer read (file sources require a user-supplied schema).

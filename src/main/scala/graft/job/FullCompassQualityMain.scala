@@ -47,12 +47,17 @@ object FullCompassQualityMain {
     val wins = reports.count(r => r.compassSum < r.naiveSum)
     val ties = reports.count(r => r.compassSum == r.naiveSum)
     val losses = reports.count(r => r.compassSum > r.naiveSum)
-    val worst = reports.filter(_.naiveSum > 0)
-      .maxBy(r => r.compassSum.toDouble / math.max(r.naiveSum, 1L))
+    // Guarded: a degenerate dataset (all naive sums 0) must still print
+    // the summary, not crash maxBy on an empty filter.
+    val worst = reports.filter(_.naiveSum > 0) match {
+      case Seq() => "n/a (all naive sums zero)"
+      case live =>
+        val w = live.maxBy(r => r.compassSum.toDouble / r.naiveSum)
+        s"${w.family} (${w.compassSum} vs ${w.naiveSum})"
+    }
     println(f"\n113-query summary: compass<naive $wins, ties $ties, " +
       s"losses $losses; Σ totals compass=${reports.map(_.compassSum).sum} " +
-      s"naive=${reports.map(_.naiveSum).sum}; worst family ${worst.family} " +
-      s"(${worst.compassSum} vs ${worst.naiveSum}); " +
+      s"naive=${reports.map(_.naiveSum).sum}; worst family $worst; " +
       f"total plan ${reports.map(_.planMs).sum} ms over $secs%.1f s wall")
     spark.stop()
   }

@@ -693,7 +693,7 @@ object JobCorpus {
     */
   def warmCompass(spark: SparkSession,
       cs: graft.planner.CompassSession, sfDir: String = "",
-      names: Seq[String] = null): Int = {
+      names: Seq[String] = Nil): Int = {
     // Template keys snapshot data location+mtime, so warming must happen
     // at the SAME scale the measurement will run (x1-keyed templates are
     // cold misses against x10 views — the A/B harness hit exactly that).
@@ -706,12 +706,12 @@ object JobCorpus {
     // resolution path.
     registerViews(cs.spark, m)
     val byName = queries.toMap
-    // Default: the FULL corpus — since r17 the compass entry runs all 113
-    // queries, and a family's representative does not necessarily touch
-    // every (table × join-column set) its sibling variants do. Duplicate
-    // templates dedupe inside the cache, so warming wide costs analysis
-    // only.
-    val ws = Option(names).getOrElse(queries.map(_._1))
+    // Default (empty list): the FULL corpus — since r17 the compass entry
+    // runs all 113 queries, and a family's representative does not
+    // necessarily touch every (table × join-column set) its sibling
+    // variants do. Duplicate templates dedupe inside the cache, so
+    // warming wide costs analysis only.
+    val ws = if (names.isEmpty) queries.map(_._1) else names
     cs.warmTemplates(ws.map(n => cs.spark.sql(byName(n))))
   }
 

@@ -88,6 +88,13 @@ object Multimodal {
       payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
       payload(10) == 'V' && payload(11) == 'E'
 
+  // JPEG sniffing: SOI marker plus the 0xFF that opens the next segment
+  // (APPn/DQT/...) — the standard minimal magic.
+  private def isJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 3 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff
+
   /** Row-major RGB byte sequence (r,g,b per pixel) of a decoded image —
     * the feature kernel's input for the REAL image path.
     */
@@ -156,11 +163,13 @@ object Multimodal {
     * width×height with the same integer-division index math as
     * [[resizeImage]] (exactly replayable in SQL), and re-encoded to
     * PNG; an undecodable PNG-sniffed payload yields a NULL payload with
-    * metadata kept. WAV payloads (magic-sniffed) also NULL through with
-    * metadata kept: resize is image-semantic, and stride-sampling PCM
-    * bytes would stamp corrupt audio with image width/height. OPAQUE
-    * payloads (no codec claims a match) keep the deterministic
-    * stride-sampling fallback to the target pixel budget
+    * metadata kept. JPEG payloads (SOI-sniffed) get the same real
+    * decode→scale→re-encode treatment with a JPEG re-encode, so resize
+    * composes with [[encodeJpeg]]. WAV payloads (magic-sniffed) NULL
+    * through with metadata kept: resize is image-semantic, and
+    * stride-sampling PCM bytes would stamp corrupt audio with image
+    * width/height. OPAQUE payloads (no codec claims a match) keep the
+    * deterministic stride-sampling fallback to the target pixel budget
     * — honest downsampling of bytes the engine cannot interpret. Same
     * partition-batched shape as [[extractFeatures]]: payload in,
     * smaller payload + updated metadata out, decoder handle initialized
@@ -197,6 +206,19 @@ object Multimodal {
           // REAL branch: decode → NN scale → re-encode (shared with
           // resizeImage via nnScalePng, so the codec paths cannot drift).
           val bytes = nnScalePng(payload, width, height, baos)
+          if (bytes == null) Row(r.get(idIdx), null, meta)
+          else {
+            val crc = new java.util.zip.CRC32(); crc.update(bytes)
+            Row(r.get(idIdx), bytes,
+              Row(meta.getString(0), bytes.length.toLong, crc.getValue, width, height))
+          }
+        } else if (isJpeg(payload)) {
+          // REAL branch for the codec encodeJpeg produces: decode →
+          // NN scale (same shared scaler) → re-encode JPEG, so the
+          // output format matches the metadata's claim. Stride-sampling
+          // compressed JPEG bytes would be corrupt-bytes-with-image-dims
+          // — exactly what the WAV branch below exists to prevent.
+          val bytes = nnScaleTo("jpg", payload, width, height, baos)
           if (bytes == null) Row(r.get(idIdx), null, meta)
           else {
             val crc = new java.util.zip.CRC32(); crc.update(bytes)
@@ -331,11 +353,18 @@ object Multimodal {
             Row("image/jpeg", bytes.length.toLong, crc.getValue, w, h))
         }
       }
-      // The writer is per-partition state; dispose when the iterator is
-      // exhausted would need a wrapping iterator — writers are cheap and
-      // partition counts bounded, so GC reclaims them (same policy the
-      // JDK's own ImageIO.write takes per call).
-      out
+      // Dispose the per-partition writer (it can hold native codec
+      // state) once the row iterator is exhausted — the same contract
+      // ImageIO.write honors per call with its finally-dispose.
+      new Iterator[Row] {
+        private var disposed = false
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !disposed) { disposed = true; writer.dispose() }
+          h
+        }
+        def next(): Row = out.next()
+      }
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -427,6 +456,14 @@ object Multimodal {
     * per-partition reuse buffer.
     */
   private def nnScalePng(payload: Array[Byte], tw: Int, th: Int,
+      baos: java.io.ByteArrayOutputStream): Array[Byte] =
+    nnScaleTo("png", payload, tw, th, baos)
+
+  /** Decode (any ImageIO-readable payload) → NN-scale → re-encode in
+    * `format` ("png" or "jpg") — the shared body behind [[nnScalePng]]
+    * and resize's JPEG branch.
+    */
+  private def nnScaleTo(format: String, payload: Array[Byte], tw: Int, th: Int,
       baos: java.io.ByteArrayOutputStream): Array[Byte] = try {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
@@ -446,11 +483,11 @@ object Multimodal {
         ty += 1
       }
       baos.reset()
-      javax.imageio.ImageIO.write(out, "png", baos)
+      javax.imageio.ImageIO.write(out, format, baos)
       baos.toByteArray
     }
   } catch {
-    case _: java.io.IOException => null // corrupt PNG-magic payload → NULL row
+    case _: java.io.IOException => null // corrupt codec-magic payload → NULL row
   }
 
   // ---------------------------------------------------------------------

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * geo engine; this is the beyond-reference spatial join the pipeline
   * queries need). Integer-only arithmetic throughout: the ray-casting
   * parity test is the cross-multiplied half-open form — no division,
-  * so containment is exact on any engine PROVIDED coordinates fit in
-  * 32 bits (|coord| < 2^31): each cross-product factor is then a
-  * difference of two int32 values (< 2^32 in magnitude), their product
-  * fits int64, and the subtraction of two such products stays within
-  * int64 — no silent wraparound in non-ANSI mode. Coordinates at or
-  * beyond 2^31 would let (py−y1)(x2−x1) − (px−x1)(y2−y1) exceed int64
-  * and wrap; callers with wider coordinates must rescale or switch the
-  * cross product to decimal(38,0).
+  * so containment is exact on any engine PROVIDED |coord| ≤ 2^30: each
+  * cross-product factor is then a difference of two such values
+  * (magnitude ≤ 2^31), each product ≤ 2^62, and the difference of two
+  * products stays within int64 — no silent wraparound in non-ANSI
+  * mode. (2^31-range coordinates would NOT be safe: factor differences
+  * reach 2^32 and a product ~2^64 exceeds int64.) The cross product is
+  * computed in LongType explicitly — int-typed point/edge columns
+  * would otherwise multiply in int32 and wrap at coordinates as small
+  * as ~50k. Callers with coordinates beyond 2^30 must rescale or
+  * switch the cross product to decimal(38,0).
   *
   * Scale shape: the naive points×edges relation is |P|·Σ|edges|; the
   * grid prefilter below cuts it to the points that land in a polygon's
@@ -81,8 +83,13 @@ object Spatial {
       idCol: String = "event_id", cellSize: Int = 250): DataFrame = {
     require(cellSize > 0, s"Spatial: cellSize must be > 0, got $cellSize")
     val cand = bboxCandidates(pts, edges, idCol, cellSize)
-    val cross = (col("py") - col("y1")) * (col("x2") - col("x1")) -
-      (col("px") - col("x1")) * (col("y2") - col("y1"))
+    // Long arithmetic explicitly: with int-typed coordinate columns the
+    // products would evaluate in int32 and wrap (see the object doc).
+    val cross =
+      (col("py").cast("long") - col("y1").cast("long")) *
+        (col("x2").cast("long") - col("x1").cast("long")) -
+      (col("px").cast("long") - col("x1").cast("long")) *
+        (col("y2").cast("long") - col("y1").cast("long"))
     val crossings = cand
       .join(broadcast(edges), Seq("pid"))
       .groupBy(col(idCol), col("pid"))

@@ -32,13 +32,10 @@ class BenchRecordDriftSpec extends AnyFunSuite {
     val missing = (current -- recorded).toSeq.sorted
     val stale = (recorded -- current).toSeq.sorted
     assert(missing.isEmpty && stale.isEmpty,
-      s"quiesced bench record is stale — refresh BENCH_FULL.json " +
+      s"quiesced bench record is stale (${recorded.size} recorded vs " +
+        s"${current.size} declared) — refresh BENCH_FULL.json " +
         s"(run graft.Bench quiesced, then cp target/bench_full.json BENCH_FULL.json). " +
         s"Entries missing from record: ${missing.mkString(", ")}; " +
         s"recorded but no longer declared: ${stale.mkString(", ")}")
-    // Count drift is covered by set equality above; pin the size too so
-    // the failure message carries the headline number.
-    assert(recorded.size == current.size,
-      s"record has ${recorded.size} entries, surface has ${current.size}")
   }
 }

@@ -32,8 +32,11 @@ class MarginAuditGateSpec extends AnyFunSuite {
     // table contains "µbits", and scala.sys.process decodes subprocess
     // output with the platform default charset (mangled µ → failed
     // verbatim compare on a byte-identical row).
+    // Merge stderr into stdout: a failing audit's Python traceback must
+    // land in the assertion message (an unread stderr pipe would also
+    // deadlock a chatty child against our blocking stdout read).
     val pb = new java.lang.ProcessBuilder("python3", "tools/margin_audit.py", sfDir)
-    pb.redirectErrorStream(false)
+    pb.redirectErrorStream(true)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)

@@ -206,5 +206,17 @@ class NegativeSpec extends AnyFunSuite {
     assert(out.length == 2)
     assert(out.forall(_.get(1) == null), "both payloads must NULL through")
     assert(out.forall(_.getString(2) == "test/raw"), "metadata must be kept")
+    // And a VALID JPEG payload takes the real decode→scale→re-encode
+    // branch: the resized payload must still be a decodable JPEG with
+    // the target dims (not stride-sampled corrupt bytes).
+    val raster = Seq((7L, 4, 4, Seq.fill(16)(0x406080)))
+      .toDF("id", "w", "h", "pixels")
+    val jpeg = graft.operators.Multimodal.encodeJpeg(raster, "id", "w", "h", "pixels")
+    val small = graft.operators.Multimodal.resize(jpeg, "id", width = 2, height = 2)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(small != null, "JPEG payload must resize, not NULL through")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(img != null && img.getWidth == 2 && img.getHeight == 2,
+      "resized JPEG payload must decode at the target dims")
   }
 }
