@@ -33,6 +33,29 @@ class CompassSessionSpec extends AnyFunSuite {
     assert(plan.sketchCounts("region") == 1)
   }
 
+  test("cross-session seam: parent-analyzed frame through a child-session CompassSession") {
+    // Since r17 the JOB entries build their CompassSession over a
+    // driver-work-trimmed CHILD session while q_job_quality's compare()
+    // still analyzes the query on the PARENT — optimize() then splices
+    // parent-analyzed plans via Bridge.ofRows on the child, and the
+    // sketch jobs execute parent-extracted instance plans on the child.
+    // Pin that seam: identical results and a published plan, both ways.
+    Tables.registerAll(spark, dir)
+    val child = spark.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.codegen.wholeStage", "false")
+    child.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    val cs = new CompassSession(child)
+    val parentDf = spark.sql(fiveWay) // analyzed on the PARENT
+    val viaChild = cs.optimize(parentDf).collect().map(_.toSeq)
+    assert(cs.lastPlan.nonEmpty, "query must take the COMPASS path")
+    val vanilla = spark.sql(fiveWay).collect().map(_.toSeq)
+    assert(viaChild.toSeq == vanilla.toSeq)
+    assert(cs.lastPlan.get.order.toSet ==
+      Set("lineitem", "orders", "customer", "nation", "region"))
+    cs.close()
+  }
+
   test("flagship TPC-H Q5 analogue (cyclic 6-way, agg + sort) through compass") {
     // The realistic end-to-end shape a reference user actually runs:
     // filter + six joins with a cycle (s_nationkey = c_nationkey) +
