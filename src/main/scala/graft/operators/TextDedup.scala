@@ -754,11 +754,18 @@ object TextDedup {
   def editDistanceOneJoin(strings: DataFrame, strCol: String): DataFrame = {
     val w = strings.select(col(strCol).cast("string").as("w"))
       .filter(col("w").isNotNull).distinct()
-    val keyed = w.select(col("w"),
+    // PERSISTED: the deletion-variant explode feeds BOTH sides of the
+    // self-join and Catalyst does not reuse the exchange across the
+    // a/b aliases (measured sf0.1: ReusedExchange absent, the explode
+    // ran twice; persisting cut the entry 15.8 → 9.8 s cold). The
+    // relation is (len+1)·|vocab| short strings — executor-cache-sized
+    // at any sane vocabulary, and released with the query's OpCaches.
+    val keyed = OpCaches.track(w.select(col("w"),
       explode(array_union(
         expr("transform(sequence(1, length(w)), " +
           "i -> concat(substring(w, 1, i - 1), substring(w, i + 1, length(w))))"),
         array(col("w")))).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     keyed.as("a").join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.w") < col("b.w"))
       .select(col("a.w").as("u"), col("b.w").as("v")).distinct()
