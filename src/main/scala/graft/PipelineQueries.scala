@@ -2248,12 +2248,13 @@ object PipelineQueries {
     // exact pixel checksums are impossible cross-engine, so the check is
     // a DECODE-ERROR BOUND plus codec-free facts: per sampled frame the
     // decoded raster's total |Δr|+|Δg|+|Δb| against the SQL-regenerable
-    // source must stay under per-channel MAE 5 — measured margins (jshell
-    // probe, 2026-08-15, committed in the entry's tolerance): worst codec
-    // error on these smooth-gradient frames 1.62, while the nearest
-    // DEFECT signal is 11.8 (channel swap) and 30.0 (frame misalignment),
-    // so the bound separates codec noise from real bugs by >2x on both
-    // sides. Dims, frame indices, and pixel counts stay exact. Seeking
+    // source must stay under per-channel MAE 5 — margins measured by the
+    // COMMITTED, exhaustive CodecMarginProbeSpec (every distinct frame
+    // the fixture can generate, gated per test run): worst codec error
+    // on these smooth-gradient frames 1.68, nearest DEFECT signal 21.05
+    // (channel swap) and 22.45 (frame misalignment), so the bound
+    // separates codec noise from real bugs by >2x on both sides. Dims,
+    // frame indices, and pixel counts stay exact. Seeking
     // rides the same chunk-index path as q_video_frames (skipped frames
     // never touch the codec).
     dfq("q_video_decode_mjpeg",
@@ -2274,11 +2275,20 @@ object PipelineQueries {
           transform(sequence(lit(0L), col("w").cast("long") * col("h") - 1), { i =>
             // x = i mod w, y = i div w — floor() because Column./ is
             // DOUBLE division (exact here: i < 256, then truncated).
+            // r and b share the x and f coefficients so r−b = 48−3y ∈
+            // [15, 48] on EVERY pixel of EVERY frame: the exhaustive
+            // CodecMarginProbeSpec sweep showed the previous formula's
+            // worst-case channel-swap signal was 5.48 (9.6% over the
+            // MAE-5 bound, not the required >2x) — this shape pushes it
+            // to ≥ 2x with the frame-misalignment signal (Δ34 in r and
+            // b per frame step) also kept ≫ 2x. All channels ≤ 255 at
+            // x ≤ 15, y ≤ 11, f ≤ 3 (no clipping: the packing below is
+            // arithmetic, a channel overflow would corrupt neighbors).
             val x = i % wL
             val y = floor(i / wL).cast("long")
-            ((lit(32L) + x * 6 + col("f") * 40) * 65536 +
+            ((lit(60L) + x * 6 + col("f") * 34) * 65536 +
               (lit(64L) + y * 9 + pmod(col("doc_id"), lit(8)) * 2) * 256 +
-              (lit(16L) + (x + y) * 3 + col("f") * 50)).cast("int")
+              (lit(12L) + x * 6 + y * 3 + col("f") * 34)).cast("int")
           }))
         .withColumn("fid", col("doc_id") * 10 + col("f"))
       val jpegFrames = Multimodal.encodeJpeg(
