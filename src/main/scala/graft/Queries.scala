@@ -382,7 +382,8 @@ object Queries {
 
     // The reference's archive importer also handles .bz2 (mapd-core
     // Archive/; Importer.h:568) — bzip2 round-trip through the same
-    // write→read→aggregate check. (.zip/.7z have no Hadoop codec; n/a.)
+    // write→read→aggregate check. (.zip/.7z: no Hadoop codec — see
+    // q_csv_zip / q_csv_7z below, which ride graft.sources.Archive.)
     dfq("q_csv_bzip2",
       "SELECT count(*) AS n, CAST(sum(s_nationkey) AS BIGINT) AS s FROM supplier") { (s, dir) =>
       val tmp = tempDir("graft_bz2")
@@ -391,6 +392,50 @@ object Queries {
         .option("compression", "bzip2").csv(tmp)
       s.read.option("header", "true").schema(df.schema).csv(tmp)
         .agg(count(lit(1)).as("n"), sum("s_nationkey").cast("long").as("s"))
+    },
+
+    // .zip archive import (reference: mapd-core/Archive/,
+    // Import/Importer.cpp — COPY FROM '<file>.zip'). No Hadoop codec
+    // exists, so graft.sources.Archive reads archives whole (binaryFile
+    // → JDK ZipInputStream → distributed CSV parse), one task per
+    // archive — Spark's own shape for non-splittable codecs. The fixture
+    // writes one MULTI-ENTRY archive per partition (multi-entry is the
+    // case a zip reader must prove), each entry carrying its own header
+    // line; the aggregate equality vs parquet proves the round trip
+    // lost and duplicated nothing.
+    dfq("q_csv_zip",
+      "SELECT count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS s, " +
+        "CAST(sum(p_size) AS BIGINT) AS ss FROM part") { (s, dir) =>
+      import s.implicits._
+      val tmp = tempDir("graft_zip")
+      val df = Tables.load(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val header = df.columns.mkString(",")
+      graft.sources.Archive.writeArchives(
+        df.select(concat_ws(",", df.columns.map(col).toIndexedSeq: _*)).as[String],
+        tmp, header, format = "zip")
+      graft.sources.Archive.csv(s, s"$tmp/*.zip", df.schema, format = "zip")
+        .agg(count(lit(1)).as("n"), sum("p_partkey").cast("long").as("s"),
+          sum("p_size").cast("long").as("ss"))
+    },
+
+    // .7z archive import (same reference surface; the reference bundles
+    // its own 7z support in Archive/). LZMA2 codec via commons-compress
+    // + xz — BOTH already in /opt/spark/jars (r14 adjudicated .7z
+    // env-blocked; that was wrong — no new dependency is needed).
+    dfq("q_csv_7z",
+      "SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS s, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sc, min(o_orderstatus) AS st FROM orders") { (s, dir) =>
+      import s.implicits._
+      val tmp = tempDir("graft_7z")
+      val df = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      val header = df.columns.mkString(",")
+      graft.sources.Archive.writeArchives(
+        df.select(concat_ws(",", df.columns.map(col).toIndexedSeq: _*)).as[String],
+        tmp, header, format = "7z")
+      graft.sources.Archive.csv(s, s"$tmp/*.7z", df.schema, format = "7z")
+        .agg(count(lit(1)).as("n"), sum("o_orderkey").cast("long").as("s"),
+          sum("o_custkey").cast("long").as("sc"), min("o_orderstatus").as("st"))
     },
   )
 
