@@ -50,7 +50,12 @@ object StreamQueries {
   private def streamSession(s: SparkSession): SparkSession = synchronized {
     Option(tunedSessions.get(s)).getOrElse {
       val c = s.newSession()
-      c.conf.set("spark.sql.shuffle.partitions", "8")
+      // Default 8 ≙ the bench's stream volume; GRAFT_STREAM_PARTITIONS
+      // overrides so the scale campaign can MEASURE the at-scale
+      // reversal (more data per batch → more partitions win) instead of
+      // documenting it.
+      c.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "8"))
       tunedSessions.put(s, c)
       c
     }

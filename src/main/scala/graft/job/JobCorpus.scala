@@ -548,7 +548,15 @@ object JobCorpus {
   def runAll(spark: SparkSession, sfDir: String = ""): DataFrame = {
     val m = scaleFor(sfDir)
     ensureData(spark, m)
-    val exec = interactiveSession(spark, m)
+    runAllOn(spark, interactiveSession(spark, m))
+  }
+
+  /** [[runAll]] with an explicit execution session — the scale campaign
+    * (r17 verdict #1) drives the SAME corpus body on a default-conf
+    * session vs the interactive-trimmed child to measure where the
+    * profile dial flips; callers must have data + views ready on `exec`.
+    */
+  def runAllOn(spark: SparkSession, exec: SparkSession): DataFrame = {
     import spark.implicits._
     // Concurrent submission: each query is a tiny independent job whose
     // cost is dominated by driver-side planning, so the planner threads
@@ -586,9 +594,15 @@ object JobCorpus {
           name -> n
         }
       }
+      // 15 min covers every bench/verify shape at the capped sf scales;
+      // the scale campaign's x100 default-profile lap legitimately runs
+      // longer (data-dominated shuffle joins) — overridable, not a code
+      // path the driver gate ever takes.
+      val timeoutMin = sys.env.get("GRAFT_CORPUS_TIMEOUT_MIN")
+        .flatMap(_.toIntOption).getOrElse(15)
       val out = scala.concurrent.Await
         .result(scala.concurrent.Future.sequence(futures),
-          scala.concurrent.duration.Duration(15, "min"))
+          scala.concurrent.duration.Duration(timeoutMin, "min"))
         .toDF("q", "n").orderBy("q")
       lastCorpusLatencies = latencies.asScala.toMap
       out
@@ -693,11 +707,16 @@ object JobCorpus {
     */
   def warmCompass(spark: SparkSession,
       cs: graft.planner.CompassSession, sfDir: String = "",
+      names: Seq[String] = Nil): Int =
+    warmCompassAt(spark, cs, scaleFor(sfDir), names)
+
+  /** [[warmCompass]] with an explicit scale multiplier (scale campaign). */
+  def warmCompassAt(spark: SparkSession,
+      cs: graft.planner.CompassSession, m: Int,
       names: Seq[String] = Nil): Int = {
     // Template keys snapshot data location+mtime, so warming must happen
     // at the SAME scale the measurement will run (x1-keyed templates are
     // cold misses against x10 views — the A/B harness hit exactly that).
-    val m = scaleFor(sfDir)
     ensureData(spark, m)
     // Views + workload plans live on the CompassSession's OWN session
     // (since r17 that may be a driver-work-trimmed child of `spark` —
@@ -725,16 +744,18 @@ object JobCorpus {
     * than query count.
     */
   def runCompassFull(spark: SparkSession,
-      cs: graft.planner.CompassSession): DataFrame =
-    runCompassSubset(spark, cs, queries.map(_._1))
+      cs: graft.planner.CompassSession, m: Int = 1): DataFrame =
+    runCompassSubset(spark, cs, queries.map(_._1), m)
 
   def runCompassSubset(spark: SparkSession,
       cs: graft.planner.CompassSession,
-      names: Seq[String] = compassSubset): DataFrame = {
-    ensureData(spark)
+      names: Seq[String] = compassSubset, m: Int = 1): DataFrame = {
+    ensureData(spark, m)
     // scope.sql analyzes on cs.spark — the views must live there (r17:
     // that session may be a trimmed child; see JobEntries.compassFor).
-    registerViews(cs.spark)
+    // m > 1: the scale campaign routes the corpus through a PRODUCTION
+    // CompassSession over the scaled IMDb (r17 verdict #2).
+    registerViews(cs.spark, m)
     import spark.implicits._
     val byName = queries.toMap
     // Concurrent submission, one short-lived CompassSession scope per
@@ -763,7 +784,8 @@ object JobCorpus {
       }
       scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration(15, "min"))
+        scala.concurrent.duration.Duration(sys.env.get("GRAFT_CORPUS_TIMEOUT_MIN")
+          .flatMap(_.toIntOption).getOrElse(15), "min"))
     } finally pool.shutdown()
     lastCompassRuns = runs
     runs.map(r => r.name -> r.count).toDF("q", "n").orderBy("q")
@@ -781,8 +803,14 @@ object JobCorpus {
   final case class SkipPolicyFacet(offPlanMs: Long, onPlanMs: Long,
       nSkipped: Int, families: Int, allEqual: Boolean)
 
-  def measureSkipPolicy(spark: SparkSession, sfDir: String = ""): SkipPolicyFacet = {
-    val m = scaleFor(sfDir)
+  def measureSkipPolicy(spark: SparkSession, sfDir: String = ""): SkipPolicyFacet =
+    measureSkipPolicyAt(spark, scaleFor(sfDir))
+
+  /** [[measureSkipPolicy]] with an explicit scale multiplier — the scale
+    * campaign's check that the policy DECLINES to skip once big tables
+    * exceed the broadcast threshold (the at-scale reversal, measured).
+    */
+  def measureSkipPolicyAt(spark: SparkSession, m: Int): SkipPolicyFacet = {
     ensureData(spark, m)
     registerViews(spark, m)
     val byName = queries.toMap
