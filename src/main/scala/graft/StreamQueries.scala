@@ -80,8 +80,8 @@ object StreamQueries {
       .groupBy(window(col("ts"), "1 hour"))
       .count()
       .writeStream.outputMode("complete").format("memory")
-      .queryName("graft_stream_warmup").start()
-    try q.processAllAvailable() finally q.stop()
+      .queryName("graft_stream_warmup").trigger(availableNow).start()
+    try q.awaitTermination(600000L): Unit finally q.stop()
   }
 
   /** Streaming file source over one driver table, with the SAME schema
@@ -114,16 +114,33 @@ object StreamQueries {
   @volatile var lastBatchDurations: Map[String, Seq[Long]] = Map.empty
 
   /** Drain a started streaming query, recording its per-batch durations
-    * under `key`, and always stop it.
+    * under `key`, and always stop it. Every entry starts its query with
+    * `Trigger.AvailableNow` (r17 verdict #7): the stream processes all
+    * input present at start — INCLUDING the final watermark-advancing
+    * no-data batch, so event-time timeouts (sessionize) and eviction
+    * emissions (outer attribution, append windows) still fire — then
+    * terminates itself. That replaces `processAllAvailable`'s
+    * offset-polling handshake (await commit → re-check sources → extra
+    * empty trigger cycles) with the engine's own termination, which is
+    * the cheaper end-of-input protocol at bench scale and the CORRECT
+    * production shape for file-backed ingest (incremental catch-up runs
+    * of an at-rest corpus). Timing semantics the entries rely on are
+    * event-time only, so no multi-batch wall-clock behavior is lost.
     */
   private def drainTracked(
       q: org.apache.spark.sql.streaming.StreamingQuery, key: String): Unit =
     try {
-      q.processAllAvailable()
+      // AvailableNow self-terminates; the bound is a hang backstop, not
+      // a pacing device. A stream that misses it is a defect, loudly.
+      require(q.awaitTermination(600000L),
+        s"stream $key did not terminate within 10 min under AvailableNow")
       val durs = q.recentProgress.toSeq.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toLong))
       synchronized { lastBatchDurations += key -> durs }
     } finally q.stop()
+
+  private def availableNow =
+    org.apache.spark.sql.streaming.Trigger.AvailableNow()
 
   /** Run `df` into a memory sink to completion, return the sink's rows.
     * Fixed query names are safe across repeated entry runs — active-query
@@ -131,7 +148,8 @@ object StreamQueries {
     * is re-registered per start.
     */
   private def drainToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).trigger(availableNow).start()
     drainTracked(q, name)
     df.sparkSession.table(name)
   }
@@ -536,6 +554,7 @@ object StreamQueries {
           .writeStream.outputMode("append").format("parquet")
           .option("path", s"$out/data")
           .option("checkpointLocation", s"$out/chk")
+          .trigger(availableNow)
           .start()
         drainTracked(q, "graft_stream_curate")
         s.read.parquet(s"$out/data").orderBy("doc_id")
@@ -628,6 +647,7 @@ object StreamQueries {
             fileStream(s, dir, "events"), "user_id", Seq("ts", "event_id"),
             s"$out/state")
           .option("checkpointLocation", s"$out/$chk")
+          .trigger(availableNow)
           .start()
         drainTracked(q, s"graft_stream_cdc_$chk")
       }
