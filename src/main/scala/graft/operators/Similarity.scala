@@ -441,12 +441,25 @@ object Similarity {
     // differently across engines (different summation order); residual
     // flake odds are ~1e-10 per pair, accepted rather than papered over
     // with an epsilon band that would blur the operator's contract.
+    //
+    // OPERATION ORDER IS THE SCALE CONTRACT (×1000 campaign finding): the
+    // cosine + threshold run INSIDE the bucket join's codegen stage, so
+    // candidate pairs stream through the comparison and only SURVIVORS
+    // ever materialize; the cross-table dedup then exchanges narrow
+    // (id_a, id_b, cos) rows. Deduping BEFORE the cosine — the r12-r17
+    // formulation — shuffled every candidate pair with BOTH dim-wide
+    // vector payloads inboard; at ×1000 (2 M vectors, ~500 per bucket at
+    // bits=12) that exchange needed ~1 TB of spill and died on disk,
+    // while the survivor relation after the threshold is ~the true
+    // near-dup set. The trade: a pair co-bucketed in t tables has its
+    // cosine computed t times (bounded CPU, ~3·dim FMAs each) instead of
+    // once — cycles for shuffle bytes, the right direction at any scale.
     a1.join(a2, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Two-stage quantized retrieval: scan int8 CODES ([[quantizeInt8]])

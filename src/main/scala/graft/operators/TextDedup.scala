@@ -160,13 +160,25 @@ object TextDedup {
       shingleK: Int = 3, maxBucket: Int = 64): DataFrame = {
     val sh = shingleDF(df, idCol, textCol, shingleK)
     val banded = bandsOf(sh, idCol, numHashes, bands)
-    // Skew guard: drop pathological buckets (identical boilerplate) — the
-    // exact-dup pass catches those rows far more cheaply than an O(n²)
-    // in-bucket join would. Oversized buckets are found with a map-side-
-    // combined aggregate and removed with a BROADCAST anti-join: a window
-    // over (band, band_hash) would shuffle AND sort every banded row,
-    // while the aggregate shuffles only partial counts and the oversized
-    // set is tiny by construction (each holds > maxBucket members).
+    // Skew guard, hub form (×1000 campaign fix): buckets over `maxBucket`
+    // members — boilerplate, or big near-dup families, the web-crawl
+    // shape — are kept at LINEAR cost instead of being dropped. The
+    // pre-r18 guard anti-joined them away on the theory that the
+    // exact-dup pass catches their rows; that is only true of IDENTICAL
+    // boilerplate — a family of ~100 near-identical (not equal) replicas
+    // lost every candidate, measured as 448 k survivors where the
+    // construction says ~4.8 k (SCALE.md r18). Hub pairing bounds the
+    // cost the guard exists to bound (O(B) per bucket, not O(B²)) while
+    // keeping recall: every member pairs with the bucket's min id, the
+    // exact-Jaccard verify rejects false positives, and keep-min dedup
+    // semantics downstream are unchanged because the hub IS the minimum.
+    // Residual blind spot, documented: in a MIXED oversized bucket a
+    // member near-dup to another member but not to the hub is missed —
+    // strictly more recall than the dropping guard, same cost bound.
+    // Oversized buckets are found with a map-side-combined aggregate and
+    // routed with BROADCAST joins (the oversized set is tiny by
+    // construction; a window over (band, band_hash) would shuffle AND
+    // sort every banded row).
     val oversized = banded.groupBy(col("band"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
@@ -175,9 +187,16 @@ object TextDedup {
       Seq("band", "band_hash"), "left_anti")
     val a = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
     val b = bounded.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+    val inBucket = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+    val overRows = banded.join(broadcast(oversized), Seq("band", "band_hash"))
+    val hubs = overRows.groupBy(col("band"), col("band_hash"))
+      .agg(min(col(idCol)).as("id_a"))
+    val hubPairs = overRows.join(broadcast(hubs), Seq("band", "band_hash"))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
+    val candidates = inBucket.union(hubPairs).distinct()
     // Exact verify on the candidate set only, reusing the cached shingles.
     candidates
       .join(sh.withColumnsRenamed(Map(idCol -> "id_a", "sh" -> "sh_a")), "id_a")
@@ -196,14 +215,14 @@ object TextDedup {
     * appends to), only batch buckets meet corpus buckets, so per-day
     * cost scales with the batch, not the corpus. Returns
     * (batch_id, corpus_id, jaccard) with exact shingle-Jaccard ≥
-    * `threshold`, verified on candidates only. The skew guard drops
-    * oversized CORPUS buckets (boilerplate) — and because this flow has
-    * no separate whole-relation exact-dup pass to fall back on (the
-    * self-join variant's justification), an exact-digest join
-    * compensates: a batch doc identical to corpus boilerplate living
-    * only in dropped buckets still surfaces as a candidate (digest
-    * collisions are harmless — the exact-Jaccard verify rejects them).
-    * Batch buckets are bounded by the batch size.
+    * `threshold`, verified on candidates only. Oversized CORPUS buckets
+    * (boilerplate / big near-dup families) are excluded from the O(B)
+    * per-batch-row bucket join and covered at linear cost instead: an
+    * exact-digest join (identical boilerplate) plus hub candidates
+    * pairing the batch row with the oversized bucket's min corpus id
+    * (near-identical families — digest alone missed those, ×1000
+    * campaign). Digest collisions are harmless — the exact-Jaccard
+    * verify rejects them. Batch buckets are bounded by the batch size.
     */
   def minhashNearDupsAgainst(
       corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
@@ -230,7 +249,22 @@ object TextDedup {
       .join(corpus.select(col(idCol).as("corpus_id"),
         xxhash64(lower(trim(col(textCol)))).as("_digest")), "_digest")
       .select("batch_id", "corpus_id")
-    val candidates = lshCandidates.union(exactCandidates).distinct()
+    // Hub candidates (×1000 campaign fix, same blind spot as the
+    // self-join guard): a batch doc landing in an oversized CORPUS
+    // bucket pairs with that bucket's min corpus id at linear cost —
+    // the digest pass alone only catches IDENTICAL boilerplate, so a
+    // batch doc near-duplicating a big near-dup family used to slip
+    // through entirely.
+    val corpusHubs = bandedC.join(broadcast(oversized),
+        Seq("band", "band_hash"))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(min(col(idCol)).as("corpus_id"))
+    val hubCandidates = bandedB
+      .select(col("band"), col("band_hash"), col(idCol).as("batch_id"))
+      .join(broadcast(corpusHubs), Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id")
+    val candidates =
+      lshCandidates.union(exactCandidates).union(hubCandidates).distinct()
     candidates
       .join(shB.withColumnsRenamed(Map(idCol -> "batch_id", "sh" -> "sh_b")),
         "batch_id")
@@ -332,7 +366,19 @@ object TextDedup {
         xxhash64(lower(trim(col(textCol)))).as("digest"))
       .join(shC.select(col("id").as("corpus_id"), col("digest")), "digest")
       .select("batch_id", "corpus_id")
-    val candidates = lshCandidates.union(exactCandidates).distinct()
+    // Hub candidates for oversized corpus buckets — see
+    // [[minhashNearDupsAgainst]]; identical semantics on the persisted
+    // relations.
+    val corpusHubs = bandedC.join(broadcast(oversized),
+        Seq("band", "band_hash"))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(min(col("id")).as("corpus_id"))
+    val hubCandidates = bandedB
+      .select(col("band"), col("band_hash"), col(idCol).as("batch_id"))
+      .join(broadcast(corpusHubs), Seq("band", "band_hash"))
+      .select("batch_id", "corpus_id")
+    val candidates =
+      lshCandidates.union(exactCandidates).union(hubCandidates).distinct()
     candidates
       .join(shB.withColumnsRenamed(Map(idCol -> "batch_id", "sh" -> "sh_b")),
         "batch_id")

@@ -122,18 +122,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(sigN == sig0, "null shingle elements must be skipped, not hashed as 0")
   }
 
-  test("skew guard drops oversized buckets instead of exploding the join") {
+  test("skew guard: oversized buckets yield HUB pairs, never the quadratic join") {
     import spark.implicits._
     // 300 identical docs → every band bucket has 300 members; with
-    // maxBucket=64 the LSH pass must return no pairs (exact pass covers
-    // them) rather than 300², and must still catch a small planted pair.
+    // maxBucket=64 the hub guard (r18 — the pre-r18 guard DROPPED these
+    // buckets and lost every near-identical-family pair at ×1000) must
+    // emit exactly the linear hub pairs (min id 1 vs each other member),
+    // never 300²/2, and must still catch the small planted pair.
     val boiler = (1L to 300L).map(i => i -> "the same boilerplate text repeated everywhere")
     val planted = Seq(400L -> "unique snowflake document alpha beta gamma delta epsilon zeta eta",
       401L -> "unique snowflake document alpha beta gamma delta epsilon zeta omega")
     val df = (boiler ++ planted).toDF("doc_id", "text").repartition(5)
     val pairs = TextDedup.minhashNearDups(df, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((400L, 401L)), s"skew guard failed: ${pairs.size} pairs")
+    val expected = (2L to 300L).map(i => (1L, i)).toSet + ((400L, 401L))
+    assert(pairs == expected,
+      s"hub guard failed: ${pairs.size} pairs (expected ${expected.size})")
+    // Keep-min dedup over these pairs still keeps exactly {1, 400}.
+    val dropped = pairs.map(_._2)
+    assert(!dropped.contains(1L) && !dropped.contains(400L))
+    assert((2L to 300L).forall(dropped.contains) && dropped.contains(401L))
   }
 
   test("simhash skew guard drops pathological chunk buckets, keeps small pairs") {

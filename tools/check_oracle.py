@@ -11,9 +11,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # Driver tables are single files; ScaleGen variants are directories
+    # of part files — glob in that case so the scale campaign runs the
+    # same differential gate.
+    path = f"{sf_dir}/{t}.parquet"
+    pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+# Optional per-entry oracle time budget (seconds), 3rd argv. The scale
+# campaign needs it: some oracles are deliberate brute-force
+# re-derivations (all-pairs Jaccard, all-pairs cosine) that are exact at
+# driver scale but intractable at x100+ — a timed-out oracle is reported
+# as ORACLE TIMEOUT (a coverage statement), never a pass.
+budget = float(sys.argv[3]) if len(sys.argv) > 3 else None
+
+def run_oracle(sql):
+    if budget is None:
+        return con.execute(sql).df()
+    import threading
+    timer = threading.Timer(budget, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
+
 ok, bad = [], []
 for name, sql in sorted(oracle.items()):
     pdir = f"{out_dir}/{name}"
@@ -24,7 +48,9 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         bad.append((name, f"read spark parquet failed: {e}")); continue
     try:
-        duck_df = con.execute(sql).df()
+        duck_df = run_oracle(sql)
+    except duckdb.InterruptException:
+        bad.append((name, f"ORACLE TIMEOUT (> {budget}s)")); continue
     except Exception as e:
         bad.append((name, f"DUCKDB ERROR: {e}")); continue
     # normalize: sort columns by name, sort rows, stringify values
