@@ -882,8 +882,17 @@ object PipelineQueries {
         "  r.vec_id NOT IN (SELECT ib FROM dropped) AS kept " +
         "FROM res r ORDER BY r.vec_id") { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
+      // nCentroids scales with the corpus (SemDeDup's own recipe — the
+      // paper runs ~50k clusters on LAION): the per-cluster self-join
+      // costs Σ|cluster|² cosines, so a FIXED cluster count is
+      // quadratic in n. The ×1000 campaign measured exactly that —
+      // 200k vectors / 16 clusters = 1.25G cosines, 283 s; targeting
+      // ~1k-member clusters is n·500 comparisons, linear. Floor 16
+      // keeps every driver scale (200-2k vectors) on the r12-pinned
+      // fixture; the oracle follows the recorded assignment at any k.
+      val n = emb.count()
       Similarity.semDedup(emb, "vec_id", "embedding",
-          threshold = 0.45, nCentroids = 16)
+          threshold = 0.45, nCentroids = math.max(16L, n / 1000L).toInt)
         .orderBy("vec_id")
     },
 
