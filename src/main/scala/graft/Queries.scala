@@ -2012,10 +2012,38 @@ object Queries {
     // BIGINT state, integer threshold): no transcendental, no rounding,
     // no knife-edge possible at any scale. The only division is the
     // reference level: floor of an IEEE division of two exact integers
-    // < 2^53 — bit-identical everywhere. Same recursive-CTE frontier
-    // shape as the EWMA/Holt recurrences (inherently sequential per key,
-    // per-user parallel at scale); 587 alarms / 1981 rows at sf0.01.
-    sql("q_cusum",
+    // < 2^53 — bit-identical everywhere; 587 alarms / 1981 rows at
+    // sf0.01. ENGINE side: the recurrence has an EXACT closed form in
+    // the same BIGINT arithmetic — with prefix sums P_t = Σ_{i≤t}
+    // (x_i − k) and P_0 = 0, S_t = P_t − min_{0≤j≤t} P_j (induction:
+    // both sides satisfy the max(0, ·+d) recurrence) — so Spark runs
+    // TWO window functions over one (user_id, rn) sort: O(n) one-pass,
+    // per-user parallel, depth-independent at 100× sequence length.
+    // ORACLE side keeps the recursive-CTE formulation (one frontier
+    // join per sequence position): same values from a structurally
+    // different computation = a stronger differential than running the
+    // identical text twice. (q_ewma_recursive / q_holt_linear keep the
+    // recursion on BOTH sides: their float recurrences have no
+    // reorder-safe exact closed form — recursion is honest there.)
+    sql2("q_cusum",
+      "WITH seq AS (" +
+        "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "  FROM events WHERE event_type = 'purchase'), " +
+        "k AS (SELECT CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT) AS kk FROM seq), " +
+        "p AS (" +
+        "  SELECT user_id, rn, kk, " +
+        "    sum(cents - kk) OVER (PARTITION BY user_id ORDER BY rn " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt " +
+        "  FROM seq, k), " +
+        "m AS (" +
+        "  SELECT user_id, rn, kk, pt, " +
+        "    least(CAST(0 AS BIGINT), min(pt) OVER (PARTITION BY user_id ORDER BY rn " +
+        "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mn " +
+        "  FROM p) " +
+        "SELECT user_id, CAST(rn AS BIGINT) AS rn, pt - mn AS cusum_cents, " +
+        "  CAST(CASE WHEN pt - mn > 2 * kk THEN 1 ELSE 0 END AS INT) AS alarm " +
+        "FROM m ORDER BY user_id, rn",
       "WITH RECURSIVE seq AS (" +
         "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +

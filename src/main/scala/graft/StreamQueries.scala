@@ -81,7 +81,13 @@ object StreamQueries {
       .count()
       .writeStream.outputMode("complete").format("memory")
       .queryName("graft_stream_warmup").trigger(availableNow).start()
-    try q.awaitTermination(600000L): Unit finally q.stop()
+    // Same loud bound as drainTracked: a warmup stream that misses
+    // AvailableNow self-termination is a defect in the SAME machinery
+    // the timed entries rely on — masking it here would surface later
+    // as an unexplained timed-entry hang.
+    try require(q.awaitTermination(600000L),
+      "warmup stream did not terminate within 10 min under AvailableNow")
+    finally q.stop()
   }
 
   /** Streaming file source over one driver table, with the SAME schema

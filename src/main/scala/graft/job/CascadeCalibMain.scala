@@ -115,6 +115,20 @@ object CascadeCalibMain {
     }
 
     // ---- Phase 2: fit OLS variants on y = ln(true) - ln(est) --------
+    // A singular system (e.g. a feature constant across every collected
+    // point — all prefixes at x=0 excess edges) skips THAT variant with
+    // a report instead of aborting the whole harness and losing the
+    // other variants' results (r18 advice).
+    def fitOpt(label: String, ps: Seq[Point],
+        features: Point => Seq[Double]): Option[(String, Array[Double], Double)] =
+      if (ps.isEmpty) {
+        println(s"fit $label: SKIPPED — no points"); None
+      } else try Some(fit(label, ps, features)) catch {
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(_.contains("singular")) =>
+          println(s"fit $label: SKIPPED — ${e.getMessage}"); None
+      }
+
     def fit(label: String, ps: Seq[Point],
         features: Point => Seq[Double]): (String, Array[Double], Double) = {
       val xs = ps.map(p => 1.0 +: features(p))
@@ -180,25 +194,30 @@ object CascadeCalibMain {
     }
 
     val variants: Seq[(String, Enumerator.CascadeCalib)] = {
-      val (_, bx, r2x) = fit("excess", pooled, p => Seq(p.x.toDouble))
-      val (_, bk, r2k) = fit("size", pooled, p => Seq(p.k.toDouble))
-      val (_, bf, r2f) = fit("full", pooled,
+      val fx = fitOpt("excess", pooled, p => Seq(p.x.toDouble))
+      val fk = fitOpt("size", pooled, p => Seq(p.k.toDouble))
+      val ff = fitOpt("full", pooled,
         p => Seq(p.x.toDouble, p.k.toDouble))
-      println(f"\nfit excess: y = ${bx(0)}%.4f + ${bx(1)}%.4f·x (R²=$r2x%.3f)")
-      println(f"fit size:   y = ${bk(0)}%.4f + ${bk(1)}%.4f·k (R²=$r2k%.3f)")
-      println(f"fit full:   y = ${bf(0)}%.4f + ${bf(1)}%.4f·x + ${bf(2)}%.4f·k (R²=$r2f%.3f)")
+      fx.foreach { case (_, bx, r2x) =>
+        println(f"\nfit excess: y = ${bx(0)}%.4f + ${bx(1)}%.4f·x (R²=$r2x%.3f)") }
+      fk.foreach { case (_, bk, r2k) =>
+        println(f"fit size:   y = ${bk(0)}%.4f + ${bk(1)}%.4f·k (R²=$r2k%.3f)") }
+      ff.foreach { case (_, bf, r2f) =>
+        println(f"fit full:   y = ${bf(0)}%.4f + ${bf(1)}%.4f·x + ${bf(2)}%.4f·k (R²=$r2f%.3f)") }
       // Per-workload coefficient stability (reported, not shipped).
       Seq("job", "tpch").foreach { w =>
         val ps = pooled.filter(_.workload == w)
-        val (_, bw, r2w) = fit(s"full/$w", ps,
-          p => Seq(p.x.toDouble, p.k.toDouble))
-        println(f"fit full [$w only]: y = ${bw(0)}%.4f + ${bw(1)}%.4f·x + " +
-          f"${bw(2)}%.4f·k (R²=$r2w%.3f, n=${ps.size})")
+        fitOpt(s"full/$w", ps, p => Seq(p.x.toDouble, p.k.toDouble)).foreach {
+          case (_, bw, r2w) =>
+            println(f"fit full [$w only]: y = ${bw(0)}%.4f + ${bw(1)}%.4f·x + " +
+              f"${bw(2)}%.4f·k (R²=$r2w%.3f, n=${ps.size})")
+        }
       }
       Seq(
-        "excess" -> Enumerator.CascadeCalib(bx(0), bx(1), 0.0),
-        "size" -> Enumerator.CascadeCalib(bk(0), 0.0, bk(1)),
-        "full" -> Enumerator.CascadeCalib(bf(0), bf(1), bf(2)))
+        fx.map { case (_, b, _) => "excess" -> Enumerator.CascadeCalib(b(0), b(1), 0.0) },
+        fk.map { case (_, b, _) => "size" -> Enumerator.CascadeCalib(b(0), 0.0, b(1)) },
+        ff.map { case (_, b, _) => "full" -> Enumerator.CascadeCalib(b(0), b(1), b(2)) }
+      ).flatten
     }
 
     // ---- Phase 3: plan-choice A/B of each calibrated model ----------

@@ -701,4 +701,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"expected cell-prefilter AND edge joins as broadcast hash joins:\n$plan")
   }
+
+  test("q_cusum engine plan is the window closed form, not the recursive frontier") {
+    // r18 verdict #2: S_t = max(0, S_{t-1}+x_t−k) has the exact closed
+    // form S_t = P_t − min_{0≤j≤t} P_j (prefix sum + running min), so
+    // the engine side must run TWO window functions over one
+    // (user_id, rn) sort — O(n), depth-independent — never the
+    // recursive-CTE frontier (one join per sequence position: at 100×
+    // per-user depth that is 100× driver-scheduled iterations). The
+    // DuckDB oracle keeps the recursion, making the differential a
+    // cross-formulation check.
+    val plan = planOf("q_cusum")
+    assert(plan.contains("Window"),
+      s"expected window-function closed form in:\n$plan")
+    assert(!plan.contains("UnionLoop") && !plan.contains("Recursive"),
+      s"recursive frontier leaked back into the engine-side plan:\n$plan")
+    // The recursion shape is still exercised on the ENGINE side by the
+    // float recurrences that have no reorder-safe closed form — pin
+    // that q_ewma_recursive still runs the loop, so this assertion
+    // stays meaningful (the "UnionLoop" token tracks Spark's node name).
+    val ewma = planOf("q_ewma_recursive")
+    assert(ewma.contains("UnionLoop") || ewma.contains("Recursive"),
+      s"q_ewma_recursive no longer shows a recursive node — update the token:\n$ewma")
+  }
 }

@@ -31,11 +31,27 @@ def run_oracle(sql):
     if budget is None:
         return con.execute(sql).df()
     import threading
-    timer = threading.Timer(budget, con.interrupt)
+    # Race guard (r18 advice): Timer can fire AFTER the query finishes
+    # but BEFORE timer.cancel(), leaving an interrupt pending on the
+    # shared connection that aborts the NEXT query as a spurious
+    # timeout. Gate the interrupt on a still-running flag held under a
+    # lock so a late-firing timer is a no-op.
+    lock = threading.Lock()
+    state = {"running": True}
+    def maybe_interrupt():
+        with lock:
+            if state["running"]:
+                con.interrupt()
+    timer = threading.Timer(budget, maybe_interrupt)
     timer.start()
     try:
-        return con.execute(sql).df()
+        df = con.execute(sql).df()
+        with lock:
+            state["running"] = False
+        return df
     finally:
+        with lock:
+            state["running"] = False
         timer.cancel()
 
 ok, bad = [], []
@@ -48,7 +64,19 @@ for name, sql in sorted(oracle.items()):
     except Exception as e:
         bad.append((name, f"read spark parquet failed: {e}")); continue
     try:
-        duck_df = run_oracle(sql)
+        import time
+        t0 = time.monotonic()
+        try:
+            duck_df = run_oracle(sql)
+        except duckdb.InterruptException:
+            # Belt to the flag's suspenders: if the interrupt arrived
+            # well under budget it was a stale pending interrupt from a
+            # prior query's timer, not this query timing out — retry
+            # once before reporting a timeout.
+            if budget is not None and time.monotonic() - t0 < 0.9 * budget:
+                duck_df = run_oracle(sql)
+            else:
+                raise
     except duckdb.InterruptException:
         bad.append((name, f"ORACLE TIMEOUT (> {budget}s)")); continue
     except Exception as e:
