@@ -58,6 +58,15 @@ object PipelineQueries {
     // relation the components oracle uses) — green proves the banded
     // candidate generation missed no qualifying pair AND the exact
     // verifier agreed with an independent Jaccard implementation.
+    // KNOWN-DIVERGENCE note (r18 advice): the oversized-bucket hub guard
+    // has a measured blind spot — a near-dup family shadowed into a
+    // foreign bucket in EVERY band wrongly survives. The brute-force
+    // oracle does NOT model it, by design: at the shipped 16-band config
+    // the shadow probability is J^64 (≈6e-10; SkewGuardRecallSpec
+    // measures 0 excess on a purpose-built adversary), so a future
+    // mismatch here showing EXTRA Spark survivors should be read as
+    // "corpus exhibits the blind spot" → raise `hubAnchors`/bands, not
+    // as an oracle bug.
     dfq("q_dedup_minhash",
       "WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents), " +
         "sh AS (SELECT doc_id, list_distinct([array_to_string(t[CAST(i AS INT):CAST(i+2 AS INT)], ' ') " +
@@ -900,7 +909,7 @@ object PipelineQueries {
       // fixture; the oracle follows the recorded assignment at any k.
       val n = embCountMemo.getOrElseUpdate(s"$dir/embeddings.parquet", emb.count())
       Similarity.semDedup(emb, "vec_id", "embedding",
-          threshold = 0.45, nCentroids = math.max(16L, n / 1000L).toInt)
+          threshold = 0.45, nCentroids = Similarity.semDedupCentroids(n))
         .orderBy("vec_id")
     },
 

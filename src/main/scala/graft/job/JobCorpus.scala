@@ -500,6 +500,42 @@ object JobCorpus {
     * data side grows ~1000× and the defaults win — the profile is gated
     * on the scaled volume staying interactive, not applied globally.
     */
+  /** Measured boundary of the interactive-trim profile (SCALE.md r18
+    * facet 1): the trim (AQE/codegen/constraint propagation off) wins
+    * while every plan stays in the broadcast regime — ×10/×20 measured
+    * winning (48 s → ~25 s at ×10) — and LOSES past it: at ×100 four
+    * data-dominated queries (`18c`, `25a`, `25b`, `25c`) complete ONLY
+    * with AQE on, and trim cap-outs exceed default cap-outs in both the
+    * cold and warm laps. Past this multiplier the chooser takes the
+    * default profile; `ProfileChooserSpec` pins the flip.
+    */
+  private[graft] val InteractiveMaxScale = 20
+
+  private[graft] def useInteractiveProfile(m: Int): Boolean =
+    m <= InteractiveMaxScale
+
+  // Default-profile children (AQE on), cached like interactiveSessions.
+  private val defaultSessions =
+    new java.util.WeakHashMap[SparkSession, (Int, SparkSession)]()
+
+  /** The volume-gated execution session: interactive trim inside the
+    * measured regime, untouched default conf (AQE re-planning on) past
+    * it. [[runAll]] routes through this; `scaleFor`'s ×20 cap means the
+    * bench entries always land on the trim, while campaign harnesses
+    * calling at ×100 get the only profile that completes there.
+    */
+  private[graft] def executionSession(spark: SparkSession, m: Int): SparkSession =
+    if (useInteractiveProfile(m)) interactiveSession(spark, m)
+    else synchronized {
+      Option(defaultSessions.get(spark)).filter(_._1 == m).map(_._2)
+        .getOrElse {
+          val c = spark.newSession()
+          registerViews(c, m)
+          defaultSessions.put(spark, (m, c))
+          c
+        }
+    }
+
   private[graft] def interactiveSession(spark: SparkSession, m: Int): SparkSession =
     synchronized {
       Option(interactiveSessions.get(spark)).filter(_._1 == m).map(_._2)
@@ -548,7 +584,7 @@ object JobCorpus {
   def runAll(spark: SparkSession, sfDir: String = ""): DataFrame = {
     val m = scaleFor(sfDir)
     ensureData(spark, m)
-    runAllOn(spark, interactiveSession(spark, m))
+    runAllOn(spark, executionSession(spark, m))
   }
 
   /** [[runAll]] with an explicit execution session — the scale campaign

@@ -557,6 +557,17 @@ object Similarity {
     * the ROUNDED cosine for the same cross-engine determinism contract
     * as [[cosineNearDups]] (residual ulp-boundary odds accepted there).
     */
+  /** The `nCentroids` sizing rule the pipeline entry uses: target
+    * ~1000-member clusters (the per-cluster self-join costs Σ|cluster|²
+    * cosines, so a FIXED cluster count is quadratic in n — the ×1000
+    * campaign measured 1.25 G cosines / 283 s at 200k vectors with the
+    * pre-r18 pinned 16; n/1000 makes it n·500 comparisons, linear).
+    * Floor 16 keeps driver scales (200–2k vectors) on the r12-pinned
+    * fixture. Gated by ScaleDefectGateSpec so the quadratic cannot
+    * silently return.
+    */
+  def semDedupCentroids(n: Long): Int = math.max(16L, n / 1000L).toInt
+
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCentroids: Int = 16): DataFrame = {

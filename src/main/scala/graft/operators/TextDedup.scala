@@ -157,7 +157,7 @@ object TextDedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, maxBucket: Int = 64): DataFrame = {
+      shingleK: Int = 3, maxBucket: Int = 64, hubAnchors: Int = 1): DataFrame = {
     val sh = shingleDF(df, idCol, textCol, shingleK)
     val banded = bandsOf(sh, idCol, numHashes, bands)
     // Skew guard, hub form (×1000 campaign fix): buckets over `maxBucket`
@@ -191,11 +191,38 @@ object TextDedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val overRows = banded.join(broadcast(oversized), Seq("band", "band_hash"))
-    val hubs = overRows.groupBy(col("band"), col("band_hash"))
-      .agg(min(col(idCol)).as("id_a"))
-    val hubPairs = overRows.join(broadcast(hubs), Seq("band", "band_hash"))
-      .filter(col(idCol) =!= col("id_a"))
-      .select(col("id_a"), col(idCol).as("id_b"))
+    // Anchor set per oversized bucket: always the min id (the hub —
+    // keep-min dedup semantics need every dropped member reachable from
+    // a smaller near-dup, and the hub IS the bucket minimum), plus, when
+    // hubAnchors > 1, k−1 pseudo-random secondary anchors (deterministic
+    // xxhash64(id) order, so re-runs pick the same members). Secondary
+    // anchors shrink the documented blind spot — a member-member
+    // near-dup family hiding inside a mixed oversized bucket is found
+    // iff an anchor lands in the family — at O(k·B) candidates per
+    // bucket, same cost class. SkewGuardRecallSpec measures the
+    // geometry: at the shipped 16-band config the blind spot requires a
+    // family to shadow a foreign bucket in all 16 bands (P ≈ J^64 for
+    // sub-threshold J — vanishing), which is why hubAnchors defaults
+    // to 1; raise it for low-band configurations.
+    val anchors =
+      if (hubAnchors <= 1)
+        overRows.groupBy(col("band"), col("band_hash"))
+          .agg(min(col(idCol)).as("anchor"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+          .orderBy(xxhash64(col(idCol)), col(idCol))
+        overRows.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") < lit(hubAnchors))
+          .select(col("band"), col("band_hash"), col(idCol).as("anchor"))
+          .union(overRows.groupBy(col("band"), col("band_hash"))
+            .agg(min(col(idCol)).as("anchor")))
+          .distinct()
+      }
+    val hubPairs = overRows.join(broadcast(anchors), Seq("band", "band_hash"))
+      .filter(col(idCol) =!= col("anchor"))
+      .select(least(col("anchor"), col(idCol)).as("id_a"),
+        greatest(col("anchor"), col(idCol)).as("id_b"))
     val candidates = inBucket.union(hubPairs).distinct()
     // Exact verify on the candidate set only, reusing the cached shingles.
     candidates
