@@ -44,6 +44,22 @@ object Queries {
   /** Not SQL-expressible in DuckDB → driver records a rows-only check. */
   def opaque(name: String)(fn: QueryFn): Entry = Entry(name, fn, None)
 
+  /** The purchase sequence the per-user recurrence entries fold:
+    * (user_id, event_id, ts µs, cents), cents = floor(value·100 + 0.5)
+    * computed by the SAME Spark SQL expression as the oracles' seq CTE
+    * so the fold starts from bit-identical integers. Sorting happens
+    * inside each fold's group (by (ts, event_id), the oracle's
+    * row_number order — unique per the generator's event_id).
+    */
+  private def purchaseSeq(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")), floor(col("value") * 100 + 0.5).cast("long"))
+      .as[(Long, Long, Long, Long)]
+  }
+
   /** Spark-SQL text of the knife-edge-GUARDED micro-bit lattice value
     * floor(log2(k)·1e6 + 0.5) — the SQL twin of
     * [[graft.operators.TextAnalysis.microLog2]]: if the scaled log2 sits
@@ -1958,13 +1974,23 @@ object Queries {
         "  round(quantile_disc(l_extendedprice, 0.75), 4) AS p75d " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
 
-    // Exponential smoothing (EWMA, α = 1/2) via the recursive CTE —
-    // s_t = v_t/2 + s_{t-1}/2 is inherently sequential per key, the one
-    // shape plain windows cannot express; UnionLoop iterates one
-    // frontier join per depth (bounded by the longest per-user chain,
-    // 24 at sf0.01). α = 1/2 keeps every step a binary halving: both
-    // engines execute the identical op sequence → identical doubles.
-    sql("q_ewma_recursive",
+    // Exponential smoothing (EWMA, α = 1/2) — s_t = v_t/2 + s_{t-1}/2
+    // is inherently sequential PER KEY, so the scale-correct engine
+    // shape is a per-user fold: ONE shuffle on user_id, then each
+    // user's chain evaluated strictly left-to-right inside its task
+    // (flatMapGroups — the justified per-partition-imperative case),
+    // depth-independent and user-parallel at any scale. The pre-r19
+    // engine side ran the recursive-CTE frontier (one JOIN per sequence
+    // position — at 100× per-user depth, hours of driver-scheduled
+    // iterations; the q_cusum lesson, but with no reorder-safe closed
+    // form because the state is a float). The fold executes the
+    // IDENTICAL IEEE op sequence as the recursion (α = 1/2 keeps every
+    // step a binary halving), so the DuckDB oracle KEEPS the recursive
+    // CTE: bit-identical doubles from structurally different
+    // computations — the cross-formulation differential. The final
+    // round(s, 6) is applied as the same Spark SQL expression on both
+    // formulations' doubles.
+    dfq("q_ewma_recursive",
       "WITH RECURSIVE seq AS (" +
         "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
@@ -1975,20 +2001,44 @@ object Queries {
         "  SELECT seq.user_id, seq.rn, seq.event_id, 0.5 * seq.cents + 0.5 * e.s " +
         "  FROM e JOIN seq ON seq.user_id = e.user_id AND seq.rn = e.rn + 1) " +
         "SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, round(s, 6) AS ewma_cents " +
-        "FROM e ORDER BY user_id, rn"),
+        "FROM e ORDER BY user_id, rn") { (s, dir) =>
+      import s.implicits._
+      val folded = purchaseSeq(s, dir).groupByKey(_._1).flatMapGroups {
+        (uid, it) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          val out = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Long, Double)](rows.length)
+          var st = 0.0
+          var i = 0
+          while (i < rows.length) {
+            val cents = rows(i)._4
+            st = if (i == 0) cents.toDouble else 0.5 * cents + 0.5 * st
+            out += ((uid, (i + 1).toLong, rows(i)._2, st))
+            i += 1
+          }
+          out
+      }.toDF("user_id", "rn", "event_id", "s")
+      folded.select(col("user_id"), col("rn"), col("event_id"),
+          round(col("s"), 6).as("ewma_cents"))
+        .orderBy("user_id", "rn")
+    },
 
     // Holt's LINEAR exponential smoothing (level + trend, α = β = 1/2) —
     // the two-state recurrence l_t = v_t/2 + (l+b)/2, b_t = (l_t−l)/2 +
-    // b/2 plus the one-step-ahead forecast l_t + b_t. Like the EWMA
-    // entry, α = β = 1/2 keeps every step exact dyadic arithmetic on
-    // integer cents (numerators stay ≪ 2^53 at the ≤ 24-step chain
-    // depth), and the same SQL text runs on both engines — identical op
-    // sequence → identical doubles. Outputs are fixed-point
-    // floor(x·1e6 + 0.5) micro-units: floor is rounding-RULE-free, so
-    // identical doubles cannot diverge even ON a .5 boundary (dyadic
-    // values DO land there — e.g. 1/128 — which round(x, 6) would
-    // tie-break engine-specifically; this is the knife-edge discipline).
-    sql("q_holt_linear",
+    // b/2 plus the one-step-ahead forecast l_t + b_t. Same engine shape
+    // as q_ewma_recursive: per-user flatMapGroups fold (one shuffle,
+    // depth-independent), executing the recursion's exact IEEE op
+    // sequence — α = β = 1/2 keeps every step exact dyadic arithmetic
+    // on integer cents (numerators stay ≪ 2^53 at the ≤ 24-step chain
+    // depth); the DuckDB oracle keeps the recursive CTE. Outputs are
+    // fixed-point floor(x·1e6 + 0.5) micro-units: floor is
+    // rounding-RULE-free, so identical doubles cannot diverge even ON a
+    // .5 boundary (dyadic values DO land there — e.g. 1/128 — which
+    // round(x, 6) would tie-break engine-specifically; this is the
+    // knife-edge discipline). The b-step mirrors the SQL text exactly,
+    // recomputing l' inside the trend expression — deterministic, so
+    // computing it once is the same double.
+    dfq("q_holt_linear",
       "WITH RECURSIVE seq AS (" +
         "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
@@ -2004,7 +2054,35 @@ object Queries {
         "  CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_u, " +
         "  CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_u, " +
         "  CAST(floor((l + b) * 1000000 + 0.5) AS BIGINT) AS forecast_u " +
-        "FROM e ORDER BY user_id, rn"),
+        "FROM e ORDER BY user_id, rn") { (s, dir) =>
+      import s.implicits._
+      val folded = purchaseSeq(s, dir).groupByKey(_._1).flatMapGroups {
+        (uid, it) =>
+          val rows = it.toArray.sortBy(r => (r._3, r._2))
+          val out = new scala.collection.mutable.ArrayBuffer[
+            (Long, Long, Double, Double)](rows.length)
+          var l = 0.0
+          var b = 0.0
+          var i = 0
+          while (i < rows.length) {
+            val cents = rows(i)._4
+            if (i == 0) { l = cents.toDouble; b = 0.0 }
+            else {
+              val lNew = 0.5 * cents + 0.5 * (l + b)
+              val bNew = 0.5 * (lNew - l) + 0.5 * b
+              l = lNew; b = bNew
+            }
+            out += ((uid, (i + 1).toLong, l, b))
+            i += 1
+          }
+          out
+      }.toDF("user_id", "rn", "l", "b")
+      folded.select(col("user_id"), col("rn"),
+          floor(col("l") * 1000000 + 0.5).cast("long").as("level_u"),
+          floor(col("b") * 1000000 + 0.5).cast("long").as("trend_u"),
+          floor((col("l") + col("b")) * 1000000 + 0.5).cast("long").as("forecast_u"))
+        .orderBy("user_id", "rn")
+    },
 
     // One-sided CUSUM changepoint monitor per user — S_t = max(0,
     // S_{t-1} + x_t − k) against the global reference level k, alarm

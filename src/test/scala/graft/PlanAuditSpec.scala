@@ -716,12 +716,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected window-function closed form in:\n$plan")
     assert(!plan.contains("UnionLoop") && !plan.contains("Recursive"),
       s"recursive frontier leaked back into the engine-side plan:\n$plan")
-    // The recursion shape is still exercised on the ENGINE side by the
-    // float recurrences that have no reorder-safe closed form — pin
-    // that q_ewma_recursive still runs the loop, so this assertion
-    // stays meaningful (the "UnionLoop" token tracks Spark's node name).
-    val ewma = planOf("q_ewma_recursive")
-    assert(ewma.contains("UnionLoop") || ewma.contains("Recursive"),
-      s"q_ewma_recursive no longer shows a recursive node — update the token:\n$ewma")
+    // r19: the float recurrences (q_ewma_recursive / q_holt_linear)
+    // also left the frontier — their engine side is now a per-user
+    // flatMapGroups fold (one shuffle, the recursion's exact IEEE op
+    // order), so no depth-many joins remain anywhere but the
+    // legitimately recursive digit-tree walk. Pin both directions:
+    Seq("q_ewma_recursive", "q_holt_linear").foreach { name =>
+      val p = planOf(name)
+      assert(!p.contains("UnionLoop") && !p.contains("Recursive"),
+        s"$name regressed to the recursive frontier:\n$p")
+      assert(p.contains("MapGroups") || p.contains("mapGroups"),
+        s"$name no longer folds per user:\n$p")
+    }
+    // The recursion machinery itself stays exercised engine-side by
+    // q_recursive_cte (digit-tree walk: depth = #digits, log-bounded —
+    // scale-safe recursion). This also keeps the "UnionLoop" token
+    // honest: if Spark renames the node, THIS assertion fails loudly
+    // instead of the absence checks above passing vacuously.
+    val rec = planOf("q_recursive_cte")
+    assert(rec.contains("UnionLoop") || rec.contains("Recursive"),
+      s"q_recursive_cte no longer shows a recursive node — update the token:\n$rec")
   }
 }
