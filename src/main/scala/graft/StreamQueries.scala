@@ -45,20 +45,56 @@ object StreamQueries {
     * sessions.
     */
   private val tunedSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Int, SparkSession]]()
 
-  private def streamSession(s: SparkSession): SparkSession = synchronized {
-    Option(tunedSessions.get(s)).getOrElse {
-      val c = s.newSession()
-      // Default 8 ≙ the bench's stream volume; GRAFT_STREAM_PARTITIONS
-      // overrides so the scale campaign can MEASURE the at-scale
-      // reversal (more data per batch → more partitions win) instead of
-      // documenting it.
-      c.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "8"))
-      tunedSessions.put(s, c)
-      c
+  /** The measured state-store dial, now CODE (SCALE.md r18 measured it;
+    * r19 encodes it the way `JobCorpus.executionSession` encodes the
+    * profile dial): heavy stateful entries — state scaling with stream
+    * CONTENT (dedup keys, per-hour-per-user counts) — win 32 partitions
+    * once the corpus reaches the ×1000 shape (10M events / ~196 MB:
+    * 44.4→40.5 s dedup, 30.6→27.1 s topk), while light fixed-state
+    * entries win 8 at every measured volume (2.1 vs 3.0, 2.6 vs 4.5 s
+    * even at ×1000 — they still pay per-store commit fan-out without a
+    * state bottleneck to spread). So the chooser requires BOTH signals.
+    */
+  private[graft] val HeavyStateEntries = Set("q_stream_dedup", "q_stream_topk")
+
+  /** Flip boundary on the events source size. Measured endpoints: 8
+    * wins heavy entries at the bench volume (~2 MB events); 32 wins at
+    * ×1000 (~196 MB). The boundary sits just under the measured winning
+    * point rather than extrapolated toward the unmeasured middle.
+    */
+  private[graft] val HeavyStateVolumeBytes: Long = 128L << 20
+
+  /** Pure chooser, spec-pinned by StreamDialSpec. */
+  private[graft] def streamPartitionsFor(name: String, eventsBytes: Long): Int =
+    if (HeavyStateEntries(name) && eventsBytes >= HeavyStateVolumeBytes) 32 else 8
+
+  private def eventsBytes(dir: String): Long = {
+    val f = new java.io.File(s"$dir/events.parquet")
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum)
+      .getOrElse(0L)
+  }
+
+  /** GRAFT_STREAM_PARTITIONS still overrides everything so campaigns
+    * can measure both sides of the dial on any corpus.
+    */
+  private[graft] def streamPartitions(name: String, dir: String): Int =
+    sys.env.get("GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
+      .getOrElse(streamPartitionsFor(name, eventsBytes(dir)))
+
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = synchronized {
+    val children = Option(tunedSessions.get(s)).getOrElse {
+      val m = scala.collection.mutable.Map.empty[Int, SparkSession]
+      tunedSessions.put(s, m)
+      m
     }
+    children.getOrElseUpdate(partitions, {
+      val c = s.newSession()
+      c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      c
+    })
   }
 
   /** Untimed per-JVM/per-SESSION streaming machinery warmup for Bench:
@@ -70,7 +106,13 @@ object StreamQueries {
     * entry's cold lap.
     */
   def warmMachinery(s: SparkSession): Unit = {
-    val c = streamSession(s)
+    // Warm the child the bench's entries will actually run on: the env
+    // override routes every entry to one partition count; without it
+    // the bench volume sits below the heavy-state boundary, so all
+    // entries ride the 8-partition child.
+    val c = streamSession(s,
+      sys.env.get("GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
+        .getOrElse(8))
     val d = Queries.tempDir("graft-stream-warm")
     c.range(2).selectExpr("timestamp_seconds(id) AS ts", "id AS v")
       .write.mode("overwrite").parquet(s"$d/in")
@@ -165,7 +207,8 @@ object StreamQueries {
   // here, so source, transforms, static join sides, and sink all share
   // one session.
   val entries: Seq[Entry] = rawEntries.map(e =>
-    e.copy(run = (s, dir) => e.run(streamSession(s), dir)))
+    e.copy(run = (s, dir) =>
+      e.run(streamSession(s, streamPartitions(e.name, dir)), dir)))
 
   private def rawEntries: Seq[Entry] = Seq(
     // Watermarked tumbling-window stats over the event stream — the
