@@ -48,16 +48,19 @@ object StreamQueries {
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[Int, SparkSession]]()
 
   /** The measured state-store dial, now CODE (SCALE.md r18 measured it;
-    * r19 encodes it the way `JobCorpus.executionSession` encodes the
-    * profile dial): heavy stateful entries — state scaling with stream
-    * CONTENT (dedup keys, per-hour-per-user counts) — win 32 partitions
-    * once the corpus reaches the ×1000 shape (10M events / ~196 MB:
-    * 44.4→40.5 s dedup, 30.6→27.1 s topk), while light fixed-state
-    * entries win 8 at every measured volume (2.1 vs 3.0, 2.6 vs 4.5 s
-    * even at ×1000 — they still pay per-store commit fan-out without a
-    * state bottleneck to spread). So the chooser requires BOTH signals.
+    * r19 re-measured in clean isolated JVMs and encodes it the way
+    * `JobCorpus.executionSession` encodes the profile dial). Only the
+    * entry that WINS at 32 on both cold and warm laps flips:
+    * q_stream_dedup (per-event dedup state, the largest store) measured
+    * 41.6/59.9 s at 8 partitions vs 34.1/53.5 at 32 on the ×1000 corpus.
+    * q_stream_topk is a measured WASH at ×1000 (26.7/37.2 at 8 vs
+    * 23.5/41.6 at 32 — cold −12%, warm +12%) and stays on the default
+    * per the negative-result discipline; light fixed-state entries LOSE
+    * at 32 at every measured volume (per-store commit fan-out with no
+    * state bottleneck to spread). The chooser requires BOTH signals:
+    * a winning-heavy entry AND volume at the measured boundary.
     */
-  private[graft] val HeavyStateEntries = Set("q_stream_dedup", "q_stream_topk")
+  private[graft] val HeavyStateEntries = Set("q_stream_dedup")
 
   /** Flip boundary on the events source size. Measured endpoints: 8
     * wins heavy entries at the bench volume (~2 MB events); 32 wins at
