@@ -63,4 +63,27 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // table cannot depend on physical layout.
     pinned(graft.operators.Corpus.bpeMerges(_, "text", rounds = 4), docs())
   }
+
+  test("per-user recurrence folds are bit-identical across shuffle partitionings") {
+    // r19: q_ewma_recursive / q_holt_linear fold each user's chain via
+    // flatMapGroups. The float recurrence is order-SENSITIVE, so the
+    // invariance claim rests on the in-group sort by (ts, event_id)
+    // canonicalizing order no matter how groupByKey shuffled the rows —
+    // exactly the property that would break (by an ulp, then a rounded
+    // output digit) if the sort key ever stopped being total.
+    val dir = "/root/testdata/sf0.001"
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (name <- Seq("q_ewma_recursive", "q_holt_linear")) {
+        def lap(p: String): Array[String] = {
+          spark.conf.set("spark.sql.shuffle.partitions", p)
+          Queries.queryMap(name)(spark, dir).collect().map(_.toString)
+        }
+        val a = lap("3")
+        val b = lap("32")
+        assert(a.sameElements(b),
+          s"$name drifted between 3 and 32 shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
 }
