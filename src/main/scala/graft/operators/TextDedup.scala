@@ -157,7 +157,8 @@ object TextDedup {
   def minhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-      shingleK: Int = 3, maxBucket: Int = 64, hubAnchors: Int = 1): DataFrame = {
+      shingleK: Int = 3, maxBucket: Int = 64, hubAnchors: Int = 1,
+      sortedNeighbors: Boolean = false): DataFrame = {
     val sh = shingleDF(df, idCol, textCol, shingleK)
     val banded = bandsOf(sh, idCol, numHashes, bands)
     // Skew guard, hub form (×1000 campaign fix): buckets over `maxBucket`
@@ -223,7 +224,32 @@ object TextDedup {
       .filter(col(idCol) =!= col("anchor"))
       .select(least(col("anchor"), col(idCol)).as("id_a"),
         greatest(col("anchor"), col(idCol)).as("id_b"))
-    val candidates = inBucket.union(hubPairs).distinct()
+    // Sorted-neighborhood variant (off by default): within each
+    // oversized bucket, sort members by full minhash signature (tie on
+    // id) and pair ADJACENT members — O(B log B) per bucket, one extra
+    // sort of the oversized rows. Rationale: members that hide in a
+    // foreign bucket with IDENTICAL signatures form one equal-key run,
+    // so near-dup families inside it become adjacent wherever their ids
+    // are locally contiguous; SkewGuardRecallSpec measures BOTH the win
+    // (contiguous-id families) and the honest failure mode (scrambled
+    // ids interleave equal-signature runs) — see COVERAGE.md r19.
+    val neighborPairs =
+      if (!sortedNeighbors) None
+      else {
+        val sigKey = sh.select(col(idCol),
+          concat_ws(",", minhashSignature(col("sh"), numHashes)).as("_sk"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+          .orderBy(col("_sk"), col(idCol))
+        Some(overRows.join(sigKey, idCol)
+          .withColumn("_nid", lead(col(idCol), 1).over(w))
+          .filter(col("_nid").isNotNull)
+          .select(least(col(idCol), col("_nid")).as("id_a"),
+            greatest(col(idCol), col("_nid")).as("id_b")))
+      }
+    val candidates = neighborPairs
+      .foldLeft(inBucket.union(hubPairs))(_ union _)
+      .distinct()
     // Exact verify on the candidate set only, reusing the cached shingles.
     candidates
       .join(sh.withColumnsRenamed(Map(idCol -> "id_a", "sh" -> "sh_a")), "id_a")

@@ -83,14 +83,42 @@ class SkewGuardRecallSpec extends AnyFunSuite {
     docs.map(_._1).toSet -- pairs.map(_._2)
 
   private def enginePairs(numHashes: Int, bands: Int, maxBucket: Int,
-      hubAnchors: Int): Set[(Long, Long)] = {
+      hubAnchors: Int, sortedNeighbors: Boolean = false,
+      corpus: Seq[(Long, String)] = docs): Set[(Long, Long)] = {
     import spark.implicits._
-    val df = docs.toDF("doc_id", "text").repartition(4)
+    val df = corpus.toDF("doc_id", "text").repartition(4)
     TextDedup.minhashNearDups(df, "doc_id", "text", threshold = 0.8,
         numHashes = numHashes, bands = bands, maxBucket = maxBucket,
-        hubAnchors = hubAnchors)
+        hubAnchors = hubAnchors, sortedNeighbors = sortedNeighbors)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
+
+  /** Fixture B: the SAME corpus with ids assigned by a fixed random
+    * permutation — family members no longer contiguous in id space, the
+    * realistic web-crawl shape. Ground truth and the keep-min rule are
+    * recomputed on the remapped ids.
+    */
+  private lazy val scrambled: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(1234)
+    val ids = rng.shuffle(docs.map(_._1).toVector)
+    docs.zip(ids).map { case ((_, text), nid) => (nid, text) }
+  }
+
+  private def truthPairsOf(corpus: Seq[(Long, String)]): Set[(Long, Long)] = {
+    val sh = corpus.map { case (id, t) => (id, shingles(t)) }
+    (for {
+      i <- sh.indices.iterator
+      j <- (i + 1) until sh.size
+      (ia, sa) = sh(i)
+      (ib, sb) = sh(j)
+      inter = (sa & sb).size.toDouble
+      if inter / (sa.size + sb.size - inter) >= 0.8
+    } yield (math.min(ia, ib), math.max(ia, ib))).toSet
+  }
+
+  private def survivorsOf(corpus: Seq[(Long, String)],
+      pairs: Set[(Long, Long)]): Set[Long] =
+    corpus.map(_._1).toSet -- pairs.map(_._2)
 
   test("fixture geometry: truth = mass + family pairs, 49 survivors") {
     // Every mass pair and every within-family pair qualifies; nothing
@@ -125,6 +153,38 @@ class SkewGuardRecallSpec extends AnyFunSuite {
     // The guard never ADDS pairs the ceiling lacks (verify rejects
     // false positives), so survivors only shrink toward the ceiling.
     assert(ceiling.subsetOf(hub) || (ceiling -- hub).isEmpty)
+  }
+
+  test("sorted-neighborhood variant: wins on contiguous ids, degrades honestly on scrambled ids") {
+    // Fixture A (contiguous family ids): members hiding in a foreign
+    // bucket share an IDENTICAL signature with the mass, so the
+    // equal-key run tie-breaks by id and contiguous families become
+    // adjacent — sorted-adjacent pairing should recover most of the
+    // hub guard's 126-survivor blind spot at O(B log B).
+    val ceiling = survivors(enginePairs(4, 2, 1 << 30, 1))
+    val hub = survivors(enginePairs(4, 2, 16, 1))
+    val sortedA = survivors(enginePairs(4, 2, 16, 1, sortedNeighbors = true))
+    val exA = (hub -- ceiling).size
+    val exSortedA = (sortedA -- ceiling).size
+    info(s"fixture A: hub excess $exA, sorted-adjacent excess $exSortedA")
+    assert(exSortedA < exA / 2,
+      s"sorted-adjacent no longer recovers the contiguous-id case: $exSortedA vs $exA")
+
+    // Fixture B (same corpus, ids randomly permuted — the web-crawl
+    // shape): equal-signature runs interleave every shadowed family, so
+    // adjacency rarely lands inside one family. The variant must be
+    // measured where it FAILS too; the COVERAGE.md table records both.
+    val tB = truthPairsOf(scrambled)
+    val ceilB = survivorsOf(scrambled, enginePairs(4, 2, 1 << 30, 1, corpus = scrambled))
+    val hubB = survivorsOf(scrambled, enginePairs(4, 2, 16, 1, corpus = scrambled))
+    val sortB = survivorsOf(scrambled,
+      enginePairs(4, 2, 16, 1, sortedNeighbors = true, corpus = scrambled))
+    val exHubB = (hubB -- ceilB).size
+    val exSortB = (sortB -- ceilB).size
+    info(s"fixture B (scrambled): truth ${survivorsOf(scrambled, tB).size} " +
+      s"ceiling ${ceilB.size} hub excess $exHubB sorted excess $exSortB")
+    // Sorted-adjacent can only ADD candidate pairs, never lose them.
+    assert(exSortB <= exHubB)
   }
 
   test("shipped banding (64 hashes / 16 bands): blind spot vanishes, hub-only is exact") {
