@@ -60,6 +60,26 @@ object Queries {
       .as[(Long, Long, Long, Long)]
   }
 
+  /** Hot-key-safe layout for the per-user recurrence folds
+    * (q_ewma_recursive / q_holt_linear): ONE shuffle co-locating each
+    * user's rows (repartition on user_id), then a spill-safe external
+    * sort WITHIN partitions by (user_id, ts, event_id) — Spark's
+    * UnsafeExternalSorter streams a partition through disk, never
+    * holding one key's rows in heap — so the downstream mapPartitions
+    * fold sees each user's chain contiguously, in the oracle's
+    * row_number order, while carrying only O(1) state. A 10^8-event hot
+    * user costs sort spill, not a task OOM (r19 verdict #1; the
+    * flatMapGroups form buffered the whole chain via it.toArray).
+    * Tuple fields: (user_id, event_id, ts µs, cents).
+    */
+  private def purchaseSeqStreamed(s: SparkSession, dir: String) = {
+    import s.implicits._
+    purchaseSeq(s, dir).toDF("u", "eid", "ts", "cents")
+      .repartition(col("u"))
+      .sortWithinPartitions(col("u"), col("ts"), col("eid"))
+      .as[(Long, Long, Long, Long)]
+  }
+
   /** Spark-SQL text of the knife-edge-GUARDED micro-bit lattice value
     * floor(log2(k)·1e6 + 0.5) — the SQL twin of
     * [[graft.operators.TextAnalysis.microLog2]]: if the scaled log2 sits
@@ -1977,19 +1997,31 @@ object Queries {
     // Exponential smoothing (EWMA, α = 1/2) — s_t = v_t/2 + s_{t-1}/2
     // is inherently sequential PER KEY, so the scale-correct engine
     // shape is a per-user fold: ONE shuffle on user_id, then each
-    // user's chain evaluated strictly left-to-right inside its task
-    // (flatMapGroups — the justified per-partition-imperative case),
+    // user's chain evaluated strictly left-to-right inside its task,
     // depth-independent and user-parallel at any scale. The pre-r19
     // engine side ran the recursive-CTE frontier (one JOIN per sequence
     // position — at 100× per-user depth, hours of driver-scheduled
     // iterations; the q_cusum lesson, but with no reorder-safe closed
-    // form because the state is a float). The fold executes the
-    // IDENTICAL IEEE op sequence as the recursion (α = 1/2 keeps every
-    // step a binary halving), so the DuckDB oracle KEEPS the recursive
-    // CTE: bit-identical doubles from structurally different
-    // computations — the cross-formulation differential. The final
-    // round(s, 6) is applied as the same Spark SQL expression on both
-    // formulations' doubles.
+    // form because the state is a float). r20 (hot-key safety): the
+    // r19 flatMapGroups fold buffered one user's WHOLE chain in task
+    // memory (it.toArray) — fine for bounded chains, but one
+    // pathological hot key (a 10^8-event bot account) OOMs its task.
+    // The fold is now a STREAMING scan: repartition on user_id (rows of
+    // a user are co-located), a spill-safe external sort within
+    // partitions by (user_id, ts, event_id) — Spark's UnsafeExternalSorter
+    // spills to disk, never holds a key's rows in heap — then
+    // mapPartitions carrying O(1) state (current user, running s), no
+    // per-user materialization anywhere. Per-user visit order is the
+    // same (ts, event_id) total order as before, so the fold executes
+    // the IDENTICAL IEEE op sequence as the recursion (α = 1/2 keeps
+    // every step a binary halving); the DuckDB oracle KEEPS the
+    // recursive CTE: bit-identical doubles from structurally different
+    // computations — the cross-formulation differential. Output is
+    // fixed-point floor(s·1e6 + 0.5) micro-cents (the q_holt_linear
+    // knife-edge discipline): floor is rounding-RULE-free, so identical
+    // doubles cannot diverge cross-engine even ON a .5 boundary — which
+    // dyadic s values DO hit, and which the previous round(s, 6) would
+    // have tie-broken engine-specifically.
     dfq("q_ewma_recursive",
       "WITH RECURSIVE seq AS (" +
         "  SELECT user_id, event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
@@ -2000,33 +2032,36 @@ object Queries {
         "  UNION ALL " +
         "  SELECT seq.user_id, seq.rn, seq.event_id, 0.5 * seq.cents + 0.5 * e.s " +
         "  FROM e JOIN seq ON seq.user_id = e.user_id AND seq.rn = e.rn + 1) " +
-        "SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, round(s, 6) AS ewma_cents " +
+        "SELECT user_id, CAST(rn AS BIGINT) AS rn, event_id, " +
+        "  CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS ewma_u " +
         "FROM e ORDER BY user_id, rn") { (s, dir) =>
       import s.implicits._
-      val folded = purchaseSeq(s, dir).groupByKey(_._1).flatMapGroups {
-        (uid, it) =>
-          val rows = it.toArray.sortBy(r => (r._3, r._2))
-          val out = new scala.collection.mutable.ArrayBuffer[
-            (Long, Long, Long, Double)](rows.length)
-          var st = 0.0
-          var i = 0
-          while (i < rows.length) {
-            val cents = rows(i)._4
-            st = if (i == 0) cents.toDouble else 0.5 * cents + 0.5 * st
-            out += ((uid, (i + 1).toLong, rows(i)._2, st))
-            i += 1
+      val folded = purchaseSeqStreamed(s, dir).mapPartitions { it =>
+        // O(1) state: rows arrive (user, ts, event_id)-sorted, so a
+        // user-change resets the fold. Iterator.map preserves order.
+        var cur = 0L
+        var seen = false
+        var st = 0.0
+        var rn = 0L
+        it.map { case (u, eid, _, cents) =>
+          if (!seen || u != cur) {
+            cur = u; seen = true; rn = 1L; st = cents.toDouble
+          } else {
+            rn += 1; st = 0.5 * cents + 0.5 * st
           }
-          out
+          (u, rn, eid, st)
+        }
       }.toDF("user_id", "rn", "event_id", "s")
       folded.select(col("user_id"), col("rn"), col("event_id"),
-          round(col("s"), 6).as("ewma_cents"))
+          floor(col("s") * 1000000 + 0.5).cast("long").as("ewma_u"))
         .orderBy("user_id", "rn")
     },
 
     // Holt's LINEAR exponential smoothing (level + trend, α = β = 1/2) —
     // the two-state recurrence l_t = v_t/2 + (l+b)/2, b_t = (l_t−l)/2 +
     // b/2 plus the one-step-ahead forecast l_t + b_t. Same engine shape
-    // as q_ewma_recursive: per-user flatMapGroups fold (one shuffle,
+    // as q_ewma_recursive: hot-key-safe streaming fold (one shuffle,
+    // spill-safe in-partition sort, O(1)-state mapPartitions scan,
     // depth-independent), executing the recursion's exact IEEE op
     // sequence — α = β = 1/2 keeps every step exact dyadic arithmetic
     // on integer cents (numerators stay ≪ 2^53 at the ≤ 24-step chain
@@ -2056,26 +2091,25 @@ object Queries {
         "  CAST(floor((l + b) * 1000000 + 0.5) AS BIGINT) AS forecast_u " +
         "FROM e ORDER BY user_id, rn") { (s, dir) =>
       import s.implicits._
-      val folded = purchaseSeq(s, dir).groupByKey(_._1).flatMapGroups {
-        (uid, it) =>
-          val rows = it.toArray.sortBy(r => (r._3, r._2))
-          val out = new scala.collection.mutable.ArrayBuffer[
-            (Long, Long, Double, Double)](rows.length)
-          var l = 0.0
-          var b = 0.0
-          var i = 0
-          while (i < rows.length) {
-            val cents = rows(i)._4
-            if (i == 0) { l = cents.toDouble; b = 0.0 }
-            else {
-              val lNew = 0.5 * cents + 0.5 * (l + b)
-              val bNew = 0.5 * (lNew - l) + 0.5 * b
-              l = lNew; b = bNew
-            }
-            out += ((uid, (i + 1).toLong, l, b))
-            i += 1
+      val folded = purchaseSeqStreamed(s, dir).mapPartitions { it =>
+        // Same streaming shape as q_ewma_recursive: O(1) two-float
+        // state, user-change resets, order preserved by Iterator.map.
+        var cur = 0L
+        var seen = false
+        var l = 0.0
+        var b = 0.0
+        var rn = 0L
+        it.map { case (u, _, _, cents) =>
+          if (!seen || u != cur) {
+            cur = u; seen = true; rn = 1L; l = cents.toDouble; b = 0.0
+          } else {
+            rn += 1
+            val lNew = 0.5 * cents + 0.5 * (l + b)
+            val bNew = 0.5 * (lNew - l) + 0.5 * b
+            l = lNew; b = bNew
           }
-          out
+          (u, rn, l, b)
+        }
       }.toDF("user_id", "rn", "l", "b")
       folded.select(col("user_id"), col("rn"),
           floor(col("l") * 1000000 + 0.5).cast("long").as("level_u"),

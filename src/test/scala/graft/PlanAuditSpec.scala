@@ -717,16 +717,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("UnionLoop") && !plan.contains("Recursive"),
       s"recursive frontier leaked back into the engine-side plan:\n$plan")
     // r19: the float recurrences (q_ewma_recursive / q_holt_linear)
-    // also left the frontier — their engine side is now a per-user
-    // flatMapGroups fold (one shuffle, the recursion's exact IEEE op
-    // order), so no depth-many joins remain anywhere but the
-    // legitimately recursive digit-tree walk. Pin both directions:
+    // also left the frontier (per-user fold, the recursion's exact IEEE
+    // op order), so no depth-many joins remain anywhere but the
+    // legitimately recursive digit-tree walk. r20 (hot-key safety,
+    // r19 verdict #1): the fold must be the STREAMING shape — an
+    // exchange hash-partitioned on the user key, a spill-safe sort
+    // within partitions, and a MapPartitions scan carrying O(1) state —
+    // never a per-group MapGroups (whose it.toArray buffers one user's
+    // whole chain in task heap: a 10^8-event bot account OOMs there).
     Seq("q_ewma_recursive", "q_holt_linear").foreach { name =>
       val p = planOf(name)
       assert(!p.contains("UnionLoop") && !p.contains("Recursive"),
         s"$name regressed to the recursive frontier:\n$p")
-      assert(p.contains("MapGroups") || p.contains("mapGroups"),
-        s"$name no longer folds per user:\n$p")
+      assert(p.contains("MapPartitions"),
+        s"$name no longer folds via a streaming per-partition scan:\n$p")
+      assert(!p.contains("MapGroups"),
+        s"$name regressed to the chain-buffering per-group fold:\n$p")
+      assert(p.contains("hashpartitioning(u#") ||
+        p.contains("hashpartitioning(u:"),
+        s"$name lost the user-key co-locating exchange:\n$p")
     }
     // The recursion machinery itself stays exercised engine-side by
     // q_recursive_cte (digit-tree walk: depth = #digits, log-bounded —
