@@ -122,10 +122,12 @@ object Bench {
     // sink) loads that machinery so the timed streaming entries measure
     // steady state and stay round-comparable.
     if (selected.exists(_.name.startsWith("q_stream")))
-      // Warm on the tuned child session the timed entries actually run
-      // on (StreamQueries.warmMachinery) — warming the parent would
-      // leave the child's session-scoped init in the first timed lap.
-      try StreamQueries.warmMachinery(spark)
+      // Warm on the tuned child sessions the timed entries actually run
+      // on (StreamQueries.warmMachinery) — warming the parent, or only
+      // the default child when the corpus volume routes an entry to the
+      // 32-partition child, would leave session-scoped init in the
+      // first timed cold lap.
+      try StreamQueries.warmMachinery(spark, sfDir)
       catch { case NonFatal(_) => () }
     // Headline subset: stable keys for round-over-round comparison; these
     // also get the median-of-3 warm treatment below.

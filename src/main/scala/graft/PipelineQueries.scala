@@ -16,10 +16,29 @@ object PipelineQueries {
   /** Memoized embeddings row count per data directory — the tables are
     * static per dir, so the semdedup nCentroids sizing scan should run
     * ONCE per JVM, not once per timed bench lap (r18 advice: the extra
-    * full scan inside the entry body perturbed its timing).
+    * full scan inside the entry body perturbed its timing). Keyed by
+    * (path, on-disk fingerprint): regenerating a corpus IN PLACE in the
+    * same JVM (the ScaleGen overwrite-to-same-dest pattern) changes the
+    * fingerprint and invalidates the entry — a path-only key would keep
+    * serving the stale count and silently mis-size nCentroids (r19
+    * advice).
     */
   private val embCountMemo =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  /** Cheap on-disk fingerprint: total bytes + max mtime over the
+    * embeddings files (recursive — ScaleGen corpora are part-file
+    * directories).
+    */
+  private def embFingerprint(path: String): Long = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (f.length, f.lastModified)
+      else Option(f.listFiles).map(_.map(walk))
+        .map(xs => (xs.map(_._1).sum, (0L +: xs.map(_._2)).max))
+        .getOrElse((0L, 0L))
+    val (bytes, mtime) = walk(new java.io.File(path))
+    bytes ^ java.lang.Long.rotateLeft(mtime, 21)
+  }
 
   private val textAnalysis: Seq[Entry] = Seq(
     // Exact deduplication by normalized text (hash group-by — one shuffle
@@ -907,7 +926,8 @@ object PipelineQueries {
       // ~1k-member clusters is n·500 comparisons, linear. Floor 16
       // keeps every driver scale (200-2k vectors) on the r12-pinned
       // fixture; the oracle follows the recorded assignment at any k.
-      val n = embCountMemo.getOrElseUpdate(s"$dir/embeddings.parquet", emb.count())
+      val p = s"$dir/embeddings.parquet"
+      val n = embCountMemo.getOrElseUpdate((p, embFingerprint(p)), emb.count())
       Similarity.semDedup(emb, "vec_id", "embedding",
           threshold = 0.45, nCentroids = Similarity.semDedupCentroids(n))
         .orderBy("vec_id")

@@ -62,6 +62,23 @@ object StreamQueries {
     */
   private[graft] val HeavyStateEntries = Set("q_stream_dedup")
 
+  /** Entries that MEASURE linear-state (state rows scale with input —
+    * the dedup-shaped class; see StreamStateClassSpec) but whose dial
+    * decision is stay-on-default, each with a recorded two-sided lap:
+    *   - q_stream_topk: cold/warm WASH at ×1000 (26.7/37.2 s at 8 vs
+    *     23.5/41.6 at 32, r19) — negative result recorded rather than a
+    *     split verdict shipped.
+    *   - q_stream_chunk_dedup: 8 WINS both laps on the ×1000 corpus
+    *     (57 MB documents — its source table, not events): 8.37/6.37 s
+    *     at 8 vs 9.19/7.06 at 32 (r20, clean per-entry JVMs). Per-chunk
+    *     state (~7 rows/doc) is linear but the store is small relative
+    *     to the per-batch commit fan-out at this volume.
+    * Placeholder membership is NOT allowed: every name needs a measured
+    * two-sided lap in SCALE.md before it is added.
+    */
+  private[graft] val LinearStateDecided: Set[String] =
+    Set("q_stream_topk", "q_stream_chunk_dedup")
+
   /** Flip boundary on the events source size. Measured endpoints: 8
     * wins heavy entries at the bench volume (~2 MB events); 32 wins at
     * ×1000 (~196 MB). The boundary sits just under the measured winning
@@ -74,10 +91,20 @@ object StreamQueries {
     if (HeavyStateEntries(name) && eventsBytes >= HeavyStateVolumeBytes) 32 else 8
 
   private def eventsBytes(dir: String): Long = {
+    // Recursive walk: ScaleGen corpora are directories of part files,
+    // and a future partitioned layout nests them one level deeper — a
+    // top-level-only sum would silently report 0 and route heavy-state
+    // entries to 8 partitions at ANY volume (a silent chooser bypass).
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
     val f = new java.io.File(s"$dir/events.parquet")
-    if (f.isFile) f.length
-    else Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum)
-      .getOrElse(0L)
+    val n = walk(f)
+    if (n == 0L && new java.io.File(dir).exists())
+      System.err.println(s"[stream] WARNING: events volume computed as 0 " +
+        s"for existing corpus dir $dir — partition chooser will take the " +
+        s"8-partition default for every entry")
+    n
   }
 
   /** GRAFT_STREAM_PARTITIONS still overrides everything so campaigns
@@ -108,31 +135,35 @@ object StreamQueries {
     * StreamingQueryManager, conf resolution) inside the first timed
     * entry's cold lap.
     */
-  def warmMachinery(s: SparkSession): Unit = {
-    // Warm the child the bench's entries will actually run on: the env
-    // override routes every entry to one partition count; without it
-    // the bench volume sits below the heavy-state boundary, so all
-    // entries ride the 8-partition child.
-    val c = streamSession(s,
-      sys.env.get("GRAFT_STREAM_PARTITIONS").flatMap(_.toIntOption)
-        .getOrElse(8))
-    val d = Queries.tempDir("graft-stream-warm")
-    c.range(2).selectExpr("timestamp_seconds(id) AS ts", "id AS v")
-      .write.mode("overwrite").parquet(s"$d/in")
-    val schema = c.read.parquet(s"$d/in").schema
-    val q = c.readStream.schema(schema).parquet(s"$d/in")
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"))
-      .count()
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("graft_stream_warmup").trigger(availableNow).start()
-    // Same loud bound as drainTracked: a warmup stream that misses
-    // AvailableNow self-termination is a defect in the SAME machinery
-    // the timed entries rely on — masking it here would surface later
-    // as an unexplained timed-entry hang.
-    try require(q.awaitTermination(600000L),
-      "warmup stream did not terminate within 10 min under AvailableNow")
-    finally q.stop()
+  def warmMachinery(s: SparkSession, dir: String): Unit = {
+    // Warm EVERY child the entries will actually route to on THIS
+    // corpus (the routing is volume-gated: past HeavyStateVolumeBytes
+    // without an env override, q_stream_dedup rides a 32-partition
+    // child — warming only the 8-partition child would leave that
+    // child's session init inside exactly the cold lap the dial
+    // encodes). The env override collapses routing to one count;
+    // streamPartitions already honors it.
+    val parts = rawEntries.map(e => streamPartitions(e.name, dir)).distinct.sorted
+    parts.foreach { p =>
+      val c = streamSession(s, p)
+      val d = Queries.tempDir(s"graft-stream-warm-$p")
+      c.range(2).selectExpr("timestamp_seconds(id) AS ts", "id AS v")
+        .write.mode("overwrite").parquet(s"$d/in")
+      val schema = c.read.parquet(s"$d/in").schema
+      val q = c.readStream.schema(schema).parquet(s"$d/in")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_stream_warmup").trigger(availableNow).start()
+      // Same loud bound as drainTracked: a warmup stream that misses
+      // AvailableNow self-termination is a defect in the SAME machinery
+      // the timed entries rely on — masking it here would surface later
+      // as an unexplained timed-entry hang.
+      try require(q.awaitTermination(600000L),
+        "warmup stream did not terminate within 10 min under AvailableNow")
+      finally q.stop()
+    }
   }
 
   /** Streaming file source over one driver table, with the SAME schema
@@ -164,6 +195,34 @@ object StreamQueries {
     */
   @volatile var lastBatchDurations: Map[String, Seq[Long]] = Map.empty
 
+  /** Final state-store footprint of a drained stream: total state rows
+    * and bytes at the last progress, plus total input rows (summed over
+    * recentProgress — bounded at ~100 progresses, plenty for an
+    * AvailableNow drain). This is what makes HeavyStateEntries a
+    * MEASURED class rather than a name set (r19 verdict #2): an entry
+    * whose state rows scale linearly with input is dial-relevant; one
+    * whose state is O(windows)/O(keys) is not. StreamStateClassSpec
+    * gates membership on these numbers.
+    */
+  final case class StateFootprint(stateRows: Long, stateBytes: Long,
+      inputRows: Long) {
+    def linearState: Boolean =
+      inputRows > 0 && stateRows.toDouble / inputRows >= LinearStateRatio
+  }
+
+  /** Boundary between linear-state (one state row per input event —
+    * dedup-shaped; measured ratio 1.0 for q_stream_dedup) and
+    * bounded-state entries (windows/users/types: measured ratios at
+    * sf0.001 all < 0.12). 0.5 sits an order of magnitude above the
+    * bounded cluster and safely under the linear one.
+    */
+  private[graft] val LinearStateRatio = 0.5
+
+  /** Per-drain footprints of the most recent streaming runs, keyed like
+    * [[lastBatchDurations]].
+    */
+  @volatile var lastStateFootprints: Map[String, StateFootprint] = Map.empty
+
   /** Drain a started streaming query, recording its per-batch durations
     * under `key`, and always stop it. Every entry starts its query with
     * `Trigger.AvailableNow` (r17 verdict #7): the stream processes all
@@ -185,9 +244,19 @@ object StreamQueries {
       // a pacing device. A stream that misses it is a defect, loudly.
       require(q.awaitTermination(600000L),
         s"stream $key did not terminate within 10 min under AvailableNow")
-      val durs = q.recentProgress.toSeq.flatMap(p =>
+      val progresses = q.recentProgress.toSeq
+      val durs = progresses.flatMap(p =>
         Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      synchronized { lastBatchDurations += key -> durs }
+      val foot = StateFootprint(
+        stateRows = progresses.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+        stateBytes = progresses.lastOption
+          .map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L),
+        inputRows = progresses.map(_.numInputRows).sum)
+      synchronized {
+        lastBatchDurations += key -> durs
+        lastStateFootprints += key -> foot
+      }
     } finally q.stop()
 
   private def availableNow =
