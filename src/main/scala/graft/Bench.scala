@@ -200,11 +200,18 @@ object Bench {
     val lapTelemetry = scala.collection.mutable
       .LinkedHashMap.empty[String, Vector[(Long, Long, Long)]]
     val telemetryEntries = Set("q_job_corpus", "q_job_compass")
+    // entry -> (task-result bytes shipped to the driver, heap
+    // high-water bytes) over the COLD lap — the driver-memory audit
+    // channel (r19 verdict #2). Full record only.
+    val driverPeaks = scala.collection.mutable
+      .LinkedHashMap.empty[String, (Long, Long)]
+    DriverFootprint.install(spark)
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens
       // to interrupt (r3 showed ~1.5x uniform drift on join entries).
       System.gc()
+      DriverFootprint.reset()
       if (e.name.startsWith("q_job")) {
         graft.job.JobCorpus.lastCompassRuns = Nil
         graft.job.JobCorpus.lastCorpusLatencies = Map.empty
@@ -227,6 +234,10 @@ object Bench {
         case NonFatal(ex) =>
           timings(e.name) = Left(Option(ex.getMessage).getOrElse(ex.getClass.getName).take(120))
       }
+      // Cold-lap driver footprint (snapshot settles the async listener
+      // bus AFTER the wall time was recorded, so it cannot contaminate
+      // the timing).
+      driverPeaks(e.name) = DriverFootprint.snapshot()
       // Snapshot BEFORE the warm laps re-run the entry: the triple must
       // describe the cold run whose wall time the primary metric records.
       if (e.name.startsWith("q_job")) {
@@ -397,8 +408,14 @@ object Bench {
     val lapTelemetryJson = lapTelemetry.map { case (k, lapsT) =>
       s""""${esc(k)}":[${lapsT.map { case (w, g, j) => s"[$w,$g,$j]" }.mkString(",")}]"""
     }.mkString("{", ",", "}")
+    // Cold-lap driver footprint: [task-result KB shipped to the driver,
+    // heap high-water MB]. Full record only (40+ keys never fit the
+    // driver's ~2000-char stdout window).
+    val driverPeaksJson = driverPeaks.map { case (k, (rb, hp)) =>
+      s""""${esc(k)}":[${rb >> 10},${hp >> 20}]"""
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"lap_wall_gc_jit_ms":$lapTelemetryJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"job_corpus_family_n_med_max_ms":$jobFamilyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonOf(timings)},"warm_total":$warmTotal,"warm":${jsonOf(warmTimings.map { case (k, v) => k -> Right(v) })},"warm_spread":$spreadJson,"lap_wall_gc_jit_ms":$lapTelemetryJson,"driver_ingress_kb_heap_peak_mb":$driverPeaksJson,"job_planning":$jobPlanningFull,"job_quality_plan_compass_naive_ms":$jobQualityFull,"job_corpus_latency":$jobLatencyJson,"job_corpus_family_n_med_max_ms":$jobFamilyJson,"skip_policy":$skipPolicyJson,"stream_batches":${streamJson(streamBatches)},"errors":$nErr,"sf":"$sfDir"}"""
     Option(fullOut.toAbsolutePath.getParent)
       .foreach(p => java.nio.file.Files.createDirectories(p): Unit)
     java.nio.file.Files.write(fullOut,
