@@ -45,7 +45,17 @@ final class Enumerator(
     edges: Seq[((Int, String), (Int, String))],
     traversalBound: Int = 100,
     estimator: String = Enumerator.ModeHybrid,
-    calib: Option[Enumerator.CascadeCalib] = None) {
+    calib: Option[Enumerator.CascadeCalib] = None,
+    // Seed-ensemble search (ESTIMATES §8): when non-empty, every prefix
+    // estimate is the MEDIAN of the member enumerators' estimates (each
+    // built over the same graph with an independent sketch seed-set —
+    // the COMPASS paper's variance story applied to plan CHOICE). The
+    // search structure (complexities, child ordering) comes from THIS
+    // enumerator's nodes; sketch counts are exact survivor counts, so
+    // they are identical across seed-sets and the ordering is
+    // seed-independent. Never on the shipping path unless the §8 A/B
+    // ships it.
+    ensembleOf: Seq[Enumerator] = Nil) {
   require(Enumerator.Modes.contains(estimator),
     s"unknown estimator mode '$estimator' (one of ${Enumerator.Modes})")
 
@@ -87,6 +97,16 @@ final class Enumerator(
   /** Estimated size of joining the given node set (order-insensitive). */
   def estimate(traversal: Seq[Int]): Double = {
     val key = traversal.sorted.mkString(" ")
+    if (ensembleOf.nonEmpty)
+      return memo.getOrElseUpdate(key, {
+        // Median across seed-sets (each member estimate is itself the
+        // row-wise median its sketch math prescribes — median of
+        // medians). Members memoize internally, so the ensemble costs
+        // K× estimate work only on first touch of a prefix.
+        val xs = ensembleOf.map(_.estimate(traversal)).sorted
+        if (xs.size % 2 == 1) xs(xs.size / 2)
+        else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+      })
     memo.getOrElseUpdate(key, {
       val sk0 = sketchOf(traversal.head)
       if (traversal.size == 2) {

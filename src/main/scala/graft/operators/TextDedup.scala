@@ -158,7 +158,8 @@ object TextDedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
       shingleK: Int = 3, maxBucket: Int = 64, hubAnchors: Int = 1,
-      sortedNeighbors: Boolean = false): DataFrame = {
+      sortedNeighbors: Boolean = false,
+      rebandOversized: Boolean = false): DataFrame = {
     val sh = shingleDF(df, idCol, textCol, shingleK)
     val banded = bandsOf(sh, idCol, numHashes, bands)
     // Skew guard, hub form (×1000 campaign fix): buckets over `maxBucket`
@@ -247,7 +248,48 @@ object TextDedup {
           .select(least(col(idCol), col("_nid")).as("id_a"),
             greatest(col(idCol), col("_nid")).as("id_b")))
       }
-    val candidates = neighborPairs
+    // Re-banding variant (off by default): give ONLY the oversized-bucket
+    // members a second, ROTATED banding of the same signature — band j
+    // hashes rows (j·r + r/2 .. j·r + r/2 + r − 1) mod numHashes, i.e.
+    // the band boundaries shift by half a band. A family shadowed into
+    // the mass's bucket in an original band needed that band's rows to
+    // agree with a large mass subset AS A GROUP; the rotated bands test
+    // DIFFERENT row groups, whose agreeing-mass subsets can intersect to
+    // under maxBucket — a second chance to isolate. (It cannot rescue a
+    // member whose EVERY row agrees with the mass; rotation reuses the
+    // same hashes, it does not add independence.) Cost: O(|oversized
+    // members| · bands) extra rows, full pairing only inside re-banded
+    // buckets that came back under maxBucket (still-oversized ones were
+    // already hub-paired) — the same O(B·bands) class as the anchors
+    // knob. Measured on the SkewGuardRecallSpec adversary (r20): see
+    // COVERAGE.md.
+    val rebandPairs =
+      if (!rebandOversized) None
+      else {
+        val r = numHashes / bands
+        val off = r / 2
+        val overIds = overRows.select(col(idCol)).distinct()
+        val overSigs = sh.join(broadcast(overIds), Seq(idCol))
+          .select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+        val rebanded = overSigs.select(col(idCol), posexplode(
+            transform(sequence(lit(0), lit(bands - 1)),
+              b => xxhash64(concat_ws(",",
+                transform(sequence(lit(0), lit(r - 1)),
+                  i => element_at(col("sig"),
+                    (pmod(b * r + off + i, lit(numHashes)) + 1).cast("int"))))))))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+        val small = rebanded.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1 && col("n") <= maxBucket)
+          .select("band", "band_hash")
+        val ra = rebanded.join(broadcast(small), Seq("band", "band_hash"))
+        Some(ra.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+          .join(ra.select(col("band"), col("band_hash"), col(idCol).as("id_b")),
+            Seq("band", "band_hash"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b"))
+      }
+    val candidates = (neighborPairs.toSeq ++ rebandPairs.toSeq)
       .foldLeft(inBucket.union(hubPairs))(_ union _)
       .distinct()
     // Exact verify on the candidate set only, reusing the cached shingles.

@@ -105,7 +105,16 @@ final class CompassSession(
     // exist to exercise the COMPASS path at toy scale where everything
     // is broadcastable; a production session at data scale turns it on
     // to skip the regime where order provably doesn't matter.
-    skipWhenAllBroadcastable: Boolean = false) {
+    skipWhenAllBroadcastable: Boolean = false,
+    // Seed-ensemble experiments (ESTIMATES §8) build K sessions with
+    // distinct bases for K independent sketch seed-sets. Non-default
+    // bases must not share a template cache: cache keys carry seed
+    // CLASS names, not seed values, so two bases would collide and
+    // serve wrong-seed sketches.
+    seedBase: Long = CompassSession.DefaultSeedBase) {
+  require(seedBase == CompassSession.DefaultSeedBase || templateCache.isEmpty,
+    "a non-default seedBase cannot share the template cache " +
+      "(keys carry seed classes, not seed values)")
 
   // Config contract: Catalyst must not re-reorder the spliced spine.
   // Two logical rules could override the enumerator's choice —
@@ -391,7 +400,7 @@ final class CompassSession(
     var warmed = 0
     workload.foreach { df =>
       JoinGraphExtractor.extract(df.queryExecution.analyzed).foreach { case (g, _) =>
-        val reg = new SeedRegistry(sketchRows)
+        val reg = new SeedRegistry(sketchRows, seedBase)
         g.edges.foreach { case ((ia, a), (ib, b)) =>
           reg.addPredicate(seedKey(g, ia, a), seedKey(g, ib, b))
         }
@@ -495,7 +504,7 @@ final class CompassSession(
     * resolution stays sequential — SeedRegistry mutates.
     */
   private def buildSketches(g: ExtractedJoinGraph, scope: QueryScope): IndexedSeq[GraphNode] = {
-    val reg = new SeedRegistry(sketchRows)
+    val reg = new SeedRegistry(sketchRows, seedBase)
     g.edges.foreach { case ((ia, a), (ib, b)) =>
       reg.addPredicate(seedKey(g, ia, a), seedKey(g, ib, b))
     }
@@ -605,6 +614,9 @@ final class CompassSession(
 }
 
 object CompassSession {
+  /** The shipping SeedRegistry base (its constructor default). */
+  val DefaultSeedBase: Long = 0x5EEDC0DEL
+
   /** The left-deep splice core, shared by rebuildRegion and
     * OptimizerQuality's prefix measurement so the quality harness always
     * measures exactly the plan shape COMPASS executes: each appended

@@ -84,12 +84,14 @@ class SkewGuardRecallSpec extends AnyFunSuite {
 
   private def enginePairs(numHashes: Int, bands: Int, maxBucket: Int,
       hubAnchors: Int, sortedNeighbors: Boolean = false,
+      rebandOversized: Boolean = false,
       corpus: Seq[(Long, String)] = docs): Set[(Long, Long)] = {
     import spark.implicits._
     val df = corpus.toDF("doc_id", "text").repartition(4)
     TextDedup.minhashNearDups(df, "doc_id", "text", threshold = 0.8,
         numHashes = numHashes, bands = bands, maxBucket = maxBucket,
-        hubAnchors = hubAnchors, sortedNeighbors = sortedNeighbors)
+        hubAnchors = hubAnchors, sortedNeighbors = sortedNeighbors,
+        rebandOversized = rebandOversized)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
@@ -185,6 +187,39 @@ class SkewGuardRecallSpec extends AnyFunSuite {
       s"ceiling ${ceilB.size} hub excess $exHubB sorted excess $exSortB")
     // Sorted-adjacent can only ADD candidate pairs, never lose them.
     assert(exSortB <= exHubB)
+  }
+
+  test("re-banding variant: measured on both id layouts (r19 verdict #7)") {
+    // The last untested O(B·bands)-class knob: re-band ONLY the
+    // oversized-bucket members with rotated band boundaries (band j =
+    // rows (j·r + r/2 .. +r−1) mod numHashes) — a second chance for a
+    // shadowed family to isolate, id-INDEPENDENT (unlike
+    // sortedNeighbors' tie-break, which only helps contiguous ids).
+    // It cannot rescue members whose every row agrees with the mass
+    // (rotation reuses the same hashes); the measurement below records
+    // how much of the blind spot that ceiling leaves reachable.
+    val ceiling = survivors(enginePairs(4, 2, 1 << 30, 1))
+    val hub = survivors(enginePairs(4, 2, 16, 1))
+    val rebA = survivors(enginePairs(4, 2, 16, 1, rebandOversized = true))
+    val exHub = (hub -- ceiling).size
+    val exRebA = (rebA -- ceiling).size
+    info(s"fixture A: hub excess $exHub, reband excess $exRebA")
+
+    val ceilB = survivorsOf(scrambled,
+      enginePairs(4, 2, 1 << 30, 1, corpus = scrambled))
+    val hubB = survivorsOf(scrambled,
+      enginePairs(4, 2, 16, 1, corpus = scrambled))
+    val rebB = survivorsOf(scrambled,
+      enginePairs(4, 2, 16, 1, rebandOversized = true, corpus = scrambled))
+    val exHubB = (hubB -- ceilB).size
+    val exRebB = (rebB -- ceilB).size
+    info(s"fixture B (scrambled): hub excess $exHubB, reband excess $exRebB")
+    // Adding candidates can only shrink survivors toward the ceiling.
+    // (The variant's CANDIDATE set is id-independent — rotation never
+    // reads ids — but excess counts are keep-min survivor counts, whose
+    // baseline differs per layout: scrambling can hand a family a
+    // low-id hub of its own.)
+    assert(exRebA <= exHub && exRebB <= exHubB)
   }
 
   test("shipped banding (64 hashes / 16 bands): blind spot vanishes, hub-only is exact") {
