@@ -41,6 +41,7 @@ object ScaleCampaignMain {
     try {
       facet match {
         case "profiles" => profiles(spark, m)
+        case "chooser" => chooser(spark, m)
         case "compass" => compass(spark, m)
         case "skip" => skip(spark, m)
         case other => sys.error(s"unknown facet $other")
@@ -156,6 +157,43 @@ object ScaleCampaignMain {
       s""""cap_sec":$cap,"counts_equal_on":${common.size},""" +
       s""""default_cold":${lapJson(coldD)},"trim_cold":${lapJson(coldT)},""" +
       s""""default_warm":${lapJson(warmD)},"trim_warm":${lapJson(warmT)}}""")
+  }
+
+  /** Chooser-routed corpus lap (r19 verdict #5): where the r18 profiles
+    * facet measured both profiles via EXPLICIT sessions, this routes one
+    * side through `JobCorpus.executionSession(spark, m)` — the exact
+    * code path `runAll` (and hence the bench entry) takes — and laps the
+    * OTHER profile as the counterfactual, so the record shows the gate
+    * picking the measured winner on its own routing, each side of the
+    * ×20 boundary. Counts must agree wherever both complete.
+    */
+  private def chooser(spark: SparkSession, m: Int): Unit = {
+    JobCorpus.ensureData(spark, m)
+    val routed = JobCorpus.executionSession(spark, m)
+    val routedProfile =
+      if (JobCorpus.useInteractiveProfile(m)) "interactive-trim" else "default"
+    // executionSession's interactive child registers views itself via
+    // interactiveSession; the default child is a plain newSession that
+    // needs them. registerViews is idempotent per (session, m).
+    JobCorpus.registerViews(routed, m)
+    val other =
+      if (JobCorpus.useInteractiveProfile(m)) {
+        val d = spark.newSession(); JobCorpus.registerViews(d, m); d
+      } else JobCorpus.interactiveSession(spark, m)
+    val cap = sys.env.get("GRAFT_QUERY_CAP_SEC")
+      .flatMap(_.toIntOption).getOrElse(120)
+    val coldR = cappedLap(routed, cap)
+    val coldO = cappedLap(other, cap)
+    val warmR = cappedLap(routed, cap)
+    val warmO = cappedLap(other, cap)
+    val common = coldR.counts.keySet intersect coldO.counts.keySet
+    val diverging = common.filter(q => coldR.counts(q) != coldO.counts(q))
+    require(diverging.isEmpty,
+      s"chooser-facet counts diverge at x$m on: ${diverging.take(5)}")
+    println(s"""{"facet":"chooser","m":$m,"routed_profile":"$routedProfile",""" +
+      s""""cap_sec":$cap,"counts_equal_on":${common.size},""" +
+      s""""routed_cold":${lapJson(coldR)},"other_cold":${lapJson(coldO)},""" +
+      s""""routed_warm":${lapJson(warmR)},"other_warm":${lapJson(warmO)}}""")
   }
 
   /** Full corpus through COMPASS on a PRODUCTION-conf session. Counts
