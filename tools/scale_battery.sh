@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# The x-scale dedup/ANN/graph/streaming battery (SCALE.md r18/r19): run
+# The x-scale dedup/ANN/graph/streaming battery (SCALE.md r18-r20): run
 # the scale-shaped entries through the UNCHANGED driver harness against
 # a ScaleGen corpus, differential-check with a per-entry oracle budget,
 # and lap the bench. Usage:
@@ -15,20 +15,27 @@
 # Jaccard: q_dedup_minhash / q_dedup_sql / q_dedup_components) report
 # ORACLE TIMEOUT at x100+ by design — q_dedup_minhash is closed by
 # construction instead (survivor count invariant across multipliers;
-# 4,756 on the r18/r19 corpora). Every other entry must PASS and Spark
-# errors must be 0.
+# 4,756 on the r18/r19 corpora). At x1000 the ITERATIVE graph oracles
+# (q_pagerank / q_label_prop: DuckDB recursive-CTE power iterations
+# over the 10M-event graph) also exceed the budget — a coverage
+# statement, never a pass; both remain differential-PASS at x100.
+# Every other entry must PASS and Spark errors must be 0.
+#
+# The per-tag entry lists below are GATED: ScaleRecordDriftSpec asserts
+# the committed records (BENCH_X100.json / BENCH_X1000.json) carry
+# exactly these sets, so adding a scale-shaped entry here without
+# re-lapping and re-committing the record fails `sbt test` loudly.
 set -euo pipefail
 
 DIR=${1:?usage: scale_battery.sh <corpusDir> <tag>}
 TAG=${2:?usage: scale_battery.sh <corpusDir> <tag>}
 BUDGET=${ORACLE_BUDGET:-300}
 
-# 38 entries: 12 dedup + 10 ANN/clustering + 8 graph + 1 spatial +
-# 6 streaming + q_cusum (the r19 closed form, a cross-formulation
-# differential vs DuckDB's recursive CTE). q_ewma_recursive /
-# q_holt_linear (the r19 per-user folds) ride along for the same
-# reason.
-BATTERY="q_dedup_exact q_dedup_sql q_dedup_ngram q_dedup_simhash \
+# ×100 list (40 entries): 12 dedup + 10 ANN/clustering + 8 graph +
+# 1 spatial + 6 streaming + the 3 per-user recurrences (q_cusum closed
+# form; q_ewma_recursive / q_holt_linear streaming folds — all
+# cross-formulation differentials vs DuckDB's recursive CTEs).
+BATTERY_X100="q_dedup_exact q_dedup_sql q_dedup_ngram q_dedup_simhash \
 q_dedup_minhash q_dedup_components q_dedup_incremental q_dedup_indexed \
 q_dedup_keep_latest q_chunk_dedup q_typo_join q_semdedup \
 q_ann_exact q_ann_lsh q_ann_ivf q_ann_ivf_indexed q_ann_pq q_ann_ivfpq \
@@ -38,6 +45,22 @@ q_label_prop q_closeness q_point_in_polygon \
 q_stream_windowed q_stream_dedup q_stream_sessionize q_stream_topk \
 q_stream_funnel q_stream_user_totals \
 q_cusum q_ewma_recursive q_holt_linear"
+
+# ×1000 trimmed list (22 entries): drops the multi-minute heavy singles
+# measured separately in SCALE.md r18 (q_dedup_minhash/_sql/_components
+# 3m32s together, q_ann_neardup 3m16s) and the redundant ANN/graph
+# variants whose scale shape is already covered by a sibling, keeping
+# one representative per operator family + all recurrences.
+BATTERY_X1000="q_dedup_exact q_dedup_ngram q_dedup_simhash q_typo_join \
+q_semdedup q_ann_exact q_ann_lsh q_ann_ivf q_kmeans q_knn_classify \
+q_pagerank q_bfs_hops q_kcore q_label_prop q_point_in_polygon \
+q_stream_windowed q_stream_dedup q_stream_topk q_stream_user_totals \
+q_cusum q_ewma_recursive q_holt_linear"
+
+case "$TAG" in
+  x1000) BATTERY="$BATTERY_X1000" ;;
+  *)     BATTERY="$BATTERY_X100" ;;
+esac
 
 OUT=/tmp/verify_${TAG}_battery
 rm -rf "$OUT"
@@ -49,10 +72,15 @@ grep "\[verify\]" "/tmp/verify_${TAG}.log" && {
   echo "SPARK-SIDE FAILURES — see /tmp/verify_${TAG}.log"; exit 1; } || true
 
 echo "== DuckDB differential (budget ${BUDGET}s/entry) =="
+# check_oracle exits 1 whenever its FAIL list is non-empty — which the
+# documented by-design ORACLE TIMEOUT twins guarantee at x100+ — so the
+# differential must not abort the battery (the bench lap still has to
+# run); read the PASS/FAIL lines above when adjudicating.
 python3 "$(dirname "$0")/check_oracle.py" "$DIR" "$OUT" "$BUDGET" \
-  | grep -v "NO SPARK OUTPUT"
+  | grep -v "NO SPARK OUTPUT" || true
 
 echo "== Bench lap =="
 SPARK_GRAFT_SF_DIR="$DIR" GRAFT_BENCH_OUT="target/bench_${TAG}.json" \
   sbt -batch "runMain graft.Bench $BATTERY" 2>&1 | grep '"metric"'
 echo "record: target/bench_${TAG}.json"
+echo "promote with: cp target/bench_${TAG}.json BENCH_${TAG^^}.json"
