@@ -84,3 +84,13 @@ SPARK_GRAFT_SF_DIR="$DIR" GRAFT_BENCH_OUT="target/bench_${TAG}.json" \
   sbt -batch "runMain graft.Bench $BATTERY" 2>&1 | grep '"metric"'
 echo "record: target/bench_${TAG}.json"
 echo "promote with: cp target/bench_${TAG}.json BENCH_${TAG^^}.json"
+
+# Optional hot-key stress (GRAFT_HOT_USER=1): plant a 10^6-event user on
+# this corpus and check the per-user recurrence folds bit-for-bit
+# against a sequential driver-side reference (r19 verdict #1's x1000
+# deliverable; r20 measured PASS in 5.4 s / 3.2 s on /tmp/graft_x1000).
+if [ "${GRAFT_HOT_USER:-0}" = "1" ]; then
+  echo "== Hot-user probe =="
+  sbt -batch "runMain graft.HotUserProbe $DIR /tmp/graft_hotuser_${TAG} 1000000" \
+    2>&1 | grep "\[hotuser\]"
+fi
