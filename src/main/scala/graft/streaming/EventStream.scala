@@ -208,6 +208,14 @@ object EventStream {
     * LATE events (arriving after a later-stage match was committed)
     * cannot rewind the chain — the standard streaming approximation;
     * run the batch operator for exact funnels over compacted history.
+    *
+    * Hot-key bound (distinct from the batch folds' r20 rewrite): the
+    * deterministic tie-order sort buffers ONE user's events of ONE
+    * micro-batch in task heap — not the stream's history (state stays
+    * ≤ steps.size timestamps). A bot key's per-batch volume is capped
+    * by the trigger (maxFilesPerTrigger / maxOffsetsPerTrigger), which
+    * is the production dial for this class; the whole-history
+    * buffering hazard the batch folds had cannot occur here.
     */
   def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
       steps: Seq[String], withinSec: Long,
@@ -272,6 +280,9 @@ object EventStream {
     * after `gapSec` of inactivity (event-time timeout tied to the
     * watermark). State per key is one fixed-size record — bounded
     * regardless of stream length; sessions emit exactly once, on close.
+    * Hot-key bound: as in [[funnelStream]], the deterministic tie-order
+    * sort buffers one user's events of one MICRO-BATCH (trigger-capped),
+    * never the stream's history.
     */
   def sessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSec: Long = 1800): org.apache.spark.sql.Dataset[UserSession] = {

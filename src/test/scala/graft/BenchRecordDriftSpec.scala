@@ -37,5 +37,17 @@ class BenchRecordDriftSpec extends AnyFunSuite {
         s"(run graft.Bench quiesced, then cp target/bench_full.json BENCH_FULL.json). " +
         s"Entries missing from record: ${missing.mkString(", ")}; " +
         s"recorded but no longer declared: ${stale.mkString(", ")}")
+    // r20: the record must also carry the driver-memory audit channel —
+    // SCALE.md's driver-peak claims cite it, and a Bench refactor that
+    // silently dropped the map would leave those claims unreproducible.
+    val ingressField = df.schema.fields
+      .find(_.name == "driver_ingress_kb_heap_peak_mb")
+      .getOrElse(fail("record lost the driver_ingress_kb_heap_peak_mb channel"))
+    ingressField.dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        assert(s.fieldNames.length > 300,
+          s"driver-ingress map covers only ${s.fieldNames.length} entries")
+      case other => fail(s"driver-ingress channel is ${other.typeName}, expected a struct")
+    }
   }
 }
