@@ -440,7 +440,11 @@ object AnalyticsQueries {
     // is one edges⋈labels equi-join + a keyed count + a keyed
     // row_number — at cluster scale the rounds run through the
     // persisted-loop discipline (graft.operators.Components.ckpt).
-    sql("q_label_prop",
+    // Engine side persists po/pr/e once (r21): the oracle text references
+    // `e` four times (l0 + the three round joins) and each reference
+    // inlined the whole repeat-graph build (32 parquet scans in the
+    // before plan).
+    dfq("q_label_prop",
       "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
         "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
@@ -460,7 +464,34 @@ object AnalyticsQueries {
         "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3) t WHERE rn = 1) " +
         "SELECT lab AS community, CAST(count(*) AS BIGINT) AS size_n, " +
         "  CAST(min(node) AS BIGINT) AS min_node, CAST(sum(node) AS BIGINT) AS sum_nodes " +
-        "FROM l3 GROUP BY 1 ORDER BY size_n DESC, community LIMIT 25"),
+        "FROM l3 GROUP BY 1 ORDER BY size_n DESC, community LIMIT 25") { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      Queries.checkpointedView(s, "graft_lpp_po",
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+      Queries.checkpointedView(s, "graft_lpp_pr",
+        "SELECT a.p AS u, b.p AS v FROM graft_lpp_po a " +
+          "JOIN graft_lpp_po b ON a.o = b.o AND a.p < b.p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2")
+      Queries.checkpointedView(s, "graft_lpp_e",
+        "SELECT u, v FROM graft_lpp_pr UNION ALL SELECT v, u FROM graft_lpp_pr")
+      s.sql(
+        "WITH l0 AS (SELECT DISTINCT u AS node, u AS lab FROM graft_lpp_e), " +
+          "c1 AS (SELECT e.u AS node, l0.lab, CAST(count(*) AS BIGINT) AS c " +
+          "  FROM graft_lpp_e e JOIN l0 ON e.v = l0.node GROUP BY 1, 2), " +
+          "l1 AS (SELECT node, lab FROM (SELECT node, lab, " +
+          "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c1) t WHERE rn = 1), " +
+          "c2 AS (SELECT e.u AS node, l1.lab, CAST(count(*) AS BIGINT) AS c " +
+          "  FROM graft_lpp_e e JOIN l1 ON e.v = l1.node GROUP BY 1, 2), " +
+          "l2 AS (SELECT node, lab FROM (SELECT node, lab, " +
+          "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c2) t WHERE rn = 1), " +
+          "c3 AS (SELECT e.u AS node, l2.lab, CAST(count(*) AS BIGINT) AS c " +
+          "  FROM graft_lpp_e e JOIN l2 ON e.v = l2.node GROUP BY 1, 2), " +
+          "l3 AS (SELECT node, lab FROM (SELECT node, lab, " +
+          "    row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3) t WHERE rn = 1) " +
+          "SELECT lab AS community, CAST(count(*) AS BIGINT) AS size_n, " +
+          "  CAST(min(node) AS BIGINT) AS min_node, CAST(sum(node) AS BIGINT) AS sum_nodes " +
+          "FROM l3 GROUP BY 1 ORDER BY size_n DESC, community LIMIT 25")
+    },
 
     // Landmark closeness centrality: exact BFS distances from the 8
     // smallest node ids (the deterministic landmark set), hop-capped at
@@ -487,11 +518,15 @@ object AnalyticsQueries {
         "  CAST(coalesce(sum(CASE WHEN md.d > 0 THEN CAST(floor(27720.0 / md.d) AS BIGINT) ELSE 0 END), 0) AS BIGINT) AS harmonic_u " +
         "FROM nodes n LEFT JOIN md ON md.id = n.id GROUP BY n.id ORDER BY node") { (s, dir) =>
       Tables.registerAll(s, dir)
-      val pr = s.sql(
+      // Persisted once (r21): the node list below and the operator's
+      // internal symmetrize both consume this relation — unpersisted,
+      // the lineitem self-join + HAVING ran three times per lap (the
+      // node-list union is two scans).
+      val pr = graft.operators.OpCaches.track(s.sql(
         "SELECT a.p AS u, b.p AS v FROM " +
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
-          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2")
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2").persist())
       val nodes = pr.select(col("u").as("id")).union(pr.select(col("v").as("id"))).distinct()
       val dists = graft.operators.Components.landmarkDistances(pr, "u", "v", nLandmarks = 8, maxHops = 12)
       val agg = dists.groupBy(col("id"))

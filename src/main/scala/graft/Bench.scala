@@ -27,6 +27,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Guide §3.1/§9: let the planner pick shuffled-hash join when its
+      // size conditions hold (per-partition build side under the
+      // local-map threshold) instead of always sort-merge — scale-safe
+      // because the planner falls back to SMJ the moment a partition
+      // would not fit, so at 100 TB the big joins stay SMJ while the
+      // mid-size joins skip both sorts. Override to re-measure:
+      // GRAFT_PREFER_SMJ=1 restores the default.
+      .config("spark.sql.join.preferSortMergeJoin",
+        (sys.env.get("GRAFT_PREFER_SMJ").contains("1")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(run(spark, sfDir, args.toSet))

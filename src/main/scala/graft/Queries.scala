@@ -44,6 +44,37 @@ object Queries {
   /** Not SQL-expressible in DuckDB → driver records a rows-only check. */
   def opaque(name: String)(fn: QueryFn): Entry = Entry(name, fn, None)
 
+  /** Materialize a subrelation ONCE per entry (r21 optimization sweep,
+    * guide §2.4): Catalyst inlines a CTE per reference, so an expensive
+    * CTE referenced n times re-runs its whole subtree n times — the
+    * q_hits edge CTE showed 52 parquet scans in one physical plan. The
+    * persist is [[graft.operators.OpCaches.track]]ed, so Bench/Verify
+    * release it right after the entry's action; the downstream SQL reads
+    * the registered view and computes the identical relation.
+    */
+  def persistedView(s: SparkSession, viewName: String, text: String): DataFrame = {
+    val df = graft.operators.OpCaches.track(s.sql(text).persist())
+    df.createOrReplaceTempView(viewName)
+    df
+  }
+
+  /** [[persistedView]] variant backed by an EAGER checkpoint: raw row
+    * blocks (no columnar cache encode — measured faster than persist()
+    * on every converted entry) and a truncated plan. Pays one job per
+    * view up front; right when the view's own build is a chain the
+    * downstream statement would re-run serially anyway. Reliable
+    * (dir-based) checkpoint when the context has a checkpoint dir,
+    * executor-local otherwise — same discipline as
+    * [[graft.operators.Components]]' loop checkpoints.
+    */
+  def checkpointedView(s: SparkSession, viewName: String, text: String): DataFrame = {
+    val built = s.sql(text)
+    val df = if (s.sparkContext.getCheckpointDir.isDefined) built.checkpoint()
+      else built.localCheckpoint()
+    df.createOrReplaceTempView(viewName)
+    df
+  }
+
   /** The purchase sequence the per-user recurrence entries fold:
     * (user_id, event_id, ts µs, cents), cents = floor(value·100 + 0.5)
     * computed by the SAME Spark SQL expression as the oracles' seq CTE
@@ -1711,24 +1742,29 @@ object Queries {
         "  GROUP BY a ORDER BY count(*) DESC, a LIMIT 10) top " +
         "ORDER BY tri DESC, node") { (s, dir) =>
       Tables.registerAll(s, dir)
+      // Persisted (r21): the r16 "persist measured SLOWER" adjudication
+      // no longer holds — the before plan this round showed ZERO
+      // ReusedExchange nodes and 24 parquet scans (the total/top-10
+      // consumers each re-enumerated the full triangle join, and each of
+      // the three pair legs re-ran the lineitem self-join + DISTINCT).
+      // With pairs and anchors persisted the enumeration runs exactly
+      // once (and the wedge joins run shuffled-hash under the session's
+      // preferSortMergeJoin=false): measured 23.5 s → 10.3 s cold /
+      // 13.3 → 6.6 warm on the r21 host.
       val pairs = graft.operators.OpCaches.track(s.sql(
         "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
           "FROM lineitem a JOIN lineitem b " +
-          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey").persist())
       pairs.createOrReplaceTempView("graft_tri_pairs")
       // One enumeration only: fold the (large) triangle stream straight
       // into per-anchor counts — bounded by nodes — and derive BOTH
       // output rows (total = sum, top-10 = order) from that small
-      // relation. The total/top CTE split in the oracle text would
-      // enumerate twice here (Catalyst inlines CTEs); the two consumers
-      // share the anchors AGGREGATION through exchange reuse — an
-      // explicit persist measured SLOWER (SCALE.md r16 caching
-      // discipline), so pairs/anchors stay unpersisted by design.
+      // persisted relation.
       val anchors = graft.operators.OpCaches.track(s.sql(
         "SELECT e1.u AS a, count(*) AS c FROM graft_tri_pairs e1 " +
           "JOIN graft_tri_pairs e2 ON e2.u = e1.v " +
           "JOIN graft_tri_pairs e3 ON e3.u = e1.u AND e3.v = e2.v " +
-          "GROUP BY e1.u"))
+          "GROUP BY e1.u").persist())
       anchors.createOrReplaceTempView("graft_tri_anchors")
       s.sql(
         "SELECT CAST(-1 AS BIGINT) AS node, CAST(sum(c) AS BIGINT) AS tri " +
@@ -2463,13 +2499,26 @@ object Queries {
     // Degree distribution of the co-purchase graph — the graph-shape
     // profile (how skewed is connectivity) beside triangles/PageRank/
     // components; exact integers, same text both engines.
-    sql("q_degree_dist",
+    // Engine side persists the pair relation once (r21): the oracle text's
+    // `pairs` CTE is referenced twice (u and v legs of the union), and
+    // Catalyst inlines CTEs per reference — the lineitem self-join +
+    // DISTINCT ran twice per lap (8 parquet scans in the before plan).
+    dfq("q_degree_dist",
       "WITH pairs AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
         "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
         "deg AS (SELECT n, count(*) AS d FROM " +
         "  (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) t GROUP BY n) " +
-        "SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d",
-    ),
+        "SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_dd_pairs",
+        "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+          "FROM lineitem a JOIN lineitem b " +
+          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey")
+      s.sql(
+        "WITH deg AS (SELECT n, count(*) AS d FROM " +
+          "  (SELECT u AS n FROM graft_dd_pairs UNION ALL SELECT v FROM graft_dd_pairs) t GROUP BY n) " +
+          "SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY d ORDER BY d")
+    },
 
     // ASYMMETRIC exact similarity join — the daily-ingest face: batch
     // (doc_id ≥ 400) against corpus (doc_id < 400) with corpus-df prefix
@@ -2536,7 +2585,10 @@ object Queries {
     // the order-keyed self-join (bounded by Σ per-order basket², never a
     // cross product), support/df relations are partial-aggregated, and
     // the min-support HAVING prunes before the metric joins.
-    sql("q_market_basket",
+    // Engine side persists `po` once (r21): the oracle text references it
+    // from nn, ps, and both legs of the pair self-join — four lineitem
+    // scans + DISTINCTs per lap without the persist.
+    dfq("q_market_basket",
       "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "nn AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM po), " +
         "ps AS (SELECT p, count(*) AS s FROM po GROUP BY p), " +
@@ -2546,7 +2598,21 @@ object Queries {
         "  round(CAST(supp AS DOUBLE) / su.s, 6) AS conf, " +
         "  round(nn.n * supp / (su.s * sv.s), 6) AS lift " +
         "FROM pr JOIN ps su ON pr.u = su.p JOIN ps sv ON pr.v = sv.p CROSS JOIN nn " +
-        "ORDER BY lift DESC, u, v LIMIT 20"),
+        "ORDER BY lift DESC, u, v LIMIT 20") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_mb_po",
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+      s.sql(
+        "WITH nn AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM graft_mb_po), " +
+          "ps AS (SELECT p, count(*) AS s FROM graft_mb_po GROUP BY p), " +
+          "pr AS (SELECT a.p AS u, b.p AS v, count(*) AS supp FROM graft_mb_po a " +
+          "  JOIN graft_mb_po b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 3) " +
+          "SELECT u, v, CAST(supp AS BIGINT) AS supp, " +
+          "  round(CAST(supp AS DOUBLE) / su.s, 6) AS conf, " +
+          "  round(nn.n * supp / (su.s * sv.s), 6) AS lift " +
+          "FROM pr JOIN ps su ON pr.u = su.p JOIN ps sv ON pr.v = sv.p CROSS JOIN nn " +
+          "ORDER BY lift DESC, u, v LIMIT 20")
+    },
 
     // RFM customer segmentation: per-customer recency (days from the
     // corpus max order date), frequency, and cent-exact monetary, each
@@ -2664,11 +2730,14 @@ object Queries {
         "SELECT n.id AS node, CAST(coalesce(min(reach.d), -1) AS INT) AS hops " +
         "FROM nodes n LEFT JOIN reach ON reach.id = n.id GROUP BY n.id ORDER BY node") { (s, dir) =>
       Tables.registerAll(s, dir)
-      val pr = s.sql(
+      // Persisted once (r21): the seed lookup below and the operator's
+      // internal symmetrize both consume this relation — unpersisted,
+      // the lineitem self-join + HAVING ran twice per lap.
+      val pr = graft.operators.OpCaches.track(s.sql(
         "SELECT a.p AS u, b.p AS v FROM " +
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
-          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2")
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2").persist())
       // Single seed = the smallest node id (u < v ⇒ min u is min node):
       // one scalar to the driver, like the components convergence sum.
       // An EMPTY pair graph (sparse scale) has a NULL min — the oracle's
@@ -2707,12 +2776,16 @@ object Queries {
       Tables.registerAll(s, dir)
       // Weight is computed on the canonical (u < v) pair, then mirrored,
       // so both directions of an undirected edge carry the same cost.
-      val w = s.sql(
+      // Persisted once (r21): the seed lookup, the operator's edge
+      // checkpoint, AND the final node-list distinct all consume this
+      // relation — unpersisted, the lineitem self-join + HAVING ran four
+      // times per lap (sym = two scans).
+      val w = graft.operators.OpCaches.track(s.sql(
         "SELECT u, v, 1 + (u*31 + v*17) % 9 AS w FROM " +
           "(SELECT a.p AS u, b.p AS v FROM " +
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a JOIN " +
           "(SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b " +
-          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2)")
+          "ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2)").persist())
       val sym = w.union(w.select(col("v"), col("u"), col("w")))
       // Empty pair graph (sparse scale) → NULL min seed → the oracle's
       // empty relation, not an NPE (same guard as q_bfs_hops).
@@ -2764,7 +2837,10 @@ object Queries {
     // join, bounded by Σ deg² of the SPARSE thresholded graph, never
     // all-pairs), scored common/(dx+dy-common). Same text both engines;
     // 6-dp-rounded score + (x,y) tie-break pins the top-20 cut.
-    sql("q_graph_jaccard",
+    // Engine side persists the symmetric edge relation once (r21): the
+    // oracle text's `e` CTE is referenced three times (deg + both wedge
+    // legs) and each reference inlines the whole po-self-join pipeline.
+    dfq("q_graph_jaccard",
       "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
         "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
@@ -2775,7 +2851,26 @@ object Queries {
         "SELECT x, y, CAST(common AS BIGINT) AS common, " +
         "  round(CAST(common AS DOUBLE) / (dx.d + dy.d - common), 6) AS jac " +
         "FROM cn JOIN deg dx ON cn.x = dx.n JOIN deg dy ON cn.y = dy.n " +
-        "ORDER BY jac DESC, x, y LIMIT 20"),
+        "ORDER BY jac DESC, x, y LIMIT 20") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_gj_po",
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+      checkpointedView(s, "graft_gj_pr",
+        "SELECT a.p AS u, b.p AS v FROM graft_gj_po a " +
+          "JOIN graft_gj_po b ON a.o = b.o AND a.p < b.p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2")
+      checkpointedView(s, "graft_gj_e",
+        "SELECT u, v FROM graft_gj_pr UNION ALL SELECT v, u FROM graft_gj_pr")
+      s.sql(
+        "WITH deg AS (SELECT u AS n, count(*) AS d FROM graft_gj_e GROUP BY u), " +
+          "cn AS (SELECT a.v AS x, b.v AS y, count(*) AS common " +
+          "  FROM graft_gj_e a JOIN graft_gj_e b ON a.u = b.u AND a.v < b.v " +
+          "  GROUP BY a.v, b.v HAVING count(*) >= 2) " +
+          "SELECT x, y, CAST(common AS BIGINT) AS common, " +
+          "  round(CAST(common AS DOUBLE) / (dx.d + dy.d - common), 6) AS jac " +
+          "FROM cn JOIN deg dx ON cn.x = dx.n JOIN deg dy ON cn.y = dy.n " +
+          "ORDER BY jac DESC, x, y LIMIT 20")
+    },
 
     // Link prediction by the resource-allocation index (Zhou/Lü/Zhang
     // 2009) over the same repeat-co-purchase graph: RA(x,y) =
@@ -2788,7 +2883,11 @@ object Queries {
     // (never all-pairs), the adjacency exclusion is an anti-join on the
     // edge relation, and the top-20 cut is TakeOrdered with a unique
     // (ra_micro, x, y) total order.
-    sql("q_link_pred",
+    // Engine side persists po/pr/e once (r21): the oracle text references
+    // `e` three times (deg + both wedge legs) and `pr` once more in the
+    // NOT EXISTS — each reference inlines the whole build (28 parquet
+    // scans in the before plan).
+    dfq("q_link_pred",
       "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
         "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
@@ -2800,7 +2899,27 @@ object Queries {
         "  FROM w JOIN deg d ON w.z = d.n GROUP BY x, y HAVING count(*) >= 2) " +
         "SELECT x, y, common, ra_micro FROM cand " +
         "WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.u = cand.x AND pr.v = cand.y) " +
-        "ORDER BY ra_micro DESC, x, y LIMIT 20"),
+        "ORDER BY ra_micro DESC, x, y LIMIT 20") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_lp_po",
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+      checkpointedView(s, "graft_lp_pr",
+        "SELECT a.p AS u, b.p AS v FROM graft_lp_po a " +
+          "JOIN graft_lp_po b ON a.o = b.o AND a.p < b.p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2")
+      checkpointedView(s, "graft_lp_e",
+        "SELECT u, v FROM graft_lp_pr UNION ALL SELECT v, u FROM graft_lp_pr")
+      s.sql(
+        "WITH deg AS (SELECT u AS n, count(*) AS d FROM graft_lp_e GROUP BY u), " +
+          "w AS (SELECT a.v AS x, b.v AS y, a.u AS z FROM graft_lp_e a " +
+          "  JOIN graft_lp_e b ON a.u = b.u AND a.v < b.v), " +
+          "cand AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common, " +
+          "    CAST(sum(CAST(floor(1000000.0 / d.d) AS BIGINT)) AS BIGINT) AS ra_micro " +
+          "  FROM w JOIN deg d ON w.z = d.n GROUP BY x, y HAVING count(*) >= 2) " +
+          "SELECT x, y, common, ra_micro FROM cand " +
+          "WHERE NOT EXISTS (SELECT 1 FROM graft_lp_pr WHERE graft_lp_pr.u = cand.x AND graft_lp_pr.v = cand.y) " +
+          "ORDER BY ra_micro DESC, x, y LIMIT 20")
+    },
 
     // Degree assortativity (Newman 2002) of the co-purchase graph: the
     // Pearson correlation of endpoint degrees across the SYMMETRIC edge
@@ -2813,7 +2932,10 @@ object Queries {
     // two broadcast-able joins, one global agg; at extreme scale the
     // BIGINT products (dx·dy ≤ dmax²·M) bound the design — dmax ~1e4
     // keeps Σdx·dy < 2^63 past 1e10 edges.
-    sql("q_assortativity",
+    // Engine side persists po/pr/e once (r21): `e` is referenced twice
+    // (deg + ed) and each reference inlined the whole build (24 parquet
+    // scans in the before plan).
+    dfq("q_assortativity",
       "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
         "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
@@ -2826,7 +2948,27 @@ object Queries {
         "SELECT m AS n_edges, sx AS sum_deg, sxy AS sum_xy, sxx AS sum_xx, " +
         "  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
         "  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS r_assort " +
-        "FROM m"),
+        "FROM m") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_as_po",
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+      checkpointedView(s, "graft_as_pr",
+        "SELECT a.p AS u, b.p AS v FROM graft_as_po a " +
+          "JOIN graft_as_po b ON a.o = b.o AND a.p < b.p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2")
+      checkpointedView(s, "graft_as_e",
+        "SELECT u, v FROM graft_as_pr UNION ALL SELECT v, u FROM graft_as_pr")
+      s.sql(
+        "WITH deg AS (SELECT u AS n, count(*) AS d FROM graft_as_e GROUP BY u), " +
+          "ed AS (SELECT du.d AS dx, dv.d AS dy FROM graft_as_e e " +
+          "  JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(dx) AS BIGINT) AS sx, " +
+          "  CAST(sum(dx * dy) AS BIGINT) AS sxy, CAST(sum(dx * dx) AS BIGINT) AS sxx FROM ed) " +
+          "SELECT m AS n_edges, sx AS sum_deg, sxy AS sum_xy, sxx AS sum_xx, " +
+          "  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+          "  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS r_assort " +
+          "FROM m")
+    },
 
     // Newman modularity of a FIXED vertex partition (p_type as the
     // community labels) over the co-purchase graph: Q = Σ_c [A_c/2m −
@@ -2838,7 +2980,9 @@ object Queries {
     // row via the LEFT JOIN (a_c = 0). Scale shape: two broadcast-able
     // community-label joins + hash aggs; community count is bounded by
     // the label domain, never the graph size.
-    sql("q_modularity",
+    // Engine side persists po/pr/e once (r21): `e` is referenced three
+    // times (m, dc, ec) — 30 parquet scans in the before plan.
+    dfq("q_modularity",
       "WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "pr AS (SELECT a.p AS u, b.p AS v FROM po a JOIN po b ON a.o = b.o AND a.p < b.p " +
         "  GROUP BY 1, 2 HAVING count(*) >= 2), " +
@@ -2854,7 +2998,30 @@ object Queries {
         "  CAST(coalesce(ec.a_c, 0) AS DOUBLE) / CAST(m.e2 AS DOUBLE) - " +
         "  (CAST(dc.d_c AS DOUBLE) / CAST(m.e2 AS DOUBLE)) * " +
         "  (CAST(dc.d_c AS DOUBLE) / CAST(m.e2 AS DOUBLE)) AS q_term " +
-        "FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m ORDER BY community"),
+        "FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m ORDER BY community") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_md_po",
+        "SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem")
+      checkpointedView(s, "graft_md_pr",
+        "SELECT a.p AS u, b.p AS v FROM graft_md_po a " +
+          "JOIN graft_md_po b ON a.o = b.o AND a.p < b.p " +
+          "GROUP BY 1, 2 HAVING count(*) >= 2")
+      checkpointedView(s, "graft_md_e",
+        "SELECT u, v FROM graft_md_pr UNION ALL SELECT v, u FROM graft_md_pr")
+      s.sql(
+        "WITH com AS (SELECT p_partkey AS pk, p_type AS c FROM part), " +
+          "m AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM graft_md_e), " +
+          "dc AS (SELECT cm.c, CAST(count(*) AS BIGINT) AS d_c " +
+          "  FROM graft_md_e e JOIN com cm ON e.u = cm.pk GROUP BY 1), " +
+          "ec AS (SELECT cu.c, CAST(count(*) AS BIGINT) AS a_c " +
+          "  FROM graft_md_e e JOIN com cu ON e.u = cu.pk JOIN com cv ON e.v = cv.pk " +
+          "  WHERE cu.c = cv.c GROUP BY 1) " +
+          "SELECT dc.c AS community, CAST(coalesce(ec.a_c, 0) AS BIGINT) AS a_c, dc.d_c, " +
+          "  CAST(coalesce(ec.a_c, 0) AS DOUBLE) / CAST(m.e2 AS DOUBLE) - " +
+          "  (CAST(dc.d_c AS DOUBLE) / CAST(m.e2 AS DOUBLE)) * " +
+          "  (CAST(dc.d_c AS DOUBLE) / CAST(m.e2 AS DOUBLE)) AS q_term " +
+          "FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m ORDER BY community")
+    },
 
     // Per-user interval union — total covered time of overlapping
     // activity windows (each event opens a 5-minute interval): the
@@ -3310,7 +3477,11 @@ object Queries {
     // customer-keyed wedge join (cost Σ per-customer basket², never an
     // item×item cross); integer dots + 6-dp-rounded cosine with (p1,p2)
     // tie-break pin the top-20 cut. Same text both engines.
-    sql("q_item_cf",
+    // Engine side persists the rating relation once (r21): `r` is
+    // referenced three times (nrm + both dot legs) and each reference
+    // inlined the orders⋈lineitem aggregate (16 parquet scans in the
+    // before plan).
+    dfq("q_item_cf",
       "WITH r AS (SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS w " +
         "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2), " +
         "nrm AS (SELECT p, sqrt(CAST(sum(w * w) AS DOUBLE)) AS n FROM r GROUP BY p), " +
@@ -3318,7 +3489,20 @@ object Queries {
         "  FROM r a JOIN r b ON a.c = b.c AND a.p < b.p GROUP BY a.p, b.p HAVING count(*) >= 2) " +
         "SELECT p1, p2, CAST(shared AS BIGINT) AS shared, round(d / (na.n * nb.n), 6) AS cos " +
         "FROM dot JOIN nrm na ON p1 = na.p JOIN nrm nb ON p2 = nb.p " +
-        "ORDER BY cos DESC, p1, p2 LIMIT 20"),
+        "ORDER BY cos DESC, p1, p2 LIMIT 20") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_cf_r",
+        "SELECT o_custkey AS c, l_partkey AS p, CAST(count(*) AS BIGINT) AS w " +
+          "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2")
+      s.sql(
+        "WITH nrm AS (SELECT p, sqrt(CAST(sum(w * w) AS DOUBLE)) AS n FROM graft_cf_r GROUP BY p), " +
+          "dot AS (SELECT a.p AS p1, b.p AS p2, CAST(sum(a.w * b.w) AS BIGINT) AS d, count(*) AS shared " +
+          "  FROM graft_cf_r a JOIN graft_cf_r b ON a.c = b.c AND a.p < b.p " +
+          "  GROUP BY a.p, b.p HAVING count(*) >= 2) " +
+          "SELECT p1, p2, CAST(shared AS BIGINT) AS shared, round(d / (na.n * nb.n), 6) AS cos " +
+          "FROM dot JOIN nrm na ON p1 = na.p JOIN nrm nb ON p2 = nb.p " +
+          "ORDER BY cos DESC, p1, p2 LIMIT 20")
+    },
 
     // Geospatial radius query: customers within 2500 km of a probe
     // point (deterministic synthetic coordinates from integer key

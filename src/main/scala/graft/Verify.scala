@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Same engine join policy as Bench (guide §3.1): the correctness
+      // gate must exercise the plans the bench times.
+      .config("spark.sql.join.preferSortMergeJoin",
+        (sys.env.get("GRAFT_PREFER_SMJ").contains("1")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir, subset)
