@@ -214,7 +214,11 @@ object Bench {
     // channel (r19 verdict #2). Full record only.
     val driverPeaks = scala.collection.mutable
       .LinkedHashMap.empty[String, (Long, Long)]
-    DriverFootprint.install(spark)
+    // A/B knob for the r20 q_image_decode adjudication: GRAFT_NO_FOOTPRINT=1
+    // runs the lap without the listener/peak-polling so its cost (if any)
+    // is attributable from two laps of the same build.
+    if (!sys.env.get("GRAFT_NO_FOOTPRINT").contains("1"))
+      DriverFootprint.install(spark)
     selected.foreach { e =>
       // Settle the heap between entries so a 100+-query session's
       // accumulated garbage is not charged to whichever entry GC happens

@@ -1876,8 +1876,22 @@ object PipelineQueries {
       "  md5(array_to_string(rp, ',')) AS pix_md5 " +
       "FROM rs ORDER BY doc_id"
 
+  /** Rebalance the (single-file, one-partition) documents scan BEFORE the
+    * raster/wave generators below (r21): the interpreted array-building
+    * HOFs are the expensive part of these fixtures, and a repartition
+    * placed after them (inside the codec operators) would leave the
+    * generation serial and only shuffle the generated arrays. The
+    * shuffle here carries doc_id-projection rows, a few bytes each;
+    * hash-on-id (retry-deterministic), no-op when already wide.
+    */
+  private def spreadDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target, col("doc_id"))
+    else docs
+  }
+
   private def imageRaster(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"),
+    spreadDocs(docs).select(col("doc_id"),
         (pmod(col("doc_id"), lit(13)) + 4).cast("int").as("w"),
         (pmod(col("doc_id"), lit(11)) + 4).cast("int").as("h"))
       .withColumn("pixels",

@@ -829,22 +829,29 @@ object Queries {
     // cardinalities) gates an all-1 ok flag, both per group and for the
     // UNION of the per-group sketches against the global exact count —
     // merging must not degrade the estimate.
-    sql2("q_hll_union",
-      "WITH s AS (SELECT l_returnflag AS flag, hll_sketch_agg(l_orderkey, 14) AS sk, " +
-        "  count(DISTINCT l_orderkey) AS exact FROM lineitem GROUP BY l_returnflag), " +
-        "g AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem) " +
-        "SELECT flag, exact, CAST(CASE WHEN abs(hll_sketch_estimate(sk) - exact) <= 0.05 * exact " +
-        "  THEN 1 ELSE 0 END AS BIGINT) AS ok FROM s " +
-        "UNION ALL " +
-        "SELECT 'zz_union', g.exact, CAST(CASE WHEN " +
-        "  abs(hll_sketch_estimate((SELECT hll_union_agg(sk) FROM s)) - g.exact) <= 0.05 * g.exact " +
-        "  THEN 1 ELSE 0 END AS BIGINT) FROM g " +
-        "ORDER BY flag",
+    // Engine side materializes the per-group sketch relation once (r21):
+    // the `s` CTE was referenced twice (per-group rows + the union-agg
+    // subquery), so the lineitem HLL+distinct aggregate ran twice per lap.
+    dfq("q_hll_union",
       "SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS exact, " +
         "  CAST(1 AS BIGINT) AS ok FROM lineitem GROUP BY l_returnflag " +
         "UNION ALL " +
         "SELECT 'zz_union', count(DISTINCT l_orderkey), 1 FROM lineitem " +
-        "ORDER BY flag"),
+        "ORDER BY flag") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      checkpointedView(s, "graft_hll_s",
+        "SELECT l_returnflag AS flag, hll_sketch_agg(l_orderkey, 14) AS sk, " +
+          "count(DISTINCT l_orderkey) AS exact FROM lineitem GROUP BY l_returnflag")
+      s.sql(
+        "WITH g AS (SELECT count(DISTINCT l_orderkey) AS exact FROM lineitem) " +
+          "SELECT flag, exact, CAST(CASE WHEN abs(hll_sketch_estimate(sk) - exact) <= 0.05 * exact " +
+          "  THEN 1 ELSE 0 END AS BIGINT) AS ok FROM graft_hll_s " +
+          "UNION ALL " +
+          "SELECT 'zz_union', g.exact, CAST(CASE WHEN " +
+          "  abs(hll_sketch_estimate((SELECT hll_union_agg(sk) FROM graft_hll_s)) - g.exact) <= 0.05 * g.exact " +
+          "  THEN 1 ELSE 0 END AS BIGINT) FROM g " +
+          "ORDER BY flag")
+    },
 
     // Equi-width histogram via width_bucket over an exact integer (cent)
     // domain — bucket edges at 5000-dollar multiples, so edge assignment
@@ -2639,12 +2646,15 @@ object Queries {
       val cust = orders.groupBy(col("o_custkey").as("c"))
         .agg(max(col("o_orderdate")).as("last_o"), count(lit(1)).as("f"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
-      val sc = cust
+      // Persisted once (r21): the count below plus the three quartile
+      // rank passes each consumed this relation — unpersisted, the
+      // orders aggregates re-ran four times per lap.
+      val sc = graft.operators.OpCaches.track(cust
         .crossJoin(broadcast(orders.agg(max(col("o_orderdate")).as("mxd"))))
         .select(col("c"),
           datediff(col("mxd").cast("date"), col("last_o").cast("date"))
             .cast("long").as("rec"),
-          col("f"), col("m"))
+          col("f"), col("m")).persist())
       val n = sc.count() // one scalar: the ntile denominator
       require(n >= 4, s"q_rfm: need at least 4 customers, got $n")
       // ntile(k) from a 1-based global rank: the first n%k buckets take
@@ -3119,13 +3129,16 @@ object Queries {
         "FROM sig s JOIN r1 ON s.doc_id = r1.doc_id JOIN r2 ON s.doc_id = r2.doc_id " +
         "JOIN r3 ON s.doc_id = r3.doc_id " +
         "ORDER BY borda ASC, doc_id LIMIT 20") { (s, dir) =>
-      val sig = Tables.load(s, dir, "documents")
+      // Persisted once (r21): the three rank passes each consumed this
+      // relation — unpersisted, the tokenize + array_distinct HOF ran
+      // three times per lap.
+      val sig = graft.operators.OpCaches.track(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"),
           array_distinct(split(lower(col("text")), " ")).as("uniq"),
           size(split(lower(col("text")), " ")).as("n_words"))
         .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
           (col("n_words") - size(col("uniq"))).cast("long").as("n_dup"),
-          size(col("uniq")).cast("long").as("n_uniq"))
+          size(col("uniq")).cast("long").as("n_uniq")).persist())
       def rankBy(key: org.apache.spark.sql.Column, out: String) =
         graft.operators.Prefix.withRunningSums(
             sig.withColumn("_k", key), "_k", Nil, idxCol = "_r",

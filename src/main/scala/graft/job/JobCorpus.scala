@@ -542,7 +542,11 @@ object JobCorpus {
         .getOrElse {
           val c = spark.newSession()
           c.conf.set("spark.sql.adaptive.enabled", "false")
-          c.conf.set("spark.sql.codegen.wholeStage", "false")
+          // A/B knob (r21): GRAFT_JOB_CODEGEN=1 keeps whole-stage codegen
+          // on inside the trim, to re-measure the r18 "codegen off wins"
+          // call as data scale and hosts drift.
+          if (!sys.env.get("GRAFT_JOB_CODEGEN").contains("1"))
+            c.conf.set("spark.sql.codegen.wholeStage", "false")
           c.conf.set("spark.sql.constraintPropagation.enabled", "false")
           val path = dataPathFor(m)
           tableNames.foreach { t =>

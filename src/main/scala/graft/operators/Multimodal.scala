@@ -68,6 +68,18 @@ object Multimodal {
     out
   }
 
+  // Partitioning note (r21): these codec stages inherit their input's
+  // partitioning on purpose. A single-file media table scans as ONE
+  // partition and serializes every decode behind one task (guide §2.5
+  // "input skew") — but the measured fix is to widen the SOURCE before
+  // the expensive generation/codec chain (PipelineQueries.spreadDocs:
+  // hash-on-id, a few bytes per shuffled row), not to repartition inside
+  // each operator: an operator-level repartition lands AFTER the
+  // already-computed payload expressions, shuffles payload bytes, and
+  // measured as a net LOSS on every narrow-input entry it fired for
+  // (stub folds +0.6 s, WAV chain 2.5 -> 5.6 s) while the real-codec
+  // entries get their parallelism from the widened source anyway.
+
   // The FULL 8-byte PNG signature, not just the 4-byte prefix: arbitrary
   // binary payloads on the stub path (resized strides, future media)
   // must not be mis-routed to ImageIO by a 4-byte coincidence.
@@ -505,14 +517,51 @@ object Multimodal {
     StructField("sample_rate", IntegerType),
     StructField("n_samples", IntegerType)))
 
+  /** JDK audio SPI providers resolved ONCE per JVM (r21):
+    * `AudioSystem.write` / `AudioSystem.getAudioInputStream` re-enter
+    * the globally SYNCHRONIZED provider registry
+    * (`JDK13Services.getProviders`) on every call — invisible while the
+    * codec stage ran as one task, but a measured ~3× slowdown once
+    * [[balanced]] made it 32-way parallel: every row's encode/decode
+    * serialized on the registry lock. These are the same implementation
+    * classes AudioSystem itself resolves, so payload bytes and decoded
+    * samples are bit-identical.
+    */
+  private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
+  }
+
+  private lazy val wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toSeq
+  }
+
+  /** AudioSystem.getAudioInputStream semantics over the cached provider
+    * list: first reader that accepts the payload wins; a fresh stream
+    * per attempt so provider probing never sees a half-consumed stream.
+    */
+  private def wavInputStream(
+      payload: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    wavReaders.foreach { r =>
+      try return r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no provider accepted the payload")
+  }
+
   /** Decode a WAV payload to its 16-bit signed PCM samples, or null if
     * the payload is not decodable 16-bit PCM. Shared by [[decodeWav]]
     * and the [[extractFeatures]] audio route.
     */
   private def wavSamples(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
+      val in = wavInputStream(payload)
       val fmt = in.getFormat
       if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
           fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) null
@@ -564,6 +613,12 @@ object Multimodal {
     */
   def encodeWav(df: DataFrame, idCol: String, samplesCol: String,
       sampleRate: Int): DataFrame = {
+    // Deliberately NOT [[balanced]] (r21): WAV payloads here are hundreds
+    // of bytes and the cached-SPI encode is ~microseconds per row, so the
+    // exchange + extra stage cost more than the parallelism returns
+    // (measured 2.50 -> 5.61 s warm on the resample chain when widened).
+    // A genuinely wide audio table stays wide: this only affects
+    // narrow-input fixtures.
     require(sampleRate > 0, s"encodeWav: sample rate $sampleRate must be positive")
     val spark = df.sparkSession
     val inSchema = df.schema
@@ -594,7 +649,8 @@ object Multimodal {
           val ais = new javax.sound.sampled.AudioInputStream(
             new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
           baos.reset()
-          javax.sound.sampled.AudioSystem.write(
+          // Cached SPI writer, not AudioSystem.write — see wavWriter.
+          wavWriter.write(
             ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
           val bytes = baos.toByteArray
           val crc = new java.util.zip.CRC32(); crc.update(bytes)
@@ -622,6 +678,7 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("channels", IntegerType),
       StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    // Same reasoning as encodeWav: decode is cached-SPI cheap, stay narrow.
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
