@@ -56,7 +56,10 @@ object HotUserProbe {
     }
     java.nio.file.Files.createDirectories(workDir.toPath)
     for (t <- Tables.all if t != "events") {
+      // Absolute-normalized (r21, ADVICE): a relative `base` would make
+      // the links resolve relative to workDir and read the wrong files.
       val src = java.nio.file.Paths.get(base, s"$t.parquet")
+        .toAbsolutePath.normalize()
       if (java.nio.file.Files.exists(src))
         java.nio.file.Files.createSymbolicLink(
           workDir.toPath.resolve(s"$t.parquet"), src): Unit

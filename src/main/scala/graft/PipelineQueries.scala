@@ -21,10 +21,12 @@ object PipelineQueries {
     * same JVM (the ScaleGen overwrite-to-same-dest pattern) changes the
     * fingerprint and invalidates the entry — a path-only key would keep
     * serving the stale count and silently mis-size nCentroids (r19
-    * advice).
+    * advice). r21 (ADVICE): stored as path -> (fingerprint, count) and
+    * REPLACED on fingerprint change, so in-place regenerations cannot
+    * grow the map without bound — one entry per corpus dir.
     */
   private val embCountMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
   /** Cheap on-disk fingerprint: total bytes + max mtime over the
     * embeddings files (recursive — ScaleGen corpora are part-file
@@ -955,7 +957,13 @@ object PipelineQueries {
       // keeps every driver scale (200-2k vectors) on the r12-pinned
       // fixture; the oracle follows the recorded assignment at any k.
       val p = s"$dir/embeddings.parquet"
-      val n = embCountMemo.getOrElseUpdate((p, embFingerprint(p)), emb.count())
+      val fp = embFingerprint(p)
+      val n = embCountMemo.get(p) match {
+        case Some((`fp`, cnt)) => cnt
+        case _ =>
+          val cnt = emb.count()
+          embCountMemo.put(p, (fp, cnt)); cnt
+      }
       Similarity.semDedup(emb, "vec_id", "embedding",
           threshold = 0.45, nCentroids = Similarity.semDedupCentroids(n))
         .orderBy("vec_id")

@@ -20,6 +20,13 @@ object Verify {
       // gate must exercise the plans the bench times.
       .config("spark.sql.join.preferSortMergeJoin",
         (sys.env.get("GRAFT_PREFER_SMJ").contains("1")).toString)
+      // Companion AQE lever (guide §3.1): let AQE rewrite a planned
+      // sort-merge join to shuffled-hash at runtime when every
+      // post-shuffle partition is under this bound (default 0 = off).
+      // The bound is the safety: partitions beyond it keep sort-merge,
+      // so at 100 TB the big joins are untouched.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_AQE_SHJ_THRESHOLD", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir, subset)

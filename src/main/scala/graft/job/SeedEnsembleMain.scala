@@ -93,8 +93,12 @@ object SeedEnsembleMain {
         val xs = enums.map(e => math.max(e.estimate(p), 1.0)).sorted
         (sz, xs.head, xs.last, xs.last / xs.head)
       }
-      val (wSz, wMin, wMax, wRatio) = prefixSpreads.maxBy(_._4)
-      val spread = f"worst prefix $wSz: $wMin%.0f..$wMax%.0f (x$wRatio%.1f)"
+      // maxByOption (r21, ADVICE): a 2-table order has no interior
+      // prefixes and the plain maxBy would throw on the empty seq.
+      val spread = prefixSpreads.maxByOption(_._4)
+        .map { case (wSz, wMin, wMax, wRatio) =>
+          f"worst prefix $wSz: $wMin%.0f..$wMax%.0f (x$wRatio%.1f)" }
+        .getOrElse("worst prefix: n/a (2-table order)")
       val flipped = ensOrder != shipOrder
       anyFlip ||= flipped && ensSum < shipSum
       anyWorse ||= ensSum > shipSum

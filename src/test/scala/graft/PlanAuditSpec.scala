@@ -736,6 +736,12 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(u#") ||
         p.contains("hashpartitioning(u:"),
         s"$name lost the user-key co-locating exchange:\n$p")
+      // r21 (ADVICE): the float recurrence is order-sensitive, so the
+      // spill-safe in-partition Sort below the MapPartitions node is
+      // load-bearing — a refactor dropping sortWithinPartitions must
+      // fail HERE, not as a nondeterministic differential mismatch.
+      assert(p.contains("Sort [u#"),
+        s"$name lost the in-partition (u, ts, eid) sort below the fold:\n$p")
     }
     // The recursion machinery itself stays exercised engine-side by
     // q_recursive_cte (digit-tree walk: depth = #digits, log-bounded —

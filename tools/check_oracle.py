@@ -145,4 +145,15 @@ print(f"PASS {len(ok)}: {' '.join(x if isinstance(x,str) else x[0] for x in ok)}
 print(f"FAIL {len(bad)}:")
 for name, why in bad:
     print(f"  {name}: {why}")
-sys.exit(1 if bad else 0)
+# r21 (ADVICE): the scale battery's by-design brute-force oracle twins
+# guarantee a non-empty FAIL list at x100+, and the old `|| true` around
+# this script swallowed GENUINE mismatches along with them. An explicit
+# allowlist (GRAFT_EXPECTED_TIMEOUTS, comma-separated entry names) makes
+# the distinction: a failure is tolerated only when it is an ORACLE
+# TIMEOUT on an allowlisted entry; anything else still exits 1.
+expected_to = {t for t in os.environ.get("GRAFT_EXPECTED_TIMEOUTS", "").split(",") if t}
+hard_bad = [(n, w) for n, w in bad
+            if not (w.startswith("ORACLE TIMEOUT") and n in expected_to)]
+if bad and not hard_bad:
+    print(f"all {len(bad)} failures are allowlisted ORACLE TIMEOUTs — exit 0")
+sys.exit(1 if hard_bad else 0)

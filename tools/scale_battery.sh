@@ -72,12 +72,21 @@ grep "\[verify\]" "/tmp/verify_${TAG}.log" && {
   echo "SPARK-SIDE FAILURES — see /tmp/verify_${TAG}.log"; exit 1; } || true
 
 echo "== DuckDB differential (budget ${BUDGET}s/entry) =="
-# check_oracle exits 1 whenever its FAIL list is non-empty — which the
-# documented by-design ORACLE TIMEOUT twins guarantee at x100+ — so the
-# differential must not abort the battery (the bench lap still has to
-# run); read the PASS/FAIL lines above when adjudicating.
-python3 "$(dirname "$0")/check_oracle.py" "$DIR" "$OUT" "$BUDGET" \
-  | grep -v "NO SPARK OUTPUT" || true
+# r21 (ADVICE): the old `|| true` here swallowed genuine mismatches along
+# with the by-design brute-force oracle timeouts. check_oracle now takes
+# the per-tag expected-timeout allowlist and exits 0 only when every
+# failure is an allowlisted ORACLE TIMEOUT — a real count mismatch
+# aborts the battery again.
+case "$TAG" in
+  x1000) EXPECTED_TO="q_pagerank,q_label_prop" ;;
+  *)     EXPECTED_TO="q_dedup_minhash,q_dedup_sql,q_dedup_components" ;;
+esac
+GRAFT_EXPECTED_TIMEOUTS="$EXPECTED_TO" \
+  python3 "$(dirname "$0")/check_oracle.py" "$DIR" "$OUT" "$BUDGET" \
+  > "/tmp/oracle_${TAG}.out" 2>&1 || {
+    grep -v "NO SPARK OUTPUT" "/tmp/oracle_${TAG}.out" || true
+    echo "DIFFERENTIAL FAILURES beyond the expected-timeout allowlist"; exit 1; }
+grep -v "NO SPARK OUTPUT" "/tmp/oracle_${TAG}.out" || true
 
 echo "== Bench lap =="
 SPARK_GRAFT_SF_DIR="$DIR" GRAFT_BENCH_OUT="target/bench_${TAG}.json" \
