@@ -23,6 +23,11 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Mirror Bench's join policy so dumped plans match the timed ones.
+      .config("spark.sql.join.preferSortMergeJoin",
+        (sys.env.get("GRAFT_PREFER_SMJ").contains("1")).toString)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("GRAFT_AQE_SHJ_THRESHOLD", "128m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val outDir = Paths.get("plans/r21")
