@@ -2359,9 +2359,14 @@ object PipelineQueries {
         "SELECT doc_id, CAST(f AS INT) AS frame, CAST(w AS INT) AS width, CAST(h AS INT) AS height, " +
         "  CAST(w*h AS BIGINT) AS n_px, CAST(1 AS BIGINT) AS ok " +
         "FROM fr ORDER BY doc_id, frame") { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+      // spreadDocs + eager checkpoint (r21): the frame raster below is
+      // consumed TWICE (the JPEG encode→pack→decode chain and the final
+      // source-raster join), and the narrow documents scan serialized
+      // the interpreted pixel-array generation and the JPEG codec on
+      // one core. One parallel generation, one materialization.
+      val docs = spreadDocs(Tables.load(s, dir, "documents"))
       val wL = col("w").cast("long")
-      val frames = docs.select(col("doc_id"),
+      val framesBuilt = docs.select(col("doc_id"),
           (lit(2) + pmod(col("doc_id"), lit(3))).cast("int").as("nf"),
           (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
           (lit(6) + pmod(col("doc_id"), lit(7))).cast("int").as("h"))
@@ -2387,6 +2392,9 @@ object PipelineQueries {
               (lit(12L) + x * 6 + y * 3 + col("f") * 34)).cast("int")
           }))
         .withColumn("fid", col("doc_id") * 10 + col("f"))
+      val frames =
+        if (s.sparkContext.getCheckpointDir.isDefined) framesBuilt.checkpoint()
+        else framesBuilt.localCheckpoint()
       val jpegFrames = Multimodal.encodeJpeg(
         frames, "fid", "w", "h", "pixels", quality = 0.95f)
       val packed = Multimodal.packFrames(
