@@ -27,20 +27,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Guide §3.1/§9: let the planner pick shuffled-hash join when its
-      // size conditions hold (per-partition build side under the
-      // local-map threshold) instead of always sort-merge — scale-safe
-      // because the planner falls back to SMJ the moment a partition
-      // would not fit, so at 100 TB the big joins stay SMJ while the
-      // mid-size joins skip both sorts. Override to re-measure:
-      // GRAFT_PREFER_SMJ=1 restores the default.
+      // Guide §3.1 + r21 verdict #1: preferSortMergeJoin stays at its
+      // DEFAULT (true). The r21 session-global flip to false made the
+      // STATIC planner convert SMJ→SHJ from stats ESTIMATES with no
+      // runtime fallback (the r21 comment's "falls back the moment a
+      // partition would not fit" was wrong — only the AQE lever below is
+      // runtime-size-gated), and the driver bench regressed 20/36
+      // entries: the AQE-off JOB child sessions inherited the flip
+      // (q_job_compass exec 29.6→91.6 s) and q_typo_join's post-explode
+      // self-join was misestimated into a 10.9 s interpreted hash build.
+      // GRAFT_PREFER_SMJ=0 re-flips it for A/B re-measurement.
       .config("spark.sql.join.preferSortMergeJoin",
-        (sys.env.get("GRAFT_PREFER_SMJ").contains("1")).toString)
-      // Companion AQE lever (guide §3.1): let AQE rewrite a planned
-      // sort-merge join to shuffled-hash at runtime when every
-      // post-shuffle partition is under this bound (default 0 = off).
-      // The bound is the safety: partitions beyond it keep sort-merge,
-      // so at 100 TB the big joins are untouched.
+        (!sys.env.get("GRAFT_PREFER_SMJ").contains("0")).toString)
+      // AQE lever (guide §3.1), kept from r21: AQE rewrites a planned
+      // sort-merge join to shuffled-hash at RUNTIME when every
+      // post-shuffle partition is under this bound (default 0 = off) —
+      // decided from observed sizes, so at 100 TB the big joins are
+      // untouched. This is the only SHJ conversion path left on.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("GRAFT_AQE_SHJ_THRESHOLD", "128m"))
       .getOrCreate()

@@ -44,6 +44,13 @@ object JobEntries {
       c.conf.set("spark.sql.adaptive.enabled", "false")
       c.conf.set("spark.sql.codegen.wholeStage", "false")
       c.conf.set("spark.sql.constraintPropagation.enabled", "false")
+      // Pinned (r21 verdict #1): this child runs AQE-OFF, so a parent
+      // session's preferSortMergeJoin=false would make the STATIC planner
+      // convert SMJ→SHJ from stats estimates with no runtime fallback —
+      // 32 concurrent interpreted (codegen-off) hash builds thrashed the
+      // heap on the r21 driver (q_job_compass exec_ms 29.6→91.6 s, and
+      // FASTER at 8 cores than 32). Joins here are broadcast-or-SMJ.
+      c.conf.set("spark.sql.join.preferSortMergeJoin", "true")
       val cs = new CompassSession(c,
         templateCache = Some(SketchTemplateCache.default()))
       compassSessions.put(s, new java.lang.ref.WeakReference(cs))

@@ -2392,9 +2392,9 @@ object PipelineQueries {
               (lit(12L) + x * 6 + y * 3 + col("f") * 34)).cast("int")
           }))
         .withColumn("fid", col("doc_id") * 10 + col("f"))
-      val frames =
+      val frames = graft.operators.OpCaches.trackCheckpoint(
         if (s.sparkContext.getCheckpointDir.isDefined) framesBuilt.checkpoint()
-        else framesBuilt.localCheckpoint()
+        else framesBuilt.localCheckpoint())
       val jpegFrames = Multimodal.encodeJpeg(
         frames, "fid", "w", "h", "pixels", quality = 0.95f)
       val packed = Multimodal.packFrames(

@@ -72,7 +72,63 @@ object Queries {
     val df = if (s.sparkContext.getCheckpointDir.isDefined) built.checkpoint()
       else built.localCheckpoint()
     df.createOrReplaceTempView(viewName)
-    df
+    // Released between entries like every operator persist (r22, ADVICE):
+    // untracked, the temp view pinned the checkpoint RDD's MEMORY_AND_DISK
+    // blocks in the session catalog for the whole session — ~14 such
+    // relations accumulated across a full Bench/Verify lap.
+    graft.operators.OpCaches.trackCheckpoint(df, Some(viewName))
+  }
+
+  /** q_triangles' pair + per-anchor relations (r21 persist sweep, r22
+    * join scope). Persists the distinct co-order pair relation once
+    * (view `graft_tri_pairs`), then EAGERLY materializes the per-anchor
+    * triangle counts (view `graft_tri_anchors`) — one wedge enumeration,
+    * both output rows derive from the small checkpointed relation.
+    *
+    * The enumeration runs under an ENTRY-SCOPED
+    * `preferSortMergeJoin=false` (r22): sort-merge must sort the
+    * Σdeg²-row wedge stream on both join passes — measured 5.8 → 20.9 s
+    * warm on the r22 host when the r21 session-global flip was removed
+    * (the driver host is insensitive: ~8.5 s under either policy). The
+    * conversion stays runtime-safe because AQE re-plans with ACCURATE
+    * post-shuffle sizes and its canBuildLocalHashMap gate (estimated
+    * side ≲ autoBroadcastJoinThreshold × partitions) only admits hash
+    * builds of the small pairs side — unlike the r21 GLOBAL flip, whose
+    * static conversions on AQE-off child sessions had no such gate. The
+    * scope is exact (the checkpoint executes the enumeration before the
+    * finally restores the conf) and no other entry inherits the policy.
+    *
+    * Returns (checkpointed anchors, executed wedge plan) — the plan
+    * string is the post-action adaptive plan (`isFinalPlan=true`), the
+    * only artifact that can witness the runtime SMJ→SHJ conversion
+    * (r21 verdict #3/#8; PlanDump and PlanAuditSpec consume it).
+    */
+  private[graft] def trianglesAnchors(s: SparkSession): (DataFrame, String) = {
+    val pairs = graft.operators.OpCaches.track(s.sql(
+      "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey").persist())
+    pairs.createOrReplaceTempView("graft_tri_pairs")
+    val prevPreferSmj = s.conf.getOption("spark.sql.join.preferSortMergeJoin")
+    val (anchors, wedgePlan) = try {
+      s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      val built = s.sql(
+        "SELECT e1.u AS a, count(*) AS c FROM graft_tri_pairs e1 " +
+          "JOIN graft_tri_pairs e2 ON e2.u = e1.v " +
+          "JOIN graft_tri_pairs e3 ON e3.u = e1.u AND e3.v = e2.v " +
+          "GROUP BY e1.u")
+      // EAGER materialization (raw row blocks, like checkpointedView):
+      // the conf scope requires the wedge execution to happen HERE.
+      val ck = graft.operators.OpCaches.trackCheckpoint(
+        if (s.sparkContext.getCheckpointDir.isDefined) built.checkpoint()
+        else built.localCheckpoint(), Some("graft_tri_anchors"))
+      (ck, built.queryExecution.executedPlan.toString)
+    } finally prevPreferSmj match {
+      case Some(v) => s.conf.set("spark.sql.join.preferSortMergeJoin", v)
+      case None => s.conf.unset("spark.sql.join.preferSortMergeJoin")
+    }
+    anchors.createOrReplaceTempView("graft_tri_anchors")
+    (anchors, wedgePlan)
   }
 
   /** The purchase sequence the per-user recurrence entries fold:
@@ -1749,30 +1805,7 @@ object Queries {
         "  GROUP BY a ORDER BY count(*) DESC, a LIMIT 10) top " +
         "ORDER BY tri DESC, node") { (s, dir) =>
       Tables.registerAll(s, dir)
-      // Persisted (r21): the r16 "persist measured SLOWER" adjudication
-      // no longer holds — the before plan this round showed ZERO
-      // ReusedExchange nodes and 24 parquet scans (the total/top-10
-      // consumers each re-enumerated the full triangle join, and each of
-      // the three pair legs re-ran the lineitem self-join + DISTINCT).
-      // With pairs and anchors persisted the enumeration runs exactly
-      // once (and the wedge joins run shuffled-hash under the session's
-      // preferSortMergeJoin=false): measured 23.5 s → 10.3 s cold /
-      // 13.3 → 6.6 warm on the r21 host.
-      val pairs = graft.operators.OpCaches.track(s.sql(
-        "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
-          "FROM lineitem a JOIN lineitem b " +
-          "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey").persist())
-      pairs.createOrReplaceTempView("graft_tri_pairs")
-      // One enumeration only: fold the (large) triangle stream straight
-      // into per-anchor counts — bounded by nodes — and derive BOTH
-      // output rows (total = sum, top-10 = order) from that small
-      // persisted relation.
-      val anchors = graft.operators.OpCaches.track(s.sql(
-        "SELECT e1.u AS a, count(*) AS c FROM graft_tri_pairs e1 " +
-          "JOIN graft_tri_pairs e2 ON e2.u = e1.v " +
-          "JOIN graft_tri_pairs e3 ON e3.u = e1.u AND e3.v = e2.v " +
-          "GROUP BY e1.u").persist())
-      anchors.createOrReplaceTempView("graft_tri_anchors")
+      trianglesAnchors(s): Unit
       s.sql(
         "SELECT CAST(-1 AS BIGINT) AS node, CAST(sum(c) AS BIGINT) AS tri " +
           "FROM graft_tri_anchors " +

@@ -17,14 +17,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Same engine join policy as Bench (guide §3.1): the correctness
-      // gate must exercise the plans the bench times.
+      // gate must exercise the plans the bench times. preferSortMergeJoin
+      // back at its default since r22 (the static flip had no runtime
+      // size fallback — r21 verdict #1); only the runtime-size-gated AQE
+      // SHJ threshold stays on. GRAFT_PREFER_SMJ=0 re-flips for A/B.
       .config("spark.sql.join.preferSortMergeJoin",
-        (sys.env.get("GRAFT_PREFER_SMJ").contains("1")).toString)
-      // Companion AQE lever (guide §3.1): let AQE rewrite a planned
-      // sort-merge join to shuffled-hash at runtime when every
-      // post-shuffle partition is under this bound (default 0 = off).
-      // The bound is the safety: partitions beyond it keep sort-merge,
-      // so at 100 TB the big joins are untouched.
+        (!sys.env.get("GRAFT_PREFER_SMJ").contains("0")).toString)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("GRAFT_AQE_SHJ_THRESHOLD", "128m"))
       .getOrCreate()

@@ -548,6 +548,12 @@ object JobCorpus {
           if (!sys.env.get("GRAFT_JOB_CODEGEN").contains("1"))
             c.conf.set("spark.sql.codegen.wholeStage", "false")
           c.conf.set("spark.sql.constraintPropagation.enabled", "false")
+          // Pinned (r21 verdict #1): AQE is off in this trim, so an
+          // inherited preferSortMergeJoin=false means STATIC stats-based
+          // SMJ→SHJ conversion with no runtime size fallback — the exact
+          // interaction that regressed the r21 driver bench (q_job_corpus
+          // 44.1→55.3 s). The trim's joins stay broadcast-or-SMJ.
+          c.conf.set("spark.sql.join.preferSortMergeJoin", "true")
           val path = dataPathFor(m)
           tableNames.foreach { t =>
             c.read.parquet(s"$path/$t.parquet").createOrReplaceTempView(t)

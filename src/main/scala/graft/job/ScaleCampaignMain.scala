@@ -44,6 +44,7 @@ object ScaleCampaignMain {
         case "chooser" => chooser(spark, m)
         case "compass" => compass(spark, m)
         case "skip" => skip(spark, m)
+        case "capouts" => capouts(spark, m)
         case other => sys.error(s"unknown facet $other")
       }
     } finally spark.stop()
@@ -123,12 +124,23 @@ object ScaleCampaignMain {
     val v = l.latMs.values.toSeq.sorted
     val top = l.latMs.toSeq.sortBy(-_._2).take(5)
       .map { case (q, t) => s""""$q":$t""" }.mkString(",")
+    // Per-family [n, median_ms, sum_ms] (r22, verdict #4): the routing
+    // decision is per FAMILY, so the facet must attribute latency at
+    // that grain — the p50/p90 summary hides which families would win
+    // under the other profile.
+    val fams = l.latMs.groupBy { case (q, _) => q.takeWhile(_.isDigit) }
+      .toSeq.sortBy { case (f, _) => f.toIntOption.getOrElse(Int.MaxValue) }
+      .map { case (f, qs) =>
+        val xs = qs.values.toSeq.sorted
+        s""""$f":[${xs.size},${xs(xs.size / 2)},${xs.sum}]"""
+      }.mkString("{", ",", "}")
     val stats =
       if (v.isEmpty) """"p50_ms":0,"p90_ms":0,"max_ms":0,"top5":{}"""
       else s""""p50_ms":${v(v.size / 2)},"p90_ms":${v((v.size * 9) / 10)},""" +
         s""""max_ms":${v.last},"top5":{$top}"""
     s"""{"wall_s":${f"${l.wallS}%.1f"},"completed":${l.counts.size},""" +
-      s""""timeouts":${l.timeouts.map("\"" + _ + "\"").mkString("[", ",", "]")},$stats}"""
+      s""""timeouts":${l.timeouts.map("\"" + _ + "\"").mkString("[", ",", "]")},$stats,""" +
+      s""""families_n_med_sum_ms":$fams}"""
   }
 
   /** Corpus on default conf vs the interactive trim, cold + warm. */
@@ -232,6 +244,33 @@ object ScaleCampaignMain {
         s""""planning_fraction_warm":${f"${(skW + enW).toDouble / math.max(1, skW + enW + exW)}%.3f"},""" +
         s""""exec_top5_ms":{$execTop},"counts":{$countsJson}}""")
     } finally cs.close()
+  }
+
+  /** r21 verdict #7 — adjudicate the ×100 cap-outs at plan level: ONE
+    * capped cold lap on the winning (default/AQE) profile names the
+    * queries that hit the cap, then each cap-out's static physical plan
+    * is summarized (join strategies, exchange count, estimated sizes) so
+    * the record says WHAT they wait on, not just that they time out.
+    */
+  private def capouts(spark: SparkSession, m: Int): Unit = {
+    JobCorpus.ensureData(spark, m)
+    val dflt = spark.newSession()
+    JobCorpus.registerViews(dflt, m)
+    val cap = sys.env.get("GRAFT_QUERY_CAP_SEC")
+      .flatMap(_.toIntOption).getOrElse(120)
+    val lap = cappedLap(dflt, cap)
+    val byName = JobCorpus.queries.toMap
+    val planSummaries = lap.timeouts.map { q =>
+      val plan = dflt.sql(byName(q)).queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(plan).size
+      s""""$q":{"smj":${n("SortMergeJoin")},"bhj":${n("BroadcastHashJoin")},""" +
+        s""""shj":${n("ShuffledHashJoin")},"exchanges":${n("Exchange ")},""" +
+        s""""nested_loop":${n("NestedLoop")}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"facet":"capouts","m":$m,"cap_sec":$cap,""" +
+      s""""completed":${lap.counts.size},"wall_s":${f"${lap.wallS}%.1f"},""" +
+      s""""timeouts":${lap.timeouts.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""timeout_plans":$planSummaries,"lap":${lapJson(lap)}}""")
   }
 
   private def skip(spark: SparkSession, m: Int): Unit = {

@@ -525,7 +525,11 @@ object Multimodal {
     * [[balanced]] made it 32-way parallel: every row's encode/decode
     * serialized on the registry lock. These are the same implementation
     * classes AudioSystem itself resolves, so payload bytes and decoded
-    * samples are bit-identical.
+    * samples are bit-identical — on a stock single-provider JDK. Caveat
+    * (r22, ADVICE): raw ServiceLoader order ignores the JDK13Services
+    * default-provider preference (`sound.properties` / system property),
+    * so on a JVM with multiple or custom audio SPIs provider precedence
+    * could differ from AudioSystem's; this deployment ships no such SPI.
     */
   private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
     import scala.jdk.CollectionConverters._

@@ -26,9 +26,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object OpCaches {
   private val tracked = scala.collection.mutable.Map
     .empty[SparkSession, scala.collection.mutable.Buffer[DataFrame]]
+  // Checkpointed relations (r22, ADVICE): Dataset.unpersist() is a
+  // CacheManager no-op for a checkpoint-backed Dataset — its blocks
+  // belong to the internal RDD behind the LogicalRDD leaf — and the temp
+  // view it registers pins that RDD in the session catalog for the
+  // session's life. Both are released here: dropTempView frees the
+  // catalog reference, and the LogicalRDD's RDD is unpersisted directly
+  // so the MEMORY_AND_DISK blocks go now, not at an eventual GC.
+  private val checkpointed = scala.collection.mutable.Map
+    .empty[SparkSession, scala.collection.mutable.Buffer[(Option[String], DataFrame)]]
 
-  private def sweepStopped(): Unit =
+  private def sweepStopped(): Unit = {
     tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
+    checkpointed.filterInPlace((s, _) => !s.sparkContext.isStopped)
+  }
 
   def track(df: DataFrame): DataFrame = tracked.synchronized {
     sweepStopped()
@@ -37,13 +48,35 @@ object OpCaches {
     df
   }
 
+  /** Register a checkpoint-backed DataFrame (and the temp view that pins
+    * it, if any) for release between entries — same discipline as
+    * [[track]], different release mechanics (see `checkpointed` above).
+    */
+  def trackCheckpoint(df: DataFrame, viewName: Option[String] = None): DataFrame =
+    tracked.synchronized {
+      sweepStopped()
+      checkpointed.getOrElseUpdate(df.sparkSession,
+        scala.collection.mutable.Buffer.empty[(Option[String], DataFrame)]) +=
+        ((viewName, df))
+      df
+    }
+
   def trackedCount(spark: SparkSession): Int = tracked.synchronized {
-    tracked.get(spark).map(_.size).getOrElse(0)
+    tracked.get(spark).map(_.size).getOrElse(0) +
+      checkpointed.get(spark).map(_.size).getOrElse(0)
   }
 
   /** Unpersist every cache the operators pinned under `spark`. */
   def releaseAll(spark: SparkSession): Unit = tracked.synchronized {
     sweepStopped()
     tracked.remove(spark).foreach(_.foreach(_.unpersist(false)))
+    checkpointed.remove(spark).foreach(_.foreach { case (view, df) =>
+      view.foreach(v => df.sparkSession.catalog.dropTempView(v): Unit)
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false): Unit
+        case _ => () // reliable (dir-based) checkpoint: no blocks to drop
+      }
+    })
   }
 }

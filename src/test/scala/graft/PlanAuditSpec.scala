@@ -353,6 +353,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q_triangles: scoped join policy converts the wedge joins at runtime, then restores the conf") {
+    // r22: the anchors enumeration runs under an ENTRY-SCOPED
+    // preferSortMergeJoin=false so AQE's accurate-stats re-planning can
+    // take shuffled-hash on the Σdeg²-row wedge stream (5.8 → 20.9 s
+    // warm without it on the r22 host). Pin three facts: the scope
+    // EXECUTED (adaptive plan is final), the conversion actually fired
+    // at this scale (a ShuffledHashJoin in the executed wedge plan —
+    // the r21 overclaim was asserting this from a STATIC dump, where it
+    // is invisible), and the session conf is restored afterwards.
+    Tables.registerAll(spark, "/root/testdata/sf0.01")
+    val before = spark.conf.getOption("spark.sql.join.preferSortMergeJoin")
+    val (_, wedgePlan) = Queries.trianglesAnchors(spark)
+    assert(spark.conf.getOption("spark.sql.join.preferSortMergeJoin") == before,
+      "entry-scoped join policy leaked out of trianglesAnchors")
+    assert(wedgePlan.contains("isFinalPlan=true"),
+      s"wedge plan must be the executed adaptive plan:\n$wedgePlan")
+    // At sf0.01 test scale AQE's accurate sizes admit BROADCAST hash
+    // joins (smaller still than SHJ); at bench scale the same policy
+    // yields ShuffledHashJoin. Either way the Σdeg² wedge stream must
+    // not be sorted: no SortMergeJoin in the final plan.
+    val finalSection = wedgePlan.split("== Initial Plan ==").head
+    assert(finalSection.contains("ShuffledHashJoin") ||
+      finalSection.contains("BroadcastHashJoin"),
+      s"no hash join in the executed wedge enumeration:\n$wedgePlan")
+    assert(!finalSection.contains("SortMergeJoin"),
+      s"wedge enumeration still sort-merges at runtime:\n$wedgePlan")
+    graft.operators.OpCaches.releaseAll(spark)
+  }
+
   test("wedge joins plan as hash equi-joins, never a cartesian product") {
     // Market basket, item CF, neighbor Jaccard, and the typo join all
     // enumerate pairs through a shared-key equi-join (order / customer /

@@ -81,6 +81,10 @@ case "$TAG" in
   x1000) EXPECTED_TO="q_pagerank,q_label_prop" ;;
   *)     EXPECTED_TO="q_dedup_minhash,q_dedup_sql,q_dedup_components" ;;
 esac
+# r22 (ADVICE high): name the subset Verify actually ran, so the entries
+# Verify skipped (all of oracle_sql.json is written regardless) are not
+# counted as 'NO SPARK OUTPUT' hard failures.
+GRAFT_ORACLE_SUBSET="$BATTERY" \
 GRAFT_EXPECTED_TIMEOUTS="$EXPECTED_TO" \
   python3 "$(dirname "$0")/check_oracle.py" "$DIR" "$OUT" "$BUDGET" \
   > "/tmp/oracle_${TAG}.out" 2>&1 || {
