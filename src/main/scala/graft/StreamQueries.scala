@@ -262,16 +262,57 @@ object StreamQueries {
   private def availableNow =
     org.apache.spark.sql.streaming.Trigger.AvailableNow()
 
-  /** Run `df` into a memory sink to completion, return the sink's rows.
+  /** Run `df` into a sink to completion, return the drained rows.
     * Fixed query names are safe across repeated entry runs — active-query
     * name uniqueness only applies to RUNNING queries, and the sink view
     * is re-registered per start.
+    *
+    * Default sink: MEMORY — every output row ships to the driver as task
+    * results, which is the O(n) harness artifact the ×100/×1000 driver-
+    * ingress audits flagged (q_stream_dedup ~1.0 GB of task results and
+    * a 42 GB heap high-water at ×1000). `GRAFT_STREAM_SINK=file` (r22,
+    * r20 verdict #2) reroutes APPEND-mode drains to a real parquet FILE
+    * sink — executors write, the driver sees only commit metadata — and
+    * reads the committed files back, so the entry's returned relation is
+    * IDENTICAL row-for-row and the declared results never change.
+    * COMPLETE-mode drains (global aggregations: windowed/topk/enrich/
+    * user_totals/psi) stay on the memory sink under the knob: Spark's
+    * file sink is append-only BY DESIGN (complete mode would have to
+    * rewrite history per batch); a production deployment drains those
+    * via foreachBatch into an overwritable/merge table. That structural
+    * split — not a missing measurement — is the reason the file-sink
+    * numbers below cover the append entries only.
     */
   private def drainToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory")
-      .queryName(name).trigger(availableNow).start()
-    drainTracked(q, name)
-    df.sparkSession.table(name)
+    val useFile = mode == "append" &&
+      sys.env.get("GRAFT_STREAM_SINK").contains("file")
+    if (useFile) {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"), "graft_stream_sink", name)
+      // Fresh dir per drain: the file sink's _spark_metadata log would
+      // otherwise re-serve earlier laps' batches to the read-back.
+      if (java.nio.file.Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      }
+      val data = base.resolve("data")
+      val q = df.writeStream.outputMode(mode).format("parquet")
+        .option("path", data.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .queryName(name).trigger(availableNow).start()
+      drainTracked(q, name)
+      // Explicit schema: an all-filtered stream commits zero files and
+      // inference would fail; with the schema pinned the read-back of an
+      // empty sink is the empty relation, exactly like the memory table.
+      java.nio.file.Files.createDirectories(data): Unit
+      df.sparkSession.read.schema(df.schema).parquet(data.toString)
+    } else {
+      val q = df.writeStream.outputMode(mode).format("memory")
+        .queryName(name).trigger(availableNow).start()
+      drainTracked(q, name)
+      df.sparkSession.table(name)
+    }
   }
 
   // Every streaming entry runs end-to-end on the tuned child session —
